@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable._
+
+/** The relational query surface (SURVEY.md §2.9).
+  *
+  * MongoShake itself has no join/window/group-by query operators — Spark
+  * supplies them — but the driver's acceptance bar exercises the standard
+  * scan → filter → join → agg → sort/limit surface over the test corpus.
+  * Each query is written Catalyst-first: filters early (parquet pushdown),
+  * explicit `broadcast()` on fixed-cardinality dimensions, exact decimal
+  * aggregation (see [[graft.functions.Portable]]).
+  */
+object Relational {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1-style scan + partial-aggregatable group-by: the canonical
+    // map-side-combine pattern; shuffles only |groups| rows per partition.
+    "q1_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Star join: fact tables join on keys; dimensions broadcast so the
+    // only shuffle is the lineitem⋈orders⋈customer key exchange.
+    "q2_join_agg" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o  = Tables.load(s, dir, "orders")
+      val c  = Tables.load(s, dir, "customer")
+      val n  = Tables.load(s, dir, "nation")
+      val r  = Tables.load(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Top-k: agg then orderBy().limit(k) — Spark plans TakeOrderedAndProject,
+    // which is a per-partition heap + driver merge (no full sort at scale).
+    "q3_topk" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Window functions: rank + running total per customer; one shuffle on
+    // the partition key, sort within partitions only.
+    "q4_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("order_rank", row_number().over(w))
+        .withColumn("running_spend",
+          sum(dec2(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+        .filter(col("order_rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("order_rank"), col("running_spend"))
+    }),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS): customers having an open
+    // order but no finished order. left_semi/left_anti never widen rows.
+    "q5_semi_anti" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      c.join(open, col("c_custkey") === open("o_custkey"), "left_semi")
+        .join(done, col("c_custkey") === done("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // Q6-style selective scan: every predicate reaches the parquet reader
+    // (PushedFilters), single-row global aggregate.
+    "q6_filter" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(
+          sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Exact distinct aggregation (expands to two-phase hash aggregate).
+    "q7_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q2_join_agg" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q3_topk" ->
+      """SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem GROUP BY l_orderkey
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q4_window" ->
+      """SELECT o_custkey, o_orderkey, order_rank, running_spend FROM (
+           SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_rank,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+           FROM orders) WHERE order_rank <= 3""",
+    "q5_semi_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+           AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+    "q6_filter" ->
+      """SELECT
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q7_distinct" ->
+      """SELECT l_returnflag,
+         COUNT(DISTINCT l_partkey) AS n_parts,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag"""
+  )
+}

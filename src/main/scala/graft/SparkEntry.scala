@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Cdc, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,12 +13,15 @@ import graft.operators.Relational
 object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Relational.queries, Relational.oracles)
+      (Relational.queries, Relational.oracles),
+      (Cdc.queries, Cdc.oracles)
     )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full CDC slice: normalize → filter chain → route → idempotent apply.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q2_join_agg")(spark, "/root/testdata/sf0.001")
+    queries("cdc_apply")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.apply.{Combiner, Replay}
+import graft.filters.OplogFilters
+import graft.functions.Portable.phash64Sql
+import graft.model.Oplog
+import graft.partition.Hashers
+import graft.transform.Transforms
+
+/** CDC operator queries (SURVEY.md §2.3-2.6/§2.8) over the `events` table
+  * projected into canonical oplog form, each with an exact DuckDB oracle.
+  *
+  * Shared configuration for the verified pipeline:
+  * gids allowed = {""} (drop foreign-gid records),
+  * ns whitelist = app.users_*, blacklist = app.users_3, 8 workers,
+  * `users_1` routed by document key (X3 whitelist), others by namespace.
+  */
+object Cdc {
+
+  private val gids = Seq("")
+  private val white = Seq("^app\\.users_[0-9]+$")
+  private val black = Seq("^app\\.users_3$")
+  private val nWorkers = 8
+  private val idColls = Seq("users_1")
+
+  private def oplog(s: SparkSession, dir: String): DataFrame =
+    Oplog.fromEvents(s, dir)
+
+  private def filtered(s: SparkSession, dir: String): DataFrame =
+    oplog(s, dir).filter(OplogFilters.chain(gids, white, black))
+
+  private def routed(s: SparkSession, dir: String): DataFrame =
+    Hashers.repartitionOrdered(
+      filtered(s, dir), Hashers.workerWhitelist(idColls, nWorkers), nWorkers)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1/P2: raw change records → canonical oplog rows.
+    "cdc_normalize" -> ((s, dir) =>
+      oplog(s, dir).select("event_id", "ts_packed", "op", "ns", "doc_key", "g")),
+
+    // F1+F2+F3+F5+F7 keep-chain, summarized per (op, ns).
+    "cdc_filter_chain" -> ((s, dir) =>
+      filtered(s, dir).groupBy(col("op"), col("ns")).agg(count(lit(1)).as("n"))),
+
+    // P3: ordered namespace rewrite rules (exact + db-prefix match).
+    "cdc_ns_transform" -> ((s, dir) =>
+      oplog(s, dir)
+        .withColumn("ns_new",
+          Transforms.nsTransform(Seq("app.users_0" -> "app.u0", "app" -> "appx")))
+        .groupBy(col("ns"), col("ns_new")).agg(count(lit(1)).as("n"))),
+
+    // P4: db → N target dbs fanout via broadcast mapping join.
+    "cdc_db_fanout" -> ((s, dir) =>
+      Transforms.dbFanout(oplog(s, dir), Seq("app" -> "app_a", "app" -> "app_b"))
+        .groupBy(col("ns")).agg(count(lit(1)).as("n"))),
+
+    // W1-W4 as idempotent MERGE: last-effective-write-wins materialization.
+    "cdc_apply" -> ((s, dir) => Replay.materialize(filtered(s, dir))),
+
+    // X1-X3: routing distribution (worker → volume, distinct namespaces).
+    "cdc_route_stats" -> ((s, dir) =>
+      filtered(s, dir)
+        .withColumn("worker", Hashers.workerWhitelist(idColls, nWorkers))
+        .groupBy(col("worker"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("ns")).as("n_ns"))),
+
+    // G4/G6: per-worker checkpoint watermarks (min acked / newest ts).
+    "cdc_checkpoint" -> ((s, dir) => Replay.checkpointByWorker(routed(s, dir))),
+
+    // G2/G3: run-length (ns,op) flush groups in per-worker oplog order.
+    "cdc_combine_groups" -> ((s, dir) =>
+      Combiner.flushGroups(
+        filtered(s, dir).withColumn("worker", Hashers.workerWhitelist(idColls, nWorkers)))),
+
+    // T1-T3 batch analogue: transaction grouping (lsid = user, txnNumber =
+    // hour bucket), emitting per-txn op counts and ts bounds.
+    "cdc_txn_group" -> ((s, dir) =>
+      filtered(s, dir)
+        .withColumn("lsid", col("doc_key"))
+        .withColumn("txn_number", expr("ts_us DIV 3600000000"))
+        .groupBy(col("lsid"), col("txn_number"))
+        .agg(count(lit(1)).as("n_ops"),
+          min(col("ts_packed")).as("first_ts"),
+          max(col("ts_packed")).as("last_ts")))
+  )
+
+  /** Keep-chain WHERE fragment — mirrors [[OplogFilters.chain]]. */
+  private val chainSql: String =
+    """op <> 'n' AND g IN ('')
+       AND (db NOT IN ('admin','local','config','mongoshake','mongoshake_conflict') OR ns = 'admin.$cmd')
+       AND regexp_matches(ns, '^app\.users_[0-9]+$')
+       AND NOT regexp_matches(ns, '^app\.users_3$')
+       AND NOT from_migrate"""
+
+  /** X3 routing expression — mirrors [[Hashers.workerWhitelist]]. */
+  private val workerSql: String =
+    s"""CASE WHEN op = 'c' THEN 0
+        WHEN coll IN ('users_1') THEN ${phash64Sql("doc_key")} % 8
+        ELSE ${phash64Sql("ns")} % 8 END"""
+
+  private def withOplog(body: String): String =
+    s"WITH oplog AS (${Oplog.oracleCte}) $body"
+
+  def oracles: Map[String, String] = Map(
+    "cdc_normalize" -> withOplog(
+      "SELECT event_id, ts_packed, op, ns, doc_key, g FROM oplog"),
+
+    "cdc_filter_chain" -> withOplog(
+      s"SELECT op, ns, COUNT(*) AS n FROM oplog WHERE $chainSql GROUP BY op, ns"),
+
+    "cdc_ns_transform" -> withOplog(
+      """SELECT ns,
+         CASE WHEN ns = 'app.users_0' THEN 'app.u0'
+              WHEN ns LIKE 'app.users_0.%' THEN 'app.u0' || substr(ns, 12)
+              WHEN ns = 'app' THEN 'appx'
+              WHEN ns LIKE 'app.%' THEN 'appx' || substr(ns, 4)
+              ELSE ns END AS ns_new,
+         COUNT(*) AS n FROM oplog GROUP BY 1, 2"""),
+
+    "cdc_db_fanout" -> withOplog(
+      """SELECT COALESCE(m.db_dst, o.db) || '.' || o.coll AS ns, COUNT(*) AS n
+         FROM oplog o LEFT JOIN (VALUES ('app','app_a'), ('app','app_b')) m(db_src, db_dst)
+           ON o.db = m.db_src
+         GROUP BY 1"""),
+
+    "cdc_apply" -> withOplog(
+      s"""SELECT ns, doc_key, value AS last_value, event_id AS last_event_id, n_ops
+          FROM (
+            SELECT ns, doc_key, value, event_id, op,
+              ROW_NUMBER() OVER (PARTITION BY ns, doc_key ORDER BY ts_packed DESC, event_id DESC) AS rn,
+              COUNT(*) OVER (PARTITION BY ns, doc_key) AS n_ops
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
+          WHERE rn = 1 AND op <> 'd'"""),
+
+    "cdc_route_stats" -> withOplog(
+      s"""SELECT $workerSql AS worker, COUNT(*) AS n, COUNT(DISTINCT ns) AS n_ns
+          FROM oplog WHERE $chainSql GROUP BY 1"""),
+
+    "cdc_checkpoint" -> withOplog(
+      s"""SELECT $workerSql AS worker,
+          MIN(ts_packed) AS lsn_ack_min, MAX(ts_packed) AS lsn_newest, COUNT(*) AS n_logs
+          FROM oplog WHERE $chainSql GROUP BY 1"""),
+
+    "cdc_combine_groups" -> withOplog(
+      s""", eff AS (SELECT *, $workerSql AS worker FROM oplog WHERE $chainSql),
+          seq AS (
+            SELECT *, CASE WHEN lag(ns) OVER w = ns AND lag(op) OVER w = op THEN 0 ELSE 1 END AS changed
+            FROM eff WINDOW w AS (PARTITION BY worker ORDER BY ts_packed, event_id)),
+          isl AS (
+            SELECT *, SUM(changed) OVER (PARTITION BY worker ORDER BY ts_packed, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM seq),
+          runs AS (
+            SELECT worker, island, ns, op, COUNT(*) AS run_len
+            FROM isl GROUP BY 1, 2, 3, 4)
+          SELECT ns, op, COUNT(*) AS n_runs,
+            CAST(SUM(CEIL(run_len / 1000.0)) AS BIGINT) AS n_flush_groups,
+            SUM(run_len) AS n_rows, MAX(run_len) AS max_run
+          FROM runs GROUP BY ns, op"""),
+
+    "cdc_txn_group" -> withOplog(
+      s"""SELECT doc_key AS lsid, ts_us // 3600000000 AS txn_number,
+          COUNT(*) AS n_ops, MIN(ts_packed) AS first_ts, MAX(ts_packed) AS last_ts
+          FROM oplog WHERE $chainSql GROUP BY 1, 2""")
+  )
+}

@@ -1,0 +1,58 @@
+package graft.partition
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable.phash64
+import graft.plans.JavaStringHash
+
+/** Worker routing: hash partitioning with per-key total order
+  * (SURVEY.md §2.5, X1-X3).
+  *
+  * The reference's parallelism contract is "records with the same key are
+  * applied in oplog order"; keys are the namespace or the document `_id`.
+  * Here routing is a pure Column expression, and the order contract is
+  * enforced by `repartitionOrdered` (`repartition(key)` +
+  * `sortWithinPartitions(ts)`) — the Spark-native equivalent of hashing
+  * into per-worker FIFO queues.
+  *
+  * The engine-internal hash is [[phash64]] (deterministic and portable to
+  * the DuckDB oracle). [[JavaStringHash]] is available where wire-level
+  * parity with JVM consumers matters (reference `oplog/hasher.go:141-152`).
+  */
+object Hashers {
+
+  /** X1 TableHasher (`oplog/hasher.go:25-43`): route by namespace; DDL
+    * (`op == "c"`) always routes to worker 0 for barrier execution.
+    */
+  def workerByNs(n: Int): Column =
+    when(col("op") === "c", 0).otherwise(pmod(phash64(col("ns")), lit(n.toLong)))
+
+  /** X2 PrimaryKeyHasher (`oplog/hasher.go:47-74`): route by document key. */
+  def workerById(n: Int): Column =
+    when(col("op") === "c", 0).otherwise(pmod(phash64(col("doc_key")), lit(n.toLong)))
+
+  /** X3 WhiteListObjectIdHasher (`oplog/hasher.go:78-110`): listed
+    * collections hash by `_id` (safe only without unique indexes), the
+    * rest by namespace.
+    */
+  def workerWhitelist(idCollections: Seq[String], n: Int): Column =
+    when(col("op") === "c", 0)
+      .when(col("coll").isin(idCollections: _*), pmod(phash64(col("doc_key")), lit(n.toLong)))
+      .otherwise(pmod(phash64(col("ns")), lit(n.toLong)))
+
+  /** Wire-parity variant of X1: Java `String.hashCode` % n, non-negative
+    * (matches the reference's Kafka partition routing).
+    */
+  def workerByNsJavaHash(n: Int): Column =
+    pmod(JavaStringHash(col("ns")), lit(n))
+
+  /** The per-key order contract: one shuffle on the routing key, then an
+    * in-partition sort by oplog time. Downstream per-partition iteration
+    * sees each key's records in total order — no global sort needed.
+    */
+  def repartitionOrdered(df: DataFrame, worker: Column, n: Int): DataFrame =
+    df.withColumn("worker", worker)
+      .repartition(n, col("worker"))
+      .sortWithinPartitions(col("worker"), col("ts_packed"), col("event_id"))
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.apply.Replay
+import graft.filters.OplogFilters
+import graft.partition.Hashers
+import graft.plans.JavaStringHash
+import graft.transform.Transforms
+
+object SparkTest {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def oplogDf(rows: Seq[(Long, Long, String, String, String, String, String, String, Double, Boolean)]) =
+    rows.toDF("event_id", "ts_packed", "op", "db", "coll", "ns", "doc_key", "g", "value", "from_migrate")
+      .withColumn("ts_us", col("ts_packed"))
+
+  test("JavaStringHash matches java.lang.String.hashCode (golden, incl. unicode/empty)") {
+    val samples = Seq("app.users_0", "db.$cmd", "", "a", "Ωmega.코드", "local.oplog.rs")
+    val got = samples.toDF("s").select(JavaStringHash(col("s"))).as[Int].collect()
+    assert(got.toSeq == samples.map(_.hashCode))
+  }
+
+  test("filter chain: noop/gid/system-db/blacklist verdicts (reference filter_test.go cases)") {
+    val rows = Seq(
+      (1L, 1L, "n", "app", "users_0", "app.users_0", "1", "", 0.0, false),   // noop → drop
+      (2L, 2L, "i", "app", "users_0", "app.users_0", "1", "", 0.0, false),   // keep
+      (3L, 3L, "i", "local", "users_0", "local.users_0", "1", "", 0.0, false), // system db → drop
+      (4L, 4L, "c", "admin", "$cmd", "admin.$cmd", "1", "", 0.0, false),     // txn override → keep by F3, dropped by ns whitelist
+      (5L, 5L, "i", "app", "users_3", "app.users_3", "1", "", 0.0, false),   // blacklist → drop
+      (6L, 6L, "u", "app", "users_1", "app.users_1", "1", "ext", 0.0, false), // foreign gid → drop
+      (7L, 7L, "d", "app", "users_2", "app.users_2", "1", "", 0.0, true))    // fromMigrate → drop
+    val chain = OplogFilters.chain(Seq(""), Seq("^app\\.users_[0-9]+$"), Seq("^app\\.users_3$"))
+    val kept = oplogDf(rows).filter(chain).select("event_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    // F3 alone must keep the admin.$cmd transaction entry
+    val f3 = oplogDf(rows).filter(OplogFilters.notAutologous).select("event_id").as[Long].collect().toSet
+    assert(f3.contains(4L) && !f3.contains(3L))
+  }
+
+  test("nsTransform: first-match rule order, exact and prefix rewrite (transform.go:13-41)") {
+    val rules = Seq("app.users_0" -> "app.u0", "app" -> "appx")
+    val in = Seq("app.users_0", "app.users_1", "app", "other.t").toDF("ns")
+    val out = in.select(Transforms.nsTransform(rules).as("ns2")).as[String].collect().toSeq
+    assert(out == Seq("app.u0", "appx.users_1", "appx", "other.t"))
+  }
+
+  test("replay is order/partitioning-invariant and delete-aware") {
+    val rows = Seq(
+      (1L, 10L, "i", "app", "u", "app.u", "k1", "", 1.0, false),
+      (2L, 20L, "u", "app", "u", "app.u", "k1", "", 2.0, false),
+      (3L, 30L, "d", "app", "u", "app.u", "k2", "", 9.0, false),
+      (4L, 25L, "i", "app", "u", "app.u", "k2", "", 3.0, false), // earlier than the delete
+      (5L, 40L, "u", "app", "u", "app.u", "k3", "", 4.0, false))
+    val df = oplogDf(rows)
+    val base = Replay.materialize(df).orderBy("doc_key")
+      .select("doc_key", "last_value", "last_event_id").as[(String, Double, Long)].collect().toSeq
+    assert(base == Seq(("k1", 2.0, 2L), ("k3", 4.0, 5L))) // k2 deleted last → absent
+    // shuffled input partitioning must not change the result
+    val shuffled = Replay.materialize(df.repartition(7)).orderBy("doc_key")
+      .select("doc_key", "last_value", "last_event_id").as[(String, Double, Long)].collect().toSeq
+    assert(shuffled == base)
+    // at-least-once: replaying the batch twice yields the same final state
+    val doubled = Replay.materialize(df.union(df)).orderBy("doc_key")
+      .select("doc_key", "last_value", "last_event_id").as[(String, Double, Long)].collect().toSeq
+    assert(doubled == base)
+  }
+
+  test("hash routing: DDL pins to worker 0, routing stable across value space") {
+    val rows = Seq(
+      (1L, 1L, "c", "app", "$cmd", "app.$cmd", "x", "", 0.0, false),
+      (2L, 2L, "i", "app", "users_1", "app.users_1", "42", "", 0.0, false),
+      (3L, 3L, "i", "app", "users_2", "app.users_2", "42", "", 0.0, false))
+    val df = oplogDf(rows).withColumn("w", Hashers.workerWhitelist(Seq("users_1"), 8))
+    val byId = df.filter(col("event_id") === 2).select("w").as[Long].head()
+    val byNs = df.filter(col("event_id") === 3).select("w").as[Long].head()
+    assert(df.filter(col("op") === "c").select("w").as[Long].head() == 0L)
+    assert(byId >= 0 && byId < 8 && byNs >= 0 && byNs < 8)
+    // same doc on a non-whitelisted collection routes by ns, not id
+    val w2 = oplogDf(Seq((4L, 4L, "i", "app", "users_2", "app.users_2", "43", "", 0.0, false)))
+      .withColumn("w", Hashers.workerWhitelist(Seq("users_1"), 8))
+      .select("w").as[Long].head()
+    assert(w2 == byNs) // ns-routed: key change must not move the worker
+  }
+}

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language-ID heuristics, and
+  * content fingerprinting. All pure Catalyst expressions (codegen'd, no
+  * UDFs) so they vectorize inside whole-stage codegen over 100 TB scans.
+  *
+  * Everything here is engine-portable (see [[Portable]]): the same
+  * computation is expressible in ANSI-ish SQL for the DuckDB oracle.
+  */
+object Text {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs, single other chars. */
+  val bpeRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpeRegex), lit(0)))
+
+  /** Occurrences of a literal marker via the replace-length trick —
+    * portable to any engine with length/replace (unlike regexp_count).
+    */
+  def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) / marker.length).cast("long")
+
+  /** Word n-gram shingles (distinct), the unit of near-dup detection. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Normalized content fingerprint: md5 of lowercased, space-collapsed
+    * text (rolling-hash document fingerprint analogue).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Stopword-marker language scores; argmax with fixed precedence.
+    * A heuristic n-gram/stopword classifier: counts per-language marker
+    * tokens and picks the best-scoring language, 'und' when no marker hits.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " de "),
+    "de" -> Seq(" der ", " die ", " und "),
+    "fr" -> Seq(" le ", " les ", " des "),
+    "zh" -> Seq("的", "是", "了"))
+
+  def langScore(text: Column, lang: String): Column =
+    langMarkers.toMap.apply(lang)
+      .map(m => occurrences(concat(lit(" "), text, lit(" ")), m))
+      .reduce(_ + _)
+
+  /** Predicted language: first language (in [[langMarkers]] order) whose
+    * score equals the positive maximum; 'und' if all scores are zero.
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(best > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality signals: mean word length, type-token ratio, length score.
+    * quality = 0.4·cap(avg_word_len/8) + 0.3·distinct_ratio + 0.3·cap(n_tokens/100)
+    * — all double arithmetic with an identical evaluation shape in the
+    * oracle, so results are bit-deterministic.
+    */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t).cast("double")
+    val avgLen = (length(regexp_replace(text, " ", "")).cast("double") / n)
+    val distinctRatio = size(array_distinct(t)).cast("double") / n
+    lit(0.4) * least(avgLen / 8.0, lit(1.0)) +
+      lit(0.3) * distinctRatio +
+      lit(0.3) * least(n / 100.0, lit(1.0))
+  }
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Dedup, Text}
+import graft.functions.Portable.phash64Sql
+
+/** Text-analysis and deduplication queries over `documents`
+  * (the LLM-training-pipeline operator family), each with an exact
+  * DuckDB oracle mirroring the computation.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars_nospace"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          Text.tokenCount(col("text")).cast("double")).as("avg_word_len"),
+        (size(array_distinct(Text.tokens(col("text")))).cast("double") /
+          Text.tokenCount(col("text")).cast("double")).as("distinct_ratio"))),
+
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir).withColumn("lang_pred", Text.langId(col("text")))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))),
+
+    "text_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.5)),
+
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
+
+    "text_bpe_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Text.bpeTokenCount(col("text")).cast("long").as("n_bpe"))),
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), col("doc_id"), col("text"))),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), col("doc_id"), col("text"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), col("doc_id"), col("text"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), col("doc_id"), col("text")))
+  )
+
+  // ---- oracle SQL builders -------------------------------------------------
+
+  /** DuckDB list of distinct word n-gram shingles of `text`. */
+  private def shingleSql(n: Int): String =
+    s"""list_distinct([array_to_string(t[i:i+${n - 1}], ' ')
+        for i in generate_series(1, len(t) - ${n - 1})])"""
+
+  private val toks = "string_split(text, ' ')"
+
+  /** Marker occurrence count via the replace-length trick (see Text.occurrences). */
+  private def occSql(m: String): String = {
+    val e = m.replace("'", "''")
+    s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$e', ''))) / ${m.length} AS BIGINT)"
+  }
+
+  private def langScoreSql(lang: String): String =
+    Text.langMarkers.toMap.apply(lang).map(occSql).mkString("(", " + ", ")")
+
+  private val minhashExprs: Seq[String] =
+    (0 until 16).map { j =>
+      val (a, b) = Dedup.perm(j)
+      s"list_min([($a * (${phash64Sql("x")} % 4294967296) + $b) % ${Dedup.MinhashPrime} for x in s]) AS mh_$j"
+    }
+
+  private def bandSigSql(band: Int): String =
+    (0 until 4).map(r => s"CAST(mh_${band * 4 + r} AS VARCHAR)").mkString(" || '_' || ")
+
+  def oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+          CAST(len($toks) AS BIGINT) AS n_tokens,
+          CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($toks) AS DOUBLE) AS avg_word_len,
+          CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE) AS distinct_ratio
+          FROM documents""",
+
+    "text_langid" -> {
+      val langs = Text.langMarkers.map(_._1)
+      val scoreCols = langs.map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+      s"""WITH scored AS (SELECT lang, $scoreCols FROM documents),
+          b AS (SELECT lang, $best AS best, * FROM scored)
+          SELECT lang, CASE $cases ELSE 'und' END AS lang_pred, COUNT(*) AS n
+          FROM b GROUP BY 1, 2"""
+    },
+
+    "text_quality" ->
+      s"""SELECT doc_id, quality FROM (
+            SELECT doc_id,
+              0.4 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) / 8.0, 1.0)
+            + 0.3 * (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE))
+            + 0.3 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) AS quality
+            FROM documents)
+          WHERE quality >= 0.5""",
+
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents",
+
+    "text_bpe_tokens" ->
+      s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(lower(text), '${Text.bpeRegex}')) AS BIGINT) AS n_bpe
+          FROM documents""",
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1""",
+
+    "dedup_minhash_lsh" ->
+      s"""WITH base AS (SELECT doc_id, ${shingleSql(3)} AS s
+            FROM (SELECT doc_id, $toks AS t, text FROM documents)),
+          sig AS (SELECT doc_id, s, ${minhashExprs.mkString(", ")} FROM base),
+          banded AS (
+            SELECT doc_id, s, band,
+              CASE band ${(0 until 4).map(b => s"WHEN $b THEN ${bandSigSql(b)}").mkString(" ")} END AS bsig
+            FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+            FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+          j AS (
+            SELECT doc_a, doc_b,
+              CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+                (CAST(len(sa) + len(sb) AS DOUBLE) - CAST(len(list_intersect(sa, sb)) AS DOUBLE)) AS jaccard
+            FROM cand)
+          SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""",
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, ${shingleSql(4)} AS s
+            FROM (SELECT doc_id, $toks AS t FROM documents)),
+          ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+          agg AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb, COUNT(*) AS n_inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+          SELECT doc_a, doc_b,
+            CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
+          FROM agg
+          WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5""",
+
+    "dedup_simhash" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(s) AS shingle
+            FROM (SELECT doc_id, ${shingleSql(3)} AS s
+                  FROM (SELECT doc_id, $toks AS t FROM documents))),
+          hb AS (SELECT doc_id, ${phash64Sql("shingle")} % 4294967296 AS h32 FROM sh),
+          bits AS (
+            SELECT doc_id, bit,
+              SUM(CASE WHEN (h32 >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS v
+            FROM hb, (SELECT unnest(generate_series(0, 31)) AS bit)
+            GROUP BY 1, 2),
+          sig AS (
+            SELECT doc_id,
+              SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+            FROM bits GROUP BY 1),
+          banded AS (
+            SELECT doc_id, simhash, band, (simhash >> (band * 8)) % 256 AS byte
+            FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM banded a JOIN banded b ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 4"""
+  )
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, Text}
+
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("shingles: distinct word n-grams, short-text guard") {
+    val df = Seq("a b c d", "a b", "x x x x").toDF("text")
+    val got = df.select(Text.shingles(col("text"), 3).as("s")).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty) // shorter than n
+    assert(got(2) == Seq("x x x")) // duplicates collapsed
+  }
+
+  test("langId picks marker-max language with fixed precedence, und on no hits") {
+    val df = Seq(
+      "the cat and the dog of it",
+      "el la la de casa",
+      "nomarkers here at all").toDF("text")
+    val got = df.select(Text.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "und"))
+  }
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, col("doc_id"), col("text"))
+      .orderBy("keep_id").select("keep_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhashLsh and ngramJaccard find a planted near-duplicate, not unrelated docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val lsh = Dedup.minhashLsh(df, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((1L, 2L)))
+    val ng = Dedup.ngramJaccard(df, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(ng == Set((1L, 2L)))
+  }
+
+  test("simhash: identical texts have hamming 0; near-dups small; signature in 32-bit range") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, nearDup)).toDF("doc_id", "text")
+    val sig = Dedup.simhashSig(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").select("simhash").as[Long].collect()
+    assert(sig(0) == sig(1))
+    assert(sig.forall(h => h >= 0 && h < (1L << 32)))
+    val pairs = Dedup.simhashPairs(df, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 1 && b == 2 && h == 0 })
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cdc, Relational, TextOps}
+import graft.operators.{Cdc, Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracles),
       (Cdc.queries, Cdc.oracles),
-      (TextOps.queries, TextOps.oracles)
+      (TextOps.queries, TextOps.oracles),
+      (VectorOps.queries, VectorOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Similarity
+
+/** Similarity-search queries over `embeddings`, with exact DuckDB oracles
+  * built on the same quantized-integer cosine (see [[Similarity]]).
+  */
+object VectorOps {
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact baseline: brute-force top-5 for the 10 lowest-id query vectors.
+    "sim_knn_brute" -> ((s, dir) =>
+      Similarity.knnBrute(embs(s, dir), col("vec_id"), col("embedding"),
+        col("vec_id") < 10, k = 5)),
+
+    // Embedding-cosine near-dup: same-label blocking, threshold 0.4.
+    "sim_threshold_pairs" -> ((s, dir) =>
+      Similarity.thresholdPairs(embs(s, dir), col("vec_id"), col("embedding"),
+        col("label"), threshold = 0.4)),
+
+    // Scale path: random-hyperplane LSH buckets, top-1 within bucket.
+    "sim_ann_lsh" -> ((s, dir) =>
+      Similarity.annLshTop1(embs(s, dir), col("vec_id"), col("embedding"))),
+
+    // IVF coarse quantizer: nearest-centroid assignment histogram.
+    "sim_ivf_assign" -> ((s, dir) =>
+      Similarity.ivfAssign(embs(s, dir), col("vec_id"), col("embedding"),
+        col("vec_id") < 8)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_assigned"))))
+
+  // ---- oracle fragments -----------------------------------------------------
+
+  /** Quantized vectors + squared norms, as a CTE over `embeddings`. */
+  private val prepCte: String =
+    """prep AS (
+         SELECT vec_id, label, v, list_sum([y*y for y in v]) AS nrm
+         FROM (SELECT vec_id, label,
+                 [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS v
+               FROM embeddings))"""
+
+  /** Deterministic cosine between prepared rows a/b (aliases in scope). */
+  private def simSql(va: String, na: String, vb: String, nb: String): String =
+    s"""CAST(list_sum([$va[i] * $vb[i] for i in generate_series(1, len($va))]) AS DOUBLE)
+        / sqrt(CAST($na * $nb AS DOUBLE))"""
+
+  private val bucketCte: String =
+    s"""pe AS (
+          SELECT vec_id, i, v[i] AS q, j
+          FROM prep, (SELECT unnest(generate_series(1, 64)) AS i),
+               (SELECT unnest(generate_series(0, 7)) AS j)),
+        dots AS (
+          SELECT vec_id, j,
+            SUM(CASE WHEN ((1664525 * (j * 64 + (i - 1)) + 1013904223) >> 15) % 2 = 0
+                     THEN q ELSE -q END) AS d
+          FROM pe GROUP BY 1, 2),
+        buck AS (
+          SELECT vec_id,
+            SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS bucket
+          FROM dots GROUP BY 1)"""
+
+  def oracles: Map[String, String] = Map(
+    "sim_knn_brute" ->
+      s"""WITH $prepCte
+          SELECT query_id, neighbor_id, rank, sim FROM (
+            SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, p.vec_id) AS BIGINT) AS rank,
+              ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} AS sim
+            FROM prep q JOIN prep p ON q.vec_id < 10 AND q.vec_id <> p.vec_id)
+          WHERE rank <= 5""",
+
+    "sim_threshold_pairs" ->
+      s"""WITH $prepCte
+          SELECT id_a, id_b, sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ${simSql("a.v", "a.nrm", "b.v", "b.nrm")} AS sim
+            FROM prep a JOIN prep b ON a.label = b.label AND a.vec_id < b.vec_id)
+          WHERE sim >= 0.4""",
+
+    "sim_ann_lsh" ->
+      s"""WITH $prepCte, $bucketCte,
+          wb AS (SELECT p.vec_id, p.v, p.nrm, b.bucket FROM prep p JOIN buck b USING (vec_id)),
+          scored AS (
+            SELECT a.vec_id, b.vec_id AS ann_id,
+              ${simSql("a.v", "a.nrm", "b.v", "b.nrm")} AS sim,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY ${simSql("a.v", "a.nrm", "b.v", "b.nrm")} DESC, b.vec_id) AS rn
+            FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+          SELECT vec_id, ann_id, sim FROM scored WHERE rn = 1""",
+
+    "sim_ivf_assign" ->
+      s"""WITH $prepCte,
+          assigned AS (
+            SELECT p.vec_id, c.vec_id AS centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                ORDER BY ${simSql("p.v", "p.nrm", "c.v", "c.nrm")} DESC, c.vec_id) AS rn
+            FROM prep p JOIN prep c ON c.vec_id < 8)
+          SELECT centroid_id, COUNT(*) AS n_assigned
+          FROM assigned WHERE rn = 1 GROUP BY 1"""
+  )
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  // 4-dim toy corpus: v1 ≈ v2 (near-dup), v3 orthogonal-ish, v4 = -v1.
+  private def toy = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (2L, Seq(0.999f, 0.01f, 0.0f, 0.0f), 0),
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0),
+    (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("knnBrute ranks the near-duplicate first, negation last") {
+    val got = Similarity.knnBrute(toy, col("vec_id"), col("embedding"), col("vec_id") === 1, k = 3)
+      .orderBy("rank").select("neighbor_id", "sim").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(2L, 3L, 4L))
+    assert(got(0)._2 > 0.99 && got(1)._2 === 0.0 && got(2)._2 === -1.0)
+  }
+
+  test("thresholdPairs respects blocking: cross-label near-pairs are not compared") {
+    val pairs = Similarity.thresholdPairs(toy, col("vec_id"), col("embedding"), col("label"), 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // v4 is blocked away by label
+  }
+
+  test("cosine is quantization-deterministic: sim(v,v) == 1 exactly") {
+    val self = Similarity.thresholdPairs(
+      toy.union(toy.withColumn("vec_id", col("vec_id") + 10)),
+      col("vec_id"), col("embedding"), col("label"), 0.999999)
+      .filter(col("id_b") === col("id_a") + 10)
+      .select("sim").as[Double].collect()
+    assert(self.forall(_ == 1.0))
+  }
+
+  test("ivfAssign: every vector lands on exactly one centroid, self-assignment wins") {
+    val a = Similarity.ivfAssign(toy, col("vec_id"), col("embedding"), col("vec_id") <= 3)
+    assert(a.count() == 4)
+    val self = a.filter(col("vec_id") === 3).select("centroid_id").as[Long].head()
+    assert(self == 3L)
+  }
+
+  test("annLshTop1: bucketed candidates only, each result is the bucket argmax") {
+    val corpus = (0 until 50).map { i =>
+      (i.toLong, Seq.tabulate(64)(d => ((i * 37 + d * 13) % 17 - 8).toFloat / 8f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val res = Similarity.annLshTop1(corpus, col("vec_id"), col("embedding"))
+    val n = res.count()
+    assert(n > 0 && n <= 50)
+    assert(res.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+  }
+}

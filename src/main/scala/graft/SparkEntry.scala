@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cdc, Relational, TextOps, VectorOps}
+import graft.operators.{Cdc, Relational, SnapshotOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (Cdc.queries, Cdc.oracles),
       (TextOps.queries, TextOps.oracles),
-      (VectorOps.queries, VectorOps.oracles)
+      (VectorOps.queries, VectorOps.oracles),
+      (SnapshotOps.queries, SnapshotOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -3,6 +3,9 @@ package graft.apply
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.json4s.{JInt, JLong, JObject, JValue}
+
+import graft.transform.UpdateSpec
 
 /** Idempotent CDC apply (SURVEY.md §2.8, W1-W4 as MERGE semantics).
   *
@@ -35,6 +38,65 @@ object Replay {
       .filter(col("rn") === 1 && col("op") =!= "d")
       .select(col("ns"), col("doc_key"), col("value").as("last_value"),
         col("event_id").as("last_event_id"), col("n_ops"))
+  }
+
+  /** Full update-spec replay (W1-W4 with document mutation, not just
+    * last-write-wins): per-key ordered fold applying MongoDB-style specs
+    * via [[UpdateSpec]].
+    *
+    * Op semantics over the corpus (mirrored in the DuckDB oracle):
+    *   i → replace document with {k: props.k, v: cents}
+    *   u → {$set:{k: props.k}, $inc:{v: cents}}  (upsert when absent)
+    *   d → delete
+    * where cents = round(value·100) — integer so per-key accumulation is
+    * order-exact.
+    *
+    * Physical shape = the reference's executor (`executor/executor.go`):
+    * one shuffle on the key, secondary sort by ts, then a single-pass
+    * state machine over contiguous key runs in each partition. Scales:
+    * state is one document at a time, never a per-key collect.
+    */
+  def applyOps(oplog: DataFrame): DataFrame = {
+    val spark = oplog.sparkSession
+    import spark.implicits._
+    val eff = oplog.filter(col("op").isin("i", "u", "d"))
+      .select(col("doc_key"), col("op"), col("ts_packed"), col("props"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val sorted = eff.repartition(col("doc_key"))
+      .sortWithinPartitions(col("doc_key"), col("ts_packed"))
+      .as[(String, String, Long, String, Long)]
+    sorted.mapPartitions { it =>
+      def asLong(v: JValue): Long = v match {
+        case JInt(i) => i.toLong
+        case JLong(l) => l
+        case _ => 0L
+      }
+      // Contiguous-key state machine: one live document at a time; the
+      // output buffer holds one row per key in this partition (the same
+      // memory class as a hash aggregate over the partition's keys).
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      var curKey: String = null
+      var state: Option[JObject] = None
+      def flush(): Unit = state.foreach { doc =>
+        out += ((curKey, asLong(doc \ "k"), asLong(doc \ "v")))
+      }
+      it.foreach { case (key, op, _, props, cents) =>
+        if (key != curKey) { flush(); curKey = key; state = None }
+        val k = asLong(UpdateSpec.parse(props) \ "k")
+        op match {
+          case "i" => state = Some(JObject(List("k" -> JLong(k), "v" -> JLong(cents))))
+          case "u" =>
+            val doc = state.getOrElse(JObject(Nil))
+            val spec = JObject(List(
+              "$set" -> JObject(List("k" -> JLong(k))),
+              "$inc" -> JObject(List("v" -> JLong(cents)))))
+            state = Some(UpdateSpec.applySpec(doc, spec))
+          case "d" => state = None
+        }
+      }
+      flush()
+      out.iterator
+    }.toDF("doc_key", "k_final", "v_cents")
   }
 
   /** G4/G6 checkpoint aggregation (`collector/checkpoint.go:149-199`,

@@ -75,6 +75,10 @@ object Cdc {
       Combiner.flushGroups(
         filtered(s, dir).withColumn("worker", Hashers.workerWhitelist(idColls, nWorkers)))),
 
+    // P7+W3: full update-spec replay — per-key ordered fold applying
+    // replace/$set+$inc/delete specs through the JSON document algebra.
+    "cdc_update_apply" -> ((s, dir) => Replay.applyOps(filtered(s, dir))),
+
     // T1-T3 batch analogue: transaction grouping (lsid = user, txnNumber =
     // hour bucket), emitting per-txn op counts and ts bounds.
     "cdc_txn_group" -> ((s, dir) =>
@@ -160,6 +164,26 @@ object Cdc {
             CAST(SUM(CEIL(run_len / 1000.0)) AS BIGINT) AS n_flush_groups,
             SUM(run_len) AS n_rows, MAX(run_len) AS max_run
           FROM runs GROUP BY ns, op"""),
+
+    "cdc_update_apply" -> withOplog(
+      s""", eff AS (
+            SELECT doc_key, op, ts_packed,
+              CAST(round(value * 100) AS BIGINT) AS cents,
+              CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          agg AS (
+            SELECT doc_key,
+              arg_max(op, ts_packed) AS last_op,
+              arg_max(k, ts_packed) FILTER (WHERE op IN ('i','u')) AS k_final,
+              max(ts_packed) FILTER (WHERE op IN ('i','d')) AS bts
+            FROM eff GROUP BY 1)
+          SELECT a.doc_key, a.k_final,
+            COALESCE((SELECT e.cents FROM eff e
+                      WHERE e.doc_key = a.doc_key AND e.ts_packed = a.bts AND e.op = 'i'), 0)
+            + COALESCE((SELECT SUM(e.cents) FROM eff e
+                        WHERE e.doc_key = a.doc_key AND e.op = 'u'
+                          AND (a.bts IS NULL OR e.ts_packed > a.bts)), 0) AS v_cents
+          FROM agg a WHERE a.last_op <> 'd'"""),
 
     "cdc_txn_group" -> withOplog(
       s"""SELECT doc_key AS lsid, ts_us // 3600000000 AS txn_number,

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.filters.OrphanFilter
+import graft.sources.Snapshot
+
+/** Full-sync (snapshot) operator queries (SURVEY.md §2.1 S3/S4, §2.4 F8,
+  * §3.2 entry point B) over `lineitem` as the source collection.
+  */
+object SnapshotOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3/S4: splitVector-style planning — 8 key-range pieces, per-piece
+    // row counts and bounds (what each parallel range reader would copy).
+    "snap_range_pieces" -> ((s, dir) =>
+      Snapshot.pieceAssign(Tables.load(s, dir, "lineitem"), "l_orderkey", 8)
+        .groupBy(col("piece"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("key_min"),
+          max(col("l_orderkey")).as("key_max"))),
+
+    // F8: orphan filter on a ranged shard — keep only rows in chunks owned
+    // by this replica set (chunk = 1000 keys, 3 shards, we own shard 0).
+    "snap_orphan_filter" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val chunks = OrphanFilter.uniformChunks(li, "l_orderkey", 1000L, 3, 0)
+      OrphanFilter.keepOwned(li, "l_orderkey", chunks, 1000L)
+        .groupBy(col("chunk_id"))
+        .agg(count(lit(1)).as("n_rows"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "snap_range_pieces" ->
+      """WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem)
+         SELECT ((l_orderkey - lo) * 8) // (hi - lo + 1) AS piece,
+           COUNT(*) AS n_rows, MIN(l_orderkey) AS key_min, MAX(l_orderkey) AS key_max
+         FROM lineitem, b GROUP BY 1""",
+
+    "snap_orphan_filter" ->
+      """SELECT l_orderkey // 1000 AS chunk_id, COUNT(*) AS n_rows
+         FROM lineitem WHERE (l_orderkey // 1000) % 3 = 0 GROUP BY 1"""
+  )
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.MongoComputeHash
+import graft.transform.UpdateSpec
+
+/** Golden update-spec cases from FIXTURES.md §A (mirroring the reference's
+  * oplog/oplog_test.go and changestram_event_test.go behaviors).
+  */
+class UpdateSpecSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def j(s: String) = JsonMethods.parse(s)
+
+  test("v1 partial update: $set + $unset applied to document") {
+    val got = UpdateSpec.applySpecJson(
+      """{"_id":1,"ok":true,"name":"apple"}""",
+      """{"$set":{"plus_field":2},"$unset":{"ok":true}}""")
+    assert(j(got) == j("""{"_id":1,"name":"apple","plus_field":2}"""))
+  }
+
+  test("v2 diff normalization: d/i/u/s-prefix recursion → $set/$unset (oplog.go:281-392)") {
+    val spec = UpdateSpec.normalizeV2Spec(
+      """{"$v":2,"diff":{"d":{"ok":false},"i":{"plus_field":2},"u":{"name":"orange"},
+          "ssub":{"u":{"x":9},"d":{"y":false}}}}""")
+    val parsed = j(spec)
+    assert(parsed \ "$set" \ "plus_field" == JInt(2))
+    assert(parsed \ "$set" \ "name" == JString("orange"))
+    assert(parsed \ "$set" \ "sub.x" == JInt(9))
+    assert(parsed \ "$unset" \ "ok" == JBool(true))
+    assert(parsed \ "$unset" \ "sub.y" == JBool(true))
+  }
+
+  test("v2 diff end-to-end application on nested doc") {
+    val got = UpdateSpec.applySpecJson(
+      """{"_id":1,"ok":true,"name":"apple","sub":{"x":1,"y":2}}""",
+      """{"$v":2,"diff":{"d":{"ok":false},"u":{"name":"orange"},"ssub":{"u":{"x":9},"d":{"y":false}}}}""")
+    assert(j(got) == j("""{"_id":1,"name":"orange","sub":{"x":9}}"""))
+  }
+
+  test("replace-update semantics: non-$ spec replaces the whole document") {
+    val got = UpdateSpec.applySpecJson("""{"_id":1,"a":1}""", """{"_id":1,"b":2}""")
+    assert(j(got) == j("""{"_id":1,"b":2}"""))
+  }
+
+  test("$inc creates missing fields and adds to existing, dotted paths create objects") {
+    val got = UpdateSpec.applySpecJson(
+      """{"v":5}""",
+      """{"$inc":{"v":3,"new":7},"$set":{"deep.a.b":1}}""")
+    assert(j(got) \ "v" == JInt(8))
+    assert(j(got) \ "new" == JInt(7))
+    assert(j(got) \ "deep" \ "a" \ "b" == JInt(1))
+  }
+
+  test("MongoComputeHash: stable golden values, type-tagged md5 LE semantics") {
+    // Independent spec-level recomputation with MessageDigest
+    def expected(v: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0); bb.putInt(10); bb.putLong(v)
+      java.nio.ByteBuffer.wrap(md.digest(bb.array()), 0, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    }
+    val inputs = Seq(0L, 1L, -1L, 106402199L, 106296614L, Long.MaxValue)
+    val got = inputs.toDF("k").select(MongoComputeHash(col("k"))).as[Long].collect().toSeq
+    assert(got == inputs.map(expected))
+    assert(got.distinct.size == inputs.size) // no trivial collisions
+  }
+
+  test("applyOps: i/u/d fold with $inc accumulation and upsert-on-update") {
+    val rows = Seq(
+      // (event_id, ts_packed, op, db, coll, ns, doc_key, g, value, from_migrate, props)
+      (1L, 10L, "i", "app", "u", "app.u", "k1", "", 1.00, false, """{"k": 5}"""),
+      (2L, 20L, "u", "app", "u", "app.u", "k1", "", 2.50, false, """{"k": 6}"""),
+      (3L, 30L, "u", "app", "u", "app.u", "k1", "", 0.25, false, """{"k": 7}"""),
+      (4L, 10L, "u", "app", "u", "app.u", "k2", "", 9.00, false, """{"k": 1}"""), // upsert, no insert
+      (5L, 10L, "i", "app", "u", "app.u", "k3", "", 4.00, false, """{"k": 2}"""),
+      (6L, 20L, "d", "app", "u", "app.u", "k3", "", 0.00, false, """{"k": 0}"""))
+    val df = rows.toDF("event_id", "ts_packed", "op", "db", "coll", "ns",
+      "doc_key", "g", "value", "from_migrate", "props")
+    val got = graft.apply.Replay.applyOps(df)
+      .orderBy("doc_key").as[(String, Long, Long)].collect().toSeq
+    // k1: insert 100 then +250 +25 = 375 cents, k = last = 7
+    // k2: upserted by update → 900 cents; k3 deleted
+    assert(got == Seq(("k1", 7L, 375L), ("k2", 1L, 900L)))
+  }
+}

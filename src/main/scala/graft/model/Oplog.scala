@@ -34,11 +34,18 @@ object Oplog {
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
     // Spark 4 rejects TIMESTAMP(NANOS) parquet columns unless read as long.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    project(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** The projection itself, applicable to a batch or streaming `events`
+    * DataFrame whose `ts` column is already a nanosecond long.
+    */
+  def project(events: DataFrame): DataFrame = {
     // Integer division: `/` on Column is double division, which is lossy
     // above 2^53 — int64 nanos (~1.7e18) would round. DIV is exact.
     val tsUs = expr("ts DIV 1000")
     val tsSec = expr("ts DIV 1000000000")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    events
       .select(
         col("event_id"),
         tsUs.as("ts_us"),

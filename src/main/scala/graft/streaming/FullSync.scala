@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.model.Oplog
+import graft.sources.Snapshot
+
+/** Full sync: the snapshot entry point (SURVEY.md §3.2, entry point B;
+  * reference `collector/coordinator/full.go`, `collector/docsyncer/`).
+  *
+  * Batch copy of source collections into the target, range-partitioned
+  * (S3/S4 splitVector analogue → `partitionBy(piece)`), followed by the
+  * full→incremental handoff: record the oplog position at snapshot start
+  * (`fullSyncFinishPosition` semantics, `collector/syncer.go:52-54`) so
+  * the streaming query replays changes from T0 — the standard CDC
+  * initial-load pattern ("serialize" mode; the reference's parallel
+  * disk-spool mode T5 is subsumed by source retention).
+  */
+object FullSync {
+
+  /** Copy one table, range-partitioned into `nPieces`. Returns row count. */
+  def copyTable(spark: SparkSession, sfDir: String, table: String,
+      keyName: String, targetDir: String, nPieces: Int = 8): Long = {
+    val src = Tables.load(spark, sfDir, table)
+    val pieces = Snapshot.pieceAssign(src, keyName, nPieces)
+    pieces.write.mode(SaveMode.Overwrite)
+      .partitionBy("piece")
+      .parquet(s"$targetDir/full/$table")
+    spark.read.parquet(s"$targetDir/full/$table").count()
+  }
+
+  /** Record the incremental start position (newest oplog ts at snapshot
+    * time — G6 GetAllTimestamp analogue) for the handoff guard.
+    */
+  def recordHandoff(spark: SparkSession, sfDir: String, targetDir: String): Long = {
+    val pos = Oplog.fromEvents(spark, sfDir)
+      .agg(max(col("ts_packed"))).head().getLong(0)
+    import spark.implicits._
+    Seq(pos).toDF("full_sync_finish_position")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$targetDir/_handoff")
+    pos
+  }
+}

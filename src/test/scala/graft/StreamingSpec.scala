@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{FullSync, IncrSync, TxnAssembler}
+import graft.streaming.TxnAssembler.{InnerOp, TxnEntry}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("txn assembler: partial chain buffers across micro-batches, emits on commit, purges on abort") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TxnEntry]
+    val q = TxnAssembler.assemble(input.toDS())
+      .writeStream.format("memory").queryName("txn_out").outputMode("append").start()
+    try {
+      // batch 1: two partial entries of txn A, one partial of doomed txn B
+      input.addData(
+        TxnEntry("s1", 1, 0, "partial", Seq("a0", "a1"), 100),
+        TxnEntry("s1", 1, 1, "partial", Seq("a2"), 101),
+        TxnEntry("s2", 7, 0, "partial", Seq("b0"), 100))
+      q.processAllAvailable()
+      assert(spark.table("txn_out").count() == 0) // nothing committed yet
+
+      // batch 2: commit A (with one more op), abort B
+      input.addData(
+        TxnEntry("s1", 1, 2, "commit", Seq("a3"), 200),
+        TxnEntry("s2", 7, 1, "abort", Nil, 201))
+      q.processAllAvailable()
+      val out = spark.table("txn_out").as[InnerOp].collect().sortBy(_.idx)
+      assert(out.map(_.op).toSeq == Seq("a0", "a1", "a2", "a3"))
+      assert(out.forall(_.lsid == "s1"))
+      // T3 ts patch: children commitTs-1, last child keeps commitTs
+      assert(out.map(_.ts).toSeq == Seq(199, 199, 199, 200))
+
+      // batch 3: aborted txn's retry with same ops commits cleanly
+      input.addData(TxnEntry("s2", 7, 2, "commit", Seq("b0"), 300))
+      q.processAllAvailable()
+      assert(spark.table("txn_out").filter($"lsid" === "s2").count() == 1)
+    } finally q.stop()
+  }
+
+  test("incr sync: stream → filter → two-phase apply → checkpoint; restart is a no-op; final state matches batch replay") {
+    val work = Files.createTempDirectory("graft_incr").toFile.getAbsolutePath
+    val src = "/root/testdata/sf0.001"
+    // stream source must be a directory: stage the events file into one
+    val srcDir = new java.io.File(s"$work/events_src"); srcDir.mkdirs()
+    Files.createSymbolicLink(
+      new java.io.File(srcDir, "events.parquet").toPath,
+      new java.io.File(s"$src/events.parquet").toPath)
+    val q = IncrSync.start(spark, srcDir.getAbsolutePath, s"$work/target", s"$work/ckpt")
+    q.awaitTermination()
+
+    val got = spark.read.parquet(s"$work/target/state")
+    val expected = graft.apply.Replay.materialize(
+      graft.model.Oplog.fromEvents(spark, src)
+        .filter(graft.filters.OplogFilters.chain(Seq(""), Seq("^app\\..*$"), Nil)))
+    assert(got.count() == expected.count())
+    val diff = got.select("ns", "doc_key", "last_value", "last_event_id")
+      .except(expected.select("ns", "doc_key", "last_value", "last_event_id"))
+    assert(diff.count() == 0)
+
+    // checkpoint row written after apply, covering the batch's ts range
+    val ck = spark.read.parquet(s"$work/target/_ckpt")
+    assert(ck.count() >= 1)
+    assert(ck.agg(max("lsn_max")).head().getLong(0) > 0)
+
+    // restart with same checkpointLocation: no new batches, state unchanged
+    val before = got.orderBy("ns", "doc_key").collect().toSeq
+    val q2 = IncrSync.start(spark, srcDir.getAbsolutePath, s"$work/target", s"$work/ckpt")
+    q2.awaitTermination()
+    val after = spark.read.parquet(s"$work/target/state").orderBy("ns", "doc_key").collect().toSeq
+    assert(after == before)
+  }
+
+  test("full sync: range-partitioned snapshot copy + handoff position") {
+    val work = Files.createTempDirectory("graft_full").toFile.getAbsolutePath
+    val src = "/root/testdata/sf0.001"
+    val n = FullSync.copyTable(spark, src, "orders", "o_orderkey", work, nPieces = 4)
+    assert(n == Tables.load(spark, src, "orders").count())
+    // partition dirs exist per piece (partition pruning on read)
+    val pieces = spark.read.parquet(s"$work/full/orders")
+      .select("piece").distinct().as[Long].collect().toSet
+    assert(pieces == Set(0L, 1L, 2L, 3L))
+    val pos = FullSync.recordHandoff(spark, src, work)
+    assert(spark.read.parquet(s"$work/_handoff").head().getLong(0) == pos && pos > 0)
+  }
+}

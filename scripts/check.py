@@ -65,6 +65,15 @@ def main():
             print(f"FAIL {name}: {str(e)[:200]}"); n_fail += 1; continue
         if gcols != ecols:
             print(f"FAIL {name}: columns {gcols} != {ecols}"); n_fail += 1; continue
+        # The driver's hasher is type-sensitive (e.g. DuckDB SUM(BIGINT) →
+        # HUGEINT → arrow decimal128 vs Spark's int64): flag any result-type
+        # divergence between the spark parquet and the oracle query even
+        # when Python-level values compare equal.
+        gtypes = {c: str(t) for c, t in zip(got.columns, got.types)}
+        etypes = {c: str(t) for c, t in zip(exp.columns, exp.types)}
+        tmism = {c: (gtypes[c], etypes[c]) for c in gtypes if gtypes[c] != etypes.get(c)}
+        if tmism:
+            print(f"FAIL {name}: result types differ {tmism}"); n_fail += 1; continue
         if grows == erows:
             print(f"PASS {name} ({len(grows)} rows)"); n_pass += 1
         else:

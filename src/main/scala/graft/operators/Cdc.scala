@@ -162,7 +162,7 @@ object Cdc {
             FROM isl GROUP BY 1, 2, 3, 4)
           SELECT ns, op, COUNT(*) AS n_runs,
             CAST(SUM(CEIL(run_len / 1000.0)) AS BIGINT) AS n_flush_groups,
-            SUM(run_len) AS n_rows, MAX(run_len) AS max_run
+            CAST(SUM(run_len) AS BIGINT) AS n_rows, MAX(run_len) AS max_run
           FROM runs GROUP BY ns, op"""),
 
     "cdc_update_apply" -> withOplog(
@@ -178,11 +178,11 @@ object Cdc {
               max(ts_packed) FILTER (WHERE op IN ('i','d')) AS bts
             FROM eff GROUP BY 1)
           SELECT a.doc_key, a.k_final,
-            COALESCE((SELECT e.cents FROM eff e
+            CAST(COALESCE((SELECT e.cents FROM eff e
                       WHERE e.doc_key = a.doc_key AND e.ts_packed = a.bts AND e.op = 'i'), 0)
             + COALESCE((SELECT SUM(e.cents) FROM eff e
                         WHERE e.doc_key = a.doc_key AND e.op = 'u'
-                          AND (a.bts IS NULL OR e.ts_packed > a.bts)), 0) AS v_cents
+                          AND (a.bts IS NULL OR e.ts_packed > a.bts)), 0) AS BIGINT) AS v_cents
           FROM agg a WHERE a.last_op <> 'd'"""),
 
     "cdc_txn_group" -> withOplog(

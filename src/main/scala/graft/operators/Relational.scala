@@ -66,7 +66,7 @@ object Relational {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       Tables.load(s, dir, "orders")
-        .withColumn("order_rank", row_number().over(w))
+        .withColumn("order_rank", row_number().over(w).cast("long"))
         .withColumn("running_spend",
           sum(dec2(col("o_totalprice")))
             .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))

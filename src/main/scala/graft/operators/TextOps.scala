@@ -173,7 +173,7 @@ object TextOps {
             FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)),
           pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              bit_count(xor(a.simhash, b.simhash)) AS hamming
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM banded a JOIN banded b ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id)
           SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 4"""
   )

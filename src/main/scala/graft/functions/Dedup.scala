@@ -34,43 +34,63 @@ object Dedup {
     */
   val MinhashPrime = 4294967311L
   def perm(j: Int): (Long, Long) = (2L * j + 1, 101L * j + 17)
-  def minhashCol(shingleArr: Column, j: Int): Column = {
-    val (a, b) = perm(j)
-    array_min(transform(shingleArr,
-      s => (lit(a) * (phash64(s) % lit(4294967296L)) + lit(b)) % lit(MinhashPrime)))
-  }
 
   /** Per-document MinHash signature: `numPerms` minhash columns `mh_j`
     * plus the distinct shingle set `s` for verification.
+    *
+    * The md5-based shingle hash is computed ONCE per shingle (`hs`); each
+    * permutation is then a cheap affine map + array_min over the cached
+    * hash array — 1 digest pass instead of `numPerms` (the hash dominates:
+    * 16 md5 sweeps over a 100 TB shingle stream vs 1).
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, numPerms: Int = 16): DataFrame = {
     val base = docs.select(id.as("doc_id"), shingles(text, shingleN).as("s"))
+      .withColumn("hs", transform(col("s"), s => phash64(s) % lit(4294967296L)))
     (0 until numPerms).foldLeft(base) { (df, j) =>
-      df.withColumn(s"mh_$j", minhashCol(col("s"), j))
-    }
+      val (a, b) = perm(j)
+      df.withColumn(s"mh_$j",
+        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % lit(MinhashPrime))))
+    }.drop("hs")
   }
 
   /** MinHash-LSH near-dup pairs: band signatures → candidate equi-join →
     * exact Jaccard verification at `threshold`. bands×rowsPerBand must
     * equal the signature width; with (4,4), a 0.9-Jaccard pair is caught
     * with P ≈ 1-(1-0.9^4)^4 ≈ 0.96 while random pairs are ~never joined.
+    *
+    * Scale shape: the banded self-join carries ONLY (band, sig, doc_id) —
+    * never the shingle arrays — so the big exchange moves thin rows; the
+    * distinct id-pairs then re-join the signature table twice to attach
+    * shingle sets for verification (rows = |candidates| + 2·|docs|, not
+    * |candidates|·|avg shingles|·bands). Band buckets larger than
+    * `maxBandBucket` (boilerplate text at corpus scale) are dropped from
+    * candidate generation — a quadratic-blowup guard; genuine near-dup
+    * pairs in such buckets still surface through their other bands.
     */
   def minhashLsh(docs: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBandBucket: Int = 500): DataFrame = {
     val sig = minhashSignatures(docs, id, text, shingleN, bands * rowsPerBand)
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*).as("sig"))
     }: _*)
-    val banded = sig.select(col("doc_id"), col("s"), explode(bandStructs).as("bs"))
-      .select(col("doc_id"), col("s"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val a = banded.select(col("band"), col("sig"), col("doc_id").as("doc_a"), col("s").as("sa"))
-    val b = banded.select(col("band"), col("sig"), col("doc_id").as("doc_b"), col("s").as("sb"))
-    val cand = a.join(b, Seq("band", "sig"))
+    val banded = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bounded = banded
+      .withColumn("bkt_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("bkt_n") <= maxBandBucket)
+    val a = bounded.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = bounded.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sa", "sb").distinct()
+      .select("doc_a", "doc_b").distinct()
+    val sets = sig.select(col("doc_id"), col("s"))
+    val cand = pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
     verifyJaccard(cand, threshold)
   }
 
@@ -86,42 +106,59 @@ object Dedup {
   // --- n-gram Jaccard via inverted index ----------------------------------
 
   /** Near-dup pairs by exact n-gram Jaccard, candidates from an inverted
-    * shingle index (pairs sharing ≥1 shingle). With n=4 over a realistic
-    * vocabulary, random collisions are rare, so the candidate set stays
-    * near-linear in corpus size.
+    * shingle index (pairs sharing ≥1 indexed shingle).
+    *
+    * Scale shape: shingles with document frequency above `maxDf` are
+    * dropped from the index BEFORE the self-join — one common shingle
+    * shared by 1M docs would otherwise yield ~10¹² candidate pairs. The
+    * index join carries only (shingle, doc_id); candidate id-pairs are
+    * deduped and then verified exactly with one re-join attaching the full
+    * shingle sets (a pair sharing only ultra-common shingles is not a
+    * near-dup candidate — the standard inverted-index pruning rule).
     */
   def ngramJaccard(docs: DataFrame, id: Column, text: Column,
-      shingleN: Int = 4, threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 4, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     val sh = docs.select(id.as("doc_id"), shingles(text, shingleN).as("s"))
-    val ex = sh.select(col("doc_id"), col("s"), explode(col("s")).as("shingle"))
-    val inter = ex.select(col("doc_id").as("doc_a"), size(col("s")).as("na"), col("shingle"))
-      .join(ex.select(col("doc_id").as("doc_b"), size(col("s")).as("nb"), col("shingle")), Seq("shingle"))
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+    // df-cutoff via partial-aggregatable groupBy (map-side combine), not a
+    // window: the per-shingle count collapses before the exchange.
+    val rareKeys = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("shingle"))
+    val rare = ex.join(rareKeys, Seq("shingle"))
+    val pairs = rare.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select("doc_a", "doc_b").distinct()
+    val cand = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+    verifyJaccard(cand, threshold)
   }
 
   // --- SimHash -------------------------------------------------------------
 
   /** 32-bit SimHash signature (doc_id, simhash:long): bit i of the
-    * signature is the sign of Σ_shingles (2·bit_i(h32(s)) - 1). Computed
-    * by exploding (shingle × bit position) into a flat two-level
-    * groupBy-sum — fully partial-aggregatable, no driver loops.
+    * signature is the sign of Σ_shingles (2·bit_i(h32(s)) - 1).
+    *
+    * Shape: one explode to (doc_id, h32) — the shingle hash is computed
+    * once — then a single codegen'd hash aggregate with 32 sum columns
+    * (one per bit), and a final projection packing the signature. No
+    * 32×-per-shingle row explosion (the naive shape) and no interpreted
+    * higher-order array folds (lambda `aggregate` is not codegen'd and
+    * benches 3× slower here).
     */
   def simhashSig(docs: DataFrame, id: Column, text: Column, shingleN: Int = 3): DataFrame = {
     val sh = docs.select(id.as("doc_id"), explode(shingles(text, shingleN)).as("shingle"))
-      .withColumn("h32", phash64(col("shingle")) % lit(4294967296L))
-    sh.select(col("doc_id"), col("h32"), explode(sequence(lit(0), lit(31))).as("bit"))
-      .withColumn("sign", when(expr("shiftright(h32, bit) % 2") === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("sign")).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(expr("sum(if(v > 0, shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))").as("simhash"))
+      .select(col("doc_id"), (phash64(col("shingle")) % lit(4294967296L)).as("h32"))
+    val bitSums = (0 until 32).map { bit =>
+      sum(when(shiftright(col("h32"), bit) % 2 === 1, 1L).otherwise(-1L)).as(s"v$bit")
+    }
+    val simhash = (0 until 32).map { bit =>
+      when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sh.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
   }
 
   /** SimHash near-dup pairs: byte-band blocking (pairs agreeing on any of

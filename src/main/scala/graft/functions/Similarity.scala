@@ -73,52 +73,71 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
-  /** Random-hyperplane LSH bucket id (numPlanes bits). Hyperplane
-    * components are ±1 from an LCG over (plane, component) — deterministic
-    * and engine-portable. dot(v, plane) is an exact integer sum.
+  /** ±1 hyperplane component for (plane j, position pos) — an LCG over the
+    * flattened index, deterministic and engine-portable. Evaluated in
+    * Scala at plan time (the formula stays within Int range for
+    * j·dim+pos < 512, matching the oracle's 32-bit arithmetic).
+    */
+  def planeSign(j: Int, pos: Int, dim: Int): Long =
+    if (((1664525 * (j * dim + pos) + 1013904223) >> 15) % 2 == 0) 1L else -1L
+
+  /** Random-hyperplane LSH bucket id (numPlanes bits). Hyperplane sign
+    * vectors are plan-time constant arrays, so each plane's dot product is
+    * one codegen'd `aggregate(zip_with(...))` over the row's own vector —
+    * zero explode, zero shuffle (the previous shape blew each vector into
+    * dim×planes = 512 rows through two shuffled groupBys).
     */
   def lshBuckets(p: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val pe = p.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "q")))
-      .select(col("vec_id"), col("pos"), col("q"),
-        explode(sequence(lit(0), lit(numPlanes - 1))).as("j"))
-      .withColumn("sign",
-        when(expr(s"((1664525 * (j * $dim + pos) + 1013904223) >> 15) % 2") === 0, 1L)
-          .otherwise(-1L))
-    pe.groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("sign") * col("q")).as("d"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("d") > 0, expr("shiftleft(cast(1 as bigint), j)"))
-        .otherwise(0L)).as("bucket"))
+    val bucket = (0 until numPlanes).map { j =>
+      val signs = typedLit((0 until dim).map(planeSign(j, _, dim)))
+      val d = aggregate(zip_with(col("v"), signs, (x, s) => x * s),
+        lit(0L), (acc, v) => acc + v)
+      when(d > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    p.select(col("vec_id"), bucket.as("bucket"))
   }
 
   /** ANN top-1 neighbor within the LSH bucket (the scale path: candidate
-    * generation is an equi-join on `bucket`, never all-pairs).
+    * generation is an equi-join on `bucket`, never all-pairs). Buckets
+    * above `maxBucket` members are excluded — the quadratic-blowup guard
+    * for degenerate embedding mass (e.g. zero vectors) at corpus scale.
     */
-  def annLshTop1(embs: DataFrame, id: Column, emb: Column, numPlanes: Int = 8): DataFrame = {
+  def annLshTop1(embs: DataFrame, id: Column, emb: Column, numPlanes: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
     val p = prepared(embs, id, emb)
     val withBucket = p.join(lshBuckets(p, numPlanes), Seq("vec_id"))
+      .withColumn("bkt_n", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bkt_n") <= maxBucket)
     val a = withBucket.select(col("bucket"), col("vec_id"), col("v"), col("nrm"))
     val b = withBucket.select(col("bucket"), col("vec_id").as("cand_id"),
       col("v").as("vb"), col("nrm").as("nb"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cand_id"))
+    // top-1 as a partial-aggregatable argmax (min over (-sim, cand_id)
+    // struct = max sim, ties to smallest id): candidates collapse map-side
+    // in the join stage instead of shuffling every scored pair into a
+    // window sort.
     a.join(b, Seq("bucket")).filter(col("vec_id") =!= col("cand_id"))
       .withColumn("sim", cosineQ(col("v"), col("nrm"), col("vb"), col("nb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cand_id").as("ann_id"), col("sim"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("sim")).as("ns"), col("cand_id").as("cand_id"),
+        col("sim").as("sim"))).as("m"))
+      .select(col("vec_id"), col("m.cand_id").as("ann_id"), col("m.sim").as("sim"))
   }
 
-  /** IVF coarse assignment: nearest centroid (broadcast argmax). */
+  /** IVF coarse assignment: nearest centroid — broadcast the centroid
+    * table, argmax per row via a partial-aggregatable min-struct (the
+    * |corpus|×|centroids| scored rows collapse map-side; a window would
+    * shuffle all of them).
+    */
   def ivfAssign(embs: DataFrame, id: Column, emb: Column, centroidPred: Column): DataFrame = {
     val p = prepared(embs, id, emb)
     val cents = broadcast(embs.filter(centroidPred)
       .select(id.as("centroid_id"), quantize(emb).as("cv"))
       .withColumn("cn", sqNorm(col("cv"))))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
     p.crossJoin(cents)
       .withColumn("sim", cosineQ(col("v"), col("nrm"), col("cv"), col("cn")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("sim"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("sim")).as("ns"), col("centroid_id").as("centroid_id"),
+        col("sim").as("sim"))).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"), col("m.sim").as("sim"))
   }
 }

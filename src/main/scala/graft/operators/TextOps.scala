@@ -128,31 +128,40 @@ object TextOps {
             FROM (SELECT doc_id, $toks AS t, text FROM documents)),
           sig AS (SELECT doc_id, s, ${minhashExprs.mkString(", ")} FROM base),
           banded AS (
-            SELECT doc_id, s, band,
+            SELECT doc_id, band,
               CASE band ${(0 until 4).map(b => s"WHEN $b THEN ${bandSigSql(b)}").mkString(" ")} END AS bsig
             FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-            FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+          bounded AS (
+            SELECT * FROM (
+              SELECT doc_id, band, bsig, COUNT(*) OVER (PARTITION BY band, bsig) AS bkt_n
+              FROM banded) WHERE bkt_n <= 500),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bounded a JOIN bounded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
           j AS (
             SELECT doc_a, doc_b,
-              CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
-                (CAST(len(sa) + len(sb) AS DOUBLE) - CAST(len(list_intersect(sa, sb)) AS DOUBLE)) AS jaccard
-            FROM cand)
+              CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                (CAST(len(sa.s) + len(sb.s) AS DOUBLE) - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)) AS jaccard
+            FROM pairs JOIN sig sa ON sa.doc_id = pairs.doc_a JOIN sig sb ON sb.doc_id = pairs.doc_b)
           SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""",
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, ${shingleSql(4)} AS s
             FROM (SELECT doc_id, $toks AS t FROM documents)),
-          ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
-          agg AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb, COUNT(*) AS n_inter
-            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4)
-          SELECT doc_a, doc_b,
-            CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
-          FROM agg
-          WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5""",
+          ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+          rare AS (
+            SELECT * FROM (
+              SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+              FROM ex) WHERE df <= 1000),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+          j AS (
+            SELECT doc_a, doc_b,
+              CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                (CAST(len(sa.s) + len(sb.s) AS DOUBLE) - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)) AS jaccard
+            FROM pairs JOIN sh sa ON sa.doc_id = pairs.doc_a JOIN sh sb ON sb.doc_id = pairs.doc_b)
+          SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""",
 
     "dedup_simhash" ->
       s"""WITH sh AS (SELECT doc_id, unnest(s) AS shingle

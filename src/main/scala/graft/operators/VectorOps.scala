@@ -87,7 +87,11 @@ object VectorOps {
 
     "sim_ann_lsh" ->
       s"""WITH $prepCte, $bucketCte,
-          wb AS (SELECT p.vec_id, p.v, p.nrm, b.bucket FROM prep p JOIN buck b USING (vec_id)),
+          wb AS (
+            SELECT * FROM (
+              SELECT p.vec_id, p.v, p.nrm, b.bucket,
+                COUNT(*) OVER (PARTITION BY b.bucket) AS bkt_n
+              FROM prep p JOIN buck b USING (vec_id)) WHERE bkt_n <= 10000),
           scored AS (
             SELECT a.vec_id, b.vec_id AS ann_id,
               ${simSql("a.v", "a.nrm", "b.v", "b.nrm")} AS sim,

@@ -55,7 +55,7 @@ class TextDedupSpec extends AnyFunSuite {
     assert(sig(0) == sig(1))
     assert(sig.forall(h => h >= 0 && h < (1L << 32)))
     val pairs = Dedup.simhashPairs(df, col("doc_id"), col("text"))
-      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
     assert(pairs.exists { case (a, b, h) => a == 1 && b == 2 && h == 0 })
   }
 }

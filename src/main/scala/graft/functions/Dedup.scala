@@ -36,22 +36,25 @@ object Dedup {
   def perm(j: Int): (Long, Long) = (2L * j + 1, 101L * j + 17)
 
   /** Per-document MinHash signature: `numPerms` minhash columns `mh_j`
-    * plus the distinct shingle set `s` for verification.
+    * plus the distinct 32-bit-hashed shingle set `s` for verification.
     *
-    * The md5-based shingle hash is computed ONCE per shingle (`hs`); each
+    * The md5-based shingle hash is computed ONCE per shingle; each
     * permutation is then a cheap affine map + array_min over the cached
     * hash array — 1 digest pass instead of `numPerms` (the hash dominates:
-    * 16 md5 sweeps over a 100 TB shingle stream vs 1).
+    * 16 md5 sweeps over a 100 TB shingle stream vs 1). The document is
+    * represented by its hashed shingle set from here on — verification
+    * Jaccard intersects long arrays, never re-materializing strings.
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, numPerms: Int = 16): DataFrame = {
-    val base = docs.select(id.as("doc_id"), shingles(text, shingleN).as("s"))
-      .withColumn("hs", transform(col("s"), s => phash64(s) % lit(4294967296L)))
+    val base = docs.select(id.as("doc_id"),
+      array_distinct(transform(shingles(text, shingleN),
+        s => phash64(s) % lit(4294967296L))).as("s"))
     (0 until numPerms).foldLeft(base) { (df, j) =>
       val (a, b) = perm(j)
       df.withColumn(s"mh_$j",
-        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % lit(MinhashPrime))))
-    }.drop("hs")
+        array_min(transform(col("s"), h => (lit(a) * h + lit(b)) % lit(MinhashPrime))))
+    }
   }
 
   /** MinHash-LSH near-dup pairs: band signatures → candidate equi-join →
@@ -118,13 +121,21 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, id: Column, text: Column,
       shingleN: Int = 4, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    val sh = docs.select(id.as("doc_id"), shingles(text, shingleN).as("s"))
+    // Hash shingles to 60-bit longs up front: the inverted-index exchange
+    // and the verification arrays carry fixed-width longs, not n-gram
+    // strings (~8 bytes vs ~30+ per shingle at corpus scale).
+    val sh = docs.select(id.as("doc_id"),
+      array_distinct(transform(shingles(text, shingleN), s => phash64(s))).as("s"))
     val ex = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
-    // df-cutoff via partial-aggregatable groupBy (map-side combine), not a
-    // window: the per-shingle count collapses before the exchange.
-    val rareKeys = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("shingle"))
-    val rare = ex.join(rareKeys, Seq("shingle"))
+    // df-cutoff via a count window over the shingle partitioning: both
+    // self-join inputs are the identical subplan, so the single
+    // hash-partition(shingle) exchange is planned once and reused
+    // (ReusedExchange), and its sort order feeds the join directly — vs a
+    // separate groupBy+join pre-pass that re-shingles the corpus.
+    val rare = ex.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("shingle"))
     val pairs = rare.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(rare.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))

@@ -73,10 +73,14 @@ object TextOps {
   private def langScoreSql(lang: String): String =
     Text.langMarkers.toMap.apply(lang).map(occSql).mkString("(", " + ", ")")
 
+  /** Distinct 32-bit-hashed shingle set (mirrors minhashSignatures' `s`). */
+  private def hashedShingleSql(n: Int, mod: String = " % 4294967296"): String =
+    s"list_distinct([${phash64Sql("x")}$mod for x in ${shingleSql(n)}])"
+
   private val minhashExprs: Seq[String] =
     (0 until 16).map { j =>
       val (a, b) = Dedup.perm(j)
-      s"list_min([($a * (${phash64Sql("x")} % 4294967296) + $b) % ${Dedup.MinhashPrime} for x in s]) AS mh_$j"
+      s"list_min([($a * x + $b) % ${Dedup.MinhashPrime} for x in s]) AS mh_$j"
     }
 
   private def bandSigSql(band: Int): String =
@@ -124,7 +128,7 @@ object TextOps {
          FROM documents GROUP BY 1""",
 
     "dedup_minhash_lsh" ->
-      s"""WITH base AS (SELECT doc_id, ${shingleSql(3)} AS s
+      s"""WITH base AS (SELECT doc_id, ${hashedShingleSql(3)} AS s
             FROM (SELECT doc_id, $toks AS t, text FROM documents)),
           sig AS (SELECT doc_id, s, ${minhashExprs.mkString(", ")} FROM base),
           banded AS (
@@ -146,7 +150,7 @@ object TextOps {
           SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""",
 
     "dedup_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT doc_id, ${shingleSql(4)} AS s
+      s"""WITH sh AS (SELECT doc_id, ${hashedShingleSql(4, mod = "")} AS s
             FROM (SELECT doc_id, $toks AS t FROM documents)),
           ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
           rare AS (

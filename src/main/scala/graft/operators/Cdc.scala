@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.apply.{Combiner, Replay}
 import graft.filters.OplogFilters
 import graft.functions.Portable.phash64Sql
-import graft.model.Oplog
+import graft.model.{ChangeEvent, Oplog}
 import graft.partition.Hashers
-import graft.transform.Transforms
+import graft.transform.{EventNormalizer, Transforms}
 
 /** CDC operator queries (SURVEY.md §2.3-2.6/§2.8) over the `events` table
   * projected into canonical oplog form, each with an exact DuckDB oracle.
@@ -40,6 +40,12 @@ object Cdc {
     // P1/P2: raw change records → canonical oplog rows.
     "cdc_normalize" -> ((s, dir) =>
       oplog(s, dir).select("event_id", "ts_packed", "op", "ns", "doc_key", "g")),
+
+    // P2/S2: change-stream event → oplog, the full 8-way operationType
+    // dispatch (ConvertEvent2Oplog) over the canonical event schema.
+    "cdc_event_normalize" -> ((s, dir) =>
+      EventNormalizer.normalize(ChangeEvent.fromEvents(s, dir))
+        .select("event_id", "ts_packed", "op", "ns", "o", "o2")),
 
     // F1+F2+F3+F5+F7 keep-chain, summarized per (op, ns).
     "cdc_filter_chain" -> ((s, dir) =>
@@ -108,9 +114,42 @@ object Cdc {
   private def withOplog(body: String): String =
     s"WITH oplog AS (${Oplog.oracleCte}) $body"
 
+  /** DuckDB mirror of [[EventNormalizer.unsetJson]]. */
+  private val unsetJsonSql: String =
+    """'{' || array_to_string(list_transform(removed_fields, f -> '"' || f || '":1'), ',') || '}'"""
+
   def oracles: Map[String, String] = Map(
     "cdc_normalize" -> withOplog(
       "SELECT event_id, ts_packed, op, ns, doc_key, g FROM oplog"),
+
+    "cdc_event_normalize" ->
+      s"""WITH cev AS (${ChangeEvent.oracleCte})
+          SELECT event_id, ts_packed,
+            CASE operation_type WHEN 'insert' THEN 'i' WHEN 'delete' THEN 'd'
+              WHEN 'replace' THEN 'u' WHEN 'update' THEN 'u'
+              WHEN 'drop' THEN 'c' WHEN 'rename' THEN 'c'
+              WHEN 'dropDatabase' THEN 'c' ELSE 'x' END AS op,
+            CASE WHEN operation_type IN ('drop','rename','dropDatabase')
+              THEN db || '.$$cmd' ELSE db || '.' || coll END AS ns,
+            CASE operation_type
+              WHEN 'insert' THEN full_document
+              WHEN 'delete' THEN document_key
+              WHEN 'replace' THEN '{"$$set":' || full_document || '}'
+              WHEN 'update' THEN (CASE
+                WHEN updated_fields <> '{}' AND len(removed_fields) > 0
+                  THEN '{"$$set":' || updated_fields
+                    || ',"$$unset":' || $unsetJsonSql || '}'
+                WHEN updated_fields <> '{}' THEN '{"$$set":' || updated_fields || '}'
+                WHEN len(removed_fields) > 0 THEN '{"$$unset":' || $unsetJsonSql || '}'
+                ELSE '{}' END)
+              WHEN 'drop' THEN '{"drop":"' || coll || '"}'
+              WHEN 'rename' THEN '{"renameCollection":"' || db || '.' || coll
+                || '","to":"' || to_db || '.' || to_coll || '"}'
+              WHEN 'dropDatabase' THEN '{"dropDatabase":1}'
+              ELSE '{}' END AS o,
+            CASE WHEN operation_type IN ('replace','update') THEN document_key
+              ELSE '{}' END AS o2
+          FROM cev""",
 
     "cdc_filter_chain" -> withOplog(
       s"SELECT op, ns, COUNT(*) AS n FROM oplog WHERE $chainSql GROUP BY op, ns"),

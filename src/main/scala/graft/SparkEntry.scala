@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cdc, Relational, SnapshotOps, TextOps, VectorOps}
+import graft.operators.{Cdc, DdlOps, Relational, SnapshotOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,6 +15,7 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracles),
       (Cdc.queries, Cdc.oracles),
+      (DdlOps.queries, DdlOps.oracles),
       (TextOps.queries, TextOps.oracles),
       (VectorOps.queries, VectorOps.oracles),
       (SnapshotOps.queries, SnapshotOps.oracles)

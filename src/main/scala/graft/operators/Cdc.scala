@@ -85,6 +85,30 @@ object Cdc {
     // replace/$set+$inc/delete specs through the JSON document algebra.
     "cdc_update_apply" -> ((s, dir) => Replay.applyOps(filtered(s, dir))),
 
+    // Scale-safe incremental apply (W1-W4 + T8 over bucketed state): K
+    // sequential ts-ordered micro-batches through IncrSync.applyBatch —
+    // each rewrites only the state buckets it touches — must converge to
+    // the one-shot global materialization the oracle computes. The ntile
+    // batching below is a TEST HARNESS (drives the operator with a
+    // deterministic batch split); production batches come from the
+    // streaming trigger.
+    "cdc_incr_state" -> ((s, dir) => {
+      import graft.streaming.IncrSync
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_incr_state_q"
+      IncrSync.deletePath(s, work)
+      val ops = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts_packed"), col("event_id"))
+      val batched = ops.withColumn("k", ntile(4).over(w))
+      batched.persist()
+      (1 to 4).foreach { k =>
+        IncrSync.applyBatch(batched.filter(col("k") === k).drop("k"), work, k)
+      }
+      batched.unpersist()
+      IncrSync.readOrEmpty(s, s"$work/state")
+        .select("ns", "doc_key", "last_value", "last_event_id")
+    }),
+
     // T1-T3 batch analogue: transaction grouping (lsid = user, txnNumber =
     // hour bucket), emitting per-txn op counts and ts bounds.
     "cdc_txn_group" -> ((s, dir) =>
@@ -223,6 +247,14 @@ object Cdc {
                         WHERE e.doc_key = a.doc_key AND e.op = 'u'
                           AND (a.bts IS NULL OR e.ts_packed > a.bts)), 0) AS BIGINT) AS v_cents
           FROM agg a WHERE a.last_op <> 'd'"""),
+
+    "cdc_incr_state" -> withOplog(
+      s"""SELECT ns, doc_key, value AS last_value, event_id AS last_event_id
+          FROM (
+            SELECT ns, doc_key, value, event_id, op,
+              ROW_NUMBER() OVER (PARTITION BY ns, doc_key ORDER BY ts_packed DESC, event_id DESC) AS rn
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
+          WHERE rn = 1 AND op <> 'd'"""),
 
     "cdc_txn_group" -> withOplog(
       s"""SELECT doc_key AS lsid, ts_us // 3600000000 AS txn_number,

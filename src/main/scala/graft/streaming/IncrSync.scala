@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -25,8 +26,31 @@ import graft.model.Oplog
   * Exactly-once state: Spark's checkpointLocation provides replayable
   * batches; the merge is idempotent, so at-least-once delivery converges
   * (the reference's recovery model, README.md:55).
+  *
+  * ## State layout — hash-bucketed, O(batch) I/O per trigger
+  *
+  * State lives at `target/state/bucket=<b>/` with
+  * b = hash(ns, doc_key) mod [[StateBuckets]]. A micro-batch only ever
+  * reads and rewrites the buckets its keys hash into (partition-pruned
+  * read + dynamic partition overwrite), so per-trigger I/O is
+  * O(|touched buckets| · bucket size), not O(|state|): at 100 TB of
+  * state and a default 1024 buckets, a small batch rewrites ~its share
+  * of buckets, never the table. All filesystem access goes through the
+  * Hadoop FileSystem API — the layout works identically on HDFS/S3.
   */
 object IncrSync {
+
+  /** Number of state hash-buckets. Sized so one bucket (state/buckets)
+    * stays well under executor memory at the target scale; at 100 TB
+    * state this would be raised together with the cluster size — it is a
+    * layout constant of the state table, changed only by re-bucketing.
+    */
+  val StateBuckets = 64
+
+  /** Barrier batches are rare DDL; a runaway barrier set indicates a
+    * misrouted stream — fail fast instead of OOMing the driver.
+    */
+  val MaxBarrierRows = 10000
 
   /** Schema of the events stream (ts as nanosecond long). */
   val eventsSchema: StructType = StructType(Seq(
@@ -36,6 +60,12 @@ object IncrSync {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Stored state schema (bucket is the partition column). */
+  val stateFields: Seq[(String, DataType)] = Seq(
+    "ns" -> StringType, "doc_key" -> StringType,
+    "last_value" -> DoubleType, "last_event_id" -> LongType,
+    "batch_ops" -> LongType, "bucket" -> IntegerType)
 
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
       checkpointDir: String,
@@ -55,27 +85,58 @@ object IncrSync {
       .start()
   }
 
-  /** Two-phase batch apply + checkpoint commit. */
-  def applyBatch(batch: DataFrame, targetDir: String, batchId: Long): Unit = {
+  /** State bucket of a (ns, doc_key) pair. */
+  def bucketOf(nBuckets: Int = StateBuckets) =
+    pmod(hash(col("ns"), col("doc_key")), lit(nBuckets)).cast("int")
+
+  /** Two-phase batch apply + checkpoint commit. Only state buckets touched
+    * by this batch are read or written.
+    */
+  def applyBatch(batch: DataFrame, targetDir: String, batchId: Long,
+      nBuckets: Int = StateBuckets): Unit = {
     val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     batch.persist()
     try {
       val normal = batch.filter(col("op") =!= "c")
       val barrier = batch.filter(col("op") === "c")
 
-      // Phase 1: idempotent merge of DML into the state table.
+      // Phase 1: idempotent merge of DML into the touched state buckets.
       val delta = Replay.materialize(normal)
         .withColumnRenamed("n_ops", "batch_ops")
+        .withColumn("bucket", bucketOf(nBuckets))
       val statePath = s"$targetDir/state"
-      val existing = readOrEmpty(spark, statePath, delta.schema.fields.map(f => (f.name, f.dataType)))
-      // new state: batch keys replace old rows (delete-aware: keys whose
-      // last op was a delete are absent from `delta` and must also drop
-      // from the old state).
       val touched = normal.select(col("ns"), col("doc_key")).distinct()
-      val kept = existing.join(touched, Seq("ns", "doc_key"), "left_anti")
-      overwrite(kept.unionByName(delta), statePath)
+        .withColumn("bucket", bucketOf(nBuckets))
+      touched.persist()
+      val touchedBuckets = touched.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded by nBuckets
+      // Partition-pruned read: only buckets this batch can modify.
+      val existing = readOrEmpty(spark, statePath)
+        .filter(col("bucket").isin(touchedBuckets: _*))
+      // New content of the touched buckets: old rows whose key is untouched
+      // + the batch delta (keys whose last op was a delete are in neither).
+      val kept = existing.join(touched.select("ns", "doc_key"), Seq("ns", "doc_key"), "left_anti")
+      val newState = kept.unionByName(delta)
+      newState.persist()
+      // Dynamic partition overwrite replaces exactly the partitions present
+      // in `newState`. A touched bucket whose keys were ALL deleted has no
+      // rows to write — clear its partition directory explicitly.
+      val writtenBuckets = newState.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      newState.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(statePath)
+      val fs = new Path(statePath).getFileSystem(spark.sessionState.newHadoopConf())
+      (touchedBuckets.toSet -- writtenBuckets).foreach { b =>
+        fs.delete(new Path(s"$statePath/bucket=$b"), true)
+      }
+      newState.unpersist()
+      touched.unpersist()
 
       // Phase 2: barrier ops, serial, in oplog order, after phase 1.
+      // Barriers are rare DDL — bounded explicitly before the collect.
+      val nBarrier = barrier.count()
+      require(nBarrier <= MaxBarrierRows,
+        s"barrier batch of $nBarrier rows exceeds $MaxBarrierRows — misrouted stream?")
       val barrierRows = barrier.orderBy(col("ts_packed")).collect()
       if (barrierRows.nonEmpty) {
         import spark.implicits._
@@ -94,27 +155,22 @@ object IncrSync {
     } finally batch.unpersist()
   }
 
-  private def readOrEmpty(spark: SparkSession, path: String,
-      fields: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame = {
-    val schema = StructType(fields.map { case (n, t) => StructField(n, t) })
-    if (new java.io.File(path).exists()) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  /** Read the bucketed state table (empty DataFrame if absent yet). */
+  def readOrEmpty(spark: SparkSession, path: String): DataFrame = {
+    val schema = StructType(stateFields.map { case (n, t) => StructField(n, t) })
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(path))) {
+      // basePath keeps the bucket partition column in the projection.
+      spark.read.option("basePath", path).schema(schema).parquet(path)
+    } else {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
-  /** Atomic-enough local overwrite: write next to the live dir, swap. */
-  private def overwrite(df: DataFrame, path: String): Unit = {
-    val tmp = path + ".tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val live = new java.io.File(path)
-    val old = new java.io.File(path + ".old")
-    if (old.exists()) delete(old)
-    if (live.exists()) live.renameTo(old)
-    new java.io.File(tmp).renameTo(live)
-    delete(old)
-  }
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete()
+  /** Recursive delete via the Hadoop FileSystem (works on any scheme). */
+  def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
   }
 }

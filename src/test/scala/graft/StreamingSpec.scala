@@ -78,6 +78,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("bucketed state: a second batch rewrites only the buckets it touches") {
+    val work = Files.createTempDirectory("graft_bucket").toFile.getAbsolutePath
+    def oplog(rows: Seq[(Long, Long, String, String, String, Double)]) =
+      rows.toDF("event_id", "ts_packed", "op", "ns", "doc_key", "value")
+
+    // Batch 1: many keys spread across buckets.
+    val b1 = oplog((1 to 200).map(i =>
+      (i.toLong, i.toLong, "i", "app.t", s"k$i", i.toDouble)))
+    IncrSync.applyBatch(b1, work, 1L, nBuckets = 16)
+    val stateDir = new java.io.File(s"$work/state")
+    def bucketFiles(): Map[String, Set[(String, Long)]] =
+      stateDir.listFiles().filter(_.getName.startsWith("bucket=")).map { d =>
+        d.getName -> d.listFiles().map(f => (f.getName, f.lastModified())).toSet
+      }.toMap
+    val before = bucketFiles()
+    assert(before.size > 4) // keys actually spread over buckets
+
+    // Batch 2: update one key, delete another.
+    val b2 = oplog(Seq(
+      (1001L, 1001L, "u", "app.t", "k1", 999.0),
+      (1002L, 1002L, "d", "app.t", "k2", 0.0)))
+    IncrSync.applyBatch(b2, work, 2L, nBuckets = 16)
+    val after = bucketFiles()
+
+    val touched = Seq("k1", "k2").map { k =>
+      val b = b1.sparkSession.range(1).select(
+        lit("app.t").as("ns"), lit(k).as("doc_key"))
+        .select(IncrSync.bucketOf(16)).head().getInt(0)
+      s"bucket=$b"
+    }.toSet
+    // untouched buckets: identical file lists and mtimes
+    (before.keySet -- touched).foreach { b =>
+      assert(after(b) == before(b), s"untouched $b was rewritten")
+    }
+    // touched buckets changed; state content correct
+    touched.foreach(b => assert(after.get(b) != before.get(b)))
+    val state = spark.read.parquet(s"$work/state")
+    assert(state.filter($"doc_key" === "k1").head().getAs[Double]("last_value") == 999.0)
+    assert(state.filter($"doc_key" === "k2").count() == 0)
+    assert(state.count() == 199)
+  }
+
   test("full sync: range-partitioned snapshot copy + handoff position") {
     val work = Files.createTempDirectory("graft_full").toFile.getAbsolutePath
     val src = "/root/testdata/sf0.001"

@@ -109,8 +109,56 @@ object Cdc {
         .select("ns", "doc_key", "last_value", "last_event_id")
     }),
 
-    // T1-T3 batch analogue: transaction grouping (lsid = user, txnNumber =
-    // hour bucket), emitting per-txn op counts and ts bounds.
+    // T1-T3: the real transaction assembler. Synthesizes applyOps chains
+    // from the corpus — inner ops grouped 2-per-entry in ts order, earlier
+    // entries marked partialTxn, last entry the unprepared commit; txns
+    // with (lsid+txnNumber) % 7 == 0 get all-partial entries plus an
+    // abortTransaction marker (purged, emitting nothing). Entries flow
+    // through the T2 classifier (kind DERIVED from the body) and the
+    // chain fold with the T3 ts patch.
+    "cdc_txn_assemble" -> ((s, dir) => {
+      import graft.streaming.TxnAssembler
+      val wOps = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lsid"), col("txn_number"))
+        .orderBy(col("ts_packed"), col("event_id"))
+      val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+        .withColumn("lsid", col("doc_key"))
+        .withColumn("txn_number", expr("ts_us DIV 3600000000"))
+        .withColumn("rn", row_number().over(wOps) - 1)
+        .withColumn("payload", concat(lit("{\"event_id\":"), col("event_id").cast("string"),
+          lit(",\"op\":\""), col("op"), lit("\"}")))
+        .withColumn("entry_seq", expr("rn DIV 2"))
+      val entries0 = eff.groupBy(col("lsid"), col("txn_number"), col("entry_seq"))
+        .agg(
+          max(col("ts_packed")).as("ts_packed"),
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("rn"), col("payload")))),
+            x => x.getField("payload"))).as("ops_json"))
+      val wTxn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lsid"), col("txn_number"))
+      val entries1 = entries0
+        .withColumn("max_seq", max(col("entry_seq")).over(wTxn))
+        .withColumn("aborted",
+          pmod(col("lsid").cast("bigint") + col("txn_number"), lit(7)) === 0)
+        .withColumn("o",
+          when(col("entry_seq") < col("max_seq") || col("aborted"),
+            concat(lit("{\"applyOps\":["), col("ops_json"), lit("],\"partialTxn\":true}")))
+            .otherwise(concat(lit("{\"applyOps\":["), col("ops_json"), lit("]}"))))
+        .withColumn("op", lit("c"))
+        .withColumn("seq", col("entry_seq"))
+      val abortEntries = entries1
+        .filter(col("aborted") && col("entry_seq") === col("max_seq"))
+        .select(col("lsid"), col("txn_number"), (col("max_seq") + 1).as("seq"),
+          lit("c").as("op"), lit("{\"abortTransaction\":1}").as("o"), col("ts_packed"))
+      val all = entries1.select("lsid", "txn_number", "seq", "op", "o", "ts_packed")
+        .unionByName(abortEntries)
+      TxnAssembler.assembleBatch(TxnAssembler.classifyEntries(all))
+        .select(col("lsid"), col("txnNumber").as("txn_number"),
+          col("idx"), col("op"), col("ts"))
+    }),
+
+    // Grouping metrics per (lsid, txnNumber) bucket — per-txn op counts and
+    // ts bounds (the aggregate view next to the real assembler above).
     "cdc_txn_group" -> ((s, dir) =>
       filtered(s, dir)
         .withColumn("lsid", col("doc_key"))
@@ -255,6 +303,20 @@ object Cdc {
               ROW_NUMBER() OVER (PARTITION BY ns, doc_key ORDER BY ts_packed DESC, event_id DESC) AS rn
             FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
           WHERE rn = 1 AND op <> 'd'"""),
+
+    "cdc_txn_assemble" -> withOplog(
+      s""", eff AS (
+            SELECT doc_key AS lsid, ts_us // 3600000000 AS txn_number, event_id, op, ts_packed,
+              ROW_NUMBER() OVER (PARTITION BY doc_key, ts_us // 3600000000
+                ORDER BY ts_packed, event_id) - 1 AS rn,
+              COUNT(*) OVER (PARTITION BY doc_key, ts_us // 3600000000) AS n,
+              MAX(ts_packed) OVER (PARTITION BY doc_key, ts_us // 3600000000) AS commit_ts
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
+          SELECT lsid, txn_number, CAST(rn AS INT) AS idx,
+            '{"event_id":' || CAST(event_id AS VARCHAR) || ',"op":"' || op || '"}' AS op,
+            CASE WHEN rn = n - 1 THEN commit_ts ELSE commit_ts - 1 END AS ts
+          FROM eff
+          WHERE (CAST(lsid AS BIGINT) + txn_number) % 7 <> 0"""),
 
     "cdc_txn_group" -> withOplog(
       s"""SELECT doc_key AS lsid, ts_us // 3600000000 AS txn_number,

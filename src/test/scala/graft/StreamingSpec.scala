@@ -16,7 +16,7 @@ class StreamingSpec extends AnyFunSuite {
   test("txn assembler: partial chain buffers across micro-batches, emits on commit, purges on abort") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[TxnEntry]
-    val q = TxnAssembler.assemble(input.toDS())
+    val q = TxnAssembler.assemble(input.toDS(), ttlMs = 0) // no TTL under processAllAvailable
       .writeStream.format("memory").queryName("txn_out").outputMode("append").start()
     try {
       // batch 1: two partial entries of txn A, one partial of doomed txn B
@@ -43,6 +43,42 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("txn_out").filter($"lsid" === "s2").count() == 1)
     } finally q.stop()
+  }
+
+  test("T2 classifier derives kind from the command body (txn_meta.go semantics)") {
+    val rows = Seq(
+      // (lsid, txn_number, seq, op, o, ts_packed)
+      ("s1", 1L, 0L, "c", """{"applyOps":[{"a":1}],"partialTxn":true}""", 10L), // partial
+      ("s1", 1L, 1L, "c", """{"applyOps":[{"b":2}]}""", 11L),                   // unprepared final → commit
+      ("s2", 2L, 0L, "c", """{"commitTransaction":1}""", 12L),                  // commit marker
+      ("s3", 3L, 0L, "c", """{"abortTransaction":1}""", 13L),                   // abort
+      ("s4", 4L, 0L, "c", """{"applyOps":[{"c":3}],"partialTxn":true,"prepare":true}""", 14L), // prepared partial
+      ("s5", 5L, 0L, "c", """{"drop":"t"}""", 15L),                             // not a txn command
+      ("s6", 6L, 0L, "i", """{"applyOps":[{"d":4}]}""", 16L),                   // not op c
+      (null, 7L, 0L, "c", """{"applyOps":[{"e":5}]}""", 17L))                   // no lsid
+      .toDF("lsid", "txn_number", "seq", "op", "o", "ts_packed")
+    val got = TxnAssembler.classifyEntries(rows).collect()
+      .map(e => (e.lsid, e.kind, e.ops)).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("s1", "partial", Seq("""{"a":1}""")),
+      ("s1", "commit", Seq("""{"b":2}""")),
+      ("s2", "commit", Nil),
+      ("s3", "abort", Nil),
+      ("s4", "partial", Seq("""{"c":3}"""))))
+  }
+
+  test("txn TTL: timed-out partial state is purged without emission") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val stale = TestGroupState.create[TxnAssembler.Buffer](
+      optionalState = org.apache.spark.api.java.Optional.of(TxnAssembler.Buffer(
+        List(TxnEntry("s1", 1, 0, "partial", Seq("a0"), 100)))),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = TxnAssembler.assembleGroup(
+      TxnAssembler.TxnKey("s1", 1), Iterator.empty, stale)
+    assert(out.isEmpty && stale.isRemoved)
   }
 
   test("incr sync: stream → filter → two-phase apply → checkpoint; restart is a no-op; final state matches batch replay") {

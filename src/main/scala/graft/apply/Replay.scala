@@ -99,6 +99,61 @@ object Replay {
     }.toDF("doc_key", "k_final", "v_cents")
   }
 
+  /** Array update-spec replay (W3's array surface: $push/$pull through the
+    * document algebra — reference `executor/db_writer_bulk.go:118-232` with
+    * the v2 array semantics of `oplog/oplog.go:281-392`).
+    *
+    * Op semantics over the corpus (mirrored closed-form in the oracle):
+    *   i               → replace document with {tags: [props.k]}
+    *   u, even event_id → {$push: {tags: {$each: [cents % 97]}}}  (upserts)
+    *   u, odd event_id  → {$pull: {tags: cents % 7}}              (upserts)
+    *   d               → delete
+    * Same physical shape as [[applyOps]]: one shuffle on the key, secondary
+    * sort, contiguous-key fold holding one document of state.
+    */
+  def applyArrayOps(oplog: DataFrame): DataFrame = {
+    val spark = oplog.sparkSession
+    import spark.implicits._
+    val eff = oplog.filter(col("op").isin("i", "u", "d"))
+      .select(col("doc_key"), col("op"), col("ts_packed"), col("event_id"),
+        expr("cast(get_json_object(props, '$.k') as bigint)").as("k"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val sorted = eff.repartition(col("doc_key"))
+      .sortWithinPartitions(col("doc_key"), col("ts_packed"))
+      .as[(String, String, Long, Long, Long, Long)]
+    sorted.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var curKey: String = null
+      var state: Option[JObject] = None
+      def flush(): Unit = state.foreach { doc =>
+        val tags = (doc \ "tags") match {
+          case org.json4s.JArray(items) => items
+          case _ => Nil
+        }
+        out += ((curKey, UpdateSpec.render2Json(org.json4s.JArray(tags)), tags.size.toLong))
+      }
+      it.foreach { case (key, op, _, eventId, k, cents) =>
+        if (key != curKey) { flush(); curKey = key; state = None }
+        op match {
+          case "i" =>
+            state = Some(JObject(List("tags" -> org.json4s.JArray(List(JLong(k))))))
+          case "u" =>
+            val doc = state.getOrElse(JObject(Nil))
+            val spec =
+              if (eventId % 2 == 0)
+                JObject(List("$push" -> JObject(List("tags" ->
+                  JObject(List("$each" -> org.json4s.JArray(List(JLong(cents % 97)))))))))
+              else
+                JObject(List("$pull" -> JObject(List("tags" -> JLong(cents % 7)))))
+            state = Some(UpdateSpec.applySpec(doc, spec))
+          case "d" => state = None
+        }
+      }
+      flush()
+      out.iterator
+    }.toDF("doc_key", "tags_json", "n_tags")
+  }
+
   /** G4/G6 checkpoint aggregation (`collector/checkpoint.go:149-199`,
     * `common/db_opertion.go:127-232`): the checkpoint is the minimum acked
     * ts across workers; also surfaces each worker's newest ts and volume.

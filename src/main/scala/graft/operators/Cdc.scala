@@ -85,6 +85,12 @@ object Cdc {
     // replace/$set+$inc/delete specs through the JSON document algebra.
     "cdc_update_apply" -> ((s, dir) => Replay.applyOps(filtered(s, dir))),
 
+    // W3 array surface: $push/$pull sequential replay through the same
+    // document algebra (v2 array semantics, oplog.go:281-392). The oracle
+    // is the closed form: an element survives iff no matching pull lands
+    // after its push, the array resets at the last insert/delete.
+    "cdc_update_arrays" -> ((s, dir) => Replay.applyArrayOps(filtered(s, dir))),
+
     // Scale-safe incremental apply (W1-W4 + T8 over bucketed state): K
     // sequential ts-ordered micro-batches through IncrSync.applyBatch —
     // each rewrites only the state buckets it touches — must converge to
@@ -295,6 +301,43 @@ object Cdc {
                         WHERE e.doc_key = a.doc_key AND e.op = 'u'
                           AND (a.bts IS NULL OR e.ts_packed > a.bts)), 0) AS BIGINT) AS v_cents
           FROM agg a WHERE a.last_op <> 'd'"""),
+
+    "cdc_update_arrays" -> withOplog(
+      s""", eff AS (
+            SELECT doc_key, op, ts_packed, event_id,
+              CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+              CAST(round(value * 100) AS BIGINT) % 97 AS push_v,
+              CAST(round(value * 100) AS BIGINT) % 7 AS pull_v,
+              (event_id % 2 = 0) AS is_push
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          resets AS (
+            SELECT doc_key, max(ts_packed) AS t_reset,
+              arg_max(op, ts_packed) AS reset_op, arg_max(k, ts_packed) AS reset_k
+            FROM eff WHERE op IN ('i','d') GROUP BY 1),
+          live AS (
+            SELECT DISTINCT e.doc_key
+            FROM eff e LEFT JOIN resets r ON e.doc_key = r.doc_key
+            WHERE (r.reset_op = 'i')
+               OR (e.op = 'u' AND (r.t_reset IS NULL OR e.ts_packed > r.t_reset))),
+          elements AS (
+            SELECT e.doc_key, e.ts_packed AS tx, e.push_v AS v
+            FROM eff e LEFT JOIN resets r ON e.doc_key = r.doc_key
+            WHERE e.op = 'u' AND e.is_push
+              AND (r.t_reset IS NULL OR e.ts_packed > r.t_reset)
+            UNION ALL
+            SELECT doc_key, t_reset AS tx, reset_k AS v
+            FROM resets WHERE reset_op = 'i'),
+          survivors AS (
+            SELECT el.* FROM elements el
+            WHERE NOT EXISTS (
+              SELECT 1 FROM eff p
+              WHERE p.doc_key = el.doc_key AND p.op = 'u' AND NOT p.is_push
+                AND p.ts_packed > el.tx AND p.pull_v = el.v))
+          SELECT l.doc_key,
+            '[' || COALESCE(string_agg(CAST(s.v AS VARCHAR), ',' ORDER BY s.tx), '') || ']' AS tags_json,
+            COUNT(s.v) AS n_tags
+          FROM live l LEFT JOIN survivors s ON l.doc_key = s.doc_key
+          GROUP BY 1"""),
 
     "cdc_incr_state" -> withOplog(
       s"""SELECT ns, doc_key, value AS last_value, event_id AS last_event_id

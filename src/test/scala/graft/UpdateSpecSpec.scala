@@ -43,6 +43,76 @@ class UpdateSpecSpec extends AnyFunSuite {
     assert(j(got) == j("""{"_id":1,"name":"orange","sub":{"x":9}}"""))
   }
 
+  test("v2 array diff: a-marker, s<idx>/u<idx> → dotted numeric paths (oplog_test.go TestDelteOplog)") {
+    // Mirrors the reference golden: {d:{info}, i:{extra}, sarrname:{a:true,
+    // s0:{u:{count,nm}, i:{extra}}, s1:{u:{count}}}, snestobj:{sm1:{d:{n}}}}
+    val spec = UpdateSpec.normalizeV2Spec(
+      """{"$v":2,"diff":{"d":{"info":false},"i":{"extra":"c"},
+          "sarrname":{"a":true,
+            "s0":{"u":{"count":5,"nm":"c"},"i":{"extra":"ps"}},
+            "s1":{"u":{"count":6}},
+            "u2":{"count":10,"nm":"e"}},
+          "snestobj":{"sm1":{"d":{"n":false}}}}}""")
+    val p = j(spec)
+    assert(p \ "$unset" \ "info" == JBool(true))
+    assert(p \ "$set" \ "extra" == JString("c"))
+    assert(p \ "$set" \ "arrname.0.count" == JInt(5))
+    assert(p \ "$set" \ "arrname.0.nm" == JString("c"))
+    assert(p \ "$set" \ "arrname.0.extra" == JString("ps"))
+    assert(p \ "$set" \ "arrname.1.count" == JInt(6))
+    assert((p \ "$set" \ "arrname.2") \ "count" == JInt(10))
+    assert(p \ "$unset" \ "nestobj.m1.n" == JBool(true))
+  }
+
+  test("v2 lone l → $slice pipeline; applied truncates the array (oplog.go:354-369)") {
+    val spec = UpdateSpec.normalizeV2Spec(
+      """{"$v":2,"diff":{"sarrname":{"a":true,"l":1}}}""")
+    assert(j(spec) == j("""[{"$set":{"arrname":{"$slice":["$arrname",1]}}}]"""))
+    val got = UpdateSpec.applySpecJson(
+      """{"_id":1,"arrname":[10,20,30]}""", """{"$v":2,"diff":{"sarrname":{"a":true,"l":1}}}""")
+    assert(j(got) == j("""{"_id":1,"arrname":[10]}"""))
+  }
+
+  test("v2 l next to other entries at the same level is rejected") {
+    intercept[IllegalArgumentException] {
+      UpdateSpec.normalizeV2Spec("""{"$v":2,"diff":{"sarr":{"a":true,"u0":5,"l":1}}}""")
+    }
+  }
+
+  test("array element set/unset through numeric paths: pad with null, unset nulls in place") {
+    val got = UpdateSpec.applySpecJson(
+      """{"a":[1,2]}""", """{"$set":{"a.4":9,"a.0":7}}""")
+    assert(j(got) == j("""{"a":[7,2,null,null,9]}"""))
+    val got2 = UpdateSpec.applySpecJson("""{"a":[1,2,3]}""", """{"$unset":{"a.1":true}}""")
+    assert(j(got2) == j("""{"a":[1,null,3]}"""))
+  }
+
+  test("$push plain, $push $each + negative $slice, $pop both ends") {
+    val g1 = UpdateSpec.applySpecJson("""{"a":[1]}""", """{"$push":{"a":2}}""")
+    assert(j(g1) == j("""{"a":[1,2]}"""))
+    val g2 = UpdateSpec.applySpecJson(
+      """{"a":[1,2,3]}""", """{"$push":{"a":{"$each":[4,5],"$slice":-3}}}""")
+    assert(j(g2) == j("""{"a":[3,4,5]}"""))
+    val g3 = UpdateSpec.applySpecJson("""{"a":[1,2,3]}""", """{"$pop":{"a":1}}""")
+    assert(j(g3) == j("""{"a":[1,2]}"""))
+    val g4 = UpdateSpec.applySpecJson("""{"a":[1,2,3]}""", """{"$pop":{"a":-1}}""")
+    assert(j(g4) == j("""{"a":[2,3]}"""))
+    // $push onto a missing field creates the array (MongoDB upsert-ish)
+    val g5 = UpdateSpec.applySpecJson("""{}""", """{"$push":{"a":{"$each":[1,1]}}}""")
+    assert(j(g5) == j("""{"a":[1,1]}"""))
+  }
+
+  test("$pull equality and $in; $addToSet dedups") {
+    val g1 = UpdateSpec.applySpecJson("""{"a":[1,2,1,3]}""", """{"$pull":{"a":1}}""")
+    assert(j(g1) == j("""{"a":[2,3]}"""))
+    val g2 = UpdateSpec.applySpecJson(
+      """{"a":[1,2,3,4]}""", """{"$pull":{"a":{"$in":[2,4]}}}""")
+    assert(j(g2) == j("""{"a":[1,3]}"""))
+    val g3 = UpdateSpec.applySpecJson(
+      """{"a":[1,2]}""", """{"$addToSet":{"a":{"$each":[2,3,3]}}}""")
+    assert(j(g3) == j("""{"a":[1,2,3]}"""))
+  }
+
   test("replace-update semantics: non-$ spec replaces the whole document") {
     val got = UpdateSpec.applySpecJson("""{"_id":1,"a":1}""", """{"_id":1,"b":2}""")
     assert(j(got) == j("""{"_id":1,"b":2}"""))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cdc, DdlOps, Relational, SnapshotOps, TextOps, VectorOps}
+import graft.operators.{Cdc, DdlOps, Relational, SinkOps, SnapshotOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
       (DdlOps.queries, DdlOps.oracles),
       (TextOps.queries, TextOps.oracles),
       (VectorOps.queries, VectorOps.oracles),
-      (SnapshotOps.queries, SnapshotOps.oracles)
+      (SnapshotOps.queries, SnapshotOps.oracles),
+      (SinkOps.queries, SinkOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.filters.OplogFilters
+import graft.model.Oplog
+import graft.sinks.Envelope
+
+/** Sink-surface queries (SURVEY.md §2.2 K2/K5/K7, §2.3 P9/P11/P13, §2.5
+  * X6): the tunnel envelope encode, per-shard message assembly, the codec
+  * round-trip (S5 reader side), and the conflict side-output — each with an
+  * exact DuckDB oracle. CRC-32 fields are additionally golden-tested
+  * against `java.util.zip.CRC32` in SinkSpec (DuckDB has no crc32).
+  */
+object SinkOps {
+
+  private val gids = Seq("")
+  private val white = Seq("^app\\.users_[0-9]+$")
+  private val black = Seq("^app\\.users_3$")
+  private val nShards = 4
+
+  private def filtered(s: SparkSession, dir: String): DataFrame =
+    Oplog.fromEvents(s, dir).filter(OplogFilters.chain(gids, white, black))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // K2/P9/P11/X6: per-record envelope projection (json tunnel message).
+    "sink_encode" -> ((s, dir) =>
+      Envelope.encode(filtered(s, dir), nShards)
+        .select(col("event_id"), col("shard").cast("bigint").as("shard"),
+          col("payload_json"), col("payload_len").cast("bigint").as("payload_len"),
+          col("payload_md5"))),
+
+    // TMessage assembly per shard: order, volume, and content digest.
+    "sink_messages" -> ((s, dir) =>
+      Envelope.messages(Envelope.encode(filtered(s, dir), nShards))
+        .select(col("shard").cast("bigint").as("shard"), col("tag"), col("compress"),
+          col("n_logs"), col("total_len"), col("content_md5"))),
+
+    // S5: frames decoded back to records — the codec must invert exactly.
+    "sink_decode_roundtrip" -> ((s, dir) =>
+      Envelope.decodeRoundtrip(
+        Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))),
+
+    // K7: duplicate-key inserts recorded as a conflict side-output.
+    "sink_conflicts" -> ((s, dir) => Envelope.conflicts(filtered(s, dir)))
+  )
+
+  private val chainSql: String =
+    """op <> 'n' AND g IN ('')
+       AND (db NOT IN ('admin','local','config','mongoshake','mongoshake_conflict') OR ns = 'admin.$cmd')
+       AND regexp_matches(ns, '^app\.users_[0-9]+$')
+       AND NOT regexp_matches(ns, '^app\.users_3$')
+       AND NOT from_migrate"""
+
+  /** Java `String.hashCode` folded over UTF-8 code units, then pmod —
+    * DuckDB mirror of [[graft.plans.JavaStringHash]] + `pmod`.
+    */
+  private val shardSql: String = {
+    val h = "list_reduce(list_prepend(0, range(1, length(ns)+1))," +
+      " (acc,i) -> (acc*31 + ord(ns[i])) % 4294967296)"
+    val signed = s"(CASE WHEN $h >= 2147483648 THEN $h - 4294967296 ELSE $h END)"
+    s"((($signed % $nShards) + $nShards) % $nShards)"
+  }
+
+  private val payloadSql: String =
+    """'{"ts":' || CAST(ts_packed AS VARCHAR) || ',"op":"' || op || '","ns":"' || ns
+       || '","key":"' || doc_key || '","o":' || props || ',"meta":{"g":"' || g || '"}}'"""
+
+  private def withOplog(body: String): String =
+    s"WITH oplog AS (${Oplog.oracleCte}) $body"
+
+  def oracles: Map[String, String] = Map(
+    "sink_encode" -> withOplog(
+      s""", enc AS (SELECT event_id, $shardSql AS shard, $payloadSql AS payload_json
+            FROM oplog WHERE $chainSql)
+          SELECT event_id, CAST(shard AS BIGINT) AS shard, payload_json,
+            CAST(octet_length(encode(payload_json)) AS BIGINT) AS payload_len,
+            md5(payload_json) AS payload_md5
+          FROM enc"""),
+
+    "sink_messages" -> withOplog(
+      s""", enc AS (SELECT ts_packed, event_id, $shardSql AS shard, $payloadSql AS payload_json
+            FROM oplog WHERE $chainSql)
+          SELECT CAST(shard AS BIGINT) AS shard, 0 AS tag, 0 AS compress,
+            COUNT(*) AS n_logs,
+            CAST(SUM(octet_length(encode(payload_json))) AS BIGINT) AS total_len,
+            md5(string_agg(payload_json, '' ORDER BY ts_packed, event_id)) AS content_md5
+          FROM enc GROUP BY shard"""),
+
+    "sink_decode_roundtrip" -> withOplog(
+      s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql"),
+
+    "sink_conflicts" -> withOplog(
+      s""", eff AS (
+            SELECT ns, doc_key, event_id, ts_packed, op,
+              lag(op) OVER (PARTITION BY ns, doc_key ORDER BY ts_packed, event_id) AS prev_op
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
+          SELECT ns, doc_key, event_id AS conflict_event_id, ts_packed
+          FROM eff WHERE op = 'i' AND prev_op IN ('i','u')""")
+  )
+}

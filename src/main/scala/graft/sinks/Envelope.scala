@@ -1,0 +1,158 @@
+package graft.sinks
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.JavaStringHash
+
+/** Tunnel envelope codec (SURVEY.md §2.2 K2/K5 + §1.4; reference
+  * `tunnel/tunnel.go:41-100` `TMessage`, `tunnel/kafka_writer.go:122-153`
+  * encodings, `tunnel/tunnel.go:159-166` partition routing X6).
+  *
+  * A message is `{checksum, tag, shard, compress, n, [len|payload]*}` with
+  * u32 big-endian framing; `checksum` is the XOR of each payload's CRC-32
+  * (IEEE — `TMessage.Crc32`, `tunnel/tunnel.go:53-59`). The payload here is
+  * the canonical JSON encoding of the oplog record (the reference's "json"
+  * tunnel message; raw BSON and canonical-extended-JSON are the same shape
+  * with a different payload column).
+  *
+  * Everything up to the frame bytes is pure Column expressions (codegen'd,
+  * shuffle-free); framing aggregates per shard with one exchange. At 100 TB
+  * the per-record encode is embarrassingly parallel and the only shuffle is
+  * the by-shard grouping the sink needs anyway.
+  */
+object Envelope {
+
+  val MsgNormal = 0
+  val MsgPersistent = 0x00001000
+  val MsgStorageBackend = 0x00010000
+
+  /** Canonical JSON payload (P9 LogEntryEncode analogue, key order fixed;
+    * includes the P11 `{g: gid}` metadata field).
+    */
+  val payloadJson: Column = concat(
+    lit("{\"ts\":"), col("ts_packed").cast("string"),
+    lit(",\"op\":\""), col("op"),
+    lit("\",\"ns\":\""), col("ns"),
+    lit("\",\"key\":\""), col("doc_key"),
+    lit("\",\"o\":"), col("props"),
+    lit(",\"meta\":{\"g\":\""), col("g"), lit("\"}}"))
+
+  /** A 32-bit int as 4 big-endian bytes (binary Column). */
+  def int32be(c: Column): Column = unhex(lpad(hex(c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0"))
+
+  /** Per-record envelope columns (the Kafka-writer projection, X6 routing
+    * by Java `String.hashCode` for wire-level partition parity).
+    */
+  def encode(oplog: DataFrame, nShards: Int, tag: Int = MsgNormal): DataFrame =
+    oplog
+      .withColumn("payload_json", payloadJson)
+      .withColumn("payload", encodeStr(col("payload_json")))
+      .withColumn("payload_len", octet_length(col("payload_json")))
+      .withColumn("payload_crc32", crc32(col("payload")))
+      .withColumn("payload_md5", md5(col("payload")))
+      .withColumn("shard", pmod(JavaStringHash(col("ns")), lit(nShards)))
+      .withColumn("tag", lit(tag))
+      .withColumn("compress", lit(0))
+
+  private def encodeStr(c: Column): Column =
+    org.apache.spark.sql.functions.encode(c, "UTF-8")
+
+  /** Assemble one TMessage frame per shard: payloads in oplog order,
+    * checksum = XOR of per-payload CRC-32s, u32-BE length-prefixed framing
+    * (`TMessage.ToBytes`). One exchange (the groupBy), framing itself is an
+    * `aggregate` expression over the collected array — no further shuffle.
+    */
+  def messages(encoded: DataFrame): DataFrame = {
+    val ordered = array_sort(collect_list(struct(
+      col("ts_packed"), col("event_id"), col("payload"), col("payload_crc32"))))
+    encoded
+      .groupBy(col("shard"), col("tag"), col("compress"))
+      .agg(
+        ordered.as("logs"),
+        expr("bit_xor(payload_crc32)").as("checksum"),
+        count(lit(1)).as("n_logs"),
+        sum(col("payload_len")).as("total_len"))
+      .withColumn("frame",
+        concat(
+          int32be(col("checksum")), int32be(col("tag")), int32be(col("shard")),
+          int32be(col("compress")), int32be(col("n_logs")),
+          aggregate(col("logs"), lit(Array.emptyByteArray),
+            (acc, x) => concat(acc,
+              int32be(octet_length(x.getField("payload"))), x.getField("payload")))))
+      .withColumn("content_md5",
+        md5(aggregate(col("logs"), lit(Array.emptyByteArray),
+          (acc, x) => concat(acc, x.getField("payload")))))
+      .drop("logs")
+  }
+
+  /** Decoded record of a TMessage frame. */
+  final case class Decoded(checksum: Long, tag: Int, shard: Int, compress: Int,
+      payloads: Seq[Array[Byte]]) {
+    /** Recompute the XOR-of-CRC32 checksum from the payloads. */
+    def crc32Xor: Long = payloads.foldLeft(0L) { (acc, p) =>
+      val c = new java.util.zip.CRC32; c.update(p); acc ^ c.getValue
+    }
+  }
+
+  /** `TMessage.FromBytes` (`tunnel/tunnel.go:75-100`): the tunnel-reader
+    * side (S5). Validates the framing and the checksum.
+    */
+  def decodeMessage(frame: Array[Byte]): Decoded = {
+    val bb = ByteBuffer.wrap(frame).order(ByteOrder.BIG_ENDIAN)
+    val checksum = bb.getInt.toLong & 0xFFFFFFFFL
+    val tag = bb.getInt
+    val shard = bb.getInt
+    val compress = bb.getInt
+    var n = bb.getInt
+    val out = Seq.newBuilder[Array[Byte]]
+    while (n > 0) {
+      val len = bb.getInt
+      require(len >= 0 && len <= bb.remaining(), s"oplogs in msg offset is invalid: $len")
+      val p = new Array[Byte](len)
+      bb.get(p)
+      out += p
+      n -= 1
+    }
+    require(bb.remaining() == 0, "message decode left bytes are not empty")
+    val d = Decoded(checksum, tag, shard, compress, out.result())
+    require(d.crc32Xor == checksum, s"checksum mismatch: $checksum vs ${d.crc32Xor}")
+    d
+  }
+
+  /** Round-trip: frames → decoded payload JSON rows (one per record).
+    * Proves the codec inverts (`sink_decode_roundtrip`'s oracle is the
+    * plain pre-encode projection).
+    */
+  def decodeRoundtrip(framed: DataFrame): DataFrame = {
+    val spark = framed.sparkSession
+    import spark.implicits._
+    framed.select(col("frame")).as[Array[Byte]]
+      .flatMap(f => decodeMessage(f).payloads.map(new String(_, "UTF-8")))
+      .toDF("payload_json")
+      .select(
+        get_json_object(col("payload_json"), "$.ts").cast("bigint").as("ts_packed"),
+        get_json_object(col("payload_json"), "$.op").as("op"),
+        get_json_object(col("payload_json"), "$.ns").as("ns"),
+        get_json_object(col("payload_json"), "$.key").as("doc_key"),
+        get_json_object(col("payload_json"), "$.meta.g").as("g"))
+  }
+
+  /** K7 conflict side-output (`executor/duplicate.go:10-20`): inserts that
+    * land on an already-live key are recorded to a conflict table instead
+    * of failing the batch. One window over (ns, doc_key) — same shuffle
+    * class as the apply itself.
+    */
+  def conflicts(oplog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("ns"), col("doc_key"))
+      .orderBy(col("ts_packed"), col("event_id"))
+    oplog.filter(col("op").isin("i", "u", "d"))
+      .withColumn("prev_op", lag(col("op"), 1).over(w))
+      .filter(col("op") === "i" && col("prev_op").isin("i", "u"))
+      .select(col("ns"), col("doc_key"), col("event_id").as("conflict_event_id"),
+        col("ts_packed"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.sinks
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** K5 file tunnel (`tunnel/file_writer.go:57-168`): an append log with a
+  * 32-byte magic header and per-message block framing
+  * `{checksum, tag|persistent|storage, shard, compress, 0xEEEEEEEE, len}`
+  * followed by the message's length-prefixed payloads.
+  *
+  * Uses the Hadoop `FileSystem` API throughout so the same code addresses
+  * HDFS/S3 paths on a cluster; one file per shard (the writer is driven
+  * from `foreachBatch` per shard partition — appends never interleave).
+  */
+object FileSink {
+
+  val FileMagic: Long = 0xeeeeeeeeee201314L
+  val FileProtocol: Int = 1
+  val BlockMarker: Int = 0xeeeeeeee
+
+  final case class Block(checksum: Long, tag: Int, shard: Int, compress: Int,
+      payloads: Seq[Array[Byte]])
+
+  private def headerBytes: Array[Byte] = {
+    val bb = ByteBuffer.allocate(32).order(ByteOrder.BIG_ENDIAN)
+    bb.putLong(FileMagic)
+    bb.putInt(FileProtocol)
+    bb.putInt(0) // header checksum (reference writes 0)
+    bb.array() // remaining 16 bytes reserved = 0
+  }
+
+  /** Write framed TMessage rows (the output of [[Envelope.messages]]) to
+    * one tunnel file. The `frame` column already carries TMessage framing;
+    * this adds the file header and per-block header.
+    */
+  def write(spark: SparkSession, framed: DataFrame, path: String): Unit = {
+    val rows = framed
+      .selectExpr("checksum", "tag", "shard", "compress", "frame")
+      .collect() // one row per shard — bounded by shard count, not data size
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      out.write(headerBytes)
+      rows.sortBy(_.getAs[Int]("shard")).foreach { r =>
+        val frame = r.getAs[Array[Byte]]("frame")
+        // The file block re-frames the TMessage body (past its 20-byte
+        // header) with the block header carrying the same fields.
+        val body = frame.drop(20)
+        val bb = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
+        bb.putInt((r.getAs[Long]("checksum") & 0xFFFFFFFFL).toInt)
+        bb.putInt(r.getAs[Int]("tag") | Envelope.MsgPersistent | Envelope.MsgStorageBackend)
+        bb.putInt(r.getAs[Int]("shard"))
+        bb.putInt(r.getAs[Int]("compress"))
+        bb.putInt(BlockMarker)
+        bb.putInt(body.length)
+        out.write(bb.array())
+        out.write(body)
+      }
+    } finally out.close()
+  }
+
+  /** Read a tunnel file back into blocks, validating the magic, protocol,
+    * block markers, and each block's XOR-of-CRC32 checksum (the S5
+    * file-reader side, `tunnel/file_reader.go`).
+    */
+  def read(spark: SparkSession, path: String): Seq[Block] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      val all = new Array[Byte](len.toInt)
+      in.readFully(0, all)
+      val bb = ByteBuffer.wrap(all).order(ByteOrder.BIG_ENDIAN)
+      require(bb.getLong == FileMagic, "file tunnel: bad magic")
+      require(bb.getInt == FileProtocol, "file tunnel: bad protocol")
+      bb.position(32)
+      val blocks = Seq.newBuilder[Block]
+      while (bb.hasRemaining) {
+        val checksum = bb.getInt.toLong & 0xFFFFFFFFL
+        val tag = bb.getInt
+        val shard = bb.getInt
+        val compress = bb.getInt
+        require(bb.getInt == BlockMarker, "file tunnel: bad block marker")
+        val bodyLen = bb.getInt
+        var remaining = bodyLen
+        val payloads = Seq.newBuilder[Array[Byte]]
+        while (remaining > 0) {
+          val plen = bb.getInt
+          val payload = new Array[Byte](plen)
+          bb.get(payload)
+          payloads += payload
+          remaining -= 4 + plen
+        }
+        val block = Block(checksum, tag, shard, compress, payloads.result())
+        val crc = block.payloads.foldLeft(0L) { (acc, x) =>
+          val c = new java.util.zip.CRC32; c.update(x); acc ^ c.getValue
+        }
+        require(crc == checksum, s"file tunnel: block checksum mismatch")
+        blocks += block
+      }
+      blocks.result()
+    } finally in.close()
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.{Envelope, FileSink}
+
+/** Tunnel envelope + file sink tests (K2/K5/S5/P13): CRC-32 golden parity
+  * with `java.util.zip.CRC32`, TMessage frame round-trip, file header and
+  * block framing round-trip through the Hadoop FileSystem API.
+  */
+class SinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def oplogDf = {
+    val rows = Seq(
+      (1L, 100L, "i", "app", "users_0", "app.users_0", "k1", "", 1.0, false, """{"k": 1}"""),
+      (2L, 200L, "u", "app", "users_1", "app.users_1", "k2", "", 2.0, false, """{"k": 2}"""),
+      (3L, 300L, "d", "app", "users_2", "app.users_2", "k3", "", 3.0, false, """{"k": 3}"""),
+      (4L, 400L, "i", "app", "users_0", "app.users_0", "k4", "", 4.0, false, """{"k": 4}"""))
+    rows.toDF("event_id", "ts_packed", "op", "db", "coll", "ns",
+      "doc_key", "g", "value", "from_migrate", "props")
+  }
+
+  test("payload crc32 matches java.util.zip.CRC32 over the UTF-8 payload") {
+    val got = Envelope.encode(oplogDf, 4)
+      .select(col("payload_json"), col("payload_crc32")).as[(String, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (json, crc) =>
+      val c = new java.util.zip.CRC32
+      c.update(json.getBytes("UTF-8"))
+      assert(c.getValue == crc, s"crc mismatch for $json")
+    }
+  }
+
+  test("message checksum is the XOR of per-payload CRC-32s (TMessage.Crc32)") {
+    val msgs = Envelope.messages(Envelope.encode(oplogDf, 2))
+      .select(col("frame")).as[Array[Byte]].collect()
+    assert(msgs.nonEmpty)
+    msgs.foreach { frame =>
+      val d = Envelope.decodeMessage(frame) // validates checksum internally
+      assert(d.payloads.nonEmpty)
+    }
+  }
+
+  test("frame decode inverts encode: payload bytes and shard round-trip") {
+    val encoded = Envelope.encode(oplogDf, 2)
+    val wantByShard = encoded
+      .select(col("shard"), col("payload_json")).as[(Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val frames = Envelope.messages(encoded)
+      .select(col("shard"), col("frame")).as[(Int, Array[Byte])].collect()
+    assert(frames.map(_._1).toSet == wantByShard.keySet)
+    frames.foreach { case (shard, frame) =>
+      val d = Envelope.decodeMessage(frame)
+      assert(d.shard == shard)
+      assert(d.payloads.map(new String(_, "UTF-8")).toSet == wantByShard(shard))
+    }
+  }
+
+  test("corrupted frame is rejected by the checksum") {
+    val frame = Envelope.messages(Envelope.encode(oplogDf, 1))
+      .select(col("frame")).as[Array[Byte]].head()
+    val bad = frame.clone()
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x01).toByte
+    intercept[IllegalArgumentException](Envelope.decodeMessage(bad))
+  }
+
+  test("file sink: header magic + block framing round-trip via Hadoop FS") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_file_sink_test.bin"
+    val framed = Envelope.messages(Envelope.encode(oplogDf, 2))
+    FileSink.write(spark, framed, path)
+    val blocks = FileSink.read(spark, path)
+    assert(blocks.map(_.shard).sorted == framed.select("shard").as[Int].collect().sorted.toSeq)
+    assert((blocks.head.tag & Envelope.MsgPersistent) != 0)
+    assert((blocks.head.tag & Envelope.MsgStorageBackend) != 0)
+    val allPayloads = blocks.flatMap(_.payloads).map(new String(_, "UTF-8")).toSet
+    val want = Envelope.encode(oplogDf, 2).select("payload_json").as[String].collect().toSet
+    assert(allPayloads == want)
+  }
+
+  test("conflict side-output flags re-inserts of live keys only") {
+    val rows = Seq(
+      (1L, 100L, "i", "app", "u0", "app.u0", "k1", "", 0.0, false, "{}"),
+      (2L, 200L, "i", "app", "u0", "app.u0", "k1", "", 0.0, false, "{}"), // conflict
+      (3L, 300L, "d", "app", "u0", "app.u0", "k1", "", 0.0, false, "{}"),
+      (4L, 400L, "i", "app", "u0", "app.u0", "k1", "", 0.0, false, "{}"), // fresh after delete
+      (5L, 100L, "u", "app", "u0", "app.u0", "k2", "", 0.0, false, "{}"),
+      (6L, 200L, "i", "app", "u0", "app.u0", "k2", "", 0.0, false, "{}")) // conflict after upsert
+    val df = rows.toDF("event_id", "ts_packed", "op", "db", "coll", "ns",
+      "doc_key", "g", "value", "from_migrate", "props")
+    val got = Envelope.conflicts(df).select("conflict_event_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 6L))
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cdc, DdlOps, Relational, SinkOps, SnapshotOps, TextOps, VectorOps}
+import graft.operators.{Cdc, DdlOps, MmOps, Relational, SinkOps, SnapshotOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracles),
       (VectorOps.queries, VectorOps.oracles),
       (SnapshotOps.queries, SnapshotOps.oracles),
-      (SinkOps.queries, SinkOps.oracles)
+      (SinkOps.queries, SinkOps.oracles),
+      (MmOps.queries, MmOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (binary) column operators — the LLM-pipeline pillar for
+  * image/audio/video payloads carried as opaque `binary` columns with
+  * typed header metadata.
+  *
+  * The container has no codec libraries, so the *decode* step is a
+  * clearly-marked deterministic stub ([[decodeStub]]); everything the
+  * engine is responsible for at 100 TB — the binary schema, header
+  * parsing, slicing, digesting, frame iteration, candidate joins — is
+  * real Spark: pure codegen'd expressions per record (no shuffle until a
+  * dedup join, which joins on thin (band, digest) keys only).
+  */
+object Multimodal {
+
+  /** Header layout: 4-byte magic | u16-BE width | u16-BE height | payload. */
+  val HeaderLen = 8
+
+  private val magicHex: Column =
+    when(pmod(col("doc_id"), lit(3)) === 0, "89504E47") // PNG
+      .when(pmod(col("doc_id"), lit(3)) === 1, "FFD8FFE0") // JPEG/JFIF
+      .otherwise("52494646") // RIFF (WAV)
+
+  private def int16be(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+
+  val widthExpr: Column = lit(16) + pmod(col("doc_id") * 7, lit(1024))
+  val heightExpr: Column = lit(16) + pmod(col("doc_id") * 13, lit(1024))
+
+  /** Synthesize the binary media column from the documents corpus: a
+    * deterministic stand-in for reading real image/audio blobs (parquet
+    * `binary` column), so the downstream operators exercise real binary
+    * plumbing with an oracle-computable content.
+    */
+  def withBinary(documents: DataFrame): DataFrame =
+    documents.withColumn("media",
+      concat(
+        unhex(magicHex),
+        int16be(widthExpr), int16be(heightExpr),
+        encode(col("text"), "UTF-8")))
+
+  /** Magic-number sniff + header parse + payload digest — all codegen'd
+    * expressions over the binary column (no UDF, no shuffle).
+    */
+  def meta(withMedia: DataFrame): DataFrame =
+    withMedia.select(
+      col("doc_id"),
+      when(hex(substring(col("media"), 1, 4)) === "89504E47", "png")
+        .when(hex(substring(col("media"), 1, 4)) === "FFD8FFE0", "jpeg")
+        .when(hex(substring(col("media"), 1, 4)) === "52494646", "wav")
+        .otherwise("unknown").as("kind"),
+      conv(hex(substring(col("media"), 5, 2)), 16, 10).cast("bigint").as("width"),
+      conv(hex(substring(col("media"), 7, 2)), 16, 10).cast("bigint").as("height"),
+      (octet_length(col("media")) - HeaderLen).cast("bigint").as("payload_len"),
+      md5(substring(col("media"), HeaderLen + 1, Int.MaxValue)).as("payload_md5"))
+
+  /** Payload decoded to normalized ASCII (lower over an ASCII-stripped
+    * alphabet, so char and byte offsets agree across engines).
+    */
+  val normPayload: Column =
+    lower(regexp_replace(
+      decode(substring(col("media"), HeaderLen + 1, Int.MaxValue), "UTF-8"),
+      "[^A-Za-z0-9 ]", ""))
+
+  /** Perceptual-hash-style near-dup over binary payloads: the payload is
+    * cut into fixed-width frames, each digested; documents sharing ≥2
+    * distinct frame digests are near-dups (a blockhash over content
+    * blocks). The band join carries only (doc_id, digest) — thin rows
+    * through the exchange — and digests shared by more than `dfCutoff`
+    * docs are dropped (the boilerplate guard that keeps one common block
+    * from going quadratic at 100 TB).
+    */
+  def nearDup(withMedia: DataFrame, frameLen: Int = 16, dfCutoff: Int = 100): DataFrame = {
+    val frames = withMedia
+      .select(col("doc_id"), normPayload.as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), col("norm"),
+        explode(sequence(lit(0L), ((length(col("norm")) - 1) / frameLen).cast("long"))).as("fi"))
+      .select(col("doc_id"),
+        col("norm").substr((col("fi") * frameLen + 1).cast("int"), lit(frameLen)).as("fr"))
+      .filter(length(col("fr")) === frameLen) // full frames only
+      .select(col("doc_id"), md5(col("fr")).as("frame_md5"))
+      .distinct()
+    val rare = frames.groupBy("frame_md5")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCutoff && col("df") >= 2)
+    // No broadcast hint: `rare` is |distinct digests|-sized; AQE picks the
+    // strategy (broadcasts at test scale, shuffles at 100 TB).
+    val banded = frames.join(rare.drop("df"), Seq("frame_md5"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.frame_md5") === col("b.frame_md5") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_frames"))
+      .filter(col("n_frames") >= 2)
+  }
+
+  /** Frame-sampling analogue for video/audio payloads: fixed-width frames
+    * over the payload, every `step`-th frame sampled and digested. Pure
+    * per-row explode — distributes trivially.
+    */
+  def frameSample(withMedia: DataFrame, frameLen: Int = 32, step: Int = 3): DataFrame =
+    withMedia
+      .select(col("doc_id"), normPayload.as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), col("norm"),
+        explode(sequence(lit(0L), ((length(col("norm")) - 1) / frameLen).cast("long"))).as("frame_idx"))
+      .filter(pmod(col("frame_idx"), lit(step)) === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("norm").substr((col("frame_idx") * frameLen + 1).cast("int"), lit(frameLen))).as("frame_md5"),
+        length(col("norm").substr((col("frame_idx") * frameLen + 1).cast("int"), lit(frameLen))).cast("bigint").as("frame_len"))
+
+  /** Decode step STUB — the real implementation needs an image/audio codec
+    * library that is not in this container. The Spark-side contract is
+    * real: batched per-partition iteration over (id, media) binary rows,
+    * fixed output schema, no driver collect. The "pixels" are a
+    * deterministic fake derived from the header so tests are stable.
+    */
+  def decodeStub(withMedia: DataFrame): DataFrame = {
+    val spark = withMedia.sparkSession
+    import spark.implicits._
+    withMedia.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, media) =>
+          val bb = java.nio.ByteBuffer.wrap(media)
+          val magic = bb.getInt
+          val width = bb.getShort & 0xFFFF
+          val height = bb.getShort & 0xFFFF
+          // ??? real codec goes here; deterministic fake: payload CRC as
+          // the "decoded frame" digest.
+          val crc = new java.util.zip.CRC32
+          crc.update(media, Multimodal.HeaderLen, media.length - Multimodal.HeaderLen)
+          (id, magic, width, height, width.toLong * height, crc.getValue)
+        }
+      }
+      .toDF("doc_id", "magic", "width", "height", "n_pixels", "payload_crc32")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Multimodal
+
+/** Multimodal binary-column queries over the documents corpus (the LLM
+  * pipeline's media pillar): header metadata extraction, chunk-digest
+  * near-dup, and frame sampling — each with an exact DuckDB oracle
+  * computed from the same deterministic generators.
+  */
+object MmOps {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withBinary(s.read.parquet(s"$dir/documents.parquet"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> ((s, dir) => Multimodal.meta(media(s, dir))),
+    "mm_near_dup" -> ((s, dir) => Multimodal.nearDup(media(s, dir))),
+    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(media(s, dir)))
+  )
+
+  /** Normalized payload — DuckDB mirror of [[Multimodal.normPayload]]
+    * (the corpus is ASCII, so char and byte offsets agree).
+    */
+  private val normSql = "lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))"
+
+  def oracles: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS kind,
+           16 + (doc_id * 7) % 1024 AS width,
+           16 + (doc_id * 13) % 1024 AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+           md5(text) AS payload_md5
+         FROM documents""",
+
+    "mm_near_dup" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents
+            WHERE length($normSql) > 0),
+          frames AS (
+            SELECT DISTINCT doc_id,
+              md5(substring(norm, CAST(i AS INT) * 16 + 1, 16)) AS frame_md5
+            FROM d, LATERAL (SELECT unnest(range((length(norm) - 1) // 16 + 1)) AS i)
+            WHERE length(substring(norm, CAST(i AS INT) * 16 + 1, 16)) = 16),
+          rare AS (
+            SELECT frame_md5 FROM frames
+            GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 100),
+          banded AS (
+            SELECT f.* FROM frames f JOIN rare r ON f.frame_md5 = r.frame_md5)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_frames
+          FROM banded a JOIN banded b
+            ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+
+    "mm_frame_sample" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents
+            WHERE length($normSql) > 0)
+          SELECT doc_id, i AS frame_idx,
+            md5(substring(norm, CAST(i AS INT) * 32 + 1, 32)) AS frame_md5,
+            CAST(length(substring(norm, CAST(i AS INT) * 32 + 1, 32)) AS BIGINT) AS frame_len
+          FROM d, LATERAL (SELECT unnest(range((length(norm) - 1) // 32 + 1)) AS i)
+          WHERE i % 3 = 0"""
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Multimodal
+
+/** Multimodal binary-column plumbing tests: header synthesis/parse
+  * round-trip, decode-stub batch contract, frame arithmetic.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "Hello, World! This is a png-tagged document."),
+    (1L, "Another doc; JPEG header expected here."),
+    (2L, "and a third one that pretends to be a WAV file."),
+    (3L, "x")).toDF("doc_id", "text")
+
+  test("binary header round-trips: magic sniff, dims, payload digest") {
+    val got = Multimodal.meta(Multimodal.withBinary(docs))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, String)].collect().toSeq
+    assert(got.map(_._2) == Seq("png", "jpeg", "wav", "png"))
+    got.foreach { case (id, _, w, h, plen, pmd5) =>
+      assert(w == 16 + (id * 7) % 1024)
+      assert(h == 16 + (id * 13) % 1024)
+      val text = docs.filter(col("doc_id") === id).select("text").as[String].head()
+      assert(plen == text.getBytes("UTF-8").length)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      assert(pmd5 == md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+  }
+
+  test("decode stub: per-partition batch contract, deterministic fake decode") {
+    val got = Multimodal.decodeStub(Multimodal.withBinary(docs))
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int, Long, Long)].collect().toSeq
+    assert(got.size == 4)
+    got.foreach { case (id, magic, w, h, nPix, crc) =>
+      assert(nPix == w.toLong * h)
+      val expectMagic = (id % 3) match {
+        case 0 => 0x89504E47
+        case 1 => 0xFFD8FFE0
+        case 2 => 0x52494646
+      }
+      assert(magic == expectMagic)
+      val text = docs.filter(col("doc_id") === id).select("text").as[String].head()
+      val c = new java.util.zip.CRC32
+      c.update(text.getBytes("UTF-8"))
+      assert(crc == c.getValue)
+    }
+  }
+
+  test("frame sampling: every 3rd fixed-width frame, tail frame short") {
+    val one = Seq((7L, "a" * 70)).toDF("doc_id", "text")
+    val got = Multimodal.frameSample(Multimodal.withBinary(one))
+      .orderBy("frame_idx")
+      .select("frame_idx", "frame_len").as[(Long, Long)].collect().toSeq
+    // 70 chars → frames 0,1,2 (len 32,32,6); sampled: 0 only (0%3==0)
+    assert(got == Seq((0L, 32L)))
+    val three = Seq((8L, "b" * 200)).toDF("doc_id", "text")
+    val got2 = Multimodal.frameSample(Multimodal.withBinary(three))
+      .orderBy("frame_idx")
+      .select("frame_idx", "frame_len").as[(Long, Long)].collect().toSeq
+    // 200 chars → frames 0..6 (tail len 8); sampled 0,3,6
+    assert(got2 == Seq((0L, 32L), (3L, 32L), (6L, 8L)))
+  }
+
+  test("near-dup: identical payload chunks pair up, distinct ones do not") {
+    val sentence = "the quick brown fox jumps over the lazy dog " // 44 chars
+    val base = sentence * 4 // chunks align exactly with the 4 repeats
+    val d = Seq(
+      (1L, base), (2L, base), // exact near-dups: all 4 chunks equal
+      (3L, sentence * 3 + sentence.replace("dog", "cat")), // last chunk differs
+      (4L, "completely different content with nothing shared at all " * 3))
+      .toDF("doc_id", "text")
+    val got = Multimodal.nearDup(Multimodal.withBinary(d))
+      .select("doc_a", "doc_b", "n_frames").as[(Long, Long, Long)].collect().toSeq.sorted
+    // 176-char payload → 11 distinct 16-char frames, all shared by 1 and 2;
+    // doc 3 differs only in the last frame (dog→cat at chars 172-174)
+    assert(got.contains((1L, 2L, 11L)))
+    assert(got.contains((1L, 3L, 10L)))
+    assert(got.contains((2L, 3L, 10L)))
+    assert(!got.exists(t => t._1 == 4L || t._2 == 4L))
+  }
+}

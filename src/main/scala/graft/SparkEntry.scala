@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cdc, DdlOps, MmOps, Relational, SinkOps, SnapshotOps, TextOps, VectorOps}
+import graft.operators.{Cdc, ControlOps, DdlOps, MmOps, Relational, SinkOps, SnapshotOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
       (VectorOps.queries, VectorOps.oracles),
       (SnapshotOps.queries, SnapshotOps.oracles),
       (SinkOps.queries, SinkOps.oracles),
-      (MmOps.queries, MmOps.oracles)
+      (MmOps.queries, MmOps.oracles),
+      (ControlOps.queries, ControlOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

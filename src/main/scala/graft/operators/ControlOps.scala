@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.filters.OplogFilters
+import graft.model.Oplog
+import graft.streaming.Coordinator
+
+/** Operational-envelope queries (SURVEY.md §2.4 F10, §2.7 T6/T11): the
+  * target-delay holdback and the exit-point truncation, parameterized from
+  * the corpus itself (deterministic) and mirrored exactly in DuckDB.
+  */
+object ControlOps {
+
+  private val gids = Seq("")
+  private val white = Seq("^app\\.users_[0-9]+$")
+  private val black = Seq("^app\\.users_3$")
+  private val delaySec = 1800L
+
+  private def filtered(s: SparkSession, dir: String): DataFrame =
+    Oplog.fromEvents(s, dir).filter(OplogFilters.chain(gids, white, black))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T6: rows older than (now - delay + 3s slack) ship, the rest are held
+    // for a later trigger; rows at/below fullSyncFinishPosition never wait.
+    // `now` = the corpus's newest event (deterministic stand-in for the
+    // trigger clock); fsfp = the oldest record.
+    "cdc_delay_holdback" -> ((s, dir) => {
+      val df = filtered(s, dir)
+      // One-row scalar fetch (trigger parameters), not a data collect.
+      val r = df.agg(max(shiftrightunsigned(col("ts_packed"), 32)), min(col("ts_packed"))).head()
+      Coordinator.delayHoldback(df, delaySec, nowSec = r.getLong(0), fullSyncFinishPosition = r.getLong(1))
+        .groupBy(col("held"), col("ns"))
+        .agg(count(lit(1)).as("n"), max(col("ts_packed")).as("max_ts"))
+    }),
+
+    // F10/T11: graceful-exit truncation at the corpus's midpoint ts.
+    "cdc_exit_point" -> ((s, dir) => {
+      val df = filtered(s, dir)
+      val exit = df.agg(expr("min(ts_packed) + (max(ts_packed) - min(ts_packed)) DIV 2")).head().getLong(0)
+      Coordinator.exitTruncate(df, exit)
+        .groupBy(col("ns"))
+        .agg(count(lit(1)).as("n_kept"), max(col("ts_packed")).as("last_ts"))
+    })
+  )
+
+  private val chainSql: String =
+    """op <> 'n' AND g IN ('')
+       AND (db NOT IN ('admin','local','config','mongoshake','mongoshake_conflict') OR ns = 'admin.$cmd')
+       AND regexp_matches(ns, '^app\.users_[0-9]+$')
+       AND NOT regexp_matches(ns, '^app\.users_3$')
+       AND NOT from_migrate"""
+
+  private def withOplog(body: String): String =
+    s"WITH oplog AS (${Oplog.oracleCte}) $body"
+
+  def oracles: Map[String, String] = Map(
+    "cdc_delay_holdback" -> withOplog(
+      s""", eff AS (SELECT * FROM oplog WHERE $chainSql),
+          params AS (
+            SELECT max(ts_packed >> 32) AS now_sec, min(ts_packed) AS fsfp FROM eff)
+          SELECT (eff.ts_packed > params.fsfp
+                  AND (eff.ts_packed >> 32) > (params.now_sec - $delaySec + 3)) AS held,
+            ns, COUNT(*) AS n, MAX(ts_packed) AS max_ts
+          FROM eff, params GROUP BY 1, 2"""),
+
+    "cdc_exit_point" -> withOplog(
+      s""", eff AS (SELECT * FROM oplog WHERE $chainSql),
+          params AS (
+            SELECT min(ts_packed) + (max(ts_packed) - min(ts_packed)) // 2 AS exit_ts
+            FROM eff)
+          SELECT ns, COUNT(*) AS n_kept, MAX(ts_packed) AS last_ts
+          FROM eff, params WHERE eff.ts_packed <= params.exit_ts GROUP BY 1""")
+  )
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Restart/resume mode selection and the operational batch envelope
+  * (SURVEY.md §3.1 + §2.4 F10 / §2.7 T6/T7/T11; reference
+  * `collector/coordinator/utils.go:23-192`, `collector/batcher.go:200-267`).
+  */
+object Coordinator {
+
+  /** Per-replica oplog window (G6 output: oldest/newest ts, packed). */
+  final case class ReplicaWindow(name: String, oldest: Long, newest: Long)
+
+  /** A stored checkpoint; `ts <= 1` is treated as absent upstream.
+    * `diskQueueEnabled` mirrors `ckpt.OplogDiskQueue != ""` — a spooled
+    * oplog segment lets incr resume below the window floor.
+    */
+  final case class Checkpoint(ts: Long, diskQueueEnabled: Boolean = false)
+
+  sealed trait SyncDecision
+  /** Tail from each replica's start ts (checkpoint or configured start). */
+  final case class RunIncr(startTs: Map[String, Long]) extends SyncDecision
+  /** Full sync first; incr then starts at the smallest newest ts. */
+  final case class RunFull(smallestNewTs: Long) extends SyncDecision
+  /** Requested mode cannot run safely (reference crashes here). */
+  final case class Illegal(reason: String) extends SyncDecision
+
+  /** `selectSyncMode` (`coordinator/utils.go:144-192` with the window
+    * comparison of `compareCheckpointAndDbTs` at `utils.go:23-115`):
+    *
+    * A replica can resume incrementally iff its checkpoint is still inside
+    * the oplog window (`oldest < ckpt.ts`, or a disk queue bridges the
+    * gap). With no checkpoint, the configured start position is used
+    * unless it already fell out of the window. If any replica cannot
+    * resume: requested "all" degrades to a full sync; requested "incr"
+    * (or a non-direct tunnel, which cannot replay a snapshot) is illegal.
+    */
+  def selectSyncMode(
+      requested: String,
+      windows: Seq[ReplicaWindow],
+      checkpoints: Map[String, Checkpoint],
+      confStartPositionSec: Long = 0L,
+      tunnelDirect: Boolean = true): SyncDecision = {
+    require(requested == "all" || requested == "incr", s"unknown sync mode: $requested")
+    val syncModeAll = requested == "all"
+    val confTs = confStartPositionSec << 32
+    val smallestNew = if (windows.isEmpty) 0L else windows.map(_.newest).min
+
+    var startTs = Map.empty[String, Long]
+    var canIncr = true
+    windows.foreach { w =>
+      checkpoints.get(w.name).filter(_.ts > 1) match {
+        case None =>
+          if (syncModeAll || (confTs > (1L << 32) && w.oldest >= confTs)) canIncr = false
+          else startTs += w.name -> confTs
+        case Some(ckpt) =>
+          if (w.oldest >= ckpt.ts && !ckpt.diskQueueEnabled) canIncr = false
+          else startTs += w.name -> ckpt.ts
+      }
+    }
+
+    if (canIncr) RunIncr(startTs)
+    else if (requested == "incr") Illegal("start time illegal, can't run incr sync")
+    else if (!tunnelDirect) Illegal("non-direct tunnel cannot replay a snapshot")
+    else RunFull(smallestNew)
+  }
+
+  /** T6 target-delay holdback (`batcher.go:240-262`): a record is delivered
+    * only once it is at least `delaySec` old (with the reference's 3 s NTP
+    * slack); records at or below `fullSyncFinishPosition` never wait. The
+    * remainder stays for a later trigger — here surfaced as a `held`
+    * routing column so one pass splits the batch.
+    */
+  def delayHoldback(batch: DataFrame, delaySec: Long, nowSec: Long,
+      fullSyncFinishPosition: Long = 0L): DataFrame = {
+    val tsSec = shiftrightunsigned(col("ts_packed"), 32)
+    batch.withColumn("held",
+      col("ts_packed") > fullSyncFinishPosition &&
+      tsSec > lit(nowSec - delaySec + 3))
+  }
+
+  /** F10/T11 exit-point truncation (`batcher.go:218-236`): on graceful
+    * shutdown the batch is cut at the exit timestamp; everything after it
+    * is dropped and the query stops after this trigger.
+    */
+  def exitTruncate(batch: DataFrame, exitPoint: Long): DataFrame =
+    batch.filter(col("ts_packed") <= exitPoint)
+
+  /** T7 QoS (`common/speed.go:11-94`): the token-bucket refills `tps`
+    * tokens per second; in Spark the equivalent backpressure knob is
+    * records-per-trigger. Exposed as the option map for `readStream`.
+    */
+  def qosOptions(tps: Long, triggerSec: Long): Map[String, String] =
+    Map("maxOffsetsPerTrigger" -> (tps * triggerSec).toString)
+
+  /** Token-bucket admission sequence (deterministic reference semantics
+    * for the unit test): given per-second arrivals, how many are admitted
+    * each second with limit `tps` and burst capacity one refill.
+    */
+  def tokenBucketAdmit(tps: Long, arrivals: Seq[Long]): Seq[Long] = {
+    var tokens = tps
+    arrivals.map { n =>
+      val admit = math.min(n, tokens)
+      tokens = math.min(tps, tokens - admit + tps)
+      admit
+    }
+  }
+}

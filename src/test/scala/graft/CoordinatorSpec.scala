@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Coordinator
+import graft.streaming.Coordinator.{Checkpoint, Illegal, ReplicaWindow, RunFull, RunIncr}
+
+/** Mode-selection decision matrix (reference
+  * `collector/coordinator/utils_test.go` TestSelectSyncMode) and the
+  * operational envelope: delay holdback, exit truncation, QoS bucket.
+  */
+class CoordinatorSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def ts(sec: Long): Long = sec << 32
+  private val w = Seq(
+    ReplicaWindow("rs0", oldest = ts(100), newest = ts(500)),
+    ReplicaWindow("rs1", oldest = ts(150), newest = ts(450)))
+
+  test("checkpoint inside every window → incr from the checkpoints") {
+    val got = Coordinator.selectSyncMode("all", w,
+      Map("rs0" -> Checkpoint(ts(200)), "rs1" -> Checkpoint(ts(300))))
+    assert(got == RunIncr(Map("rs0" -> ts(200), "rs1" -> ts(300))))
+  }
+
+  test("one checkpoint below its window floor → full sync from smallest newest") {
+    val got = Coordinator.selectSyncMode("all", w,
+      Map("rs0" -> Checkpoint(ts(200)), "rs1" -> Checkpoint(ts(120))))
+    assert(got == RunFull(ts(450)))
+  }
+
+  test("stale checkpoint bridged by a disk queue still runs incr") {
+    val got = Coordinator.selectSyncMode("all", w,
+      Map("rs0" -> Checkpoint(ts(200)), "rs1" -> Checkpoint(ts(120), diskQueueEnabled = true)))
+    assert(got == RunIncr(Map("rs0" -> ts(200), "rs1" -> ts(120))))
+  }
+
+  test("mode incr with an out-of-window checkpoint is illegal (v2.4.11 bugfix)") {
+    val got = Coordinator.selectSyncMode("incr", w, Map("rs0" -> Checkpoint(ts(50))))
+    assert(got.isInstanceOf[Illegal])
+  }
+
+  test("no checkpoint: mode all → full; mode incr honors configured start position") {
+    assert(Coordinator.selectSyncMode("all", w, Map.empty) == RunFull(ts(450)))
+    val got = Coordinator.selectSyncMode("incr", w, Map.empty, confStartPositionSec = 200)
+    assert(got == RunIncr(Map("rs0" -> ts(200), "rs1" -> ts(200))))
+  }
+
+  test("no checkpoint, configured start already out of the window → incr illegal") {
+    val got = Coordinator.selectSyncMode("incr", w, Map.empty, confStartPositionSec = 120)
+    assert(got.isInstanceOf[Illegal]) // rs1.oldest = 150 >= 120? no — 150 >= 120, out of window
+  }
+
+  test("non-direct tunnel cannot degrade to full sync (v2.4.12 bugfix)") {
+    val got = Coordinator.selectSyncMode("all", w,
+      Map("rs1" -> Checkpoint(ts(120))), tunnelDirect = false)
+    assert(got.isInstanceOf[Illegal])
+  }
+
+  test("ckpt ts <= 1 treated as absent") {
+    val got = Coordinator.selectSyncMode("all", w,
+      Map("rs0" -> Checkpoint(1), "rs1" -> Checkpoint(ts(300))))
+    assert(got == RunFull(ts(450)))
+  }
+
+  test("delay holdback: old rows ship, young rows held, fsfp rows never wait") {
+    val rows = Seq(
+      (1L, ts(1000)), // fsfp row: never held
+      (2L, ts(5000)), // old enough with now=9000, delay=1800
+      (3L, ts(8500))) // young: 8500 > 9000-1800+3
+      .toDF("event_id", "ts_packed")
+    val got = Coordinator.delayHoldback(rows, 1800, nowSec = 9000,
+        fullSyncFinishPosition = ts(1000))
+      .select("event_id", "held").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true))
+  }
+
+  test("exit truncation keeps the prefix at or below the exit point") {
+    val rows = Seq((1L, ts(10)), (2L, ts(20)), (3L, ts(30))).toDF("event_id", "ts_packed")
+    val kept = Coordinator.exitTruncate(rows, ts(20)).select("event_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
+
+  test("token bucket admits at most tps per second with refill") {
+    assert(Coordinator.tokenBucketAdmit(10, Seq(5, 20, 0, 15)) == Seq(5, 10, 0, 10))
+    assert(Coordinator.qosOptions(1000, 5) == Map("maxOffsetsPerTrigger" -> "5000"))
+  }
+}

@@ -163,6 +163,65 @@ object Cdc {
           col("idx"), col("op"), col("ts"))
     }),
 
+    // G5: top-3 namespaces per op type (`executor/executor.go:417-471`),
+    // deterministic tie-break by ns.
+    "cdc_top3_ns" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("op")).orderBy(col("n").desc, col("ns"))
+      filtered(s, dir).groupBy(col("op"), col("ns")).agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+    }),
+
+    // P5: recursive DBRef rewrite under ns rules. Docs synthesized with a
+    // nested {$ref,$id[,$db]} (the $db branch alternates to exercise both
+    // the override and the enclosing-db default + append path).
+    "cdc_dbref_transform" -> ((s, dir) => {
+      val rules = Seq("app.users_0" -> "app.u0", "app" -> "appx")
+      val fn = udf((doc: String, db: String) => Transforms.dbRefTransform(doc, db, rules))
+      filtered(s, dir)
+        .withColumn("doc", concat(
+          lit("{\"order\":{\"$ref\":\"users_"), pmod(col("doc_key").cast("bigint"), lit(4)),
+          lit("\",\"$id\":"), col("event_id"),
+          when(col("event_id") % 2 === 0, lit(",\"$db\":\"app\""))
+            .otherwise(lit("")),
+          lit("}}")))
+        .withColumn("out", fn(col("doc"), col("db")))
+        .select(col("event_id"),
+          get_json_object(col("out"), "$.order.$ref").as("ref_new"),
+          get_json_object(col("out"), "$.order.$db").as("db_new"))
+    }),
+
+    // P8 GatherApplyOps (`oplog/oplog.go:231-272`): pack each namespace's
+    // ops, in oplog order, into one applyOps command body (digested — the
+    // body itself is unbounded).
+    "cdc_gather_applyops" -> ((s, dir) =>
+      filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+        .withColumn("frag", concat(
+          lit("{\"op\":\""), col("op"), lit("\",\"ts\":"),
+          col("ts_packed").cast("string"), lit("}")))
+        .groupBy(col("ns"))
+        .agg(count(lit(1)).as("n_ops"),
+          md5(concat(lit("{\"applyOps\":["),
+            concat_ws(",", transform(
+              array_sort(collect_list(struct(col("ts_packed"), col("event_id"), col("frag")))),
+              x => x.getField("frag"))),
+            lit("]}")).cast("binary")).as("cmd_md5"))),
+
+    // W12 collision segments: level scheduling — the k-th op on a
+    // unique-key value runs in segment k, so no segment holds two ops on
+    // one key (verified by n_ops == n_keys in every output row).
+    "cdc_collision_segments" -> ((s, dir) => {
+      import graft.apply.Collision
+      val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+        .withColumn("worker", Hashers.workerWhitelist(idColls, nWorkers))
+      Collision.segments(eff,
+          pmod(expr("cast(get_json_object(props, '$.k') as bigint)"), lit(13)))
+        .groupBy(col("worker"), col("segment"))
+        .agg(count(lit(1)).as("n_ops"), countDistinct(col("uk")).as("n_keys"),
+          max(col("ts_packed")).as("max_ts"))
+    }),
+
     // Grouping metrics per (lsid, txnNumber) bucket — per-txn op counts and
     // ts bounds (the aggregate view next to the real assembler above).
     "cdc_txn_group" -> ((s, dir) =>
@@ -364,6 +423,43 @@ object Cdc {
     "cdc_txn_group" -> withOplog(
       s"""SELECT doc_key AS lsid, ts_us // 3600000000 AS txn_number,
           COUNT(*) AS n_ops, MIN(ts_packed) AS first_ts, MAX(ts_packed) AS last_ts
-          FROM oplog WHERE $chainSql GROUP BY 1, 2""")
+          FROM oplog WHERE $chainSql GROUP BY 1, 2"""),
+
+    "cdc_top3_ns" -> withOplog(
+      s""", counts AS (
+            SELECT op, ns, COUNT(*) AS n FROM oplog WHERE $chainSql GROUP BY 1, 2)
+          SELECT op, ns, n, CAST(rank AS INT) AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY op ORDER BY n DESC, ns) AS rank
+            FROM counts)
+          WHERE rank <= 3"""),
+
+    "cdc_dbref_transform" -> withOplog(
+      s"""SELECT event_id,
+            CASE WHEN CAST(doc_key AS BIGINT) % 4 = 0 THEN 'u0'
+                 ELSE 'users_' || CAST(CAST(doc_key AS BIGINT) % 4 AS VARCHAR) END AS ref_new,
+            CASE WHEN CAST(doc_key AS BIGINT) % 4 = 0 THEN 'app' ELSE 'appx' END AS db_new
+          FROM oplog WHERE $chainSql"""),
+
+    "cdc_gather_applyops" -> withOplog(
+      s""", eff AS (
+            SELECT ns, op, ts_packed, event_id,
+              '{"op":"' || op || '","ts":' || CAST(ts_packed AS VARCHAR) || '}' AS frag
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
+          SELECT ns, COUNT(*) AS n_ops,
+            md5('{"applyOps":[' || string_agg(frag, ',' ORDER BY ts_packed, event_id) || ']}') AS cmd_md5
+          FROM eff GROUP BY 1"""),
+
+    "cdc_collision_segments" -> withOplog(
+      s""", eff AS (
+            SELECT *, $workerSql AS worker,
+              CAST(json_extract_string(props, '$$.k') AS BIGINT) % 13 AS uk
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          seg AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY worker, uk
+              ORDER BY ts_packed, event_id) - 1 AS segment
+            FROM eff)
+          SELECT worker, CAST(segment AS INT) AS segment, COUNT(*) AS n_ops,
+            COUNT(DISTINCT uk) AS n_keys, MAX(ts_packed) AS max_ts
+          FROM seg GROUP BY 1, 2""")
   )
 }

@@ -47,6 +47,18 @@ object Hashers {
   def workerByNsJavaHash(n: Int): Column =
     pmod(JavaStringHash(col("ns")), lit(n))
 
+  /** X4 auto shard-key selection (`coordinator/replication.go:166-183`):
+    * with `shard_key = auto`, scan the source's index catalog — any
+    * non-`_id` unique index forces by-namespace routing (parallel by-id
+    * apply could violate the unique constraint), else route by `_id`.
+    */
+  def autoShardKey(indexCatalog: DataFrame): String = {
+    val hasUnique = !indexCatalog
+      .filter(col("unique") && col("name") =!= "_id_")
+      .isEmpty
+    if (hasUnique) "collection" else "id"
+  }
+
   /** The per-key order contract: one shuffle on the routing key, then an
     * in-partition sort by oplog time. Downstream per-partition iteration
     * sees each key's records in total order — no global sort needed.

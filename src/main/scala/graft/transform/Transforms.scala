@@ -38,4 +38,50 @@ object Transforms {
 
   /** P10 gid scrub (`collector/syncer.go:618-633`): blank the gid field. */
   def gidScrub(df: DataFrame): DataFrame = df.withColumn("g", lit(""))
+
+  /** P5 TransformDBRef (`collector/transform/transform.go:73-106`):
+    * recursive rewrite of `{$ref, $id, $db}` sub-documents under the ns
+    * rules. A DBRef is identified by its FIRST key being `$ref` (BSON key
+    * order is significant, SURVEY.md §1.3); the referenced ns is
+    * `($db | enclosing db).$ref`, rewritten through [[nsTransformStr]],
+    * and `$db` is appended when the rewrite moves the reference across
+    * databases.
+    *
+    * Document algebra (json4s, order-preserving) — applied inside the
+    * per-record transform stage like the reference's executor.
+    */
+  def dbRefTransform(docJson: String, db: String, rules: Seq[(String, String)]): String = {
+    import org.json4s._
+    val doc = UpdateSpec.parse(docJson)
+    UpdateSpec.render(walkDbRef(doc, db, rules))
+  }
+
+  private def walkDbRef(doc: org.json4s.JObject, db: String,
+      rules: Seq[(String, String)]): org.json4s.JObject = {
+    import org.json4s._
+    doc.obj.headOption match {
+      case Some(("$ref", JString(coll))) =>
+        val refDb = doc.obj.collectFirst { case ("$db", JString(d)) => d }.getOrElse(db)
+        val Array(newDb, newColl) = nsTransformStr(s"$refDb.$coll", rules).split("\\.", 2)
+        val withRef = doc.obj.map {
+          case ("$ref", _) => "$ref" -> (JString(newColl): JValue)
+          case ("$db", _) => "$db" -> (JString(newDb): JValue)
+          case kv => kv
+        }
+        val hasDb = doc.obj.exists(_._1 == "$db")
+        JObject(if (hasDb) withRef else withRef :+ ("$db" -> (JString(newDb): JValue)))
+      case _ =>
+        JObject(doc.obj.map {
+          case (k, o: JObject) => k -> (walkDbRef(o, db, rules): JValue)
+          case kv => kv
+        })
+    }
+  }
+
+  /** JVM-side mirror of [[nsTransform]] (same first-match rule semantics). */
+  def nsTransformStr(ns: String, rules: Seq[(String, String)]): String =
+    rules.collectFirst {
+      case (src, dst) if ns == src => dst
+      case (src, dst) if ns.startsWith(src + ".") => dst + ns.stripPrefix(src)
+    }.getOrElse(ns)
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.apply.Collision
+import graft.metrics.Metrics
+import graft.partition.Hashers
+import graft.transform.Transforms
+
+/** G7 observe-based metrics, W12 collision-segment invariant, P5 DBRef
+  * golden cases, X4 auto shard-key selection.
+  */
+class MetricsCollisionSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("G7: observed metrics accumulate per-op counts, traffic, newest lsn") {
+    val df = Seq(
+      ("i", 10L, "{\"a\":1}"), ("u", 20L, "{\"b\":2}"), ("u", 30L, "{}"),
+      ("d", 40L, "{}"), ("c", 50L, "{}"), ("n", 60L, "{}"))
+      .toDF("op", "ts_packed", "props")
+    val (observed, obs) = Metrics.observed(df)
+    observed.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n_total") == 6L && m("n_insert") == 1L && m("n_update") == 2L)
+    assert(m("n_delete") == 1L && m("n_command") == 1L && m("n_noop") == 1L)
+    assert(m("traffic_bytes") == 22L) // octet lengths: 7+7+2+2+2+2
+    assert(m("lsn_newest") == 60L)
+  }
+
+  test("W12: no segment contains two ops on the same unique-key value; per-key order across segments") {
+    val rows = (1 to 40).map { i =>
+      (i.toLong, (100 + i).toLong, "i", s"k${i % 5}", i % 3)
+    }.toDF("event_id", "ts_packed", "op", "doc_key", "ukv")
+      .withColumn("worker", lit(0))
+    val seg = Collision.segments(rows, col("ukv"))
+    // invariant: (worker, segment, uk) unique
+    val dup = seg.groupBy("worker", "segment", "uk").count().filter(col("count") > 1)
+    assert(dup.isEmpty)
+    // per-key order: segment index increases with ts within a key
+    val viol = seg.as("a").join(seg.as("b"),
+      col("a.uk") === col("b.uk") && col("a.worker") === col("b.worker") &&
+      col("a.ts_packed") < col("b.ts_packed") && col("a.segment") >= col("b.segment"))
+    assert(viol.isEmpty)
+  }
+
+  test("P5: DBRef rewrite — $db override, enclosing-db default with $db append, recursion") {
+    val rules = Seq("app.users_0" -> "app.u0", "app" -> "appx")
+    // $db present, exact-match rule
+    val g1 = Transforms.dbRefTransform(
+      """{"order":{"$ref":"users_0","$id":7,"$db":"app"}}""", "other", rules)
+    assert(g1 == """{"order":{"$ref":"u0","$id":7,"$db":"app"}}""")
+    // no $db: enclosing db used, $db appended after $id (reference appends)
+    val g2 = Transforms.dbRefTransform(
+      """{"order":{"$ref":"users_1","$id":8}}""", "app", rules)
+    assert(g2 == """{"order":{"$ref":"users_1","$id":8,"$db":"appx"}}""")
+    // non-DBRef first key: untouched, but nested docs recursed
+    val g3 = Transforms.dbRefTransform(
+      """{"a":1,"nested":{"$ref":"users_2","$id":9,"$db":"app"}}""", "x", rules)
+    assert(g3 == """{"a":1,"nested":{"$ref":"users_2","$id":9,"$db":"appx"}}""")
+  }
+
+  test("X4: unique non-_id index forces by-namespace routing") {
+    val cat1 = Seq(("app.u0", "_id_", true), ("app.u0", "email_1", true))
+      .toDF("ns", "name", "unique")
+    val cat2 = Seq(("app.u0", "_id_", true), ("app.u0", "age_1", false))
+      .toDF("ns", "name", "unique")
+    assert(Hashers.autoShardKey(cat1) == "collection")
+    assert(Hashers.autoShardKey(cat2) == "id")
+  }
+}

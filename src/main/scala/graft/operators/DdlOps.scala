@@ -23,7 +23,18 @@ object DdlOps {
   private val whiteDbs = Seq("app")
   private val rules = Seq("app.users_0" -> "app.u0", "app" -> "appx")
 
-  def corpus(s: SparkSession, dir: String): DataFrame = {
+  /** Synthesized command-op corpus. `localCheckpoint` truncates lineage so
+    * the DDL predicates reference stored attributes: without it Catalyst
+    * pushes the keep-filter through this projection and inlines the
+    * 10-branch `o` synthesis into every one of its ~12 references — a
+    * >64 KB codegen method that falls back to interpreted execution. In
+    * production `o` is a stored column and that same pushdown reaches the
+    * scan, which is the desired shape.
+    */
+  def corpus(s: SparkSession, dir: String): DataFrame =
+    corpusPlan(s, dir).localCheckpoint()
+
+  private def corpusPlan(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = s.read.parquet(s"$dir/events.parquet").filter(col("event_type") === "view")
     val db = when(col("user_id") % 50 === 0, "local").otherwise("app")

@@ -31,11 +31,12 @@ object SinkOps {
           col("payload_json"), col("payload_len").cast("bigint").as("payload_len"),
           col("payload_md5"))),
 
-    // TMessage assembly per shard: order, volume, and content digest.
+    // TMessage assembly per (shard, ≤1024-log chunk): order, volume,
+    // content digest.
     "sink_messages" -> ((s, dir) =>
       Envelope.messages(Envelope.encode(filtered(s, dir), nShards))
-        .select(col("shard").cast("bigint").as("shard"), col("tag"), col("compress"),
-          col("n_logs"), col("total_len"), col("content_md5"))),
+        .select(col("shard").cast("bigint").as("shard"), col("chunk"), col("tag"),
+          col("compress"), col("n_logs"), col("total_len"), col("content_md5"))),
 
     // S5: frames decoded back to records — the codec must invert exactly.
     "sink_decode_roundtrip" -> ((s, dir) =>
@@ -81,12 +82,16 @@ object SinkOps {
 
     "sink_messages" -> withOplog(
       s""", enc AS (SELECT ts_packed, event_id, $shardSql AS shard, $payloadSql AS payload_json
-            FROM oplog WHERE $chainSql)
-          SELECT CAST(shard AS BIGINT) AS shard, 0 AS tag, 0 AS compress,
+            FROM oplog WHERE $chainSql),
+          chunked AS (
+            SELECT *, CAST((ROW_NUMBER() OVER (PARTITION BY shard
+              ORDER BY ts_packed, event_id) - 1) // 1024 AS INT) AS chunk
+            FROM enc)
+          SELECT CAST(shard AS BIGINT) AS shard, chunk, 0 AS tag, 0 AS compress,
             COUNT(*) AS n_logs,
             CAST(SUM(octet_length(encode(payload_json))) AS BIGINT) AS total_len,
             md5(string_agg(payload_json, '' ORDER BY ts_packed, event_id)) AS content_md5
-          FROM enc GROUP BY shard"""),
+          FROM chunked GROUP BY shard, chunk"""),
 
     "sink_decode_roundtrip" -> withOplog(
       s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql"),

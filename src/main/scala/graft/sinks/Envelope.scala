@@ -60,16 +60,23 @@ object Envelope {
   private def encodeStr(c: Column): Column =
     org.apache.spark.sql.functions.encode(c, "UTF-8")
 
-  /** Assemble one TMessage frame per shard: payloads in oplog order,
-    * checksum = XOR of per-payload CRC-32s, u32-BE length-prefixed framing
-    * (`TMessage.ToBytes`). One exchange (the groupBy), framing itself is an
-    * `aggregate` expression over the collected array — no further shuffle.
+  /** Assemble TMessage frames per shard: payloads in oplog order, at most
+    * `maxLogs` per message (the reference's adaptive batch cap of 1024,
+    * `conf/collector.conf:290` — which also bounds frame size and keeps
+    * the per-group byte-fold linear instead of one quadratic
+    * shard-sized concat), checksum = XOR of per-payload CRC-32s, u32-BE
+    * length-prefixed framing (`TMessage.ToBytes`). Two exchanges: the
+    * in-shard ordering window and the (shard, chunk) groupBy.
     */
-  def messages(encoded: DataFrame): DataFrame = {
+  def messages(encoded: DataFrame, maxLogs: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("ts_packed"), col("event_id"))
+    val chunked = encoded.withColumn("chunk",
+      ((row_number().over(w) - 1) / maxLogs).cast("int"))
     val ordered = array_sort(collect_list(struct(
       col("ts_packed"), col("event_id"), col("payload"), col("payload_crc32"))))
-    encoded
-      .groupBy(col("shard"), col("tag"), col("compress"))
+    chunked
+      .groupBy(col("shard"), col("chunk"), col("tag"), col("compress"))
       .agg(
         ordered.as("logs"),
         expr("bit_xor(payload_crc32)").as("checksum"),

@@ -37,14 +37,15 @@ object FileSink {
     */
   def write(spark: SparkSession, framed: DataFrame, path: String): Unit = {
     val rows = framed
-      .selectExpr("checksum", "tag", "shard", "compress", "frame")
-      .collect() // one row per shard — bounded by shard count, not data size
+      .selectExpr("checksum", "tag", "shard", "chunk", "compress", "frame")
+      .collect() // one row per ≤1024-log chunk; the file is a single
+                 // append log, so the driver is the writer by design
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try {
       out.write(headerBytes)
-      rows.sortBy(_.getAs[Int]("shard")).foreach { r =>
+      rows.sortBy(r => (r.getAs[Int]("shard"), r.getAs[Int]("chunk"))).foreach { r =>
         val frame = r.getAs[Array[Byte]]("frame")
         // The file block re-frames the TMessage body (past its 20-byte
         // header) with the block header carrying the same fields.

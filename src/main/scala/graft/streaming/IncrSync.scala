@@ -124,7 +124,12 @@ object IncrSync {
       // rows to write — clear its partition directory explicitly.
       val writtenBuckets = newState.select("bucket").distinct()
         .collect().map(_.getInt(0)).toSet
-      newState.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(statePath)
+      // Cluster by the partition column: one writer task per bucket, one
+      // file per bucket per batch (instead of |shuffle partitions| part
+      // files in every bucket directory — a small-file explosion that
+      // compounds at every trigger).
+      newState.repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(statePath)
       val fs = new Path(statePath).getFileSystem(spark.sessionState.newHadoopConf())
       (touchedBuckets.toSet -- writtenBuckets).foreach { b =>
         fs.delete(new Path(s"$statePath/bucket=$b"), true)

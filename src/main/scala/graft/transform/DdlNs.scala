@@ -49,6 +49,16 @@ object DdlNs {
   def cmdName(o: Column): Column =
     regexp_extract(o, "^\\s*\\{\\s*\"([^\"]+)\"", 1)
 
+  /** The command's argument — the FIRST string value of the command
+    * document (every command whose ns we extract carries it there:
+    * coll-commands hold the bare collection, renameCollection the full
+    * source ns). One regexp instead of a per-command `get_json_object`
+    * branch chain — the difference between a 64 KB codegen blowup and a
+    * single generated match per row.
+    */
+  def cmdArg(o: Column): Column =
+    regexp_extract(o, "^\\s*\\{\\s*\"[^\"]+\"\\s*:\\s*\"([^\"]*)\"", 1)
+
   /** F4 command filter (`oplog_filter.go:60-67`): drop
     * startIndexBuild/abortIndexBuild (4.4 two-phase index builds — only
     * commitIndexBuild replays).
@@ -66,12 +76,11 @@ object DdlNs {
       o: Column = col("o")): Column = {
     val db = substring_index(ns, ".", 1)
     val cmd = cmdName(o)
-    val cmdCase = collCmds.foldRight(
-      when(cmd === "renameCollection", get_json_object(o, "$.renameCollection"))
-        .otherwise(ns)) { (c, acc) =>
-      when(cmd === c, concat(db, lit("."), get_json_object(o, s"$$.$c"))).otherwise(acc)
-    }
-    when(op === "c", cmdCase)
+    val arg = cmdArg(o)
+    when(op === "c",
+      when(cmd.isin(collCmds: _*), concat(db, lit("."), arg))
+        .when(cmd === "renameCollection", arg)
+        .otherwise(ns))
       .when(ns.endsWith("system.indexes"), get_json_object(o, "$.ns"))
       .otherwise(ns)
   }
@@ -125,13 +134,14 @@ object DdlNs {
     val dmlO = when(sysIdx, patch(o, "ns", t(get_json_object(o, "$.ns")))).otherwise(o)
 
     // coll-commands: new ns = rules(db.coll); body gets the new bare coll.
-    val collNewNs = collCmds.foldRight(lit(null).cast("string")) { (c, acc) =>
-      when(cmd === c, t(concat(db, lit("."), get_json_object(o, s"$$.$c")))).otherwise(acc)
-    }
+    // The command's coll is its first string value (cmdArg) and the body
+    // patch targets the command key dynamically — one regexp each instead
+    // of a per-command branch chain (codegen stays under the JIT limits).
+    val collNewNs = t(concat(db, lit("."), DdlNs.cmdArg(o)))
     val collNewColl = regexp_replace(collNewNs, "^[^.]*\\.", "")
-    val collO = collCmds.foldRight(o) { (c, acc) =>
-      when(cmd === c, patch(o, c, collNewColl)).otherwise(acc)
-    }
+    val collO = regexp_replace(o,
+      concat(lit("\""), cmd, lit("\":\"[^\"]*\"")),
+      concat(lit("\""), cmd, lit("\":\""), collNewColl, lit("\"")))
     // create also carries idIndex.ns (`executor.go:299-307`); our JSON keeps
     // it as the only other "ns" field in the body, so a key-targeted patch
     // applies cleanly after the coll patch.

@@ -27,18 +27,25 @@ object Replay {
 
   val ord: Seq[Column] = Seq(col("ts_packed").desc, col("event_id").desc)
 
-  /** Materialize final per-document state from an effective-op stream. */
-  def materialize(oplog: DataFrame): DataFrame = {
+  /** Last effective op per key (deletes included, carrying `op`) — one
+    * window pass that yields both the upsert delta (`op != 'd'`) and the
+    * touched-key set, so callers don't re-shuffle the batch for either.
+    */
+  def lastPerKey(oplog: DataFrame): DataFrame = {
     val effective = oplog.filter(col("op").isin("i", "u", "d"))
     val key = Window.partitionBy(col("ns"), col("doc_key"))
     val w = key.orderBy(ord: _*)
     effective
       .withColumn("rn", row_number().over(w))
       .withColumn("n_ops", count(lit(1)).over(key))
-      .filter(col("rn") === 1 && col("op") =!= "d")
-      .select(col("ns"), col("doc_key"), col("value").as("last_value"),
+      .filter(col("rn") === 1)
+      .select(col("ns"), col("doc_key"), col("op"), col("value").as("last_value"),
         col("event_id").as("last_event_id"), col("n_ops"))
   }
+
+  /** Materialize final per-document state from an effective-op stream. */
+  def materialize(oplog: DataFrame): DataFrame =
+    lastPerKey(oplog).filter(col("op") =!= "d").drop("op")
 
   /** Full update-spec replay (W1-W4 with document mutation, not just
     * last-write-wins): per-key ordered fold applying MongoDB-style specs

@@ -37,4 +37,17 @@ object OrphanFilter {
       .join(broadcast(chunks.filter(col("owned"))), Seq("chunk_id"))
       .filter(col(keyName) >= col("chunk_min") && col(keyName) < col("chunk_max"))
       .drop("chunk_min", "chunk_max", "owned")
+
+  /** Hashed shard type (`orphan_filter.go:84-91`): ownership is decided on
+    * `ComputeHash(key)` — wire parity via [[graft.plans.MongoComputeHash]].
+    * String keys hash the UTF-8 bytes with the BSON string layout; int64
+    * keys the number layout. Pure per-row predicate — no join at all when
+    * hashed chunks are the `% nShards` partition MongoDB pre-splits.
+    */
+  def keepOwnedHashed(df: DataFrame, key: org.apache.spark.sql.Column,
+      isString: Boolean, nShards: Int, ownedShard: Int): DataFrame = {
+    val h = if (isString) graft.plans.MongoComputeHash.ofString(key)
+            else graft.plans.MongoComputeHash(key)
+    df.filter(pmod(h, lit(nShards.toLong)) === ownedShard)
+  }
 }

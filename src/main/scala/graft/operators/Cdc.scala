@@ -107,8 +107,11 @@ object Cdc {
         .orderBy(col("ts_packed"), col("event_id"))
       val batched = ops.withColumn("k", ntile(4).over(w))
       batched.persist()
+      // 16 buckets at test scale (a state-table layout parameter — the
+      // mechanics are bucket-count-independent; production sizes it to
+      // keep bucket size under executor memory).
       (1 to 4).foreach { k =>
-        IncrSync.applyBatch(batched.filter(col("k") === k).drop("k"), work, k)
+        IncrSync.applyBatch(batched.filter(col("k") === k).drop("k"), work, k, nBuckets = 16)
       }
       batched.unpersist()
       IncrSync.readOrEmpty(s, s"$work/state")

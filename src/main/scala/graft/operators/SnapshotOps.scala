@@ -22,6 +22,14 @@ object SnapshotOps {
           min(col("l_orderkey")).as("key_min"),
           max(col("l_orderkey")).as("key_max"))),
 
+    // S6: catalog scan — discover collections from storage (Hadoop FS
+    // walk), apply ns filters, surface collStats row counts. The oracle
+    // pins the expected counts: a discovery regression shows as a row
+    // mismatch.
+    "snap_catalog" -> ((s, dir) =>
+      graft.sources.Catalog.collStats(s, dir, "tpch",
+        white = Seq("^tpch\\..*$"), black = Seq("^tpch\\.embeddings$"))),
+
     // F8: orphan filter on a ranged shard — keep only rows in chunks owned
     // by this replica set (chunk = 1000 keys, 3 shards, we own shard 0).
     "snap_orphan_filter" -> ((s, dir) => {
@@ -42,6 +50,17 @@ object SnapshotOps {
 
     "snap_orphan_filter" ->
       """SELECT l_orderkey // 1000 AS chunk_id, COUNT(*) AS n_rows
-         FROM lineitem WHERE (l_orderkey // 1000) % 3 = 0 GROUP BY 1"""
+         FROM lineitem WHERE (l_orderkey // 1000) % 3 = 0 GROUP BY 1""",
+
+    "snap_catalog" ->
+      """SELECT 'tpch.customer' AS ns, COUNT(*) AS n_rows FROM customer
+         UNION ALL SELECT 'tpch.documents', COUNT(*) FROM documents
+         UNION ALL SELECT 'tpch.events', COUNT(*) FROM events
+         UNION ALL SELECT 'tpch.lineitem', COUNT(*) FROM lineitem
+         UNION ALL SELECT 'tpch.nation', COUNT(*) FROM nation
+         UNION ALL SELECT 'tpch.orders', COUNT(*) FROM orders
+         UNION ALL SELECT 'tpch.part', COUNT(*) FROM part
+         UNION ALL SELECT 'tpch.region', COUNT(*) FROM region
+         UNION ALL SELECT 'tpch.supplier', COUNT(*) FROM supplier"""
   )
 }

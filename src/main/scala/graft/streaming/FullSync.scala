@@ -31,6 +31,24 @@ object FullSync {
     spark.read.parquet(s"$targetDir/full/$table").count()
   }
 
+  /** W11 drop-dest (`doc_syncer.go:64-99`): optional drop of the target
+    * table before the snapshot copy.
+    */
+  def dropDest(spark: SparkSession, targetDir: String, table: String): Unit =
+    IncrSync.deletePath(spark, s"$targetDir/full/$table")
+
+  /** W10 sharding-spec sync (`doc_syncer.go:101-204`): the target's
+    * partitioning spec, persisted next to the data so a reader (or a
+    * later re-shard) knows the layout — the Spark analogue of
+    * `enableSharding` + `shardCollection` from `config.collections`.
+    */
+  def writeShardSpec(spark: SparkSession, targetDir: String, table: String,
+      keyName: String, nPieces: Int): Unit = {
+    import spark.implicits._
+    Seq((table, keyName, nPieces)).toDF("table", "shard_key", "n_pieces")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$targetDir/full/${table}_spec")
+  }
+
   /** Record the incremental start position (newest oplog ts at snapshot
     * time — G6 GetAllTimestamp analogue) for the handoff guard.
     */

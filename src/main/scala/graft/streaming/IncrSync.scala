@@ -102,13 +102,15 @@ object IncrSync {
       val barrier = batch.filter(col("op") === "c")
 
       // Phase 1: idempotent merge of DML into the touched state buckets.
-      val delta = Replay.materialize(normal)
+      // One window pass yields both the delta and the touched-key set —
+      // no second shuffle of the batch.
+      val last = Replay.lastPerKey(normal)
         .withColumnRenamed("n_ops", "batch_ops")
         .withColumn("bucket", bucketOf(nBuckets))
+      last.persist()
+      val delta = last.filter(col("op") =!= "d").drop("op")
       val statePath = s"$targetDir/state"
-      val touched = normal.select(col("ns"), col("doc_key")).distinct()
-        .withColumn("bucket", bucketOf(nBuckets))
-      touched.persist()
+      val touched = last.select(col("ns"), col("doc_key"), col("bucket"))
       val touchedBuckets = touched.select("bucket").distinct()
         .collect().map(_.getInt(0)).toSeq // bounded by nBuckets
       // Partition-pruned read: only buckets this batch can modify.
@@ -135,14 +137,14 @@ object IncrSync {
         fs.delete(new Path(s"$statePath/bucket=$b"), true)
       }
       newState.unpersist()
-      touched.unpersist()
+      last.unpersist()
 
       // Phase 2: barrier ops, serial, in oplog order, after phase 1.
-      // Barriers are rare DDL — bounded explicitly before the collect.
-      val nBarrier = barrier.count()
-      require(nBarrier <= MaxBarrierRows,
-        s"barrier batch of $nBarrier rows exceeds $MaxBarrierRows — misrouted stream?")
-      val barrierRows = barrier.orderBy(col("ts_packed")).collect()
+      // Barriers are rare DDL — the limit bounds the collect (one job);
+      // an over-limit batch means a misrouted stream.
+      val barrierRows = barrier.orderBy(col("ts_packed")).limit(MaxBarrierRows + 1).collect()
+      require(barrierRows.length <= MaxBarrierRows,
+        s"barrier batch exceeds $MaxBarrierRows rows — misrouted stream?")
       if (barrierRows.nonEmpty) {
         import spark.implicits._
         val log = barrierRows.zipWithIndex.map { case (r, i) =>

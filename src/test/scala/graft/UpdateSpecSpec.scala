@@ -142,6 +142,47 @@ class UpdateSpecSpec extends AnyFunSuite {
     assert(got.distinct.size == inputs.size) // no trivial collisions
   }
 
+  test("MongoComputeHash string/oid variants: BSON-layout md5 LE parity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def expectBytes(parts: Array[Byte]*): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(md.update)
+      java.nio.ByteBuffer.wrap(md.digest(), 0, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    }
+    def le32(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    // string: seed | tag 15 | len+1 LE | bytes | NUL (orphan_filter.go:101-108)
+    val s = "user-42"
+    val wantS = expectBytes(le32(0), le32(15), le32(s.length + 1),
+      s.getBytes("UTF-8"), Array(0.toByte))
+    assert(MongoComputeHash.hashString(UTF8String.fromString(s)) == wantS)
+    // oid: seed | tag 35 | 12 raw bytes (orphan_filter.go:124-128)
+    val hex = "642295e8bd4ab3cbd9632f7e"
+    val raw = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val wantO = expectBytes(le32(0), le32(35), raw)
+    assert(MongoComputeHash.hashObjectId(UTF8String.fromString(hex)) == wantO)
+    // column-level evaluation agrees with the JVM helpers
+    val got = Seq((s, hex)).toDF("s", "h")
+      .select(MongoComputeHash.ofString(col("s")), MongoComputeHash.ofObjectId(col("h")))
+      .as[(Long, Long)].head()
+    assert(got == ((wantS, wantO)))
+  }
+
+  test("hashed-shard orphan filter keeps exactly the owned residue class") {
+    import graft.filters.OrphanFilter
+    val df = (1 to 200).map(i => s"key-$i").toDF("doc_key")
+    val kept = OrphanFilter.keepOwnedHashed(df, col("doc_key"),
+      isString = true, nShards = 3, ownedShard = 1)
+      .as[String].collect().toSet
+    val want = (1 to 200).map(i => s"key-$i").filter { k =>
+      val h = MongoComputeHash.hashString(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k))
+      java.lang.Math.floorMod(h, 3L) == 1L
+    }.toSet
+    assert(kept == want && kept.nonEmpty && kept.size < 200)
+  }
+
   test("applyOps: i/u/d fold with $inc accumulation and upsert-on-update") {
     val rows = Seq(
       // (event_id, ts_packed, op, db, coll, ns, doc_key, g, value, from_migrate, props)

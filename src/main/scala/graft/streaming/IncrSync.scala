@@ -89,8 +89,11 @@ object IncrSync {
   def bucketOf(nBuckets: Int = StateBuckets) =
     pmod(hash(col("ns"), col("doc_key")), lit(nBuckets)).cast("int")
 
-  /** Two-phase batch apply + checkpoint commit. Only state buckets touched
-    * by this batch are read or written.
+  /** Batch apply + checkpoint commit, with T4 barrier segmentation: the
+    * batch is cut AT each DDL barrier (reference `batcher.go:283-305` —
+    * a barrier never executes before the DML that precedes it, and DML
+    * that follows it in the same trigger applies after). Only state
+    * buckets touched by each DML segment are read or written.
     */
   def applyBatch(batch: DataFrame, targetDir: String, batchId: Long,
       nBuckets: Int = StateBuckets): Unit = {
@@ -101,18 +104,54 @@ object IncrSync {
       val normal = batch.filter(col("op") =!= "c")
       val barrier = batch.filter(col("op") === "c")
 
-      // Phase 1: idempotent merge of DML into the touched state buckets.
-      // One window pass yields both the delta and the touched-key set —
-      // no second shuffle of the batch.
-      val last = Replay.lastPerKey(normal)
-        .withColumnRenamed("n_ops", "batch_ops")
-        .withColumn("bucket", bucketOf(nBuckets))
-      last.persist()
+      // Barriers are rare DDL — the limit bounds the collect (one job);
+      // an over-limit batch means a misrouted stream.
+      val barrierRows = barrier.orderBy(col("ts_packed")).limit(MaxBarrierRows + 1).collect()
+      require(barrierRows.length <= MaxBarrierRows,
+        s"barrier batch exceeds $MaxBarrierRows rows — misrouted stream?")
+
+      if (barrierRows.isEmpty) {
+        applyDmlSegment(normal, targetDir, nBuckets)
+      } else {
+        // Segment the DML stream at the barrier timestamps; apply each
+        // segment, then its trailing barrier, serially.
+        val cuts = barrierRows.map(_.getAs[Long]("ts_packed"))
+        var lo = Long.MinValue
+        barrierRows.zip(cuts).zipWithIndex.foreach { case ((row, cut), i) =>
+          applyDmlSegment(
+            normal.filter(col("ts_packed") > lo && col("ts_packed") <= cut),
+            targetDir, nBuckets)
+          applyBarrierOp(spark, row, targetDir, nBuckets, batchId, i)
+          lo = cut
+        }
+        applyDmlSegment(normal.filter(col("ts_packed") > lo), targetDir, nBuckets)
+      }
+
+      // Checkpoint row — only after every segment is durable.
+      val ck = batch.agg(
+        min(col("ts_packed")).as("lsn_min"), max(col("ts_packed")).as("lsn_max"),
+        count(lit(1)).as("n_logs"))
+        .withColumn("batch_id", lit(batchId))
+      ck.coalesce(1).write.mode(SaveMode.Append).parquet(s"$targetDir/_ckpt")
+    } finally batch.unpersist()
+  }
+
+  /** Idempotent merge of one DML segment into the touched state buckets. */
+  private def applyDmlSegment(normal: DataFrame, targetDir: String, nBuckets: Int): Unit = {
+    val spark = normal.sparkSession
+    // One window pass yields both the delta and the touched-key set —
+    // no second shuffle of the batch.
+    val last = Replay.lastPerKey(normal)
+      .withColumnRenamed("n_ops", "batch_ops")
+      .withColumn("bucket", bucketOf(nBuckets))
+    last.persist()
+    try {
       val delta = last.filter(col("op") =!= "d").drop("op")
       val statePath = s"$targetDir/state"
       val touched = last.select(col("ns"), col("doc_key"), col("bucket"))
       val touchedBuckets = touched.select("bucket").distinct()
         .collect().map(_.getInt(0)).toSeq // bounded by nBuckets
+      if (touchedBuckets.isEmpty) return
       // Partition-pruned read: only buckets this batch can modify.
       val existing = readOrEmpty(spark, statePath)
         .filter(col("bucket").isin(touchedBuckets: _*))
@@ -137,29 +176,62 @@ object IncrSync {
         fs.delete(new Path(s"$statePath/bucket=$b"), true)
       }
       newState.unpersist()
-      last.unpersist()
+    } finally last.unpersist()
+  }
 
-      // Phase 2: barrier ops, serial, in oplog order, after phase 1.
-      // Barriers are rare DDL — the limit bounds the collect (one job);
-      // an over-limit batch means a misrouted stream.
-      val barrierRows = barrier.orderBy(col("ts_packed")).limit(MaxBarrierRows + 1).collect()
-      require(barrierRows.length <= MaxBarrierRows,
-        s"barrier batch exceeds $MaxBarrierRows rows — misrouted stream?")
-      if (barrierRows.nonEmpty) {
-        import spark.implicits._
-        val log = barrierRows.zipWithIndex.map { case (r, i) =>
-          (batchId, i, r.getAs[String]("ns"), r.getAs[Long]("ts_packed"))
-        }.toSeq.toDF("batch_id", "apply_seq", "ns", "ts_packed")
-        log.coalesce(1).write.mode(SaveMode.Append).parquet(s"$targetDir/ddl_log")
-      }
+  /** W5 doCommand replay (`executor/db_writer.go:61-219`): DDL applied to
+    * the state table — drop removes the ns, dropDatabase the db,
+    * renameCollection rewrites ns (and re-buckets). DDL is rare and
+    * serialized, so the full-table rewrite here is the reference's own
+    * cost model (barriers stop the world). Every barrier is also logged.
+    */
+  def applyBarrierOp(spark: SparkSession, row: org.apache.spark.sql.Row,
+      targetDir: String, nBuckets: Int, batchId: Long, seq: Int): Unit = {
+    import org.json4s._
+    val ns = row.getAs[String]("ns")
+    val ts = row.getAs[Long]("ts_packed")
+    val body = row.getAs[String]("props")
+    val db = ns.split("\\.", 2)(0)
+    val statePath = s"$targetDir/state"
+    val parsed = try { graft.transform.UpdateSpec.parse(body) } catch {
+      case _: Exception => JObject(Nil)
+    }
+    val (cmd, arg) = parsed.obj.headOption match {
+      case Some((k, JString(v))) => (k, v)
+      case Some((k, _)) => (k, "")
+      case None => ("", "")
+    }
+    cmd match {
+      case "drop" =>
+        rewriteState(spark, statePath, s => s.filter(col("ns") =!= s"$db.$arg"))
+      case "dropDatabase" =>
+        rewriteState(spark, statePath, s => s.filter(!col("ns").startsWith(db + ".")))
+      case "renameCollection" =>
+        val to = (parsed \ "to") match { case JString(t) => t; case _ => arg }
+        rewriteState(spark, statePath, s => s
+          .withColumn("ns", when(col("ns") === arg, to).otherwise(col("ns")))
+          .withColumn("bucket", bucketOf(nBuckets)))
+      case _ => () // unknown/no-op command: log only
+    }
+    import spark.implicits._
+    Seq((batchId, seq, ns, cmd, ts))
+      .toDF("batch_id", "apply_seq", "ns", "cmd", "ts_packed")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$targetDir/ddl_log")
+  }
 
-      // Phase 3: checkpoint row — only after both phases are durable.
-      val ck = batch.agg(
-        min(col("ts_packed")).as("lsn_min"), max(col("ts_packed")).as("lsn_max"),
-        count(lit(1)).as("n_logs"))
-        .withColumn("batch_id", lit(batchId))
-      ck.coalesce(1).write.mode(SaveMode.Append).parquet(s"$targetDir/_ckpt")
-    } finally batch.unpersist()
+  /** Full-state rewrite through a temp dir + atomic-ish swap (barrier-only
+    * path; DML never does this).
+    */
+  private def rewriteState(spark: SparkSession, statePath: String,
+      f: DataFrame => DataFrame): Unit = {
+    val fs = new Path(statePath).getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(statePath))) return
+    val tmp = statePath + "_rewrite"
+    f(readOrEmpty(spark, statePath))
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
+    fs.delete(new Path(statePath), true)
+    fs.rename(new Path(tmp), new Path(statePath))
   }
 
   /** Read the bucketed state table (empty DataFrame if absent yet). */

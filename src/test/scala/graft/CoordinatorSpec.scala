@@ -83,6 +83,30 @@ class CoordinatorSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("W5/T4: barrier segments the batch; drop/rename replay against state") {
+    import graft.streaming.IncrSync
+    val target = s"${System.getProperty("java.io.tmpdir")}/graft_ddl_replay_test"
+    IncrSync.deletePath(spark, target)
+    val rows = Seq(
+      // (event_id, ts_packed, op, ns, doc_key, value, props)
+      (1L, 100L, "i", "app.u0", "k1", 1.0, """{"k":1}"""),
+      (2L, 200L, "i", "app.u1", "k2", 2.0, """{"k":2}"""),
+      (3L, 300L, "c", "app.$cmd", "", 0.0, """{"drop":"u0"}"""),
+      (4L, 400L, "i", "app.u0", "k3", 3.0, """{"k":3}"""),
+      (5L, 500L, "c", "app.$cmd", "", 0.0,
+        """{"renameCollection":"app.u1","to":"app.u1x"}"""))
+      .toDF("event_id", "ts_packed", "op", "ns", "doc_key", "value", "props")
+    IncrSync.applyBatch(rows, target, 0L, nBuckets = 4)
+    val state = IncrSync.readOrEmpty(spark, s"$target/state")
+      .select("ns", "doc_key").as[(String, String)].collect().toSet
+    // k1 inserted BEFORE the drop in the same batch → dropped with u0;
+    // k3 inserted AFTER the drop → survives; u1 renamed to u1x.
+    assert(state == Set(("app.u0", "k3"), ("app.u1x", "k2")))
+    val log = spark.read.parquet(s"$target/ddl_log")
+      .orderBy("apply_seq").select("cmd").as[String].collect().toSeq
+    assert(log == Seq("drop", "renameCollection"))
+  }
+
   test("token bucket admits at most tps per second with refill") {
     assert(Coordinator.tokenBucketAdmit(10, Seq(5, 20, 0, 15)) == Seq(5, 10, 0, 10))
     assert(Coordinator.qosOptions(1000, 5) == Map("maxOffsetsPerTrigger" -> "5000"))

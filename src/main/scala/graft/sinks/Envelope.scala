@@ -95,6 +95,56 @@ object Envelope {
       .drop("logs")
   }
 
+  /** P12 compressor (`modules/compress.go:18-100`): frame-body compression
+    * for the wire/file tunnels. Codec ids in the compress header field:
+    * 0 = none, 1 = deflate (zlib, BestCompression — the reference's
+    * default level). Parquet/Kafka sinks use their own codecs; this path
+    * exists for the TMessage-framed tunnels.
+    */
+  val CompressDeflate = 1
+
+  /** Compress each frame's body (past the 20-byte header), patching the
+    * compress field. Runs as a typed map — per-row JVM compression, the
+    * same shape as the reference's writer hook.
+    */
+  def compressFrames(framed: DataFrame): DataFrame = {
+    val spark = framed.sparkSession
+    import spark.implicits._
+    val cols = framed.columns
+    framed.withColumn("frame",
+      udf((f: Array[Byte]) => compressFrame(f)).apply(col("frame")))
+      .withColumn("compress", lit(CompressDeflate))
+      .select(cols.map(col): _*)
+  }
+
+  def compressFrame(frame: Array[Byte]): Array[Byte] = {
+    val header = frame.take(20)
+    val body = frame.drop(20)
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+    d.setInput(body); d.finish()
+    val out = new java.io.ByteArrayOutputStream(body.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    // Patch compress field (bytes 12-15) to the deflate codec id.
+    ByteBuffer.wrap(header).order(ByteOrder.BIG_ENDIAN).putInt(12, CompressDeflate)
+    header ++ out.toByteArray
+  }
+
+  private[sinks] def inflate(body: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(body)
+    val out = new java.io.ByteArrayOutputStream(body.length * 3 + 64)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      require(n > 0 || inf.finished(), "truncated deflate stream")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
   /** Decoded record of a TMessage frame. */
   final case class Decoded(checksum: Long, tag: Int, shard: Int, compress: Int,
       payloads: Seq[Array[Byte]]) {
@@ -108,12 +158,16 @@ object Envelope {
     * side (S5). Validates the framing and the checksum.
     */
   def decodeMessage(frame: Array[Byte]): Decoded = {
-    val bb = ByteBuffer.wrap(frame).order(ByteOrder.BIG_ENDIAN)
-    val checksum = bb.getInt.toLong & 0xFFFFFFFFL
-    val tag = bb.getInt
-    val shard = bb.getInt
-    val compress = bb.getInt
-    var n = bb.getInt
+    val head = ByteBuffer.wrap(frame, 0, 20).order(ByteOrder.BIG_ENDIAN)
+    val checksum = head.getInt.toLong & 0xFFFFFFFFL
+    val tag = head.getInt
+    val shard = head.getInt
+    val compress = head.getInt
+    val nFromHead = head.getInt
+    val body =
+      if (compress == CompressDeflate) inflate(frame.drop(20)) else frame.drop(20)
+    val bb = ByteBuffer.wrap(body).order(ByteOrder.BIG_ENDIAN)
+    var n = nFromHead
     val out = Seq.newBuilder[Array[Byte]]
     while (n > 0) {
       val len = bb.getInt

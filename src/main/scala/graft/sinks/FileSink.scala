@@ -87,14 +87,17 @@ object FileSink {
         val compress = bb.getInt
         require(bb.getInt == BlockMarker, "file tunnel: bad block marker")
         val bodyLen = bb.getInt
-        var remaining = bodyLen
+        val rawBody = new Array[Byte](bodyLen)
+        bb.get(rawBody)
+        val body =
+          if (compress == Envelope.CompressDeflate) Envelope.inflate(rawBody) else rawBody
+        val bodyBuf = ByteBuffer.wrap(body).order(ByteOrder.BIG_ENDIAN)
         val payloads = Seq.newBuilder[Array[Byte]]
-        while (remaining > 0) {
-          val plen = bb.getInt
+        while (bodyBuf.hasRemaining) {
+          val plen = bodyBuf.getInt
           val payload = new Array[Byte](plen)
-          bb.get(payload)
+          bodyBuf.get(payload)
           payloads += payload
-          remaining -= 4 + plen
         }
         val block = Block(checksum, tag, shard, compress, payloads.result())
         val crc = block.payloads.foldLeft(0L) { (acc, x) =>

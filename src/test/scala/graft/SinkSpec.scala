@@ -80,6 +80,24 @@ class SinkSpec extends AnyFunSuite {
     assert(allPayloads == want)
   }
 
+  test("P12: deflate-compressed frames shrink and decode transparently (incl. file sink)") {
+    val framed = Envelope.messages(Envelope.encode(oplogDf, 1))
+    val plain = framed.select(col("frame")).as[Array[Byte]].head()
+    val compressed = Envelope.compressFrames(framed)
+      .select(col("frame")).as[Array[Byte]].head()
+    assert(compressed.length < plain.length)
+    val d = Envelope.decodeMessage(compressed) // inflates + checksum-validates
+    assert(d.compress == Envelope.CompressDeflate)
+    assert(d.payloads.map(new String(_, "UTF-8")).toSet ==
+      Envelope.decodeMessage(plain).payloads.map(new String(_, "UTF-8")).toSet)
+    // file sink round-trips compressed blocks too
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_file_sink_z.bin"
+    FileSink.write(spark, Envelope.compressFrames(framed), path)
+    val blocks = FileSink.read(spark, path)
+    assert(blocks.flatMap(_.payloads).map(new String(_, "UTF-8")).toSet ==
+      Envelope.decodeMessage(plain).payloads.map(new String(_, "UTF-8")).toSet)
+  }
+
   test("conflict side-output flags re-inserts of live keys only") {
     val rows = Seq(
       (1L, 100L, "i", "app", "u0", "app.u0", "k1", "", 0.0, false, "{}"),

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.Envelope
+import graft.transform.UpdateSpec
+
+/** Property-based invariants (SURVEY.md §5's additions over the
+  * reference's example tests): apply idempotence, partitioning-order
+  * invariance, update-spec algebra, codec round-trip on arbitrary inputs.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  /** Deterministic generator drive (no scalatest-scalacheck bridge in the
+    * dependency set): n samples from fixed seeds.
+    */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val opGen = Gen.oneOf("i", "u", "d")
+  private val batchGen = Gen.listOfN(60, for {
+    key <- Gen.choose(0, 9)
+    op <- opGen
+    v <- Gen.choose(0, 999)
+  } yield (key.toString, op, v.toDouble / 100))
+
+  private def toOplog(rows: List[(String, String, Double)]) =
+    rows.zipWithIndex.map { case ((k, op, v), i) =>
+      (i.toLong, (1000 + i).toLong, op, "app", "u0", "app.u0", k, "", v, false, s"""{"k": $i}""")
+    }.toDF("event_id", "ts_packed", "op", "db", "coll", "ns",
+      "doc_key", "g", "value", "from_migrate", "props")
+
+  test("apply idempotence: replaying a batch on top of itself changes nothing") {
+    samples(batchGen, 5).foreach { rows =>
+      val df = toOplog(rows)
+      val once = graft.apply.Replay.materialize(df)
+        .orderBy("doc_key").collect().toSeq
+      val twice = graft.apply.Replay.materialize(df.unionByName(df))
+        .orderBy("doc_key").collect().toSeq
+      // same final keys and values; only the op count doubles
+      assert(once.map(r => (r.getString(1), r.getDouble(2), r.getLong(3))) ==
+        twice.map(r => (r.getString(1), r.getDouble(2), r.getLong(3))))
+    }
+  }
+
+  test("routing-order invariance: materialized state is the same under any partition count") {
+    samples(batchGen.flatMap(r => Gen.oneOf(1, 3, 7, 32).map(r -> _)), 5)
+      .foreach { case (rows, n) =>
+        val df = toOplog(rows)
+        val base = graft.apply.Replay.materialize(df).orderBy("doc_key").collect().toSeq
+        val rep = graft.apply.Replay.materialize(df.repartition(n)).orderBy("doc_key").collect().toSeq
+        assert(base == rep)
+      }
+  }
+
+  private val docGen: Gen[String] = for {
+    a <- Gen.choose(-1000L, 1000L)
+    s <- Gen.alphaNumStr.map(_.take(8))
+    arr <- Gen.listOfN(4, Gen.choose(0, 9))
+  } yield s"""{"a":$a,"s":"$s","arr":[${arr.mkString(",")}]}"""
+
+  test("update-spec algebra: $set then $unset removes; $inc sums associatively") {
+    samples(for { d <- docGen; x <- Gen.choose(-50L, 50L); y <- Gen.choose(-50L, 50L) }
+        yield (d, x, y), 20).foreach { case (doc, x, y) =>
+        val afterSetUnset = UpdateSpec.applySpecJson(
+          UpdateSpec.applySpecJson(doc, s"""{"$$set":{"tmp":$x}}"""),
+          """{"$unset":{"tmp":true}}""")
+        assert(org.json4s.jackson.JsonMethods.parse(afterSetUnset) ==
+          org.json4s.jackson.JsonMethods.parse(doc))
+        val incTwice = UpdateSpec.applySpecJson(
+          UpdateSpec.applySpecJson(doc, s"""{"$$inc":{"a":$x}}"""), s"""{"$$inc":{"a":$y}}""")
+        val incOnce = UpdateSpec.applySpecJson(doc, s"""{"$$inc":{"a":${x + y}}}""")
+        assert(org.json4s.jackson.JsonMethods.parse(incTwice) ==
+          org.json4s.jackson.JsonMethods.parse(incOnce))
+    }
+  }
+
+  test("$push/$pop inverse on nonempty tails; $slice bounds the array") {
+    samples(for { d <- docGen; v <- Gen.choose(0L, 99L) } yield (d, v), 20)
+        .foreach { case (doc, v) =>
+      val pushed = UpdateSpec.applySpecJson(doc, s"""{"$$push":{"arr":$v}}""")
+      val popped = UpdateSpec.applySpecJson(pushed, """{"$pop":{"arr":1}}""")
+      assert(org.json4s.jackson.JsonMethods.parse(popped) ==
+        org.json4s.jackson.JsonMethods.parse(doc))
+      val sliced = UpdateSpec.applySpecJson(pushed,
+        """{"$v":2,"diff":{"sarr":{"a":true,"l":2}}}""")
+      val arr = (org.json4s.jackson.JsonMethods.parse(sliced) \ "arr")
+        .asInstanceOf[org.json4s.JArray].arr
+      assert(arr.size == 2)
+    }
+  }
+
+  test("envelope codec round-trips arbitrary payload content") {
+    val payloadGen = Gen.listOfN(5, Gen.asciiPrintableStr.map(_.take(40)))
+    samples(payloadGen, 10).foreach { payloads =>
+      val df = payloads.zipWithIndex.map { case (p, i) =>
+        (i.toLong, (100 + i).toLong, "i", "app", "u0", "app.u0", s"k$i", "",
+          0.0, false, """{"k":0}""")
+      }.toDF("event_id", "ts_packed", "op", "db", "coll", "ns",
+        "doc_key", "g", "value", "from_migrate", "props")
+      val frames = Envelope.messages(Envelope.encode(df, 2))
+        .select("frame").as[Array[Byte]].collect()
+      val decoded = frames.flatMap(f => Envelope.decodeMessage(f).payloads)
+      assert(decoded.length == payloads.size)
+      // compressed frames carry the same content
+      val zframes = Envelope.messages(Envelope.encode(df, 2))
+      val zdecoded = Envelope.compressFrames(zframes)
+        .select("frame").as[Array[Byte]].collect()
+        .flatMap(f => Envelope.decodeMessage(f).payloads)
+      assert(zdecoded.map(new String(_, "UTF-8")).sorted.toSeq ==
+        decoded.map(new String(_, "UTF-8")).sorted.toSeq)
+    }
+  }
+}

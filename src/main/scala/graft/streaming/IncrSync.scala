@@ -67,14 +67,28 @@ object IncrSync {
     "last_value" -> DoubleType, "last_event_id" -> LongType,
     "batch_ops" -> LongType, "bucket" -> IntegerType)
 
+  /** @param startingTs S1's resume predicate (`{ts: {$gt: ckpt}}`,
+    *   reference `oplog_reader.go:90-97`): records at or below the
+    *   checkpoint/handoff position are excluded at the source — the
+    *   filter sits directly on the scan so pushdown reaches parquet.
+    * @param maxFilesPerTrigger G1 adaptive-batch sizing for the file
+    *   source (the analogue of `batching_max_size`; Kafka sources take
+    *   [[Coordinator.qosOptions]] instead).
+    */
   def start(spark: SparkSession, sourceDir: String, targetDir: String,
       checkpointDir: String,
       gids: Seq[String] = Seq(""),
       white: Seq[String] = Seq("^app\\..*$"),
-      black: Seq[String] = Nil): StreamingQuery = {
+      black: Seq[String] = Nil,
+      startingTs: Long = Long.MinValue,
+      maxFilesPerTrigger: Int = 0): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(eventsSchema).parquet(sourceDir)
+    val reader = spark.readStream.schema(eventsSchema)
+    val sized = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    val stream = sized.parquet(sourceDir)
     val oplog = Oplog.project(stream)
+      .filter(col("ts_packed") > startingTs)
       .filter(OplogFilters.chain(gids, white, black) || col("op") === "c")
     oplog.writeStream
       .option("checkpointLocation", checkpointDir)

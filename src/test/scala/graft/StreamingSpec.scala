@@ -114,6 +114,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("S1 resume position: records at or below startingTs are excluded at the source") {
+    val work = Files.createTempDirectory("graft_resume").toFile.getAbsolutePath
+    val src = "/root/testdata/sf0.001"
+    val srcDir = new java.io.File(s"$work/events_src"); srcDir.mkdirs()
+    Files.createSymbolicLink(
+      new java.io.File(srcDir, "events.parquet").toPath,
+      new java.io.File(s"$src/events.parquet").toPath)
+    val full = graft.model.Oplog.fromEvents(spark, src)
+      .filter(graft.filters.OplogFilters.chain(Seq(""), Seq("^app\\..*$"), Nil))
+    val mid = full.agg(expr("min(ts_packed) + (max(ts_packed) - min(ts_packed)) DIV 2"))
+      .head().getLong(0)
+    val q = IncrSync.start(spark, srcDir.getAbsolutePath, s"$work/target", s"$work/ckpt",
+      startingTs = mid, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$work/target/state")
+    val expected = graft.apply.Replay.materialize(full.filter(col("ts_packed") > mid))
+    assert(got.count() == expected.count())
+    assert(got.select("ns", "doc_key", "last_event_id")
+      .except(expected.select("ns", "doc_key", "last_event_id")).count() == 0)
+  }
+
   test("bucketed state: a second batch rewrites only the buckets it touches") {
     val work = Files.createTempDirectory("graft_bucket").toFile.getAbsolutePath
     def oplog(rows: Seq[(Long, Long, String, String, String, Double)]) =

@@ -110,7 +110,8 @@ object IncrSync {
     * buckets touched by each DML segment are read or written.
     */
   def applyBatch(batch: DataFrame, targetDir: String, batchId: Long,
-      nBuckets: Int = StateBuckets): Unit = {
+      nBuckets: Int = StateBuckets,
+      fullSyncFinishPosition: Long = 0L): Unit = {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     batch.persist()
@@ -123,6 +124,15 @@ object IncrSync {
       val barrierRows = barrier.orderBy(col("ts_packed")).limit(MaxBarrierRows + 1).collect()
       require(barrierRows.length <= MaxBarrierRows,
         s"barrier batch exceeds $MaxBarrierRows rows — misrouted stream?")
+      // F9 (`batcher.go:139-149`): DDL at or below the snapshot-finish
+      // position means the snapshot and the DDL overlap — unsafe to
+      // replay; fail fast like the reference.
+      barrierRows.headOption.foreach { r =>
+        val ts = r.getAs[Long]("ts_packed")
+        require(ts > fullSyncFinishPosition,
+          s"DDL ts $ts <= fullSyncFinishPosition $fullSyncFinishPosition — " +
+            "snapshot/DDL overlap, cannot replay safely")
+      }
 
       if (barrierRows.isEmpty) {
         applyDmlSegment(normal, targetDir, nBuckets)

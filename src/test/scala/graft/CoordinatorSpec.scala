@@ -107,6 +107,19 @@ class CoordinatorSpec extends AnyFunSuite {
     assert(log == Seq("drop", "renameCollection"))
   }
 
+  test("F9: DDL at or below fullSyncFinishPosition fails the batch") {
+    import graft.streaming.IncrSync
+    val target = s"${System.getProperty("java.io.tmpdir")}/graft_f9_test"
+    IncrSync.deletePath(spark, target)
+    val rows = Seq(
+      (1L, 100L, "i", "app.u0", "k1", 1.0, """{"k":1}"""),
+      (2L, 200L, "c", "app.$cmd", "", 0.0, """{"drop":"u0"}"""))
+      .toDF("event_id", "ts_packed", "op", "ns", "doc_key", "value", "props")
+    intercept[IllegalArgumentException] {
+      IncrSync.applyBatch(rows, target, 0L, nBuckets = 4, fullSyncFinishPosition = 300L)
+    }
+  }
+
   test("token bucket admits at most tps per second with refill") {
     assert(Coordinator.tokenBucketAdmit(10, Seq(5, 20, 0, 15)) == Seq(5, 10, 0, 10))
     assert(Coordinator.qosOptions(1000, 5) == Map("maxOffsetsPerTrigger" -> "5000"))

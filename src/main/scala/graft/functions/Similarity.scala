@@ -123,6 +123,44 @@ object Similarity {
       .select(col("vec_id"), col("m.cand_id").as("ann_id"), col("m.sim").as("sim"))
   }
 
+  /** IVF search (the scale path past coarse assignment): each query probes
+    * its `nProbe` nearest centroids and brute-scores only those inverted
+    * lists — the scan shrinks by ~|centroids|/nProbe versus brute force.
+    *
+    * Shape: centroids and the (query, probed-centroid) table are tiny and
+    * broadcast; the corpus moves through exactly one equi-join on its
+    * assigned centroid id. Each corpus vector lives in exactly one list,
+    * so no candidate dedup is needed.
+    */
+  def ivfSearch(embs: DataFrame, id: Column, emb: Column,
+      centroidPred: Column, queryPred: Column,
+      nProbe: Int = 2, k: Int = 3): DataFrame = {
+    val p = prepared(embs, id, emb)
+    val lists = p.join(
+      ivfAssign(embs, id, emb, centroidPred).select(col("vec_id"), col("centroid_id")),
+      Seq("vec_id"))
+    val cents = embs.filter(centroidPred)
+      .select(id.as("centroid_id"), quantize(emb).as("cv"))
+      .withColumn("cn", sqNorm(col("cv")))
+    val q = embs.filter(queryPred).select(id.as("query_id"), quantize(emb).as("qv"))
+      .withColumn("qn", sqNorm(col("qv")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probes = q.crossJoin(cents)
+      .withColumn("csim", cosineQ(col("qv"), col("qn"), col("cv"), col("cn")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    val scored = lists.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", cosineQ(col("qv"), col("qn"), col("v"), col("nrm")))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
   /** IVF coarse assignment: nearest centroid — broadcast the centroid
     * table, argmax per row via a partial-aggregatable min-struct (the
     * |corpus|×|centroids| scored rows collapse map-side; a window would

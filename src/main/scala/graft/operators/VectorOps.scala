@@ -34,7 +34,12 @@ object VectorOps {
       Similarity.ivfAssign(embs(s, dir), col("vec_id"), col("embedding"),
         col("vec_id") < 8)
         .groupBy(col("centroid_id"))
-        .agg(count(lit(1)).as("n_assigned"))))
+        .agg(count(lit(1)).as("n_assigned"))),
+
+    // IVF search: probe the 2 nearest of 8 centroids, top-3 within lists.
+    "sim_ivf_search" -> ((s, dir) =>
+      Similarity.ivfSearch(embs(s, dir), col("vec_id"), col("embedding"),
+        centroidPred = col("vec_id") < 8, queryPred = col("vec_id") < 10)))
 
   // ---- oracle fragments -----------------------------------------------------
 
@@ -108,6 +113,34 @@ object VectorOps {
                 ORDER BY ${simSql("p.v", "p.nrm", "c.v", "c.nrm")} DESC, c.vec_id) AS rn
             FROM prep p JOIN prep c ON c.vec_id < 8)
           SELECT centroid_id, COUNT(*) AS n_assigned
-          FROM assigned WHERE rn = 1 GROUP BY 1"""
+          FROM assigned WHERE rn = 1 GROUP BY 1""",
+
+    "sim_ivf_search" ->
+      s"""WITH $prepCte,
+          assigned AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.vec_id AS centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.v", "c.nrm")} DESC, c.vec_id) AS rn
+              FROM prep p JOIN prep c ON c.vec_id < 8)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "c.v", "c.nrm")} DESC, c.vec_id) AS prn
+              FROM prep q JOIN prep c ON c.vec_id < 8 WHERE q.vec_id < 10)
+            WHERE prn <= 2),
+          scored AS (
+            SELECT pr.query_id, a.vec_id AS neighbor_id,
+              ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} AS sim,
+              ROW_NUMBER() OVER (PARTITION BY pr.query_id
+                ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, a.vec_id) AS rank
+            FROM probes pr
+            JOIN assigned a ON a.centroid_id = pr.centroid_id AND a.vec_id <> pr.query_id
+            JOIN prep q ON q.vec_id = pr.query_id
+            JOIN prep p ON p.vec_id = a.vec_id)
+          SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+          FROM scored WHERE rank <= 3"""
   )
 }

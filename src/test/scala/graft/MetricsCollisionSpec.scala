@@ -61,6 +61,20 @@ class MetricsCollisionSpec extends AnyFunSuite {
     assert(g3 == """{"a":1,"nested":{"$ref":"users_2","$id":9,"$db":"appx"}}""")
   }
 
+  test("SQL function registration: custom expressions callable from spark.sql") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT mongo_hash(5L), mongo_hash_string('user-42'),
+                mongo_hash_oid('642295e8bd4ab3cbd9632f7e'), java_string_hash('app.users_0')""")
+      .head()
+    assert(r.getLong(0) == graft.plans.MongoComputeHash.hashLong(5L))
+    assert(r.getLong(1) == graft.plans.MongoComputeHash.hashString(
+      org.apache.spark.unsafe.types.UTF8String.fromString("user-42")))
+    assert(r.getLong(2) == graft.plans.MongoComputeHash.hashObjectId(
+      org.apache.spark.unsafe.types.UTF8String.fromString("642295e8bd4ab3cbd9632f7e")))
+    assert(r.getInt(3) == "app.users_0".hashCode)
+  }
+
   test("X4: unique non-_id index forces by-namespace routing") {
     val cat1 = Seq(("app.u0", "_id_", true), ("app.u0", "email_1", true))
       .toDF("ns", "name", "unique")

@@ -103,6 +103,86 @@ object IncrSync {
   def bucketOf(nBuckets: Int = StateBuckets) =
     pmod(hash(col("ns"), col("doc_key")), lit(nBuckets)).cast("int")
 
+  /** Raw-oplog stream schema (canonical record + txn fields, SURVEY §1.1). */
+  val oplogSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_packed", LongType),
+    StructField("op", StringType),
+    StructField("ns", StringType),
+    StructField("doc_key", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+    StructField("g", StringType),
+    StructField("from_migrate", BooleanType),
+    StructField("lsid", StringType),
+    StructField("txn_number", LongType),
+    StructField("o", StringType)))
+
+  /** The full §3.1 dataflow as ONE StreamingQuery over a raw oplog feed:
+    *
+    *   source → filter chain (F1-F7) → T1 txn assembly
+    *   (`flatMapGroupsWithState` keyed by lsid+txnNumber; commit releases
+    *   inner ops with the T3 ts patch, abort purges) → union with plain
+    *   DML and DDL barriers → `foreachBatch` barrier-segmented apply →
+    *   checkpoint commit.
+    *
+    * Inner ops ride the applyOps arrays as self-describing JSON and are
+    * re-projected to canonical rows (then re-filtered — the reference
+    * ns-filters exploded ops in the executor transform too).
+    */
+  def startOplog(spark: SparkSession, sourceDir: String, targetDir: String,
+      checkpointDir: String,
+      gids: Seq[String] = Seq(""),
+      white: Seq[String] = Seq("^app\\..*$"),
+      black: Seq[String] = Nil): StreamingQuery = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(oplogSchema).parquet(sourceDir)
+      .withColumn("db", substring_index(col("ns"), ".", 1))
+      .withColumn("coll", substring_index(col("ns"), ".", -1))
+    val o = col("o")
+    val isTxnEntry = col("op") === "c" && col("lsid").isNotNull &&
+      col("txn_number").isNotNull &&
+      (get_json_object(o, "$.applyOps").isNotNull ||
+        get_json_object(o, "$.commitTransaction").isNotNull ||
+        get_json_object(o, "$.abortTransaction").isNotNull)
+
+    val keep = OplogFilters.chain(gids, white, black) || col("op") === "c"
+    val outCols = Seq("event_id", "ts_packed", "op", "ns", "doc_key", "value", "props")
+
+    // Plain DML + DDL barriers (command body becomes the barrier props).
+    val plain = stream.filter(!isTxnEntry).filter(keep)
+      .withColumn("props", when(col("op") === "c", coalesce(o, col("props")))
+        .otherwise(col("props")))
+      .select(outCols.map(col): _*)
+
+    // T1/T2/T3: classify, buffer, release on commit with patched ts.
+    val entries = TxnAssembler.classifyEntries(
+      stream.filter(isTxnEntry).withColumn("seq", col("event_id")))
+    val inner = TxnAssembler.assemble(entries, ttlMs = 0)
+    val innerRows = inner
+      .select(get_json_object(col("op"), "$.event_id").cast("long").as("event_id"),
+        col("ts").as("ts_packed"),
+        get_json_object(col("op"), "$.op").as("op"),
+        get_json_object(col("op"), "$.ns").as("ns"),
+        get_json_object(col("op"), "$.doc_key").as("doc_key"),
+        get_json_object(col("op"), "$.value").cast("double").as("value"),
+        lit("{}").as("props"))
+      .withColumn("db", substring_index(col("ns"), ".", 1))
+      .withColumn("coll", substring_index(col("ns"), ".", -1))
+      .withColumn("g", lit(""))
+      .withColumn("from_migrate", lit(false))
+      .filter(OplogFilters.chain(gids, white, black))
+      .select(outCols.map(col): _*)
+
+    plain.unionByName(innerRows).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, targetDir, batchId)
+      }
+      .start()
+  }
+
   /** Batch apply + checkpoint commit, with T4 barrier segmentation: the
     * batch is cut AT each DDL barrier (reference `batcher.go:283-305` —
     * a barrier never executes before the DML that precedes it, and DML

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -112,6 +113,40 @@ class StreamingSpec extends AnyFunSuite {
     q2.awaitTermination()
     val after = spark.read.parquet(s"$work/target/state").orderBy("ns", "doc_key").collect().toSeq
     assert(after == before)
+  }
+
+  test("§3.1 one-query dataflow: filter → txn assembly → union → barrier apply") {
+    val work = Files.createTempDirectory("graft_e2e").toFile.getAbsolutePath
+    def innerOp(eid: Long, op: String, ns: String, key: String, v: Double) =
+      s"""{"event_id":$eid,"op":"$op","ns":"$ns","doc_key":"$key","value":$v}"""
+    val rows = Seq(
+      // (event_id, ts_packed, op, ns, doc_key, value, props, g, from_migrate, lsid, txn_number, o)
+      (1L, 100L, "i", "app.u0", "k1", 1.0, """{"k":1}""", "", false,
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long], null.asInstanceOf[String]),
+      // committed txn: partial (k2) then unprepared commit (k3); ts patch 299/300
+      (20L, 200L, "c", "admin.$cmd", "", 0.0, null, "", false, "L1", 1L: java.lang.Long,
+        s"""{"applyOps":[${innerOp(20, "i", "app.u0", "k2", 5.0)}],"partialTxn":true}"""),
+      (21L, 300L, "c", "admin.$cmd", "", 0.0, null, "", false, "L1", 1L: java.lang.Long,
+        s"""{"applyOps":[${innerOp(21, "i", "app.u1", "k3", 7.0)}]}"""),
+      // aborted txn: its inner op must never apply
+      (30L, 400L, "c", "admin.$cmd", "", 0.0, null, "", false, "L2", 9L: java.lang.Long,
+        s"""{"applyOps":[${innerOp(30, "i", "app.u1", "k9", 9.0)}],"partialTxn":true}"""),
+      (31L, 450L, "c", "admin.$cmd", "", 0.0, null, "", false, "L2", 9L: java.lang.Long,
+        """{"abortTransaction":1}"""),
+      // DDL barrier at 600 drops u0 (k1, k2); later insert survives
+      (40L, 600L, "c", "app.$cmd", "", 0.0, """{"drop":"u0"}""", "", false,
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long], """{"drop":"u0"}"""),
+      (50L, 700L, "i", "app.u0", "k4", 4.0, """{"k":4}""", "", false,
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long], null.asInstanceOf[String]))
+    val srcDir = s"$work/oplog_src"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple)), IncrSync.oplogSchema)
+      .coalesce(1).write.parquet(srcDir)
+    val q = IncrSync.startOplog(spark, srcDir, s"$work/target", s"$work/ckpt")
+    q.awaitTermination()
+    val state = IncrSync.readOrEmpty(spark, s"$work/target/state")
+      .select("ns", "doc_key", "last_event_id").as[(String, String, Long)].collect().toSet
+    assert(state == Set(("app.u1", "k3", 21L), ("app.u0", "k4", 50L)))
   }
 
   test("S1 resume position: records at or below startingTs are excluded at the source") {

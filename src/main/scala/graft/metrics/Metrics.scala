@@ -15,18 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object Metrics {
 
-  /** Attach the standard counter set; returns the df + its observation. */
+  val MetricsName = "graft_metrics"
+
+  private def counters = Seq(
+    count(when(col("op") === "i", 1)).as("n_insert"),
+    count(when(col("op") === "u", 1)).as("n_update"),
+    count(when(col("op") === "d", 1)).as("n_delete"),
+    count(when(col("op") === "c", 1)).as("n_command"),
+    count(when(col("op") === "n", 1)).as("n_noop"),
+    sum(octet_length(col("props"))).as("traffic_bytes"),
+    max(col("ts_packed")).as("lsn_newest"))
+
+  /** Batch form: attach counters + an [[Observation]] readable after the
+    * action completes.
+    */
   def observed(oplog: DataFrame): (DataFrame, Observation) = {
-    val obs = Observation("graft_metrics")
-    val df = oplog.observe(obs,
-      count(lit(1)).as("n_total"),
-      count(when(col("op") === "i", 1)).as("n_insert"),
-      count(when(col("op") === "u", 1)).as("n_update"),
-      count(when(col("op") === "d", 1)).as("n_delete"),
-      count(when(col("op") === "c", 1)).as("n_command"),
-      count(when(col("op") === "n", 1)).as("n_noop"),
-      sum(octet_length(col("props"))).as("traffic_bytes"),
-      max(col("ts_packed")).as("lsn_newest"))
-    (df, obs)
+    val obs = Observation(MetricsName)
+    (oplog.observe(obs, count(lit(1)).as("n_total"), counters: _*), obs)
   }
+
+  /** Streaming form: named observe — per-micro-batch values arrive in
+    * `QueryProgressEvent.progress.observedMetrics(MetricsName)` (or
+    * `query.lastProgress`), the Spark replacement for the reference's
+    * per-second sampled counters.
+    */
+  def observedStream(oplog: DataFrame): DataFrame =
+    oplog.observe(MetricsName, count(lit(1)).as("n_total"), counters: _*)
 }

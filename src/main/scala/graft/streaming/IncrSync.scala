@@ -174,7 +174,9 @@ object IncrSync {
       .filter(OplogFilters.chain(gids, white, black))
       .select(outCols.map(col): _*)
 
-    plain.unionByName(innerRows).writeStream
+    // G7: in-plan per-batch counters, surfaced in every query-progress
+    // event (zero extra passes — the metrics ride the union pre-sink).
+    graft.metrics.Metrics.observedStream(plain.unionByName(innerRows)).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -147,6 +147,29 @@ class StreamingSpec extends AnyFunSuite {
     val state = IncrSync.readOrEmpty(spark, s"$work/target/state")
       .select("ns", "doc_key", "last_event_id").as[(String, String, Long)].collect().toSet
     assert(state == Set(("app.u1", "k3", 21L), ("app.u0", "k4", 50L)))
+    // G7: the observed counters rode the stream into query progress
+    val om = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get(graft.metrics.Metrics.MetricsName))).lastOption
+    assert(om.isDefined)
+    assert(om.get.getAs[Long]("n_insert") == 4L) // k1, k2, k3, k4
+    assert(om.get.getAs[Long]("n_command") == 1L) // the drop barrier
+  }
+
+  test("at-least-once recovery: re-applying the same batch is a state no-op") {
+    val work = Files.createTempDirectory("graft_idem").toFile.getAbsolutePath
+    val batch = Seq(
+      (1L, 100L, "i", "app.u0", "k1", 1.0, "{}"),
+      (2L, 200L, "u", "app.u0", "k1", 2.0, "{}"),
+      (3L, 300L, "i", "app.u1", "k2", 3.0, "{}"),
+      (4L, 400L, "d", "app.u1", "k2", 0.0, "{}"))
+      .toDF("event_id", "ts_packed", "op", "ns", "doc_key", "value", "props")
+    IncrSync.applyBatch(batch, work, 0L, nBuckets = 4)
+    val first = IncrSync.readOrEmpty(spark, s"$work/state")
+      .orderBy("ns", "doc_key").collect().toSeq
+    IncrSync.applyBatch(batch, work, 0L, nBuckets = 4) // replayed trigger
+    val second = IncrSync.readOrEmpty(spark, s"$work/state")
+      .orderBy("ns", "doc_key").collect().toSeq
+    assert(first == second && first.nonEmpty)
   }
 
   test("S1 resume position: records at or below startingTs are excluded at the source") {

@@ -103,17 +103,26 @@ object Cdc {
       val work = s"${System.getProperty("java.io.tmpdir")}/graft_incr_state_q"
       IncrSync.deletePath(s, work)
       val ops = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("ts_packed"), col("event_id"))
-      val batched = ops.withColumn("k", ntile(4).over(w))
-      batched.persist()
+      ops.persist()
+      // Time-ordered quarter-batches via exact ts percentiles (ts_packed is
+      // unique, so the cuts are clean) — convergence of the merge requires
+      // batches in time order, not any particular split. A global ntile
+      // window would single-thread-sort the corpus for the same effect.
+      val cuts = ops.agg(
+        expr("percentile(ts_packed, 0.25)").cast("long"),
+        expr("percentile(ts_packed, 0.50)").cast("long"),
+        expr("percentile(ts_packed, 0.75)").cast("long")).head()
+      val bounds = Seq(Long.MinValue, cuts.getLong(0), cuts.getLong(1),
+        cuts.getLong(2), Long.MaxValue)
       // 16 buckets at test scale (a state-table layout parameter — the
       // mechanics are bucket-count-independent; production sizes it to
       // keep bucket size under executor memory).
-      (1 to 4).foreach { k =>
-        IncrSync.applyBatch(batched.filter(col("k") === k).drop("k"), work, k, nBuckets = 16)
+      bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), k) =>
+        IncrSync.applyBatch(
+          ops.filter(col("ts_packed") > lo && col("ts_packed") <= hi),
+          work, k.toLong, nBuckets = 16)
       }
-      batched.unpersist()
+      ops.unpersist()
       IncrSync.readOrEmpty(s, s"$work/state")
         .select("ns", "doc_key", "last_value", "last_event_id")
     }),

@@ -30,8 +30,10 @@ object ControlOps {
       val df = filtered(s, dir)
       // One-row scalar fetch (trigger parameters), not a data collect.
       val r = df.agg(max(shiftrightunsigned(col("ts_packed"), 32)), min(col("ts_packed"))).head()
+      // held pinned to int: bool is absent from the rest of the oracle
+      // surface, and the hash gate compares canonicalized values by type.
       Coordinator.delayHoldback(df, delaySec, nowSec = r.getLong(0), fullSyncFinishPosition = r.getLong(1))
-        .groupBy(col("held"), col("ns"))
+        .groupBy(col("held").cast("int").as("held"), col("ns"))
         .agg(count(lit(1)).as("n"), max(col("ts_packed")).as("max_ts"))
     }),
 
@@ -60,8 +62,8 @@ object ControlOps {
       s""", eff AS (SELECT * FROM oplog WHERE $chainSql),
           params AS (
             SELECT max(ts_packed >> 32) AS now_sec, min(ts_packed) AS fsfp FROM eff)
-          SELECT (eff.ts_packed > params.fsfp
-                  AND (eff.ts_packed >> 32) > (params.now_sec - $delaySec + 3)) AS held,
+          SELECT CAST(eff.ts_packed > params.fsfp
+                  AND (eff.ts_packed >> 32) > (params.now_sec - $delaySec + 3) AS INT) AS held,
             ns, COUNT(*) AS n, MAX(ts_packed) AS max_ts
           FROM eff, params GROUP BY 1, 2"""),
 

@@ -74,7 +74,10 @@ object Dedup {
   def minhashLsh(docs: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBandBucket: Int = 500): DataFrame = {
+    // One lineage cut: the signature table feeds banding AND both
+    // verification joins (same 3×-recompute trap as ngramJaccard).
     val sig = minhashSignatures(docs, id, text, shingleN, bands * rowsPerBand)
+      .localCheckpoint()
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*).as("sig"))
@@ -124,8 +127,12 @@ object Dedup {
     // Hash shingles to 60-bit longs up front: the inverted-index exchange
     // and the verification arrays carry fixed-width longs, not n-gram
     // strings (~8 bytes vs ~30+ per shingle at corpus scale).
+    // Hash the shingles ONCE: the set feeds the inverted index and both
+    // verification joins — without a lineage cut each subplan re-runs the
+    // full md5 sweep over the corpus (3× the dominant cost).
     val sh = docs.select(id.as("doc_id"),
       array_distinct(transform(shingles(text, shingleN), s => phash64(s))).as("s"))
+      .localCheckpoint()
     val ex = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
     // df-cutoff via a count window over the shingle partitioning: both
     // self-join inputs are the identical subplan, so the single

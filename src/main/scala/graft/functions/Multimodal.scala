@@ -112,6 +112,24 @@ object Multimodal {
         md5(col("norm").substr((col("frame_idx") * frameLen + 1).cast("int"), lit(frameLen))).as("frame_md5"),
         length(col("norm").substr((col("frame_idx") * frameLen + 1).cast("int"), lit(frameLen))).cast("bigint").as("frame_len"))
 
+  /** Resize analogue: halve the header dims and downsample the payload to
+    * every 2nd byte (the pixel-skip resample a real decoder would do per
+    * axis) — header parse, payload slice, and digest all on the binary
+    * column, pure codegen'd expressions.
+    */
+  def resize(withMedia: DataFrame): DataFrame = {
+    val payload = decode(substring(col("media"), HeaderLen + 1, Int.MaxValue), "UTF-8")
+    val ds = regexp_replace(payload, "(.).", "$1")
+    withMedia.select(
+      col("doc_id"),
+      ((conv(hex(substring(col("media"), 5, 2)), 16, 10).cast("bigint") + 1)
+        .divide(2)).cast("bigint").as("new_width"),
+      ((conv(hex(substring(col("media"), 7, 2)), 16, 10).cast("bigint") + 1)
+        .divide(2)).cast("bigint").as("new_height"),
+      length(ds).cast("bigint").as("ds_len"),
+      md5(ds.cast("binary")).as("ds_md5"))
+  }
+
   /** Decode step STUB — the real implementation needs an image/audio codec
     * library that is not in this container. The Spark-side contract is
     * real: batched per-partition iteration over (id, media) binary rows,

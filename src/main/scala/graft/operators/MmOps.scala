@@ -18,7 +18,8 @@ object MmOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> ((s, dir) => Multimodal.meta(media(s, dir))),
     "mm_near_dup" -> ((s, dir) => Multimodal.nearDup(media(s, dir))),
-    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(media(s, dir)))
+    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(media(s, dir))),
+    "mm_resize" -> ((s, dir) => Multimodal.resize(media(s, dir)))
   )
 
   /** Normalized payload — DuckDB mirror of [[Multimodal.normPayload]]
@@ -61,6 +62,14 @@ object MmOps {
             md5(substring(norm, CAST(i AS INT) * 32 + 1, 32)) AS frame_md5,
             CAST(length(substring(norm, CAST(i AS INT) * 32 + 1, 32)) AS BIGINT) AS frame_len
           FROM d, LATERAL (SELECT unnest(range((length(norm) - 1) // 32 + 1)) AS i)
-          WHERE i % 3 = 0"""
+          WHERE i % 3 = 0""",
+
+    "mm_resize" ->
+      """SELECT doc_id,
+           (16 + (doc_id * 7) % 1024 + 1) // 2 AS new_width,
+           (16 + (doc_id * 13) % 1024 + 1) // 2 AS new_height,
+           CAST(length(regexp_replace(text, '(.).', '\1', 'g')) AS BIGINT) AS ds_len,
+           md5(regexp_replace(text, '(.).', '\1', 'g')) AS ds_md5
+         FROM documents"""
   )
 }

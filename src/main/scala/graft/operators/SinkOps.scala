@@ -38,6 +38,13 @@ object SinkOps {
         .select(col("shard").cast("bigint").as("shard"), col("chunk"), col("tag"),
           col("compress"), col("n_logs"), col("total_len"), col("content_md5"))),
 
+    // K2's canonical-extended-JSON encoding (type-tagged numerics).
+    "sink_encode_extjson" -> ((s, dir) =>
+      filtered(s, dir)
+        .withColumn("payload_json", Envelope.payloadExtJson)
+        .select(col("event_id"), col("payload_json"),
+          md5(org.apache.spark.sql.functions.encode(col("payload_json"), "UTF-8")).as("payload_md5"))),
+
     // S5: frames decoded back to records — the codec must invert exactly.
     "sink_decode_roundtrip" -> ((s, dir) =>
       Envelope.decodeRoundtrip(
@@ -92,6 +99,15 @@ object SinkOps {
             CAST(SUM(octet_length(encode(payload_json))) AS BIGINT) AS total_len,
             md5(string_agg(payload_json, '' ORDER BY ts_packed, event_id)) AS content_md5
           FROM chunked GROUP BY shard, chunk"""),
+
+    "sink_encode_extjson" -> withOplog(
+      s""", enc AS (
+            SELECT event_id,
+              '{"ts":{"$$numberLong":"' || CAST(ts_packed AS VARCHAR) || '"},"op":"' || op
+              || '","ns":"' || ns || '","key":"' || doc_key || '","o":' || props
+              || ',"meta":{"g":"' || g || '"}}' AS payload_json
+            FROM oplog WHERE $chainSql)
+          SELECT event_id, payload_json, md5(payload_json) AS payload_md5 FROM enc"""),
 
     "sink_decode_roundtrip" -> withOplog(
       s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql"),

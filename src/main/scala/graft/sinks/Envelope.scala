@@ -40,6 +40,18 @@ object Envelope {
     lit("\",\"o\":"), col("props"),
     lit(",\"meta\":{\"g\":\""), col("g"), lit("\"}}"))
 
+  /** Canonical extended JSON payload (the reference's third tunnel
+    * encoding, `kafka_writer.go:147-153` `MarshalExtJSON(canonical)`):
+    * numeric BSON values carry their type tag.
+    */
+  val payloadExtJson: Column = concat(
+    lit("{\"ts\":{\"$numberLong\":\""), col("ts_packed").cast("string"),
+    lit("\"},\"op\":\""), col("op"),
+    lit("\",\"ns\":\""), col("ns"),
+    lit("\",\"key\":\""), col("doc_key"),
+    lit("\",\"o\":"), col("props"),
+    lit(",\"meta\":{\"g\":\""), col("g"), lit("\"}}"))
+
   /** A 32-bit int as 4 big-endian bytes (binary Column). */
   def int32be(c: Column): Column = unhex(lpad(hex(c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0"))
 

@@ -108,6 +108,33 @@ object Relational {
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))
+    }),
+
+    // Rollup hierarchy: one pass emits all grouping levels with a
+    // grouping id (Catalyst expands to a single shuffle).
+    "q8_rollup" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("gid"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Set algebra: customers active in both periods (intersect) and
+    // one-period-only (except) — plans as semi/anti hash joins.
+    "q9_setops" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val y96 = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val y97 = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val both = y96.intersect(y97).withColumn("kind", lit("both"))
+      val only96 = y96.except(y97).withColumn("kind", lit("only_1996"))
+      both.unionByName(only96)
+        .groupBy(col("kind")).agg(count(lit(1)).as("n_custs"))
     })
   )
 
@@ -156,6 +183,22 @@ object Relational {
          COUNT(DISTINCT l_partkey) AS n_parts,
          COUNT(DISTINCT l_suppkey) AS n_supps,
          COUNT(*) AS n_rows
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    "q8_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q9_setops" ->
+      """WITH y96 AS (SELECT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+           y97 AS (SELECT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+           tagged AS (
+             SELECT 'both' AS kind, o_custkey FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+             UNION ALL
+             SELECT 'only_1996', o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97))
+         SELECT kind, COUNT(*) AS n_custs FROM tagged GROUP BY kind"""
   )
 }

@@ -1,7 +1,6 @@
 package graft.apply
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.json4s.{JInt, JLong, JObject, JValue}
 
@@ -25,23 +24,25 @@ import graft.transform.UpdateSpec
   */
 object Replay {
 
-  val ord: Seq[Column] = Seq(col("ts_packed").desc, col("event_id").desc)
-
-  /** Last effective op per key (deletes included, carrying `op`) — one
-    * window pass that yields both the upsert delta (`op != 'd'`) and the
-    * touched-key set, so callers don't re-shuffle the batch for either.
+  /** Last effective op per key (deletes included, carrying `op`) — yields
+    * both the upsert delta (`op != 'd'`) and the touched-key set, so
+    * callers don't re-shuffle the batch for either.
+    *
+    * Shape: an argmax aggregation (`max` over a (ts, event_id, …) struct;
+    * the key prefix is unique, so the tail never decides), NOT a window —
+    * partial aggregation collapses each key map-side before the exchange,
+    * where a window would shuffle and sort every row. At 100 TB this is
+    * the difference between moving |keys| rows and moving the batch.
     */
-  def lastPerKey(oplog: DataFrame): DataFrame = {
-    val effective = oplog.filter(col("op").isin("i", "u", "d"))
-    val key = Window.partitionBy(col("ns"), col("doc_key"))
-    val w = key.orderBy(ord: _*)
-    effective
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_ops", count(lit(1)).over(key))
-      .filter(col("rn") === 1)
-      .select(col("ns"), col("doc_key"), col("op"), col("value").as("last_value"),
-        col("event_id").as("last_event_id"), col("n_ops"))
-  }
+  def lastPerKey(oplog: DataFrame): DataFrame =
+    oplog.filter(col("op").isin("i", "u", "d"))
+      .groupBy(col("ns"), col("doc_key"))
+      .agg(
+        max(struct(col("ts_packed"), col("event_id"), col("op"), col("value"))).as("m"),
+        count(lit(1)).as("n_ops"))
+      .select(col("ns"), col("doc_key"), col("m.op").as("op"),
+        col("m.value").as("last_value"), col("m.event_id").as("last_event_id"),
+        col("n_ops"))
 
   /** Materialize final per-document state from an effective-op stream. */
   def materialize(oplog: DataFrame): DataFrame =

@@ -59,6 +59,21 @@ object Hashers {
     if (hasUnique) "collection" else "id"
   }
 
+  /** Skew-salted equi-join: hot keys on the big side get a random-ish salt
+    * in [0, salts); the small side is replicated `salts`× so every salted
+    * partition finds its match. Use when one key carries a disproportionate
+    * share of a 100 TB exchange and AQE's skew split isn't available (e.g.
+    * the join feeds a window). The salt is derived from stable columns —
+    * deterministic, replay-safe.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltSource: Column, salts: Int): DataFrame = {
+    val salted = big.withColumn("_salt", pmod(phash64(saltSource), lit(salts.toLong)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** The per-key order contract: one shuffle on the routing key, then an
     * in-partition sort by oplog time. Downstream per-partition iteration
     * sees each key's records in total order — no global sort needed.

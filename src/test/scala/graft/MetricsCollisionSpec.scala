@@ -75,6 +75,22 @@ class MetricsCollisionSpec extends AnyFunSuite {
     assert(r.getInt(3) == "app.users_0".hashCode)
   }
 
+  test("skew salting: salted join equals the plain join, salt spreads a hot key") {
+    val big = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toLong))
+      .toDF("key", "v") // 90% of rows on one key
+    val dim = Seq(("hot", "H"), ("k901", "A"), ("k950", "B")).toDF("key", "tag")
+    val plain = big.join(dim, Seq("key")).select("key", "v", "tag")
+      .collect().toSet
+    val salted = Hashers.saltedJoin(big, dim, "key", col("v"), salts = 8)
+      .select("key", "v", "tag").collect().toSet
+    assert(salted == plain && plain.size == 902)
+    // the hot key's rows actually spread across salts
+    val spread = big.filter(col("key") === "hot")
+      .withColumn("s", pmod(graft.functions.Portable.phash64(col("v")), lit(8L)))
+      .select("s").distinct().count()
+    assert(spread > 1)
+  }
+
   test("X4: unique non-_id index forces by-namespace routing") {
     val cat1 = Seq(("app.u0", "_id_", true), ("app.u0", "email_1", true))
       .toDF("ns", "name", "unique")

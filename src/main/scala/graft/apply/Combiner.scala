@@ -6,18 +6,20 @@ import org.apache.spark.sql.functions._
 
 /** G2 LogsGroupCombiner (`executor/combiner.go:21-82`): run-length group
   * consecutive records with the same (ns, op) — in worker order — into
-  * bulk-write flush groups, capped at `maxGroupDocs` per group
-  * (`executor/executor.go:30-32` caps 1000 docs / 12 MB).
+  * bulk-write flush groups, capped at `maxGroupDocs` docs AND
+  * `maxGroupBytes` payload bytes per group (`executor/executor.go:30-32`:
+  * 1000 docs / 12 MB).
   *
   * Spark-first formulation: gaps-and-islands over a per-worker window.
-  * `island = running count of (ns,op) change points`; a run of length L
-  * flushes in ceil(L / cap) groups. This keeps the run-length semantics
-  * (vectorized bulk writes to the sink) while staying a pure plan — no
-  * mapPartitions, fully codegen'd.
+  * `island = running count of (ns,op) change points`; a run of L docs and
+  * B payload bytes flushes in max(ceil(L/docCap), ceil(B/byteCap)) groups
+  * — the minimum group count satisfying both caps (balanced splitting
+  * achieves it). Pure plan — no mapPartitions, fully codegen'd.
   */
 object Combiner {
 
-  def flushGroups(oplogWithWorker: DataFrame, maxGroupDocs: Int = 1000): DataFrame = {
+  def flushGroups(oplogWithWorker: DataFrame, maxGroupDocs: Int = 1000,
+      maxGroupBytes: Long = 12L * 1024 * 1024): DataFrame = {
     val seq = Window.partitionBy(col("worker"))
       .orderBy(col("ts_packed"), col("event_id"))
     val changed = when(
@@ -27,11 +29,15 @@ object Combiner {
       .withColumn("island",
         sum(changed).over(seq.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("worker"), col("island"), col("ns"), col("op"))
-      .agg(count(lit(1)).as("run_len"))
+      .agg(count(lit(1)).as("run_len"),
+        // RawSize annotation (P1): the payload's wire size.
+        sum(octet_length(col("props"))).as("run_bytes"))
       .groupBy(col("ns"), col("op"))
       .agg(
         count(lit(1)).as("n_runs"),
-        sum(ceil(col("run_len") / lit(maxGroupDocs))).as("n_flush_groups"),
+        sum(greatest(
+          ceil(col("run_len") / lit(maxGroupDocs)),
+          ceil(col("run_bytes") / lit(maxGroupBytes)))).as("n_flush_groups"),
         sum(col("run_len")).as("n_rows"),
         max(col("run_len")).as("max_run"))
   }

@@ -346,10 +346,12 @@ object Cdc {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
             FROM seq),
           runs AS (
-            SELECT worker, island, ns, op, COUNT(*) AS run_len
+            SELECT worker, island, ns, op, COUNT(*) AS run_len,
+              SUM(octet_length(encode(props))) AS run_bytes
             FROM isl GROUP BY 1, 2, 3, 4)
           SELECT ns, op, COUNT(*) AS n_runs,
-            CAST(SUM(CEIL(run_len / 1000.0)) AS BIGINT) AS n_flush_groups,
+            CAST(SUM(GREATEST(CEIL(run_len / 1000.0),
+              CEIL(run_bytes / 12582912.0))) AS BIGINT) AS n_flush_groups,
             CAST(SUM(run_len) AS BIGINT) AS n_rows, MAX(run_len) AS max_run
           FROM runs GROUP BY ns, op"""),
 

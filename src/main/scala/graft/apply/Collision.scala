@@ -19,12 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object Collision {
 
-  /** Assign `segment` per (worker, uk) occurrence rank (0-based). */
+  /** Assign `segment` per (worker, uk) occurrence rank (0-based). Ops
+    * with a null unique-key value touch no unique index and are mutually
+    * conflict-free — they all run in segment 0 (the reference only
+    * serializes ops sharing an actual index value,
+    * `collision_matrix.go:208-233`).
+    */
   def segments(batch: DataFrame, uk: Column): DataFrame =
     batch
       .withColumn("uk", uk)
       .withColumn("segment",
-        row_number().over(
-          Window.partitionBy(col("worker"), col("uk"))
-            .orderBy(col("ts_packed"), col("event_id"))) - 1)
+        when(col("uk").isNull, 0).otherwise(
+          row_number().over(
+            Window.partitionBy(col("worker"), col("uk"))
+              .orderBy(col("ts_packed"), col("event_id"))) - 1))
 }

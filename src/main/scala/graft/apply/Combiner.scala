@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * Spark-first formulation: gaps-and-islands over a per-worker window.
   * `island = running count of (ns,op) change points`; a run of L docs and
   * B payload bytes flushes in max(ceil(L/docCap), ceil(B/byteCap)) groups
-  * — the minimum group count satisfying both caps (balanced splitting
-  * achieves it). Pure plan — no mapPartitions, fully codegen'd.
+  * — the capacity lower bound on the group count (balanced splitting
+  * achieves it whenever no single doc exceeds byteCap/2; the reference's
+  * greedy chunker can exceed the bound for jumbo docs, so read this as a
+  * sizing metric, not a byte-exact replay of greedy boundaries). Pure
+  * plan — no mapPartitions, fully codegen'd.
   */
 object Combiner {
 

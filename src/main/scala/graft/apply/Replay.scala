@@ -48,6 +48,40 @@ object Replay {
   def materialize(oplog: DataFrame): DataFrame =
     lastPerKey(oplog).filter(col("op") =!= "d").drop("op")
 
+  /** Lazily fold a key-sorted row iterator: one live document of state,
+    * one emitted row per key as the key closes — O(1 doc) memory, never a
+    * partition-sized output buffer.
+    */
+  def foldSorted[R, O](rows: Iterator[R], keyOf: R => String,
+      step: (Option[JObject], R) => Option[JObject],
+      render: (String, JObject) => O): Iterator[O] = new Iterator[O] {
+    private var curKey: String = null
+    private var state: Option[JObject] = None
+    private var out: Option[O] = None
+    private def close(): Option[O] = {
+      val o = state.map(render(curKey, _))
+      state = None
+      o
+    }
+    private def advance(): Unit = {
+      while (out.isEmpty && rows.hasNext) {
+        val r = rows.next()
+        val k = keyOf(r)
+        if (k != curKey) {
+          out = close()
+          curKey = k
+        }
+        state = step(state, r)
+      }
+      if (out.isEmpty && !rows.hasNext) out = close()
+    }
+    override def hasNext: Boolean = { if (out.isEmpty) advance(); out.nonEmpty }
+    override def next(): O = {
+      if (!hasNext) throw new NoSuchElementException
+      val o = out.get; out = None; o
+    }
+  }
+
   /** Full update-spec replay (W1-W4 with document mutation, not just
     * last-write-wins): per-key ordered fold applying MongoDB-style specs
     * via [[UpdateSpec]].
@@ -79,31 +113,23 @@ object Replay {
         case JLong(l) => l
         case _ => 0L
       }
-      // Contiguous-key state machine: one live document at a time; the
-      // output buffer holds one row per key in this partition (the same
-      // memory class as a hash aggregate over the partition's keys).
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-      var curKey: String = null
-      var state: Option[JObject] = None
-      def flush(): Unit = state.foreach { doc =>
-        out += ((curKey, asLong(doc \ "k"), asLong(doc \ "v")))
-      }
-      it.foreach { case (key, op, _, props, cents) =>
-        if (key != curKey) { flush(); curKey = key; state = None }
-        val k = asLong(UpdateSpec.parse(props) \ "k")
-        op match {
-          case "i" => state = Some(JObject(List("k" -> JLong(k), "v" -> JLong(cents))))
-          case "u" =>
-            val doc = state.getOrElse(JObject(Nil))
-            val spec = JObject(List(
-              "$set" -> JObject(List("k" -> JLong(k))),
-              "$inc" -> JObject(List("v" -> JLong(cents)))))
-            state = Some(UpdateSpec.applySpec(doc, spec))
-          case "d" => state = None
-        }
-      }
-      flush()
-      out.iterator
+      // Contiguous-key state machine: one live document at a time, rows
+      // emitted lazily as each key closes.
+      foldSorted[(String, String, Long, String, Long), (String, Long, Long)](
+        it, _._1,
+        { case (state, (_, op, _, props, cents)) =>
+          val k = asLong(UpdateSpec.parse(props) \ "k")
+          op match {
+            case "i" => Some(JObject(List("k" -> JLong(k), "v" -> JLong(cents))))
+            case "u" =>
+              val doc = state.getOrElse(JObject(Nil))
+              Some(UpdateSpec.applySpec(doc, JObject(List(
+                "$set" -> JObject(List("k" -> JLong(k))),
+                "$inc" -> JObject(List("v" -> JLong(cents)))))))
+            case _ => None
+          }
+        },
+        (key, doc) => (key, asLong(doc \ "k"), asLong(doc \ "v")))
     }.toDF("doc_key", "k_final", "v_cents")
   }
 
@@ -130,35 +156,31 @@ object Replay {
       .sortWithinPartitions(col("doc_key"), col("ts_packed"))
       .as[(String, String, Long, Long, Long, Long)]
     sorted.mapPartitions { it =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-      var curKey: String = null
-      var state: Option[JObject] = None
-      def flush(): Unit = state.foreach { doc =>
-        val tags = (doc \ "tags") match {
-          case org.json4s.JArray(items) => items
-          case _ => Nil
-        }
-        out += ((curKey, UpdateSpec.render2Json(org.json4s.JArray(tags)), tags.size.toLong))
-      }
-      it.foreach { case (key, op, _, eventId, k, cents) =>
-        if (key != curKey) { flush(); curKey = key; state = None }
-        op match {
-          case "i" =>
-            state = Some(JObject(List("tags" -> org.json4s.JArray(List(JLong(k))))))
-          case "u" =>
-            val doc = state.getOrElse(JObject(Nil))
-            val spec =
-              if (eventId % 2 == 0)
-                JObject(List("$push" -> JObject(List("tags" ->
-                  JObject(List("$each" -> org.json4s.JArray(List(JLong(cents % 97)))))))))
-              else
-                JObject(List("$pull" -> JObject(List("tags" -> JLong(cents % 7)))))
-            state = Some(UpdateSpec.applySpec(doc, spec))
-          case "d" => state = None
-        }
-      }
-      flush()
-      out.iterator
+      foldSorted[(String, String, Long, Long, Long, Long), (String, String, Long)](
+        it, _._1,
+        { case (state, (_, op, _, eventId, k, cents)) =>
+          op match {
+            case "i" =>
+              Some(JObject(List("tags" -> org.json4s.JArray(List(JLong(k))))))
+            case "u" =>
+              val doc = state.getOrElse(JObject(Nil))
+              val spec =
+                if (eventId % 2 == 0)
+                  JObject(List("$push" -> JObject(List("tags" ->
+                    JObject(List("$each" -> org.json4s.JArray(List(JLong(cents % 97)))))))))
+                else
+                  JObject(List("$pull" -> JObject(List("tags" -> JLong(cents % 7)))))
+              Some(UpdateSpec.applySpec(doc, spec))
+            case _ => None
+          }
+        },
+        (key, doc) => {
+          val tags = (doc \ "tags") match {
+            case org.json4s.JArray(items) => items
+            case _ => Nil
+          }
+          (key, UpdateSpec.render2Json(org.json4s.JArray(tags)), tags.size.toLong)
+        })
     }.toDF("doc_key", "tags_json", "n_tags")
   }
 

@@ -80,4 +80,20 @@ object Oplog {
        CASE WHEN event_id % 97 = 0 THEN 'ext' ELSE '' END AS g,
        value, props, false AS from_migrate
        FROM events"""
+
+  /** Keep-chain WHERE fragment of the verified pipeline configuration
+    * (gids = {""}, whitelist `app.users_*`, blacklist `app.users_3`) —
+    * mirrors `OplogFilters.chain`. Single source for every oracle that
+    * filters the corpus; a drift here would desynchronize all of them at
+    * once (and loudly), instead of one of three copies silently.
+    */
+  val oracleChainSql: String =
+    """op <> 'n' AND g IN ('')
+       AND (db NOT IN ('admin','local','config','mongoshake','mongoshake_conflict') OR ns = 'admin.$cmd')
+       AND regexp_matches(ns, '^app\.users_[0-9]+$')
+       AND NOT regexp_matches(ns, '^app\.users_3$')
+       AND NOT from_migrate"""
+
+  /** Prefix an oracle body with the canonical corpus CTE. */
+  def withOracleCte(body: String): String = s"WITH oplog AS ($oracleCte) $body"
 }

@@ -247,12 +247,7 @@ object Cdc {
   )
 
   /** Keep-chain WHERE fragment — mirrors [[OplogFilters.chain]]. */
-  private val chainSql: String =
-    """op <> 'n' AND g IN ('')
-       AND (db NOT IN ('admin','local','config','mongoshake','mongoshake_conflict') OR ns = 'admin.$cmd')
-       AND regexp_matches(ns, '^app\.users_[0-9]+$')
-       AND NOT regexp_matches(ns, '^app\.users_3$')
-       AND NOT from_migrate"""
+  private val chainSql: String = Oplog.oracleChainSql
 
   /** X3 routing expression — mirrors [[Hashers.workerWhitelist]]. */
   private val workerSql: String =
@@ -260,8 +255,7 @@ object Cdc {
         WHEN coll IN ('users_1') THEN ${phash64Sql("doc_key")} % 8
         ELSE ${phash64Sql("ns")} % 8 END"""
 
-  private def withOplog(body: String): String =
-    s"WITH oplog AS (${Oplog.oracleCte}) $body"
+  private def withOplog(body: String): String = Oplog.withOracleCte(body)
 
   /** DuckDB mirror of [[EventNormalizer.unsetJson]]. */
   private val unsetJsonSql: String =

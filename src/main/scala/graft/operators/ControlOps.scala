@@ -47,15 +47,9 @@ object ControlOps {
     })
   )
 
-  private val chainSql: String =
-    """op <> 'n' AND g IN ('')
-       AND (db NOT IN ('admin','local','config','mongoshake','mongoshake_conflict') OR ns = 'admin.$cmd')
-       AND regexp_matches(ns, '^app\.users_[0-9]+$')
-       AND NOT regexp_matches(ns, '^app\.users_3$')
-       AND NOT from_migrate"""
+  private val chainSql: String = Oplog.oracleChainSql
 
-  private def withOplog(body: String): String =
-    s"WITH oplog AS (${Oplog.oracleCte}) $body"
+  private def withOplog(body: String): String = Oplog.withOracleCte(body)
 
   def oracles: Map[String, String] = Map(
     "cdc_delay_holdback" -> withOplog(

@@ -54,12 +54,7 @@ object SinkOps {
     "sink_conflicts" -> ((s, dir) => Envelope.conflicts(filtered(s, dir)))
   )
 
-  private val chainSql: String =
-    """op <> 'n' AND g IN ('')
-       AND (db NOT IN ('admin','local','config','mongoshake','mongoshake_conflict') OR ns = 'admin.$cmd')
-       AND regexp_matches(ns, '^app\.users_[0-9]+$')
-       AND NOT regexp_matches(ns, '^app\.users_3$')
-       AND NOT from_migrate"""
+  private val chainSql: String = Oplog.oracleChainSql
 
   /** Java `String.hashCode` folded over UTF-8 code units, then pmod —
     * DuckDB mirror of [[graft.plans.JavaStringHash]] + `pmod`.
@@ -75,8 +70,7 @@ object SinkOps {
     """'{"ts":' || CAST(ts_packed AS VARCHAR) || ',"op":"' || op || '","ns":"' || ns
        || '","key":"' || doc_key || '","o":' || props || ',"meta":{"g":"' || g || '"}}'"""
 
-  private def withOplog(body: String): String =
-    s"WITH oplog AS (${Oplog.oracleCte}) $body"
+  private def withOplog(body: String): String = Oplog.withOracleCte(body)
 
   def oracles: Map[String, String] = Map(
     "sink_encode" -> withOplog(

@@ -68,7 +68,10 @@ object Hashers {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltSource: Column, salts: Int): DataFrame = {
-    val salted = big.withColumn("_salt", pmod(phash64(saltSource), lit(salts.toLong)))
+    // null salt source → salt 0, not a null salt that would silently drop
+    // the row from the equi-join.
+    val salted = big.withColumn("_salt",
+      pmod(coalesce(phash64(saltSource), lit(0L)), lit(salts.toLong)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -70,25 +70,27 @@ object FileSink {
   def read(spark: SparkSession, path: String): Seq[Block] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val len = fs.getFileStatus(p).getLen
-    val in = fs.open(p)
+    val fileLen = fs.getFileStatus(p).getLen
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(p)))
+    // Streaming block-at-a-time read: a tunnel file is an append log and
+    // can exceed 2 GB — memory here is one block (≤ the 1024-log frame
+    // cap), never the file.
     try {
-      val all = new Array[Byte](len.toInt)
-      in.readFully(0, all)
-      val bb = ByteBuffer.wrap(all).order(ByteOrder.BIG_ENDIAN)
-      require(bb.getLong == FileMagic, "file tunnel: bad magic")
-      require(bb.getInt == FileProtocol, "file tunnel: bad protocol")
-      bb.position(32)
+      require(in.readLong() == FileMagic, "file tunnel: bad magic")
+      require(in.readInt() == FileProtocol, "file tunnel: bad protocol")
+      in.skipBytes(32 - 12)
+      var consumed = 32L
       val blocks = Seq.newBuilder[Block]
-      while (bb.hasRemaining) {
-        val checksum = bb.getInt.toLong & 0xFFFFFFFFL
-        val tag = bb.getInt
-        val shard = bb.getInt
-        val compress = bb.getInt
-        require(bb.getInt == BlockMarker, "file tunnel: bad block marker")
-        val bodyLen = bb.getInt
+      while (consumed < fileLen) {
+        val checksum = in.readInt().toLong & 0xFFFFFFFFL
+        val tag = in.readInt()
+        val shard = in.readInt()
+        val compress = in.readInt()
+        require(in.readInt() == BlockMarker, "file tunnel: bad block marker")
+        val bodyLen = in.readInt()
         val rawBody = new Array[Byte](bodyLen)
-        bb.get(rawBody)
+        in.readFully(rawBody)
+        consumed += 24L + bodyLen
         val body =
           if (compress == Envelope.CompressDeflate) Envelope.inflate(rawBody) else rawBody
         val bodyBuf = ByteBuffer.wrap(body).order(ByteOrder.BIG_ENDIAN)

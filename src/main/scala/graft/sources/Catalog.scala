@@ -43,6 +43,9 @@ object Catalog {
   def collStats(spark: SparkSession, dir: String, db: String,
       white: Seq[String] = Nil, black: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
+    // events.parquet carries TIMESTAMP(NANOS); Spark 4 rejects it unless
+    // read as long. Set here — never rely on another query having run.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     listCollections(spark, dir, db, white, black).map { case (t, _) =>
       val rows = spark.read.parquet(s"$dir/$t.parquet").count()
       (s"$db.$t", rows)

@@ -130,11 +130,16 @@ object IncrSync {
     * re-projected to canonical rows (then re-filtered — the reference
     * ns-filters exploded ops in the executor transform too).
     */
+  /** @param txnTtlMs TTL for orphaned partial-transaction state (the
+    *   production default; a partial chain whose commit never arrives is
+    *   purged instead of living in the state store forever).
+    */
   def startOplog(spark: SparkSession, sourceDir: String, targetDir: String,
       checkpointDir: String,
       gids: Seq[String] = Seq(""),
       white: Seq[String] = Seq("^app\\..*$"),
-      black: Seq[String] = Nil): StreamingQuery = {
+      black: Seq[String] = Nil,
+      txnTtlMs: Long = TxnAssembler.DefaultTxnTtlMs): StreamingQuery = {
     import spark.implicits._
     val stream = spark.readStream.schema(oplogSchema).parquet(sourceDir)
       .withColumn("db", substring_index(col("ns"), ".", 1))
@@ -158,7 +163,7 @@ object IncrSync {
     // T1/T2/T3: classify, buffer, release on commit with patched ts.
     val entries = TxnAssembler.classifyEntries(
       stream.filter(isTxnEntry).withColumn("seq", col("event_id")))
-    val inner = TxnAssembler.assemble(entries, ttlMs = 0)
+    val inner = TxnAssembler.assemble(entries, ttlMs = txnTtlMs)
     val innerRows = inner
       .select(get_json_object(col("op"), "$.event_id").cast("long").as("event_id"),
         col("ts").as("ts_packed"),

@@ -71,6 +71,13 @@ object UpdateSpec {
   /** Normalized v2 diff as a classic update-spec document; a lone array
     * resize renders as the reference's `$slice` pipeline form (a JSON
     * array), which [[applySpecJson]] dispatches on.
+    *
+    * Reference-parity note: when a resize is present, the reference
+    * returns the pipeline IMMEDIATELY, silently discarding any entries at
+    * other nesting levels (`oplog.go:330-335` propagates the pipeline up
+    * without merging the parent's accumulated result) and erroring only
+    * on same-level entries that precede the `l`. We reproduce exactly
+    * that, order-dependence included — locked by a golden test.
     */
   def normalizeV2Spec(specJson: String): String = {
     val spec = parse(specJson)
@@ -245,14 +252,23 @@ object UpdateSpec {
       case (d, ("$pull", JObject(fields))) =>
         fields.foldLeft(d) { (acc, kv) =>
           val path = kv._1.split('.').toList
-          setPath(acc, path, JArray(curArray(acc, path).filterNot(pullMatches(kv._2))))
+          getPath(acc, path) match {
+            // MongoDB: $pull on a missing field is a no-op (it never
+            // creates the array).
+            case JArray(items) =>
+              setPath(acc, path, JArray(items.filterNot(pullMatches(kv._2))))
+            case _ => acc
+          }
         }
       case (d, ("$pop", JObject(fields))) =>
         fields.foldLeft(d) { (acc, kv) =>
           val path = kv._1.split('.').toList
-          val cur = curArray(acc, path)
-          val next = if (asDouble(kv._2) < 0) cur.drop(1) else cur.dropRight(1)
-          setPath(acc, path, JArray(next))
+          getPath(acc, path) match {
+            case JArray(items) =>
+              val next = if (asDouble(kv._2) < 0) items.drop(1) else items.dropRight(1)
+              setPath(acc, path, JArray(next))
+            case _ => acc // MongoDB: $pop on a missing field is a no-op
+          }
         }
       case (d, _) => d
     }

@@ -35,6 +35,12 @@ class MetricsCollisionSpec extends AnyFunSuite {
     }.toDF("event_id", "ts_packed", "op", "doc_key", "ukv")
       .withColumn("worker", lit(0))
     val seg = Collision.segments(rows, col("ukv"))
+    // ops with NO unique-key value are mutually conflict-free: segment 0
+    val nullable = rows.withColumn("ukv",
+      when(col("event_id") <= 20, col("ukv")).otherwise(lit(null)))
+    val nullSegs = Collision.segments(nullable, col("ukv"))
+      .filter(col("uk").isNull).select("segment").distinct().collect().map(_.getInt(0)).toSeq
+    assert(nullSegs == Seq(0))
     // invariant: (worker, segment, uk) unique
     val dup = seg.groupBy("worker", "segment", "uk").count().filter(col("count") > 1)
     assert(dup.isEmpty)

@@ -142,7 +142,11 @@ class StreamingSpec extends AnyFunSuite {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(Row.fromTuple)), IncrSync.oplogSchema)
       .coalesce(1).write.parquet(srcDir)
-    val q = IncrSync.startOplog(spark, srcDir, s"$work/target", s"$work/ckpt")
+    // txnTtlMs = 0: a processing-time TTL schedules no-data batches to
+    // expire state, which never terminates under AvailableNow test
+    // drivers (see TxnAssembler.assemble's doc); production keeps the
+    // default TTL on its continuous trigger.
+    val q = IncrSync.startOplog(spark, srcDir, s"$work/target", s"$work/ckpt", txnTtlMs = 0)
     q.awaitTermination()
     val state = IncrSync.readOrEmpty(spark, s"$work/target/state")
       .select("ns", "doc_key", "last_event_id").as[(String, String, Long)].collect().toSet

@@ -79,6 +79,24 @@ class UpdateSpecSpec extends AnyFunSuite {
     }
   }
 
+  test("v2 l with sibling-level entries: pipeline wins, siblings dropped (reference parity, oplog.go:330-335)") {
+    // The reference propagates the $slice pipeline up immediately,
+    // discarding entries at other nesting levels without error — locked
+    // here so a future 'fix' is a conscious divergence decision.
+    val spec = UpdateSpec.normalizeV2Spec(
+      """{"$v":2,"diff":{"u":{"x":1},"sarr":{"a":true,"l":2}}}""")
+    assert(j(spec) == j("""[{"$set":{"arr":{"$slice":["$arr",2]}}}]"""))
+  }
+
+  test("$pull/$pop on a missing or non-array field are no-ops (MongoDB parity)") {
+    val g1 = UpdateSpec.applySpecJson("""{"_id":1}""", """{"$pull":{"tags":3}}""")
+    assert(j(g1) == j("""{"_id":1}"""))
+    val g2 = UpdateSpec.applySpecJson("""{"_id":1}""", """{"$pop":{"tags":1}}""")
+    assert(j(g2) == j("""{"_id":1}"""))
+    val g3 = UpdateSpec.applySpecJson("""{"tags":5}""", """{"$pull":{"tags":5}}""")
+    assert(j(g3) == j("""{"tags":5}""")) // non-array value untouched
+  }
+
   test("array element set/unset through numeric paths: pad with null, unset nulls in place") {
     val got = UpdateSpec.applySpecJson(
       """{"a":[1,2]}""", """{"$set":{"a.4":9,"a.0":7}}""")

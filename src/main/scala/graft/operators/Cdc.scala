@@ -112,8 +112,11 @@ object Cdc {
         expr("percentile(ts_packed, 0.25)").cast("long"),
         expr("percentile(ts_packed, 0.50)").cast("long"),
         expr("percentile(ts_packed, 0.75)").cast("long")).head()
-      val bounds = Seq(Long.MinValue, cuts.getLong(0), cuts.getLong(1),
-        cuts.getLong(2), Long.MaxValue)
+      // Empty input → null percentiles → one empty batch, not an NPE.
+      val bounds =
+        if (cuts.isNullAt(0)) Seq(Long.MinValue, Long.MaxValue)
+        else Seq(Long.MinValue, cuts.getLong(0), cuts.getLong(1),
+          cuts.getLong(2), Long.MaxValue)
       // 16 buckets at test scale (a state-table layout parameter — the
       // mechanics are bucket-count-independent; production sizes it to
       // keep bucket size under executor memory).
@@ -463,8 +466,9 @@ object Cdc {
               CAST(json_extract_string(props, '$$.k') AS BIGINT) % 13 AS uk
             FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
           seg AS (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY worker, uk
-              ORDER BY ts_packed, event_id) - 1 AS segment
+            SELECT *, CASE WHEN uk IS NULL THEN 0 ELSE
+              ROW_NUMBER() OVER (PARTITION BY worker, uk
+                ORDER BY ts_packed, event_id) - 1 END AS segment
             FROM eff)
           SELECT worker, CAST(segment AS INT) AS segment, COUNT(*) AS n_ops,
             COUNT(DISTINCT uk) AS n_keys, MAX(ts_packed) AS max_ts

@@ -29,28 +29,29 @@ object Envelope {
   val MsgPersistent = 0x00001000
   val MsgStorageBackend = 0x00010000
 
-  /** Canonical JSON payload (P9 LogEntryEncode analogue, key order fixed;
-    * includes the P11 `{g: gid}` metadata field).
+  /** The op/ns/key/o/meta tail shared by every payload encoding — one
+    * definition so the json and extended-json forms cannot drift apart.
     */
-  val payloadJson: Column = concat(
-    lit("{\"ts\":"), col("ts_packed").cast("string"),
+  private def payloadTail: Seq[Column] = Seq(
     lit(",\"op\":\""), col("op"),
     lit("\",\"ns\":\""), col("ns"),
     lit("\",\"key\":\""), col("doc_key"),
     lit("\",\"o\":"), col("props"),
     lit(",\"meta\":{\"g\":\""), col("g"), lit("\"}}"))
 
+  /** Canonical JSON payload (P9 LogEntryEncode analogue, key order fixed;
+    * includes the P11 `{g: gid}` metadata field).
+    */
+  val payloadJson: Column = concat(
+    (Seq(lit("{\"ts\":"), col("ts_packed").cast("string")) ++ payloadTail): _*)
+
   /** Canonical extended JSON payload (the reference's third tunnel
     * encoding, `kafka_writer.go:147-153` `MarshalExtJSON(canonical)`):
     * numeric BSON values carry their type tag.
     */
   val payloadExtJson: Column = concat(
-    lit("{\"ts\":{\"$numberLong\":\""), col("ts_packed").cast("string"),
-    lit("\"},\"op\":\""), col("op"),
-    lit("\",\"ns\":\""), col("ns"),
-    lit("\",\"key\":\""), col("doc_key"),
-    lit("\",\"o\":"), col("props"),
-    lit(",\"meta\":{\"g\":\""), col("g"), lit("\"}}"))
+    (Seq(lit("{\"ts\":{\"$numberLong\":\""), col("ts_packed").cast("string"),
+      lit("\"}")) ++ payloadTail): _*)
 
   /** A 32-bit int as 4 big-endian bytes (binary Column). */
   def int32be(c: Column): Column = unhex(lpad(hex(c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0"))

@@ -150,14 +150,44 @@ object IncrSync {
       (get_json_object(o, "$.applyOps").isNotNull ||
         get_json_object(o, "$.commitTransaction").isNotNull ||
         get_json_object(o, "$.abortTransaction").isNotNull)
+    // Non-session applyOps (no lsid): an ATOMIC batch — its inner ops
+    // apply immediately, they are not barriers (`txn_meta.go:35-60`
+    // routes only session entries to the buffer).
+    val isAtomicApply = col("op") === "c" && col("lsid").isNull &&
+      get_json_object(o, "$.applyOps").isNotNull
 
-    val keep = OplogFilters.chain(gids, white, black) || col("op") === "c"
+    // Commands bypass the ns whitelist (their effective ns is extracted
+    // downstream) but NOT the gid/migrate guards — a foreign-gid or
+    // chunk-migration DDL must never replay locally (F2/F7).
+    val cmdKeep = col("op") === "c" && col("g").isin(gids: _*) && !col("from_migrate")
+    val keep = OplogFilters.chain(gids, white, black) || cmdKeep
     val outCols = Seq("event_id", "ts_packed", "op", "ns", "doc_key", "value", "props")
 
     // Plain DML + DDL barriers (command body becomes the barrier props).
-    val plain = stream.filter(!isTxnEntry).filter(keep)
+    val plain = stream.filter(!isTxnEntry && !isAtomicApply).filter(keep)
       .withColumn("props", when(col("op") === "c", coalesce(o, col("props")))
         .otherwise(col("props")))
+      .select(outCols.map(col): _*)
+
+    // Atomic applyOps: explode inner ops in place, original ts; each
+    // inner op re-enters the filter chain on its real namespace.
+    val atomicRows = stream.filter(isAtomicApply).filter(cmdKeep)
+      .select(col("ts_packed").as("outer_ts"),
+        explode(from_json(get_json_object(o, "$.applyOps"),
+          ArrayType(StringType))).as("payload"))
+      .select(
+        get_json_object(col("payload"), "$.event_id").cast("long").as("event_id"),
+        col("outer_ts").as("ts_packed"),
+        get_json_object(col("payload"), "$.op").as("op"),
+        get_json_object(col("payload"), "$.ns").as("ns"),
+        get_json_object(col("payload"), "$.doc_key").as("doc_key"),
+        get_json_object(col("payload"), "$.value").cast("double").as("value"),
+        col("payload").as("props"))
+      .withColumn("db", substring_index(col("ns"), ".", 1))
+      .withColumn("coll", substring_index(col("ns"), ".", -1))
+      .withColumn("g", lit(""))
+      .withColumn("from_migrate", lit(false))
+      .filter(OplogFilters.chain(gids, white, black))
       .select(outCols.map(col): _*)
 
     // T1/T2/T3: classify, buffer, release on commit with patched ts.
@@ -171,7 +201,9 @@ object IncrSync {
         get_json_object(col("op"), "$.ns").as("ns"),
         get_json_object(col("op"), "$.doc_key").as("doc_key"),
         get_json_object(col("op"), "$.value").cast("double").as("value"),
-        lit("{}").as("props"))
+        // the inner op's own body rides as props — the traffic counter
+        // and any update-spec replay see the real payload, not "{}"
+        col("op").as("props"))
       .withColumn("db", substring_index(col("ns"), ".", 1))
       .withColumn("coll", substring_index(col("ns"), ".", -1))
       .withColumn("g", lit(""))
@@ -181,7 +213,8 @@ object IncrSync {
 
     // G7: in-plan per-batch counters, surfaced in every query-progress
     // event (zero extra passes — the metrics ride the union pre-sink).
-    graft.metrics.Metrics.observedStream(plain.unionByName(innerRows)).writeStream
+    graft.metrics.Metrics.observedStream(
+      plain.unionByName(atomicRows).unionByName(innerRows)).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -137,7 +137,11 @@ class StreamingSpec extends AnyFunSuite {
       (40L, 600L, "c", "app.$cmd", "", 0.0, """{"drop":"u0"}""", "", false,
         null.asInstanceOf[String], null.asInstanceOf[java.lang.Long], """{"drop":"u0"}"""),
       (50L, 700L, "i", "app.u0", "k4", 4.0, """{"k":4}""", "", false,
-        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long], null.asInstanceOf[String]))
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long], null.asInstanceOf[String]),
+      // non-session (atomic) applyOps: inner ops apply immediately
+      (60L, 800L, "c", "admin.$cmd", "", 0.0, null, "", false,
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long],
+        s"""{"applyOps":[${innerOp(60, "i", "app.u0", "k5", 6.0)}]}"""))
     val srcDir = s"$work/oplog_src"
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(Row.fromTuple)), IncrSync.oplogSchema)
@@ -150,12 +154,13 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination()
     val state = IncrSync.readOrEmpty(spark, s"$work/target/state")
       .select("ns", "doc_key", "last_event_id").as[(String, String, Long)].collect().toSet
-    assert(state == Set(("app.u1", "k3", 21L), ("app.u0", "k4", 50L)))
+    assert(state == Set(("app.u1", "k3", 21L), ("app.u0", "k4", 50L),
+      ("app.u0", "k5", 60L)))
     // G7: the observed counters rode the stream into query progress
     val om = q.recentProgress.flatMap(p =>
       Option(p.observedMetrics.get(graft.metrics.Metrics.MetricsName))).lastOption
     assert(om.isDefined)
-    assert(om.get.getAs[Long]("n_insert") == 4L) // k1, k2, k3, k4
+    assert(om.get.getAs[Long]("n_insert") == 5L) // k1..k5
     assert(om.get.getAs[Long]("n_command") == 1L) // the drop barrier
   }
 

@@ -46,6 +46,18 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("distributed txn: prepared partials release on the commitTransaction marker") {
+    import graft.streaming.TxnAssembler.{foldEntries, TxnEntry, TxnKey}
+    val key = TxnKey("d1", 9L)
+    val chain = Seq(
+      TxnEntry("d1", 9L, 0, "partial", Seq("p0", "p1"), 100L), // prepared
+      TxnEntry("d1", 9L, 1, "commit", Nil, 200L)) // commitTransaction marker
+    val (buf, out) = foldEntries(key, chain, Nil)
+    assert(buf.isEmpty)
+    assert(out.map(o => (o.idx, o.op, o.ts)) ==
+      Seq((0, "p0", 199L), (1, "p1", 200L))) // T3 patch: last keeps commit ts
+  }
+
   test("T2 classifier derives kind from the command body (txn_meta.go semantics)") {
     val rows = Seq(
       // (lsid, txn_number, seq, op, o, ts_packed)

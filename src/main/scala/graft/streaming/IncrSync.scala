@@ -130,16 +130,23 @@ object IncrSync {
     * re-projected to canonical rows (then re-filtered — the reference
     * ns-filters exploded ops in the executor transform too).
     */
-  /** @param txnTtlMs TTL for orphaned partial-transaction state (the
-    *   production default; a partial chain whose commit never arrives is
-    *   purged instead of living in the state store forever).
+  /** @param txnTtlMs TTL for orphaned partial-transaction state on a
+    *   continuous trigger (a partial chain whose commit never arrives is
+    *   purged instead of living in the state store forever). Forced to 0
+    *   under AvailableNow: a processing-time timeout schedules no-data
+    *   batches to expire state, which a drain-style run never reaches —
+    *   the query would simply not terminate.
+    * @param trigger AvailableNow (drain) by default; pass a
+    *   ProcessingTime trigger for a continuous tail.
     */
   def startOplog(spark: SparkSession, sourceDir: String, targetDir: String,
       checkpointDir: String,
       gids: Seq[String] = Seq(""),
       white: Seq[String] = Seq("^app\\..*$"),
       black: Seq[String] = Nil,
-      txnTtlMs: Long = TxnAssembler.DefaultTxnTtlMs): StreamingQuery = {
+      txnTtlMs: Long = TxnAssembler.DefaultTxnTtlMs,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val effectiveTtlMs = if (trigger == Trigger.AvailableNow()) 0L else txnTtlMs
     import spark.implicits._
     val stream = spark.readStream.schema(oplogSchema).parquet(sourceDir)
       .withColumn("db", substring_index(col("ns"), ".", 1))
@@ -193,7 +200,7 @@ object IncrSync {
     // T1/T2/T3: classify, buffer, release on commit with patched ts.
     val entries = TxnAssembler.classifyEntries(
       stream.filter(isTxnEntry).withColumn("seq", col("event_id")))
-    val inner = TxnAssembler.assemble(entries, ttlMs = txnTtlMs)
+    val inner = TxnAssembler.assemble(entries, ttlMs = effectiveTtlMs)
     val innerRows = inner
       .select(get_json_object(col("op"), "$.event_id").cast("long").as("event_id"),
         col("ts").as("ts_packed"),
@@ -216,7 +223,7 @@ object IncrSync {
     graft.metrics.Metrics.observedStream(
       plain.unionByName(atomicRows).unionByName(innerRows)).writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, targetDir, batchId)
       }

@@ -184,6 +184,75 @@ object Replay {
     }.toDF("doc_key", "tags_json", "n_tags")
   }
 
+  /** Extended update-spec replay (W3's wider vocabulary: $mul, $min, $max,
+    * $rename, $addToSet, $pop and positional `$[]` paths — operators the
+    * reference ships to the MongoDB server verbatim
+    * (`executor/db_writer_bulk.go:118-232`); a self-contained engine
+    * implements them in [[UpdateSpec.applySpec]]).
+    *
+    * Op semantics over the corpus (mirrored in the DuckDB oracle as a
+    * recursive-CTE fold):
+    *   i → replace document with {v: cents, m: k, arr: [k%5, (k+1)%5]}
+    *   d → delete
+    *   u → by event_id % 7:
+    *     0: {$mul:{v:-1}}            (sign flip — bounded, exercises $mul)
+    *     1: {$min:{v:cents}}         2: {$max:{v:cents}}
+    *     3: {$rename:{m:"m2"}}       (no-op when m is absent)
+    *     4: {$addToSet:{arr:k%5}}    (creates the array when absent)
+    *     5: {$pop:{arr:1}}           (drop last; no-op when absent)
+    *     6: {$mul:{"arr.$[]":-1}}    (positional fan-out over all elements)
+    * Same physical shape as [[applyOps]]: one shuffle on the key,
+    * secondary sort, contiguous-key fold holding one document of state.
+    */
+  def applyOps2(oplog: DataFrame): DataFrame = {
+    import org.json4s.{JArray, JString}
+    val spark = oplog.sparkSession
+    import spark.implicits._
+    val eff = oplog.filter(col("op").isin("i", "u", "d"))
+      .select(col("doc_key"), col("op"), col("ts_packed"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        expr("cast(get_json_object(props, '$.k') as bigint)").as("k"))
+    val sorted = eff.repartition(col("doc_key"))
+      .sortWithinPartitions(col("doc_key"), col("ts_packed"))
+      .as[(String, String, Long, Long, Long, Long)]
+    sorted.mapPartitions { it =>
+      def optLong(v: JValue): Option[Long] = v match {
+        case JInt(i) => Some(i.toLong)
+        case JLong(l) => Some(l)
+        case _ => None
+      }
+      foldSorted[(String, String, Long, Long, Long, Long),
+          (String, Option[Long], Option[Long], Option[Long], Option[String])](
+        it, _._1,
+        { case (state, (_, op, _, eventId, cents, k)) =>
+          op match {
+            case "i" => Some(JObject(List(
+              "v" -> JLong(cents), "m" -> JLong(k),
+              "arr" -> JArray(List(JLong(k % 5), JLong((k + 1) % 5))))))
+            case "u" =>
+              val doc = state.getOrElse(JObject(Nil))
+              val spec = (eventId % 7) match {
+                case 0 => JObject(List("$mul" -> JObject(List("v" -> JInt(-1)))))
+                case 1 => JObject(List("$min" -> JObject(List("v" -> JLong(cents)))))
+                case 2 => JObject(List("$max" -> JObject(List("v" -> JLong(cents)))))
+                case 3 => JObject(List("$rename" -> JObject(List("m" -> JString("m2")))))
+                case 4 => JObject(List("$addToSet" -> JObject(List("arr" -> JLong(k % 5)))))
+                case 5 => JObject(List("$pop" -> JObject(List("arr" -> JInt(1)))))
+                case _ => JObject(List("$mul" -> JObject(List("arr.$[]" -> JInt(-1)))))
+              }
+              Some(UpdateSpec.applySpec(doc, spec))
+            case _ => None
+          }
+        },
+        (key, doc) => (key,
+          optLong(doc \ "v"), optLong(doc \ "m"), optLong(doc \ "m2"),
+          (doc \ "arr") match {
+            case a: JArray => Some(UpdateSpec.render2Json(a))
+            case _ => None
+          }))
+    }.toDF("doc_key", "v_final", "m_final", "m2_final", "arr_json")
+  }
+
   /** G4/G6 checkpoint aggregation (`collector/checkpoint.go:149-199`,
     * `common/db_opertion.go:127-232`): the checkpoint is the minimum acked
     * ts across workers; also surfaces each worker's newest ts and volume.

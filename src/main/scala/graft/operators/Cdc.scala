@@ -85,6 +85,11 @@ object Cdc {
     // replace/$set+$inc/delete specs through the JSON document algebra.
     "cdc_update_apply" -> ((s, dir) => Replay.applyOps(filtered(s, dir))),
 
+    // W3 extended vocabulary: $mul/$min/$max/$rename/$addToSet/$pop and
+    // positional $[] replay through the document algebra; the oracle folds
+    // the same op sequence with a DuckDB list_reduce lambda.
+    "cdc_update_ops2" -> ((s, dir) => Replay.applyOps2(filtered(s, dir))),
+
     // W3 array surface: $push/$pull sequential replay through the same
     // document algebra (v2 array semantics, oplog.go:281-392). The oracle
     // is the closed form: an element survives iff no matching pull lands
@@ -371,6 +376,59 @@ object Cdc {
                         WHERE e.doc_key = a.doc_key AND e.op = 'u'
                           AND (a.bts IS NULL OR e.ts_packed > a.bts)), 0) AS BIGINT) AS v_cents
           FROM agg a WHERE a.last_op <> 'd'"""),
+
+    // NOTE: the per-key fold is a RECURSIVE CTE, not list_reduce — DuckDB
+    // 1.0's list_reduce corrupts struct+list accumulators when evaluated
+    // over multiple groups (verified: single-group runs fold correctly,
+    // the full table bleeds state across keys).
+    "cdc_update_ops2" -> withOplog(
+      s""", eff AS (
+            SELECT doc_key, op, ts_packed, event_id AS e,
+              CAST(round(value * 100) AS BIGINT) AS c,
+              CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          eff2 AS (
+            SELECT doc_key, op, e, c, k,
+              ROW_NUMBER() OVER (PARTITION BY doc_key ORDER BY ts_packed, e) AS rn
+            FROM eff)
+          SELECT doc_key, v AS v_final, m AS m_final, m2 AS m2_final,
+            CASE WHEN arr IS NULL THEN NULL
+              -- array_to_string([]) is NULL in DuckDB 1.0, hence COALESCE
+              ELSE '[' || COALESCE(array_to_string(arr, ','), '') || ']' END AS arr_json
+          FROM (
+            WITH RECURSIVE fold AS (
+              SELECT doc_key, 0 AS rn, false AS present,
+                CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS m,
+                CAST(NULL AS BIGINT) AS m2, CAST(NULL AS BIGINT[]) AS arr
+              FROM (SELECT DISTINCT doc_key FROM eff2)
+              UNION ALL
+              SELECT x.doc_key, x.rn,
+                x.op <> 'd' AS present,
+                CASE WHEN x.op = 'i' THEN x.c WHEN x.op = 'd' THEN NULL
+                  ELSE CASE x.e % 7
+                    WHEN 0 THEN COALESCE(f.v, 0) * -1
+                    WHEN 1 THEN CASE WHEN f.v IS NULL OR x.c < f.v THEN x.c ELSE f.v END
+                    WHEN 2 THEN CASE WHEN f.v IS NULL OR x.c > f.v THEN x.c ELSE f.v END
+                    ELSE f.v END END AS v,
+                CASE WHEN x.op = 'i' THEN x.k WHEN x.op = 'd' THEN NULL
+                  WHEN x.e % 7 = 3 THEN NULL ELSE f.m END AS m,
+                CASE WHEN x.op IN ('i','d') THEN NULL
+                  WHEN x.e % 7 = 3 AND f.m IS NOT NULL THEN f.m ELSE f.m2 END AS m2,
+                CASE WHEN x.op = 'i' THEN [x.k % 5, (x.k + 1) % 5]
+                  WHEN x.op = 'd' THEN NULL
+                  ELSE CASE x.e % 7
+                    WHEN 4 THEN CASE WHEN f.arr IS NULL THEN [x.k % 5]
+                      WHEN list_contains(f.arr, x.k % 5) THEN f.arr
+                      ELSE list_append(f.arr, x.k % 5) END
+                    WHEN 5 THEN CASE WHEN f.arr IS NULL OR len(f.arr) = 0 THEN f.arr
+                      ELSE f.arr[1:len(f.arr) - 1] END
+                    WHEN 6 THEN CASE WHEN f.arr IS NULL THEN f.arr
+                      ELSE list_transform(f.arr, y -> y * -1) END
+                    ELSE f.arr END END AS arr
+              FROM fold f JOIN eff2 x ON x.doc_key = f.doc_key AND x.rn = f.rn + 1)
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_key ORDER BY rn DESC) AS rk
+            FROM fold) t
+          WHERE t.rk = 1 AND t.present"""),
 
     "cdc_update_arrays" -> withOplog(
       s""", eff AS (

@@ -183,6 +183,12 @@ object Envelope {
     var n = nFromHead
     val out = Seq.newBuilder[Array[Byte]]
     while (n > 0) {
+      // The header's log count is untrusted input: a count larger than the
+      // payloads actually present must fail with the codec's own framing
+      // error, not a BufferUnderflowException from getInt/get.
+      require(bb.remaining() >= 4,
+        s"truncated message body: header claims $nFromHead logs, " +
+          s"body exhausted with $n remaining")
       val len = bb.getInt
       require(len >= 0 && len <= bb.remaining(), s"oplogs in msg offset is invalid: $len")
       val p = new Array[Byte](len)

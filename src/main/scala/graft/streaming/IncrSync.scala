@@ -198,8 +198,13 @@ object IncrSync {
       .select(outCols.map(col): _*)
 
     // T1/T2/T3: classify, buffer, release on commit with patched ts.
+    // Session entries take the same gid/migrate guard as atomicRows and
+    // plain commands (F2/F7): a foreign-gid or chunk-migration transaction
+    // must be dropped BEFORE assembly — its inner ops are re-stamped
+    // g=''/from_migrate=false below, so this is the only gate they cross.
     val entries = TxnAssembler.classifyEntries(
-      stream.filter(isTxnEntry).withColumn("seq", col("event_id")))
+      stream.filter(isTxnEntry && col("g").isin(gids: _*) && !col("from_migrate"))
+        .withColumn("seq", col("event_id")))
     val inner = TxnAssembler.assemble(entries, ttlMs = effectiveTtlMs)
     val innerRows = inner
       .select(get_json_object(col("op"), "$.event_id").cast("long").as("event_id"),

@@ -44,8 +44,9 @@ object Transforms {
     * rules. A DBRef is identified by its FIRST key being `$ref` (BSON key
     * order is significant, SURVEY.md §1.3); the referenced ns is
     * `($db | enclosing db).$ref`, rewritten through [[nsTransformStr]],
-    * and `$db` is appended when the rewrite moves the reference across
-    * databases.
+    * and `$db` is always set to the rewritten db after a rewrite
+    * (appended when absent) — the reference's TransformDBRef does this
+    * unconditionally, whether or not the db actually changed.
     *
     * Document algebra (json4s, order-preserving) — applied inside the
     * per-record transform stage like the reference's executor.

@@ -47,7 +47,6 @@ object UpdateSpec {
     def path(k: String) = if (prefix.isEmpty) k else s"$prefix.$k"
     var sets = List.empty[(String, JValue)]
     var unsets = List.empty[String]
-    var resize = Option.empty[ArrayResize]
     diff.obj.foreach {
       case ("d", JObject(fields)) => unsets ++= fields.map { case (k, _) => path(k) }
       case ("i", JObject(fields)) => sets ++= fields.map { case (k, v) => path(k) -> v }
@@ -56,16 +55,24 @@ object UpdateSpec {
       case ("l", v) =>
         require(sets.isEmpty && unsets.isEmpty,
           s"v2 diff: 'l' must be the only entry at prefix '$prefix'")
-        resize = Some(ArrayResize(prefix, asDouble(v).toLong))
+        // The reference returns the pipeline the moment it builds one —
+        // nothing scanned after this point contributes (early return,
+        // `oplog.go:330-335`).
+        return (Nil, Nil, Some(ArrayResize(prefix, asDouble(v).toLong)))
       case (k, sub: JObject) if k.startsWith("s") && k.length > 1 =>
         val (s2, u2, r2) = normalizeV2(sub, path(k.drop(1)))
-        sets ++= s2; unsets ++= u2
-        resize = resize.orElse(r2)
+        // A nested resize propagates up IMMEDIATELY, discarding entries
+        // accumulated at this level and skipping the rest of the scan —
+        // the reference's early return, order dependence included.
+        r2 match {
+          case Some(r) => return (Nil, Nil, Some(r))
+          case None => sets ++= s2; unsets ++= u2
+        }
       case (k, v) if k.startsWith("u") && k.length > 1 =>
         sets :+= path(k.drop(1)) -> v
       case _ => ()
     }
-    (sets, unsets, resize)
+    (sets, unsets, None)
   }
 
   /** Normalized v2 diff as a classic update-spec document; a lone array
@@ -166,12 +173,62 @@ object UpdateSpec {
     case _ => 0.0
   }
 
+  private def asBig(v: JValue): Option[BigDecimal] = v match {
+    case JInt(i) => Some(BigDecimal(i))
+    case JLong(l) => Some(BigDecimal(l))
+    case JDouble(d) => Some(BigDecimal(d))
+    case JDecimal(d) => Some(d)
+    case _ => None
+  }
+
+  /** BSON-style equality: numerics compare by value across types (5 ==
+    * 5.0 == 5L, as MongoDB's $pull/$addToSet matching does); everything
+    * else falls back to structural equality.
+    */
+  private def jEq(a: JValue, b: JValue): Boolean = (asBig(a), asBig(b)) match {
+    case (Some(x), Some(y)) => x == y // Scala BigDecimal == is scale-insensitive
+    case _ => a == b
+  }
+
+  /** BSON type-bracket rank for cross-type $min/$max comparison
+    * (null < numbers < string < object < array < boolean — the slice of
+    * the BSON total order these documents can hold).
+    */
+  private def typeRank(v: JValue): Int = v match {
+    case JNull | JNothing => 0
+    case JInt(_) | JLong(_) | JDouble(_) | JDecimal(_) => 1
+    case JString(_) => 2
+    case JObject(_) => 3
+    case JArray(_) => 4
+    case JBool(_) => 5
+  }
+
+  /** BSON-style total-order comparison for $min/$max: numeric by value,
+    * same-type lexicographic/boolean, cross-type by type bracket.
+    */
+  private def jCompare(a: JValue, b: JValue): Int = (asBig(a), asBig(b)) match {
+    case (Some(x), Some(y)) => x.compare(y)
+    case _ => (a, b) match {
+      case (JString(x), JString(y)) => x.compareTo(y)
+      case (JBool(x), JBool(y)) => x.compareTo(y)
+      case _ => typeRank(a).compareTo(typeRank(b))
+    }
+  }
+
   private def numAdd(a: JValue, b: JValue): JValue = (a, b) match {
     case (JInt(x), JInt(y)) => JInt(x + y)
     case (JLong(x), JLong(y)) => JLong(x + y)
     case (JInt(x), JLong(y)) => JLong(x.toLong + y)
     case (JLong(x), JInt(y)) => JLong(x + y.toLong)
     case _ => JDouble(asDouble(a) + asDouble(b))
+  }
+
+  private def numMul(a: JValue, b: JValue): JValue = (a, b) match {
+    case (JInt(x), JInt(y)) => JInt(x * y)
+    case (JLong(x), JLong(y)) => JLong(x * y)
+    case (JInt(x), JLong(y)) => JLong(x.toLong * y)
+    case (JLong(x), JInt(y)) => JLong(x * y.toLong)
+    case _ => JDouble(asDouble(a) * asDouble(b))
   }
 
   private def getPath(doc: JObject, path: List[String]): JValue =
@@ -186,6 +243,48 @@ object UpdateSpec {
       case JArray(items) => items
       case _ => Nil
     }
+
+  /** Expand positional segments in a dotted path against the current
+    * document: `$[]` fans out to one concrete (numeric-index) path per
+    * element of the array at that point; `$` resolves to the first
+    * element (this engine replays without the query predicate the server
+    * would use to pick the match, so "first element" is the documented
+    * resolution — the reference never sees positional paths at all, the
+    * server resolves them before the oplog; a self-contained engine must
+    * take a stance). Either form is a no-op when the path up to it does
+    * not hold a non-empty array. Paths with no positional segments pass
+    * through untouched as a single concrete path.
+    */
+  def expandPositional(doc: JObject, path: List[String]): List[List[String]] = {
+    def go(node: JValue, rem: List[String], acc: List[String]): List[List[String]] = rem match {
+      case Nil => List(acc.reverse)
+      case "$[]" :: rest => node match {
+        case JArray(items) =>
+          items.indices.toList.flatMap(i => go(items(i), rest, i.toString :: acc))
+        case _ => Nil
+      }
+      case "$" :: rest => node match {
+        case JArray(items) if items.nonEmpty => go(items.head, rest, "0" :: acc)
+        case _ => Nil
+      }
+      case seg :: rest =>
+        val child = node match {
+          case JArray(items) if isIndex(seg) =>
+            if (seg.toInt < items.length) items(seg.toInt) else JNothing
+          case o: JObject => o \ seg
+          case _ => JNothing
+        }
+        go(child, rest, seg :: acc)
+    }
+    go(doc, path, Nil)
+  }
+
+  /** Concrete paths for one update-spec entry (positional-aware). */
+  private def targetPaths(doc: JObject, dotted: String): List[List[String]] = {
+    val segs = dotted.split('.').toList
+    if (segs.exists(s => s == "$" || s == "$[]")) expandPositional(doc, segs)
+    else List(segs)
+  }
 
   /** `$push` argument: plain value, or `{$each:[…]}` with optional `$slice`
     * modifier (negative keeps the last |n| elements, MongoDB semantics).
@@ -209,65 +308,123 @@ object UpdateSpec {
     */
   private def pullMatches(cond: JValue)(x: JValue): Boolean = cond match {
     case o: JObject if (o \ "$in") != JNothing =>
-      (o \ "$in") match { case JArray(xs) => xs.contains(x); case v => v == x }
-    case v => v == x
+      (o \ "$in") match { case JArray(xs) => xs.exists(jEq(_, x)); case v => jEq(v, x) }
+    case v => jEq(v, x)
   }
 
-  /** Apply a classic update spec ({$set, $unset, $inc, $push, $addToSet,
-    * $pull, $pop}) to a document. Unknown top-level keys without a $ prefix
-    * mean "replace document" (MongoDB replace-update semantics, W3's
-    * replace dispatch — reference `executor/db_writer_bulk.go:118-232`).
+  /** Apply a classic update spec ({$set, $unset, $inc, $mul, $min, $max,
+    * $rename, $push, $addToSet, $pull, $pop}, positional `$`/`$[]` paths)
+    * to a document. Unknown top-level keys without a $ prefix mean
+    * "replace document" (MongoDB replace-update semantics, W3's replace
+    * dispatch — reference `executor/db_writer_bulk.go:118-232`; the
+    * operator vocabulary beyond what the reference ships to the server is
+    * implemented here because this engine IS the server).
     */
   def applySpec(doc: JObject, spec: JObject): JObject = {
     val isOperatorSpec = spec.obj.forall(_._1.startsWith("$"))
     if (!isOperatorSpec) return spec // replace
     spec.obj.foldLeft(doc) {
       case (d, ("$set", JObject(fields))) =>
-        fields.foldLeft(d)((acc, kv) => setPath(acc, kv._1.split('.').toList, kv._2))
+        fields.foldLeft(d) { (acc, kv) =>
+          targetPaths(acc, kv._1).foldLeft(acc)((a, p) => setPath(a, p, kv._2))
+        }
       case (d, ("$unset", JObject(fields))) =>
-        fields.foldLeft(d)((acc, kv) => unsetPath(acc, kv._1.split('.').toList))
+        fields.foldLeft(d) { (acc, kv) =>
+          targetPaths(acc, kv._1).foldLeft(acc)((a, p) => unsetPath(a, p))
+        }
       case (d, ("$inc", JObject(fields))) =>
         fields.foldLeft(d) { (acc, kv) =>
-          val path = kv._1.split('.').toList
-          val cur = getPath(acc, path) match {
-            case JNothing | JNull => JInt(0)
-            case v => v
+          targetPaths(acc, kv._1).foldLeft(acc) { (a, path) =>
+            val cur = getPath(a, path) match {
+              case JNothing | JNull => JInt(0)
+              case v => v
+            }
+            setPath(a, path, numAdd(cur, kv._2))
           }
-          setPath(acc, path, numAdd(cur, kv._2))
+        }
+      case (d, ("$mul", JObject(fields))) =>
+        fields.foldLeft(d) { (acc, kv) =>
+          targetPaths(acc, kv._1).foldLeft(acc) { (a, path) =>
+            // Missing field: MongoDB creates it as zero of the result
+            // type — numMul(0, multiplier) yields exactly that.
+            val cur = getPath(a, path) match {
+              case JNothing | JNull => JInt(0)
+              case v => v
+            }
+            setPath(a, path, numMul(cur, kv._2))
+          }
+        }
+      case (d, ("$min", JObject(fields))) =>
+        fields.foldLeft(d) { (acc, kv) =>
+          targetPaths(acc, kv._1).foldLeft(acc) { (a, path) =>
+            getPath(a, path) match {
+              case JNothing | JNull => setPath(a, path, kv._2)
+              case cur => if (jCompare(kv._2, cur) < 0) setPath(a, path, kv._2) else a
+            }
+          }
+        }
+      case (d, ("$max", JObject(fields))) =>
+        fields.foldLeft(d) { (acc, kv) =>
+          targetPaths(acc, kv._1).foldLeft(acc) { (a, path) =>
+            getPath(a, path) match {
+              case JNothing | JNull => setPath(a, path, kv._2)
+              case cur => if (jCompare(kv._2, cur) > 0) setPath(a, path, kv._2) else a
+            }
+          }
+        }
+      case (d, ("$rename", JObject(fields))) =>
+        fields.foldLeft(d) { (acc, kv) =>
+          val from = kv._1.split('.').toList
+          getPath(acc, from) match {
+            case JNothing => acc // missing source: no-op
+            case v =>
+              val to = kv._2 match {
+                case JString(s) => s.split('.').toList
+                case _ => from
+              }
+              setPath(unsetPath(acc, from), to, v)
+          }
         }
       case (d, ("$push", JObject(fields))) =>
         fields.foldLeft(d) { (acc, kv) =>
-          val path = kv._1.split('.').toList
-          val (vals, slice) = pushValues(kv._2)
-          val next = curArray(acc, path) ++ vals
-          setPath(acc, path, JArray(slice.fold(next)(applySlice(next, _))))
+          targetPaths(acc, kv._1).foldLeft(acc) { (a, path) =>
+            val (vals, slice) = pushValues(kv._2)
+            val next = curArray(a, path) ++ vals
+            setPath(a, path, JArray(slice.fold(next)(applySlice(next, _))))
+          }
         }
       case (d, ("$addToSet", JObject(fields))) =>
         fields.foldLeft(d) { (acc, kv) =>
-          val path = kv._1.split('.').toList
-          val (vals, _) = pushValues(kv._2)
-          val cur = curArray(acc, path)
-          setPath(acc, path, JArray(cur ++ vals.filterNot(cur.contains).distinct))
+          targetPaths(acc, kv._1).foldLeft(acc) { (a, path) =>
+            val (vals, _) = pushValues(kv._2)
+            val cur = curArray(a, path)
+            val added = vals.foldLeft(List.empty[JValue]) { (out, v) =>
+              if (cur.exists(jEq(_, v)) || out.exists(jEq(_, v))) out else out :+ v
+            }
+            setPath(a, path, JArray(cur ++ added))
+          }
         }
       case (d, ("$pull", JObject(fields))) =>
         fields.foldLeft(d) { (acc, kv) =>
-          val path = kv._1.split('.').toList
-          getPath(acc, path) match {
-            // MongoDB: $pull on a missing field is a no-op (it never
-            // creates the array).
-            case JArray(items) =>
-              setPath(acc, path, JArray(items.filterNot(pullMatches(kv._2))))
-            case _ => acc
+          targetPaths(acc, kv._1).foldLeft(acc) { (a, path) =>
+            getPath(a, path) match {
+              // MongoDB: $pull on a missing field is a no-op (it never
+              // creates the array).
+              case JArray(items) =>
+                setPath(a, path, JArray(items.filterNot(pullMatches(kv._2))))
+              case _ => a
+            }
           }
         }
       case (d, ("$pop", JObject(fields))) =>
         fields.foldLeft(d) { (acc, kv) =>
-          val path = kv._1.split('.').toList
-          getPath(acc, path) match {
-            case JArray(items) =>
-              val next = if (asDouble(kv._2) < 0) items.drop(1) else items.dropRight(1)
-              setPath(acc, path, JArray(next))
-            case _ => acc // MongoDB: $pop on a missing field is a no-op
+          targetPaths(acc, kv._1).foldLeft(acc) { (a, path) =>
+            getPath(a, path) match {
+              case JArray(items) =>
+                val next = if (asDouble(kv._2) < 0) items.drop(1) else items.dropRight(1)
+                setPath(a, path, JArray(next))
+              case _ => a // MongoDB: $pop on a missing field is a no-op
+            }
           }
         }
       case (d, _) => d

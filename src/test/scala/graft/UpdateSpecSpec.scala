@@ -201,6 +201,69 @@ class UpdateSpecSpec extends AnyFunSuite {
     assert(kept == want && kept.nonEmpty && kept.size < 200)
   }
 
+  test("nested resize beats a later same-diff l: first pipeline found propagates (oplog.go:330-335)") {
+    // A nested s-field that yields a resize returns IMMEDIATELY — a later
+    // 'l' at the outer level must not overwrite the nested pipeline's path.
+    val spec = UpdateSpec.normalizeV2Spec(
+      """{"$v":2,"diff":{"sA":{"a":true,"l":3},"l":5}}""")
+    assert(j(spec) == j("""[{"$set":{"A":{"$slice":["$A",3]}}}]"""))
+  }
+
+  test("$pull and $addToSet match numerics across JSON numeric types (BSON numeric equality)") {
+    // Spec parses 5 as JInt; a programmatically-built doc may hold 5.0.
+    val g1 = UpdateSpec.applySpecJson("""{"a":[5.0,2,3.0]}""", """{"$pull":{"a":5}}""")
+    assert(j(g1) == j("""{"a":[2,3.0]}"""))
+    val g2 = UpdateSpec.applySpecJson(
+      """{"a":[1.0,2]}""", """{"$pull":{"a":{"$in":[2.0,9]}}}""")
+    assert(j(g2) == j("""{"a":[1.0]}"""))
+    val g3 = UpdateSpec.applySpecJson("""{"a":[2.0]}""", """{"$addToSet":{"a":2}}""")
+    assert(j(g3) == j("""{"a":[2.0]}""")) // 2 == 2.0 → not re-added
+  }
+
+  test("$rename moves values through dotted paths; missing source is a no-op") {
+    val g1 = UpdateSpec.applySpecJson(
+      """{"a":{"b":7},"keep":1}""", """{"$rename":{"a.b":"c.d"}}""")
+    assert(j(g1) == j("""{"a":{},"keep":1,"c":{"d":7}}"""))
+    val g2 = UpdateSpec.applySpecJson("""{"x":1}""", """{"$rename":{"gone":"y"}}""")
+    assert(j(g2) == j("""{"x":1}"""))
+  }
+
+  test("$mul multiplies preserving integer types; missing field becomes typed zero") {
+    val g1 = UpdateSpec.applySpecJson("""{"v":6}""", """{"$mul":{"v":7}}""")
+    assert(j(g1) \ "v" == JInt(42))
+    val g2 = UpdateSpec.applySpecJson("""{"v":4}""", """{"$mul":{"v":2.5}}""")
+    assert(j(g2) \ "v" == JDouble(10.0))
+    val g3 = UpdateSpec.applySpecJson("""{}""", """{"$mul":{"v":3}}""")
+    assert(j(g3) \ "v" == JInt(0)) // created as zero
+  }
+
+  test("$min/$max: update only when the comparison says so; missing field is set") {
+    val g1 = UpdateSpec.applySpecJson("""{"v":5}""", """{"$min":{"v":3},"$max":{"w":9}}""")
+    assert(j(g1) \ "v" == JInt(3) && j(g1) \ "w" == JInt(9))
+    val g2 = UpdateSpec.applySpecJson("""{"v":5}""", """{"$min":{"v":8}}""")
+    assert(j(g2) \ "v" == JInt(5)) // 8 not < 5 → untouched
+    val g3 = UpdateSpec.applySpecJson("""{"v":5.0}""", """{"$max":{"v":6}}""")
+    assert(j(g3) \ "v" == JInt(6)) // cross-numeric-type compare
+    val g4 = UpdateSpec.applySpecJson("""{"s":"mango"}""", """{"$min":{"s":"apple"}}""")
+    assert(j(g4) \ "s" == JString("apple"))
+  }
+
+  test("positional $[] fans out to every element; $ resolves to the first") {
+    val g1 = UpdateSpec.applySpecJson(
+      """{"a":[{"x":1},{"x":2}]}""", """{"$set":{"a.$[].x":9}}""")
+    assert(j(g1) == j("""{"a":[{"x":9},{"x":9}]}"""))
+    val g2 = UpdateSpec.applySpecJson(
+      """{"a":[{"x":1},{"x":2}]}""", """{"$inc":{"a.$.x":10}}""")
+    assert(j(g2) == j("""{"a":[{"x":11},{"x":2}]}"""))
+    // positional over a missing/non-array path is a no-op, never creates
+    val g3 = UpdateSpec.applySpecJson("""{"b":1}""", """{"$set":{"a.$[].x":9}}""")
+    assert(j(g3) == j("""{"b":1}"""))
+    // $mul through $[] touches every element independently
+    val g4 = UpdateSpec.applySpecJson(
+      """{"a":[{"v":2},{"v":3}]}""", """{"$mul":{"a.$[].v":10}}""")
+    assert(j(g4) == j("""{"a":[{"v":20},{"v":30}]}"""))
+  }
+
   test("applyOps: i/u/d fold with $inc accumulation and upsert-on-update") {
     val rows = Seq(
       // (event_id, ts_packed, op, db, coll, ns, doc_key, g, value, from_migrate, props)

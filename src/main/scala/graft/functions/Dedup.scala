@@ -155,23 +155,31 @@ object Dedup {
 
   // --- SimHash -------------------------------------------------------------
 
-  /** 32-bit SimHash signature (doc_id, simhash:long): bit i of the
-    * signature is the sign of Σ_shingles (2·bit_i(h32(s)) - 1).
+  /** SimHash signature width: phash64 yields 60-bit longs (15 hex chars),
+    * so the signature uses all 60 — wide enough that 4 bands give 15 bits
+    * (32,768 buckets) each.
+    */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands
+
+  /** 60-bit SimHash signature (doc_id, simhash:long): bit i of the
+    * signature is the sign of Σ_shingles (2·bit_i(h(s)) - 1).
     *
-    * Shape: one explode to (doc_id, h32) — the shingle hash is computed
-    * once — then a single codegen'd hash aggregate with 32 sum columns
+    * Shape: one explode to (doc_id, h) — the shingle hash is computed
+    * once — then a single codegen'd hash aggregate with 60 sum columns
     * (one per bit), and a final projection packing the signature. No
-    * 32×-per-shingle row explosion (the naive shape) and no interpreted
+    * 60×-per-shingle row explosion (the naive shape) and no interpreted
     * higher-order array folds (lambda `aggregate` is not codegen'd and
     * benches 3× slower here).
     */
   def simhashSig(docs: DataFrame, id: Column, text: Column, shingleN: Int = 3): DataFrame = {
     val sh = docs.select(id.as("doc_id"), explode(shingles(text, shingleN)).as("shingle"))
-      .select(col("doc_id"), (phash64(col("shingle")) % lit(4294967296L)).as("h32"))
-    val bitSums = (0 until 32).map { bit =>
-      sum(when(shiftright(col("h32"), bit) % 2 === 1, 1L).otherwise(-1L)).as(s"v$bit")
+      .select(col("doc_id"), phash64(col("shingle")).as("h"))
+    val bitSums = (0 until SimhashBits).map { bit =>
+      sum(when(shiftright(col("h"), bit) % 2 === 1, 1L).otherwise(-1L)).as(s"v$bit")
     }
-    val simhash = (0 until 32).map { bit =>
+    val simhash = (0 until SimhashBits).map { bit =>
       when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce(_ + _)
     sh.groupBy(col("doc_id"))
@@ -179,20 +187,38 @@ object Dedup {
       .select(col("doc_id"), simhash.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: byte-band blocking (pairs agreeing on any of
-    * the 4 signature bytes are candidates), verified by Hamming distance.
+  /** SimHash near-dup pairs: 15-bit-band blocking (pairs agreeing on any
+    * of the 4 signature bands are candidates), verified by Hamming
+    * distance.
+    *
+    * Scale shape: 32,768 buckets per band (vs 256 with byte bands — at
+    * 1B docs a byte band held ~1M docs and the self-join went quadratic),
+    * and buckets larger than `maxBandBucket` are dropped before the
+    * self-join, the same quadratic-blowup guard as [[minhashLsh]]. With
+    * md5-derived shingle hashes the signature bits are i.i.d., so
+    * contiguous bands block as well as permuted ones. A true near-dup
+    * pair with Hamming ≤ 4 disagrees in ≤4 bits, which can corrupt at
+    * most 4 of the 4 bands only when each hits a different band — with 4
+    * spread bits the pair still agrees on some band with P ≥ 1 - (no
+    * shared clean band), and dropped-bucket pairs resurface through their
+    * other bands.
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
-      shingleN: Int = 3, maxHamming: Int = 4): DataFrame = {
+      shingleN: Int = 3, maxHamming: Int = 4, maxBandBucket: Int = 500): DataFrame = {
     val sig = simhashSig(docs, id, text, shingleN)
     val banded = sig.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("byte", expr("shiftright(simhash, band * 8) % 256"))
-    val a = banded.select(col("band"), col("byte"),
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+      .withColumn("bkt",
+        expr(s"shiftright(simhash, band * $SimhashBandBits) % ${1 << SimhashBandBits}"))
+    val bounded = banded
+      .withColumn("bkt_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkt"))))
+      .filter(col("bkt_n") <= maxBandBucket)
+    val a = bounded.select(col("band"), col("bkt"),
       col("doc_id").as("doc_a"), col("simhash").as("ha"))
-    val b = banded.select(col("band"), col("byte"),
+    val b = bounded.select(col("band"), col("bkt"),
       col("doc_id").as("doc_b"), col("simhash").as("hb"))
-    a.join(b, Seq("band", "byte"))
+    a.join(b, Seq("band", "bkt"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))

@@ -59,12 +59,18 @@ object Similarity {
 
   /** All pairs above a similarity threshold within a blocking key (the
     * embedding-cosine near-dup operator). Blocking bounds the join size;
-    * at scale the block key is a coarse cluster / LSH bucket.
+    * at scale the block key is a coarse cluster / LSH bucket. Blocks
+    * larger than `maxBlock` are dropped BEFORE the self-join — the same
+    * quadratic-blowup guard as [[annLshTop1]]: one caller-provided skewed
+    * block (a degenerate cluster, a catch-all label) would otherwise go
+    * O(n²) on its own.
     */
   def thresholdPairs(embs: DataFrame, id: Column, emb: Column,
-      block: Column, threshold: Double): DataFrame = {
+      block: Column, threshold: Double, maxBlock: Int = 10000): DataFrame = {
     val p = embs.select(id.as("vec_id"), block.as("blk"), quantize(emb).as("v"))
       .withColumn("nrm", sqNorm(col("v")))
+      .withColumn("blk_n", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .filter(col("blk_n") <= maxBlock)
     val a = p.select(col("blk"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = p.select(col("blk"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))

@@ -171,23 +171,29 @@ object TextOps {
       s"""WITH sh AS (SELECT doc_id, unnest(s) AS shingle
             FROM (SELECT doc_id, ${shingleSql(3)} AS s
                   FROM (SELECT doc_id, $toks AS t FROM documents))),
-          hb AS (SELECT doc_id, ${phash64Sql("shingle")} % 4294967296 AS h32 FROM sh),
+          hb AS (SELECT doc_id, ${phash64Sql("shingle")} AS h FROM sh),
           bits AS (
             SELECT doc_id, bit,
-              SUM(CASE WHEN (h32 >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS v
-            FROM hb, (SELECT unnest(generate_series(0, 31)) AS bit)
+              SUM(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS v
+            FROM hb, (SELECT unnest(generate_series(0, ${Dedup.SimhashBits - 1})) AS bit)
             GROUP BY 1, 2),
           sig AS (
             SELECT doc_id,
               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
             FROM bits GROUP BY 1),
           banded AS (
-            SELECT doc_id, simhash, band, (simhash >> (band * 8)) % 256 AS byte
-            FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)),
+            SELECT doc_id, simhash, band,
+              (simhash >> (band * ${Dedup.SimhashBandBits})) % ${1 << Dedup.SimhashBandBits} AS bkt
+            FROM sig, (SELECT unnest(generate_series(0, ${Dedup.SimhashBands - 1})) AS band)),
+          bounded AS (
+            SELECT * FROM (
+              SELECT doc_id, simhash, band, bkt,
+                COUNT(*) OVER (PARTITION BY band, bkt) AS bkt_n
+              FROM banded) WHERE bkt_n <= 500),
           pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-            FROM banded a JOIN banded b ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id)
+            FROM bounded a JOIN bounded b ON a.band = b.band AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
           SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 4"""
   )
 }

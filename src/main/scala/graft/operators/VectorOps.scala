@@ -83,11 +83,15 @@ object VectorOps {
           WHERE rank <= 5""",
 
     "sim_threshold_pairs" ->
-      s"""WITH $prepCte
+      s"""WITH $prepCte,
+          bounded AS (
+            SELECT * FROM (
+              SELECT *, COUNT(*) OVER (PARTITION BY label) AS blk_n FROM prep)
+            WHERE blk_n <= 10000)
           SELECT id_a, id_b, sim FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               ${simSql("a.v", "a.nrm", "b.v", "b.nrm")} AS sim
-            FROM prep a JOIN prep b ON a.label = b.label AND a.vec_id < b.vec_id)
+            FROM bounded a JOIN bounded b ON a.label = b.label AND a.vec_id < b.vec_id)
           WHERE sim >= 0.4""",
 
     "sim_ann_lsh" ->

@@ -36,16 +36,21 @@ object FileSink {
     * this adds the file header and per-block header.
     */
   def write(spark: SparkSession, framed: DataFrame, path: String): Unit = {
-    val rows = framed
+    // A single append log forces one writer, but NOT driver-resident
+    // batches: the frames stream through `toLocalIterator` in (shard,
+    // chunk) order — the cluster range-sorts, the driver holds one
+    // partition of frames at a time, never the batch (a `collect` here is
+    // a driver OOM at 100 TB-scale batches).
+    val it = framed
       .selectExpr("checksum", "tag", "shard", "chunk", "compress", "frame")
-      .collect() // one row per ≤1024-log chunk; the file is a single
-                 // append log, so the driver is the writer by design
+      .orderBy("shard", "chunk")
+      .toLocalIterator()
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try {
       out.write(headerBytes)
-      rows.sortBy(r => (r.getAs[Int]("shard"), r.getAs[Int]("chunk"))).foreach { r =>
+      it.forEachRemaining { r =>
         val frame = r.getAs[Array[Byte]]("frame")
         // The file block re-frames the TMessage body (past its 20-byte
         // header) with the block header carrying the same fields.

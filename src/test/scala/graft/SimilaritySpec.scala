@@ -30,6 +30,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L))) // v4 is blocked away by label
   }
 
+  test("thresholdPairs block-size cap drops a skewed block (quadratic guard)") {
+    // label 0 holds 3 vectors, label 1 holds 1: with maxBlock = 2 the
+    // skewed block contributes nothing, and nothing else produces pairs.
+    val capped = Similarity.thresholdPairs(
+      toy, col("vec_id"), col("embedding"), col("label"), 0.0, maxBlock = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty)
+    val open = Similarity.thresholdPairs(
+      toy, col("vec_id"), col("embedding"), col("label"), -1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(open == Set((1L, 2L), (1L, 3L), (2L, 3L))) // all label-0 pairs
+  }
+
   test("cosine is quantization-deterministic: sim(v,v) == 1 exactly") {
     val self = Similarity.thresholdPairs(
       toy.union(toy.withColumn("vec_id", col("vec_id") + 10)),

@@ -46,16 +46,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(ng == Set((1L, 2L)))
   }
 
-  test("simhash: identical texts have hamming 0; near-dups small; signature in 32-bit range") {
+  test("simhash: identical texts have hamming 0; near-dups small; signature in 60-bit range") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
     val df = Seq((1L, base), (2L, base), (3L, nearDup)).toDF("doc_id", "text")
     val sig = Dedup.simhashSig(df, col("doc_id"), col("text"))
       .orderBy("doc_id").select("simhash").as[Long].collect()
     assert(sig(0) == sig(1))
-    assert(sig.forall(h => h >= 0 && h < (1L << 32)))
+    assert(sig.forall(h => h >= 0 && h < (1L << Dedup.SimhashBits)))
     val pairs = Dedup.simhashPairs(df, col("doc_id"), col("text"))
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
     assert(pairs.exists { case (a, b, h) => a == 1 && b == 2 && h == 0 })
+  }
+
+  test("simhash band-bucket cap drops oversized buckets (quadratic guard)") {
+    // 12 identical docs land in the same bucket of every band: with the
+    // cap below the group size the self-join sees none of them; with the
+    // default cap all 66 pairs surface.
+    val txt = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = (1L to 12L).map(i => (i, txt)).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(df, col("doc_id"), col("text"), maxBandBucket = 10)
+    assert(capped.count() == 0)
+    val open = Dedup.simhashPairs(df, col("doc_id"), col("text"))
+    assert(open.count() == 12L * 11 / 2)
   }
 }

@@ -1,6 +1,6 @@
 package graft.filters
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** F8 OrphanFilter (SURVEY.md §2.4; reference
@@ -49,5 +49,84 @@ object OrphanFilter {
     val h = if (isString) graft.plans.MongoComputeHash.ofString(key)
             else graft.plans.MongoComputeHash(key)
     df.filter(pmod(h, lit(nShards.toLong)) === ownedShard)
+  }
+
+  // --- compound keys + BSON type-ordered range comparison -------------------
+
+  /** BSON type-bracket ranks (`orphan_filter.go:18-23`, mirroring
+    * mongo/bson/bsontypes.h): MinKey < numbers < strings < ObjectId <
+    * MaxKey.
+    */
+  val RankMinKey = 0
+  val RankNumber = 10
+  val RankString = 15
+  val RankOid = 35
+  val RankMaxKey = 100
+
+  private def enc(rank: Column, num: Column, str: Column): Column =
+    struct(rank.as("rank"), num.as("num"), str.as("str"))
+
+  /** Order-preserving encoding of one shard-key value: a (rank, num, str)
+    * struct whose NATIVE Spark struct comparison reproduces the
+    * reference's chunkLt/chunkGt/chunkEqual (`orphan_filter.go:150-245`):
+    * cross-type by BSON bracket rank, numbers by float64 value, strings
+    * and ObjectIds lexicographic, MinKey/MaxKey equal among themselves
+    * (their num/str components are zeroed). Codegen'd end to end — the
+    * whole comparison is ordinary struct `<`/`>=`.
+    *
+    * Numeric encoding maps the int64 MinValue/MaxValue sentinels to
+    * MinKey/MaxKey, as the reference's getBsonType does.
+    */
+  def encNumber(c: Column): Column = enc(
+    when(c === Long.MinValue, lit(RankMinKey))
+      .when(c === Long.MaxValue, lit(RankMaxKey))
+      .otherwise(lit(RankNumber)),
+    when(c === Long.MinValue || c === Long.MaxValue, lit(0.0))
+      .otherwise(c.cast("double")),
+    lit(""))
+
+  def encString(c: Column): Column = enc(lit(RankString), lit(0.0), c)
+
+  /** ObjectId (24-char hex): the reference compares oids by their hex
+    * string (`getBsonType` returns `rx.Hex()`), so the encoding carries
+    * the hex form in the string slot under the oid rank.
+    */
+  def encOid(c: Column): Column = enc(lit(RankOid), lit(0.0), lower(c))
+
+  def encMinKey: Column = enc(lit(RankMinKey), lit(0.0), lit(""))
+  def encMaxKey: Column = enc(lit(RankMaxKey), lit(0.0), lit(""))
+
+  /** Compound shard-key tuple: nested struct over the encoded components,
+    * compared lexicographically key-by-key — exactly the reference's
+    * per-keyInd walk (`orphan_filter.go:49-88`): `tuple >= mins` is the
+    * Mins loop (key < min → next chunk, key > min → in, equal → next
+    * key), `tuple < maxs` the exclusive Maxs loop (all-equal → next
+    * chunk).
+    */
+  def keyTuple(parts: Column*): Column =
+    struct(parts.zipWithIndex.map { case (c, i) => c.as(s"k$i") }: _*)
+
+  /** Chunk table from literal bound specs: one row per chunk with
+    * encoded `mins`/`maxs` tuples and an `owned` flag. Bounds are
+    * plan-time constants (the chunk map is catalog metadata, tiny by
+    * construction).
+    */
+  def chunkTable(spark: SparkSession,
+      chunks: Seq[(Seq[org.apache.spark.sql.Column], Seq[org.apache.spark.sql.Column], Boolean)]): DataFrame =
+    chunks.map { case (mins, maxs, owned) =>
+      spark.range(1).select(
+        keyTuple(mins: _*).as("mins"), keyTuple(maxs: _*).as("maxs"),
+        lit(owned).as("owned"))
+    }.reduce(_ unionByName _)
+
+  /** Keep rows whose key tuple lies in ANY owned chunk range
+    * (`[mins, maxs)`): a broadcast left-semi theta-join — the chunk map
+    * rides to every executor, the corpus is scanned once, nothing
+    * shuffles.
+    */
+  def keepOwnedRanged(df: DataFrame, key: org.apache.spark.sql.Column,
+      chunks: DataFrame): DataFrame = {
+    val owned = chunks.filter(col("owned")).select(col("mins"), col("maxs"))
+    df.join(broadcast(owned), key >= col("mins") && key < col("maxs"), "left_semi")
   }
 }

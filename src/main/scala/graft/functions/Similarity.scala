@@ -137,17 +137,17 @@ object Similarity {
     * broadcast; the corpus moves through exactly one equi-join on its
     * assigned centroid id. Each corpus vector lives in exactly one list,
     * so no candidate dedup is needed.
+    *
+    * @param cents trained or seeded centroid table (centroid_id, cv, cn) —
+    *   see [[kmeansTrain]] / [[seedCentroids]].
     */
   def ivfSearch(embs: DataFrame, id: Column, emb: Column,
-      centroidPred: Column, queryPred: Column,
+      cents: DataFrame, queryPred: Column,
       nProbe: Int = 2, k: Int = 3): DataFrame = {
     val p = prepared(embs, id, emb)
     val lists = p.join(
-      ivfAssign(embs, id, emb, centroidPred).select(col("vec_id"), col("centroid_id")),
+      ivfAssign(embs, id, emb, cents).select(col("vec_id"), col("centroid_id")),
       Seq("vec_id"))
-    val cents = embs.filter(centroidPred)
-      .select(id.as("centroid_id"), quantize(emb).as("cv"))
-      .withColumn("cn", sqNorm(col("cv")))
     val q = embs.filter(queryPred).select(id.as("query_id"), quantize(emb).as("qv"))
       .withColumn("qn", sqNorm(col("qv")))
     val wProbe = Window.partitionBy(col("query_id"))
@@ -167,21 +167,61 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("sim"))
   }
 
-  /** IVF coarse assignment: nearest centroid — broadcast the centroid
-    * table, argmax per row via a partial-aggregatable min-struct (the
-    * |corpus|×|centroids| scored rows collapse map-side; a window would
-    * shuffle all of them).
+  /** Seed centroid table: corpus rows selected by a deterministic
+    * predicate, in centroid form (centroid_id, cv, cn).
     */
-  def ivfAssign(embs: DataFrame, id: Column, emb: Column, centroidPred: Column): DataFrame = {
-    val p = prepared(embs, id, emb)
-    val cents = broadcast(embs.filter(centroidPred)
-      .select(id.as("centroid_id"), quantize(emb).as("cv"))
-      .withColumn("cn", sqNorm(col("cv"))))
-    p.crossJoin(cents)
+  def seedCentroids(embs: DataFrame, id: Column, emb: Column, pred: Column): DataFrame =
+    prepared(embs, id, emb).filter(pred)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+  /** Nearest-centroid argmax of prepared rows against a centroid table —
+    * broadcast the centroids, collapse the |corpus|×k scored rows map-side
+    * via a partial-aggregatable min-struct (a window would shuffle all of
+    * them).
+    */
+  def assignTo(p: DataFrame, cents: DataFrame): DataFrame =
+    p.crossJoin(broadcast(cents))
       .withColumn("sim", cosineQ(col("v"), col("nrm"), col("cv"), col("cn")))
       .groupBy(col("vec_id"))
       .agg(min(struct(negate(col("sim")).as("ns"), col("centroid_id").as("centroid_id"),
         col("sim").as("sim"))).as("m"))
       .select(col("vec_id"), col("m.centroid_id").as("centroid_id"), col("m.sim").as("sim"))
+
+  /** IVF coarse assignment against a centroid table. */
+  def ivfAssign(embs: DataFrame, id: Column, emb: Column, cents: DataFrame): DataFrame =
+    assignTo(prepared(embs, id, emb), cents)
+
+  /** Lloyd's k-means training as DataFrame aggregations, fully
+    * deterministic: seeds from `seedPred`, a fixed number of iterations,
+    * centroid updates on the integer-quantized grid (component =
+    * round(mean) of the assigned quantized components — exact integer
+    * sums, one rounded division), cosine assignment with the same
+    * argmax tie-break as [[assignTo]]. A cluster that loses all members
+    * drops out (k shrinks), identically in both engines.
+    *
+    * Scale shape per iteration: one broadcast-assign pass over the corpus
+    * (map-side argmax), then a posexplode to (centroid_id, dim) — dim×
+    * rows, but collapsing map-side into k·dim partial sums before the one
+    * exchange. `localCheckpoint` cuts the per-iteration lineage so T
+    * iterations don't nest T cross-joins in one plan.
+    */
+  def kmeansTrain(embs: DataFrame, id: Column, emb: Column, seedPred: Column,
+      iters: Int = 2): DataFrame = {
+    val p = prepared(embs, id, emb).localCheckpoint()
+    val seed = p.filter(seedPred)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    (1 to iters).foldLeft(seed) { (cents, _) =>
+      val asg = assignTo(p, cents).select(col("vec_id"), col("centroid_id"))
+      val sums = asg.join(p, Seq("vec_id"))
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("cx", round(col("sx").cast("double") / col("n")).cast("long"))
+      sums.groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          s => s.getField("cx")).as("cv"))
+        .withColumn("cn", sqNorm(col("cv")))
+        .localCheckpoint()
+    }
   }
 }

@@ -38,6 +38,29 @@ object SnapshotOps {
       OrphanFilter.keepOwned(li, "l_orderkey", chunks, 1000L)
         .groupBy(col("chunk_id"))
         .agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // F8 complete surface: compound (string, number) shard key against an
+    // explicit chunk map with MinKey/MaxKey bounds, membership by BSON
+    // type-ordered lexicographic tuple comparison (orphan_filter.go's
+    // per-keyInd Mins/Maxs walk). The oracle is the closed form of the
+    // owned ranges.
+    "snap_orphan_compound" -> ((s, dir) => {
+      import OrphanFilter._
+      val li = Tables.load(s, dir, "lineitem")
+      val chunks = chunkTable(s, Seq(
+        (Seq(encMinKey, encMinKey), Seq(encString(lit("A")), encNumber(lit(2000L))), true),
+        (Seq(encString(lit("A")), encNumber(lit(2000L))),
+          Seq(encString(lit("N")), encNumber(lit(1000L))), false),
+        (Seq(encString(lit("N")), encNumber(lit(1000L))),
+          Seq(encString(lit("R")), encNumber(lit(500L))), true),
+        (Seq(encString(lit("R")), encNumber(lit(500L))), Seq(encMaxKey, encMaxKey), false)))
+      val key = keyTuple(encString(col("l_returnflag")), encNumber(col("l_orderkey")))
+      keepOwnedRanged(li, key, chunks)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("key_min"),
+          max(col("l_orderkey")).as("key_max"))
     })
   )
 
@@ -51,6 +74,18 @@ object SnapshotOps {
     "snap_orphan_filter" ->
       """SELECT l_orderkey // 1000 AS chunk_id, COUNT(*) AS n_rows
          FROM lineitem WHERE (l_orderkey // 1000) % 3 = 0 GROUP BY 1""",
+
+    // Closed form of the two owned chunk ranges:
+    //   [(MinKey,MinKey), ('A',2000))  → flag 'A' with key < 2000
+    //   [('N',1000), ('R',500))        → 'N' with key >= 1000, 'R' with key < 500
+    "snap_orphan_compound" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+           MIN(l_orderkey) AS key_min, MAX(l_orderkey) AS key_max
+         FROM lineitem
+         WHERE (l_returnflag = 'A' AND l_orderkey < 2000)
+            OR (l_returnflag = 'N' AND l_orderkey >= 1000)
+            OR (l_returnflag = 'R' AND l_orderkey < 500)
+         GROUP BY 1""",
 
     "snap_catalog" ->
       """SELECT 'tpch.customer' AS ns, COUNT(*) AS n_rows FROM customer

@@ -29,17 +29,28 @@ object VectorOps {
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.annLshTop1(embs(s, dir), col("vec_id"), col("embedding"))),
 
-    // IVF coarse quantizer: nearest-centroid assignment histogram.
-    "sim_ivf_assign" -> ((s, dir) =>
-      Similarity.ivfAssign(embs(s, dir), col("vec_id"), col("embedding"),
-        col("vec_id") < 8)
+    // IVF coarse quantizer: k-means-trained centroids (2 Lloyd's
+    // iterations from the 8 lowest-id seeds), nearest-centroid histogram.
+    "sim_ivf_assign" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = KmeansIters)
+      Similarity.ivfAssign(e, col("vec_id"), col("embedding"), cents)
         .groupBy(col("centroid_id"))
-        .agg(count(lit(1)).as("n_assigned"))),
+        .agg(count(lit(1)).as("n_assigned"))
+    }),
 
-    // IVF search: probe the 2 nearest of 8 centroids, top-3 within lists.
-    "sim_ivf_search" -> ((s, dir) =>
-      Similarity.ivfSearch(embs(s, dir), col("vec_id"), col("embedding"),
-        centroidPred = col("vec_id") < 8, queryPred = col("vec_id") < 10)))
+    // IVF search on the trained centroids: probe the 2 nearest, top-3
+    // within the probed inverted lists.
+    "sim_ivf_search" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = KmeansIters)
+      Similarity.ivfSearch(e, col("vec_id"), col("embedding"),
+        cents, queryPred = col("vec_id") < 10)
+    }))
+
+  private val KmeansIters = 2
 
   // ---- oracle fragments -----------------------------------------------------
 
@@ -110,30 +121,30 @@ object VectorOps {
           SELECT vec_id, ann_id, sim FROM scored WHERE rn = 1""",
 
     "sim_ivf_assign" ->
-      s"""WITH $prepCte,
+      s"""WITH $prepCte, ${kmeansCtes(2)},
           assigned AS (
-            SELECT p.vec_id, c.vec_id AS centroid_id,
+            SELECT p.vec_id, c.centroid_id,
               ROW_NUMBER() OVER (PARTITION BY p.vec_id
-                ORDER BY ${simSql("p.v", "p.nrm", "c.v", "c.nrm")} DESC, c.vec_id) AS rn
-            FROM prep p JOIN prep c ON c.vec_id < 8)
+                ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+            FROM prep p, cents2 c)
           SELECT centroid_id, COUNT(*) AS n_assigned
           FROM assigned WHERE rn = 1 GROUP BY 1""",
 
     "sim_ivf_search" ->
-      s"""WITH $prepCte,
+      s"""WITH $prepCte, ${kmeansCtes(2)},
           assigned AS (
             SELECT vec_id, centroid_id FROM (
-              SELECT p.vec_id, c.vec_id AS centroid_id,
+              SELECT p.vec_id, c.centroid_id,
                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
-                  ORDER BY ${simSql("p.v", "p.nrm", "c.v", "c.nrm")} DESC, c.vec_id) AS rn
-              FROM prep p JOIN prep c ON c.vec_id < 8)
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents2 c)
             WHERE rn = 1),
           probes AS (
             SELECT query_id, centroid_id FROM (
-              SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+              SELECT q.vec_id AS query_id, c.centroid_id,
                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                  ORDER BY ${simSql("q.v", "q.nrm", "c.v", "c.nrm")} DESC, c.vec_id) AS prn
-              FROM prep q JOIN prep c ON c.vec_id < 8 WHERE q.vec_id < 10)
+                  ORDER BY ${simSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS prn
+              FROM prep q, cents2 c WHERE q.vec_id < 10)
             WHERE prn <= 2),
           scored AS (
             SELECT pr.query_id, a.vec_id AS neighbor_id,
@@ -147,4 +158,33 @@ object VectorOps {
           SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
           FROM scored WHERE rank <= 3"""
   )
+
+  /** Lloyd's-iteration CTE chain mirroring [[Similarity.kmeansTrain]]:
+    * cents0 = the 8 lowest-id seeds; each iteration assigns every vector
+    * to its argmax-cosine centroid and re-centers on the quantized grid
+    * (round(mean) per dimension of the integer components).
+    */
+  private def kmeansCtes(iters: Int): String = {
+    val seed =
+      "cents0 AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM prep WHERE vec_id < 8)"
+    val steps = (1 to iters).map { t =>
+      s"""asg$t AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents${t - 1} c) WHERE rn = 1),
+          sums$t AS (
+            SELECT a.centroid_id, i, SUM(p.v[i]) AS sx, COUNT(*) AS n
+            FROM asg$t a JOIN prep p USING (vec_id),
+                 (SELECT unnest(generate_series(1, 64)) AS i)
+            GROUP BY 1, 2),
+          cents$t AS (
+            SELECT centroid_id, cv, list_sum([y*y for y in cv]) AS cn FROM (
+              SELECT centroid_id,
+                list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
+              FROM sums$t GROUP BY 1))"""
+    }
+    (seed +: steps).mkString(", ")
+  }
 }

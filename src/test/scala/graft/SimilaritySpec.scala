@@ -53,10 +53,32 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("ivfAssign: every vector lands on exactly one centroid, self-assignment wins") {
-    val a = Similarity.ivfAssign(toy, col("vec_id"), col("embedding"), col("vec_id") <= 3)
+    val seeds = Similarity.seedCentroids(toy, col("vec_id"), col("embedding"),
+      col("vec_id") <= 3)
+    val a = Similarity.ivfAssign(toy, col("vec_id"), col("embedding"), seeds)
     assert(a.count() == 4)
     val self = a.filter(col("vec_id") === 3).select("centroid_id").as[Long].head()
     assert(self == 3L)
+  }
+
+  test("kmeansTrain: centroids converge to cluster means on the quantized grid") {
+    // Two tight clusters around e1 and e2; seeds 1 and 3 (one per cluster).
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (4L, Seq(0.1f, 0.9f, 0.0f, 0.0f), 0),
+      (5L, Seq(0.0f, 0.8f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kmeansTrain(corpus, col("vec_id"), col("embedding"),
+      col("vec_id").isin(1, 3), iters = 2)
+      .orderBy("centroid_id")
+      .select("centroid_id", "cv").as[(Long, Seq[Long])].collect()
+    assert(cents.map(_._1).toSeq == Seq(1L, 3L))
+    // centroid 1 = mean of v1,v2 = (950, 50, 0, 0); centroid 3 = mean of
+    // v3,v4,v5 = (round(100/3), round(2700/3), 0, 0) = (33, 900, 0, 0)
+    assert(cents(0)._2 == Seq(950L, 50L, 0L, 0L))
+    assert(cents(1)._2 == Seq(33L, 900L, 0L, 0L))
   }
 
   test("annLshTop1: bucketed candidates only, each result is the bucket argmax") {

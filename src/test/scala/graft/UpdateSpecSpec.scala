@@ -201,6 +201,33 @@ class UpdateSpecSpec extends AnyFunSuite {
     assert(kept == want && kept.nonEmpty && kept.size < 200)
   }
 
+  test("orphan compound keys: BSON type-ordered tuple compare, MinKey/MaxKey, exclusive max") {
+    import graft.filters.OrphanFilter._
+    val df = Seq(
+      (1L, "A", 10L),   // in chunk 1 (A, <100)
+      (2L, "A", 100L),  // == max of chunk 1 → excluded (max exclusive)
+      (3L, "B", 5L),    // rank: "B" > all numbers; in chunk 2 [(B,MinKey),(MaxKey,MaxKey))
+      (4L, "0", 999L)   // "0" < "B" string-wise, > (A,100) → gap chunk, dropped
+    ).toDF("id", "flag", "k")
+    val chunks = chunkTable(spark, Seq(
+      (Seq(encMinKey, encMinKey), Seq(encString(lit("A")), encNumber(lit(100L))), true),
+      (Seq(encString(lit("A")), encNumber(lit(100L))),
+        Seq(encString(lit("B")), encMinKey), false),
+      (Seq(encString(lit("B")), encMinKey), Seq(encMaxKey, encMaxKey), true)))
+    val kept = keepOwnedRanged(df,
+      keyTuple(encString(col("flag")), encNumber(col("k"))), chunks)
+      .select("id").as[Long].collect().toSet
+    // id 2: (A,100) >= (A,100) mins of the unowned middle chunk → dropped.
+    // id 4: "0" < "A"? No — "0" < "A" lexicographically, so (0,999) < (A,100)
+    //       → lands in chunk 1 (owned) since >= (MinKey,MinKey).
+    assert(kept == Set(1L, 3L, 4L))
+    // int64 sentinels encode as Min/MaxKey: everything is >= MinKey tuple
+    val all = keepOwnedRanged(df,
+      keyTuple(encNumber(lit(Long.MinValue)), encNumber(lit(0L))), chunks)
+      .count()
+    assert(all == 4) // (MinKey, 0) falls in chunk 1 for every row
+  }
+
   test("nested resize beats a later same-diff l: first pipeline found propagates (oplog.go:330-335)") {
     // A nested s-field that yields a resize returns IMMEDIATELY — a later
     // 'l' at the outer level must not overwrite the nested pipeline's path.

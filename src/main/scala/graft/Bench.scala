@@ -11,9 +11,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorb JIT/session/codegen startup (~6s) so the
-    // first timed query measures the plan, not the JVM.
+    // first timed query measures the plan, not the JVM — and touch every
+    // input table once so no suite's alphabetically-first query absorbs
+    // the cold parquet footer/page reads as phantom regression.
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.names.foreach { t =>
+        try { Tables.load(spark, sfDir, t).count() } catch { case _: Throwable => () }
+      }
       SparkEntry.queries.get("q7_distinct").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
     // Optional args = query-name filter (dev iteration); driver passes none.

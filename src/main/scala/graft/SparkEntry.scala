@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cdc, ControlOps, DdlOps, MmOps, Relational, SinkOps, SnapshotOps, TextOps, VectorOps}
+import graft.operators.{Cdc, ControlOps, DdlOps, MmOps, Relational, SinkOps, SnapshotOps, StreamOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
       (SnapshotOps.queries, SnapshotOps.oracles),
       (SinkOps.queries, SinkOps.oracles),
       (MmOps.queries, MmOps.oracles),
-      (ControlOps.queries, ControlOps.oracles)
+      (ControlOps.queries, ControlOps.oracles),
+      (StreamOps.queries, StreamOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.filters.OplogFilters
+import graft.model.Oplog
+import graft.streaming.IncrSync
+
+/** End-to-end oracle coverage of the §3.1 streaming dataflow: synthesize a
+  * raw-oplog feed from the corpus (plain DML + session transactions +
+  * atomic applyOps + DDL barriers), run the REAL `IncrSync.startOplog`
+  * query to completion, and compare final state + ddl_log + checkpoint
+  * contents against a closed-form DuckDB oracle.
+  *
+  * This is the driver-gated analogue of the reference's
+  * `collector/batcher_test.go:719` (TestBatchMore) surface: barrier
+  * segmentation order (T4), DDL replay (W5), checkpoint content (T8), the
+  * F9 guard path, trigger batching (G1) and the observe counters (G7) all
+  * execute inside the one streaming query this entry drives.
+  *
+  * Feed construction (deterministic, corpus-derived; mirrored in SQL):
+  *  - chain-passing i/u/d rows split by event_id % 20: 0 → session-txn
+  *    member, 1 → atomic-applyOps member, else plain; non-passing rows ride
+  *    the plain branch and are dropped by the engine's own filter chain.
+  *  - txn members group by (lsid = doc_key, txn = month); entries pack 2
+  *    ops; earlier entries partialTxn, last the unprepared commit; txns
+  *    with (lsid+txn) % 7 == 0 abort (members must never apply). The T3
+  *    patch gives inner ops ts = commitTs-1 (last keeps commitTs).
+  *  - atomic members group by event_id DIV 64 into one applyOps command;
+  *    inner ops apply at the command's ts.
+  *  - two DDL barriers: drop app.users_2 at t1 = mid-ts, rename
+  *    app.users_0 → app.users_9 at t2 = 3/4-ts. State at a barrier is the
+  *    fold of everything at-or-before it (segment-at-barrier semantics).
+  */
+object StreamOps {
+
+  private val gids = Seq("")
+  private val white = Seq("^app\\.users_[0-9]+$")
+  private val black = Seq("^app\\.users_3$")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_stream_e2e" -> ((s, dir) => run(s, dir)))
+
+  /** Member payload: the self-describing inner-op JSON the assembler and
+    * the atomic exploder re-project to canonical rows.
+    */
+  private def payloadCol =
+    concat(lit("{\"event_id\":"), col("event_id").cast("string"),
+      lit(",\"op\":\""), col("op"), lit("\",\"ns\":\""), col("ns"),
+      lit("\",\"doc_key\":\""), col("doc_key"),
+      lit("\",\"value\":"), col("value").cast("string"), lit("}"))
+
+  private val feedCols = Seq("event_id", "ts_packed", "op", "ns", "doc_key",
+    "value", "props", "g", "from_migrate", "lsid", "txn_number", "o")
+
+  private def run(s: SparkSession, dir: String): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_e2e_q"
+    IncrSync.deletePath(s, work)
+
+    val base = Oplog.fromEvents(s, dir)
+    val keep = OplogFilters.chain(gids, white, black)
+    val eligible = keep && col("op").isin("i", "u", "d")
+    val roled = base.withColumn("role",
+      when(eligible && col("event_id") % 20 === 0, "txn")
+        .when(eligible && col("event_id") % 20 === 1, "atomic")
+        .otherwise("plain"))
+
+    val bounds = base.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
+    val (tmin, tmax) = (bounds.getLong(0), bounds.getLong(1))
+    val t1 = tmin + (tmax - tmin) / 2
+    val t2 = tmin + 3 * (tmax - tmin) / 4
+
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+
+    val plain = roled.filter(col("role") === "plain")
+      .select(col("event_id"), col("ts_packed"), col("op"), col("ns"),
+        col("doc_key"), col("value"), col("props"), col("g"), col("from_migrate"),
+        nullS.as("lsid"), nullL.as("txn_number"), nullS.as("o"))
+
+    val atomic = roled.filter(col("role") === "atomic")
+      .withColumn("ab", expr("event_id DIV 64"))
+      .withColumn("payload", payloadCol)
+      .groupBy(col("ab"))
+      .agg(max(col("ts_packed")).as("ts_packed"), max(col("event_id")).as("event_id"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("ts_packed").as("t"),
+            col("event_id").as("e"), col("payload").as("p")))),
+          x => x.getField("p"))).as("ops_json"))
+      .select(col("event_id"), col("ts_packed"), lit("c").as("op"),
+        lit("admin.$cmd").as("ns"), lit("").as("doc_key"), lit(0.0).as("value"),
+        nullS.as("props"), lit("").as("g"), lit(false).as("from_migrate"),
+        nullS.as("lsid"), nullL.as("txn_number"),
+        concat(lit("{\"applyOps\":["), col("ops_json"), lit("]}")).as("o"))
+
+    val wOps = Window.partitionBy(col("lsid"), col("txn_number"))
+      .orderBy(col("ts_packed"), col("event_id"))
+    val mem = roled.filter(col("role") === "txn")
+      .withColumn("lsid", col("doc_key"))
+      // month-grained txn grouping: yields a mix of single-commit txns and
+      // multi-entry partialTxn chains (the buffering path) in one corpus
+      .withColumn("txn_number", expr("ts_us DIV 2592000000000"))
+      .withColumn("rn", row_number().over(wOps) - 1)
+      .withColumn("payload", payloadCol)
+      .withColumn("entry_seq", expr("rn DIV 2"))
+    val entries0 = mem.groupBy(col("lsid"), col("txn_number"), col("entry_seq"))
+      .agg(max(col("ts_packed")).as("ts_packed"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("rn"), col("payload")))),
+          x => x.getField("payload"))).as("ops_json"))
+    val wTxn = Window.partitionBy(col("lsid"), col("txn_number"))
+    val entries1 = entries0
+      .withColumn("max_seq", max(col("entry_seq")).over(wTxn))
+      .withColumn("aborted",
+        pmod(col("lsid").cast("bigint") + col("txn_number"), lit(7)) === 0)
+      .withColumn("o",
+        when(col("entry_seq") < col("max_seq") || col("aborted"),
+          concat(lit("{\"applyOps\":["), col("ops_json"), lit("],\"partialTxn\":true}")))
+          .otherwise(concat(lit("{\"applyOps\":["), col("ops_json"), lit("]}"))))
+    val abortEntries = entries1
+      .filter(col("aborted") && col("entry_seq") === col("max_seq"))
+      .select(col("lsid"), col("txn_number"), (col("max_seq") + 1).as("entry_seq"),
+        col("ts_packed"), lit("{\"abortTransaction\":1}").as("o"))
+    val txnRows = entries1.select("lsid", "txn_number", "entry_seq", "ts_packed", "o")
+      .unionByName(abortEntries)
+      // entry event_id doubles as the assembler's chain seq — entry_seq is
+      // monotone in (ts, member-id) order within each txn by construction.
+      .select(col("entry_seq").as("event_id"), col("ts_packed"), lit("c").as("op"),
+        lit("admin.$cmd").as("ns"), lit("").as("doc_key"), lit(0.0).as("value"),
+        nullS.as("props"), lit("").as("g"), lit(false).as("from_migrate"),
+        col("lsid"), col("txn_number"), col("o"))
+
+    val dropJson = """{"drop":"users_2"}"""
+    val renameJson = """{"renameCollection":"app.users_0","to":"app.users_9"}"""
+    val barrierRows = Seq(
+      Row(9000000001L, t1, "c", "app.$cmd", "", 0.0, dropJson, "", false, null, null, dropJson),
+      Row(9000000002L, t2, "c", "app.$cmd", "", 0.0, renameJson, "", false, null, null, renameJson))
+    val barriers = s.createDataFrame(
+      s.sparkContext.parallelize(barrierRows), IncrSync.oplogSchema)
+
+    val feedDir = s"$work/feed"
+    plain.select(feedCols.map(col): _*)
+      .unionByName(atomic.select(feedCols.map(col): _*))
+      .unionByName(txnRows.select(feedCols.map(col): _*))
+      .unionByName(barriers.select(feedCols.map(col): _*))
+      // one file → one AvailableNow micro-batch → deterministic batch_id 0
+      .coalesce(1).write.parquet(feedDir)
+
+    val q = IncrSync.startOplog(s, feedDir, s"$work/target", s"$work/ckpt",
+      gids = gids, white = white, black = black, txnTtlMs = 0)
+    q.awaitTermination()
+
+    val state = IncrSync.readOrEmpty(s, s"$work/target/state")
+      .select(lit("state").as("section"), col("ns").as("a"), col("doc_key").as("b"),
+        col("last_event_id").as("x"), lit(0L).as("y"), col("last_value").as("v"))
+    val ddl = s.read.parquet(s"$work/target/ddl_log")
+      .select(lit("ddl").as("section"), col("ns").as("a"), col("cmd").as("b"),
+        col("apply_seq").cast("long").as("x"), col("ts_packed").as("y"),
+        lit(0.0).as("v"))
+    val ck = s.read.parquet(s"$work/target/_ckpt")
+    val ckRange = ck.select(lit("ckpt_range").as("section"), lit("").as("a"),
+      lit("").as("b"), col("lsn_min").as("x"), col("lsn_max").as("y"), lit(0.0).as("v"))
+    val ckN = ck.select(lit("ckpt_n").as("section"), lit("").as("a"), lit("").as("b"),
+      col("n_logs").as("x"), col("batch_id").as("y"), lit(0.0).as("v"))
+    state.unionByName(ddl).unionByName(ckRange).unionByName(ckN)
+  }
+
+  private val chainSql: String = Oplog.oracleChainSql
+
+  def oracles: Map[String, String] = Map(
+    "cdc_stream_e2e" -> Oplog.withOracleCte(
+      s""", eff AS (
+            SELECT event_id, ts_packed, ts_us, op, ns, doc_key, value,
+              CASE WHEN event_id % 20 = 0 THEN 'txn'
+                   WHEN event_id % 20 = 1 THEN 'atomic'
+                   ELSE 'plain' END AS role
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          tt AS (
+            SELECT tmin + (tmax - tmin) // 2 AS t1,
+                   tmin + 3 * (tmax - tmin) // 4 AS t2
+            FROM (SELECT MIN(ts_packed) AS tmin, MAX(ts_packed) AS tmax FROM oplog)),
+          txn AS (
+            SELECT *,
+              ROW_NUMBER() OVER (PARTITION BY doc_key, ts_us // 2592000000000
+                ORDER BY ts_packed, event_id) - 1 AS rn,
+              COUNT(*) OVER (PARTITION BY doc_key, ts_us // 2592000000000) AS n,
+              MAX(ts_packed) OVER (PARTITION BY doc_key, ts_us // 2592000000000) AS commit_ts
+            FROM eff WHERE role = 'txn'),
+          txn_eff AS (
+            SELECT event_id, op, ns, doc_key, value,
+              CASE WHEN rn = n - 1 THEN commit_ts ELSE commit_ts - 1 END AS ts_eff
+            FROM txn
+            WHERE (CAST(doc_key AS BIGINT) + ts_us // 2592000000000) % 7 <> 0),
+          at_eff AS (
+            SELECT event_id, op, ns, doc_key, value,
+              MAX(ts_packed) OVER (PARTITION BY event_id // 64) AS ts_eff
+            FROM eff WHERE role = 'atomic'),
+          allops AS (
+            SELECT event_id, op, ns, doc_key, value, ts_packed AS ts_eff
+            FROM eff WHERE role = 'plain'
+            UNION ALL SELECT * EXCLUDE (ts_eff), ts_eff FROM txn_eff
+            UNION ALL SELECT * EXCLUDE (ts_eff), ts_eff FROM at_eff),
+          -- live state: dropped ns only from post-drop ops; renamed ns only
+          -- from post-rename ops (the pre-rename fold moved to users_9)
+          live AS (
+            SELECT ns, doc_key, value, event_id, op,
+              ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                ORDER BY ts_eff DESC, event_id DESC) AS rnk
+            FROM allops, tt
+            WHERE (ns <> 'app.users_2' OR ts_eff > t1)
+              AND (ns <> 'app.users_0' OR ts_eff > t2)),
+          renamed AS (
+            SELECT 'app.users_9' AS ns, doc_key, value, event_id FROM (
+              SELECT doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY doc_key
+                  ORDER BY ts_eff DESC, event_id DESC) AS rnk
+              FROM allops, tt WHERE ns = 'app.users_0' AND ts_eff <= t2)
+            WHERE rnk = 1 AND op <> 'd'),
+          state AS (
+            SELECT ns, doc_key, value, event_id FROM live WHERE rnk = 1 AND op <> 'd'
+            UNION ALL SELECT * FROM renamed),
+          ck AS (
+            SELECT LEAST((SELECT MIN(ts_eff) FROM allops), t1) AS lsn_min,
+              GREATEST((SELECT MAX(ts_eff) FROM allops), t2) AS lsn_max,
+              (SELECT COUNT(*) FROM allops) + 2 AS n_logs
+            FROM tt)
+          SELECT 'state' AS section, ns AS a, doc_key AS b,
+            event_id AS x, CAST(0 AS BIGINT) AS y, value AS v
+          FROM state
+          UNION ALL SELECT 'ddl', 'app.$$cmd', 'drop', CAST(0 AS BIGINT), t1, 0.0 FROM tt
+          UNION ALL SELECT 'ddl', 'app.$$cmd', 'renameCollection', CAST(1 AS BIGINT), t2, 0.0 FROM tt
+          UNION ALL SELECT 'ckpt_range', '', '', lsn_min, lsn_max, 0.0 FROM ck
+          UNION ALL SELECT 'ckpt_n', '', '', n_logs, CAST(0 AS BIGINT), 0.0 FROM ck""")
+  )
+}

@@ -49,6 +49,36 @@ object FullSync {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$targetDir/full/${table}_spec")
   }
 
+  /** W9 index sync (`collector/docsyncer/doc_syncer.go:206-287`): persist
+    * the source's index specifications (listIndexes-style JSON documents)
+    * next to the copied data, scrubbing the `background` option exactly as
+    * the reference does before replaying specs on the target. Indexes are
+    * catalog metadata in this engine — readers and future secondary-index
+    * builds consume the spec table; nothing is silently dropped.
+    */
+  def writeIndexSpecs(spark: SparkSession, targetDir: String, table: String,
+      indexJsons: Seq[String]): Unit = {
+    import graft.transform.UpdateSpec
+    import org.json4s.JObject
+    import spark.implicits._
+    val scrubbed = indexJsons.map { j =>
+      val doc = UpdateSpec.parse(j)
+      val name = (doc \ "name") match {
+        case org.json4s.JString(n) => n
+        case _ => ""
+      }
+      (table, name, UpdateSpec.render(
+        JObject(doc.obj.filterNot(_._1 == "background"))))
+    }
+    scrubbed.toDF("table", "index_name", "index_json")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$targetDir/full/${table}_indexes")
+  }
+
+  /** Read back the synced index specs (the target-side consumer). */
+  def readIndexSpecs(spark: SparkSession, targetDir: String, table: String) =
+    spark.read.parquet(s"$targetDir/full/${table}_indexes")
+
   /** Record the incremental start position (newest oplog ts at snapshot
     * time — G6 GetAllTimestamp analogue) for the handoff guard.
     */

@@ -107,4 +107,24 @@ object EventNormalizer {
         raise_error(concat(lit("invalidate event, handle manually: event_id="),
           col("event_id").cast("string"))))
         .otherwise(col("op")))
+
+  /** Streaming dead-letter route: append invalidate/unknown rows
+    * (`op == "x"`) to an errors table and return only the valid rows —
+    * called inside `foreachBatch`, where a raise_error would kill the
+    * query instead of quarantining the poison event
+    * (changestram_event.go:432-439 errors; a long-running stream must
+    * keep flowing). The errors table carries the full normalized row so
+    * the manual-handling path loses nothing.
+    */
+  def routeInvalid(normalized: DataFrame, errorsDir: String): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val invalid = normalized.filter(col("op") === "x")
+    // Empty-guard so a clean batch never creates (or touches) the errors
+    // table; micro-batch inputs are already materialized by the source, so
+    // the second scan of the batch is cheap.
+    if (!invalid.isEmpty) {
+      invalid.write.mode(SaveMode.Append).parquet(errorsDir)
+    }
+    normalized.filter(col("op") =!= "x")
+  }
 }

@@ -92,4 +92,44 @@ class EventNormalizerSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("invalidate"))
   }
+
+  test("dead-letter route: op x rows land in the errors table, valid rows flow on") {
+    val work = java.nio.file.Files.createTempDirectory("graft_dlq").toFile.getAbsolutePath
+    val errDir = s"$work/errors"
+    val mixed = EventNormalizer.normalize(
+      event("insert").union(event("invalidate")).union(event("delete")))
+    val valid = EventNormalizer.routeInvalid(mixed, errDir)
+    assert(valid.filter(col("op") === "x").count() == 0)
+    assert(valid.count() == 2)
+    val errs = spark.read.parquet(errDir)
+    assert(errs.count() == 1 && errs.head().getAs[String]("op") == "x")
+    // a clean batch appends nothing (and never creates a spurious table)
+    val work2 = java.nio.file.Files.createTempDirectory("graft_dlq2").toFile.getAbsolutePath
+    val clean = EventNormalizer.routeInvalid(
+      EventNormalizer.normalize(event("insert")), s"$work2/errors")
+    assert(clean.count() == 1)
+    assert(!new java.io.File(s"$work2/errors").exists())
+  }
+
+  test("W9 index sync: specs persisted with background scrubbed (doc_syncer.go:206-287)") {
+    import graft.streaming.FullSync
+    val work = java.nio.file.Files.createTempDirectory("graft_idx").toFile.getAbsolutePath
+    FullSync.writeIndexSpecs(spark, work, "users", Seq(
+      """{"v":2,"key":{"_id":1},"name":"_id_"}""",
+      """{"v":2,"key":{"email":1},"name":"email_1","unique":true,"background":true}"""))
+    val got = FullSync.readIndexSpecs(spark, work, "users")
+      .orderBy("index_name")
+      .select("table", "index_name", "index_json")
+      .as[(String, String, String)].collect().toSeq
+    assert(got.map(_._2) == Seq("_id_", "email_1"))
+    assert(got.forall(_._1 == "users"))
+    assert(!got(1)._3.contains("background")) // scrubbed like the reference
+    assert(got(1)._3.contains("\"unique\":true")) // everything else kept
+  }
+
+  test("K6 mock sink swallows the batch and reports the observed count") {
+    import graft.sinks.MockSink
+    val n = MockSink.write(spark.range(1234).toDF("id"))
+    assert(n == 1234L)
+  }
 }

@@ -66,6 +66,14 @@ object Cdc {
     // W1-W4 as idempotent MERGE: last-effective-write-wins materialization.
     "cdc_apply" -> ((s, dir) => Replay.materialize(filtered(s, dir))),
 
+    // P10 gid scrub: every record's gid blanks; n_foreign proves the scrub
+    // actually hit the foreign-gid rows (not a vacuous pass-through).
+    "cdc_gid_scrub" -> ((s, dir) =>
+      Transforms.gidScrub(oplog(s, dir).withColumn("g_pre", col("g")))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("g_pre") === "ext").cast("long")).as("n_foreign"))),
+
     // X1-X3: routing distribution (worker → volume, distinct namespaces).
     "cdc_route_stats" -> ((s, dir) =>
       filtered(s, dir)
@@ -328,6 +336,11 @@ object Cdc {
               COUNT(*) OVER (PARTITION BY ns, doc_key) AS n_ops
             FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
           WHERE rn = 1 AND op <> 'd'"""),
+
+    "cdc_gid_scrub" -> withOplog(
+      """SELECT '' AS g, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN g = 'ext' THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign
+         FROM oplog"""),
 
     "cdc_route_stats" -> withOplog(
       s"""SELECT $workerSql AS worker, COUNT(*) AS n, COUNT(DISTINCT ns) AS n_ns

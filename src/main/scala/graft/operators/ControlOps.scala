@@ -37,6 +37,12 @@ object ControlOps {
         .agg(count(lit(1)).as("n"), max(col("ts_packed")).as("max_ts"))
     }),
 
+    // T7 QoS token bucket: day-grained ticks with a 50-record budget so
+    // admission genuinely truncates busy ticks (refill-full semantics —
+    // the memoryless closed form of tokenBucketAdmit).
+    "cdc_qos_admission" -> ((s, dir) =>
+      Coordinator.qosAdmission(filtered(s, dir), tickSec = 86400L, budget = 50L)),
+
     // F10/T11: graceful-exit truncation at the corpus's midpoint ts.
     "cdc_exit_point" -> ((s, dir) => {
       val df = filtered(s, dir)
@@ -60,6 +66,13 @@ object ControlOps {
                   AND (eff.ts_packed >> 32) > (params.now_sec - $delaySec + 3) AS INT) AS held,
             ns, COUNT(*) AS n, MAX(ts_packed) AS max_ts
           FROM eff, params GROUP BY 1, 2"""),
+
+    "cdc_qos_admission" -> withOplog(
+      s""", eff AS (SELECT * FROM oplog WHERE $chainSql)
+          SELECT (ts_packed >> 32) // 86400 AS tick, COUNT(*) AS n_arrived,
+            LEAST(COUNT(*), 50) AS n_admitted,
+            COUNT(*) - LEAST(COUNT(*), 50) AS n_deferred
+          FROM eff GROUP BY 1"""),
 
     "cdc_exit_point" -> withOplog(
       s""", eff AS (SELECT * FROM oplog WHERE $chainSql),

@@ -51,7 +51,31 @@ object SinkOps {
         Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))),
 
     // K7: duplicate-key inserts recorded as a conflict side-output.
-    "sink_conflicts" -> ((s, dir) => Envelope.conflicts(filtered(s, dir)))
+    "sink_conflicts" -> ((s, dir) => Envelope.conflicts(filtered(s, dir))),
+
+    // K5 + P12 end-to-end: deflate-compressed frames through the file
+    // tunnel (magic header + block framing + checksums) and back. The
+    // oracle is the plain pre-encode projection — whatever the wire does,
+    // the records must invert exactly.
+    "sink_file_tunnel" -> ((s, dir) => {
+      import graft.sinks.FileSink
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_file_tunnel_q"
+      graft.streaming.IncrSync.deletePath(s, work)
+      val framed = Envelope.compressFrames(
+        Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))
+      FileSink.write(s, framed, s"$work/tunnel.bin")
+      // reader side: driver-streamed block iteration (S5 file reader)
+      import s.implicits._
+      FileSink.read(s, s"$work/tunnel.bin")
+        .flatMap(_.payloads.map(new String(_, "UTF-8")))
+        .toDF("payload_json")
+        .select(
+          get_json_object(col("payload_json"), "$.ts").cast("bigint").as("ts_packed"),
+          get_json_object(col("payload_json"), "$.op").as("op"),
+          get_json_object(col("payload_json"), "$.ns").as("ns"),
+          get_json_object(col("payload_json"), "$.key").as("doc_key"),
+          get_json_object(col("payload_json"), "$.meta.g").as("g"))
+    })
   )
 
   private val chainSql: String = Oplog.oracleChainSql
@@ -104,6 +128,9 @@ object SinkOps {
           SELECT event_id, payload_json, md5(payload_json) AS payload_md5 FROM enc"""),
 
     "sink_decode_roundtrip" -> withOplog(
+      s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql"),
+
+    "sink_file_tunnel" -> withOplog(
       s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql"),
 
     "sink_conflicts" -> withOplog(

@@ -40,6 +40,39 @@ object SnapshotOps {
         .agg(count(lit(1)).as("n_rows"))
     }),
 
+    // W9 index sync: persist listIndexes-style specs (background scrubbed,
+    // reference doc_syncer.go:206-287) and read them back as the target's
+    // catalog metadata.
+    "snap_index_sync" -> ((s, dir) => {
+      import graft.streaming.{FullSync, IncrSync}
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_index_sync_q"
+      IncrSync.deletePath(s, work)
+      FullSync.writeIndexSpecs(s, work, "users_1", Seq(
+        """{"v":2,"key":{"_id":1},"name":"_id_"}""",
+        """{"v":2,"key":{"email":1},"name":"email_1","unique":true,"background":true}""",
+        """{"v":2,"key":{"ts":-1,"kind":1},"name":"ts_-1_kind_1","background":true}"""))
+      FullSync.readIndexSpecs(s, work, "users_1")
+    }),
+
+    // W10 + X4: auto shard-key selection against each collection's index
+    // catalog (a non-_id unique index forces by-namespace routing), with
+    // the chosen spec persisted per collection (shardCollection analogue).
+    "snap_shard_spec" -> ((s, dir) => {
+      import graft.partition.Hashers
+      import graft.streaming.{FullSync, IncrSync}
+      import s.implicits._
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_shard_spec_q"
+      IncrSync.deletePath(s, work)
+      val colls = Seq("users_0", "users_1", "users_2", "users_3")
+      colls.foreach { c =>
+        val catalog = (Seq(("_id_", false)) ++
+          (if (c == "users_1") Seq(("email_1", true)) else Nil))
+          .toDF("name", "unique")
+        FullSync.writeShardSpec(s, work, c, Hashers.autoShardKey(catalog), 8)
+      }
+      colls.map(c => s.read.parquet(s"$work/full/${c}_spec")).reduce(_ unionByName _)
+    }),
+
     // F8 complete surface: compound (string, number) shard key against an
     // explicit chunk map with MinKey/MaxKey bounds, membership by BSON
     // type-ordered lexicographic tuple comparison (orphan_filter.go's
@@ -74,6 +107,19 @@ object SnapshotOps {
     "snap_orphan_filter" ->
       """SELECT l_orderkey // 1000 AS chunk_id, COUNT(*) AS n_rows
          FROM lineitem WHERE (l_orderkey // 1000) % 3 = 0 GROUP BY 1""",
+
+    "snap_index_sync" ->
+      """SELECT * FROM (VALUES
+           ('users_1', '_id_', '{"v":2,"key":{"_id":1},"name":"_id_"}'),
+           ('users_1', 'email_1', '{"v":2,"key":{"email":1},"name":"email_1","unique":true}'),
+           ('users_1', 'ts_-1_kind_1', '{"v":2,"key":{"ts":-1,"kind":1},"name":"ts_-1_kind_1"}')
+         ) t("table", index_name, index_json)""",
+
+    "snap_shard_spec" ->
+      """SELECT * FROM (VALUES
+           ('users_0', 'id', 8), ('users_1', 'collection', 8),
+           ('users_2', 'id', 8), ('users_3', 'id', 8)
+         ) t("table", shard_key, n_pieces)""",
 
     // Closed form of the two owned chunk ranges:
     //   [(MinKey,MinKey), ('A',2000))  → flag 'A' with key < 2000

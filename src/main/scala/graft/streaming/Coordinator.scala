@@ -106,4 +106,17 @@ object Coordinator {
       admit
     }
   }
+
+  /** T7 admission as a DataFrame plan: the reference's bucket refills
+    * fully every tick (`speed.go:55-60` resets the window), so tokens at
+    * every tick start equal the budget and admission is memoryless —
+    * admitted = min(arrivals, budget) per tick, the closed form of
+    * [[tokenBucketAdmit]] (locked equivalent by a property test). One
+    * aggregation, no sequential state — the whole point at scale.
+    */
+  def qosAdmission(batch: DataFrame, tickSec: Long, budget: Long): DataFrame =
+    batch.groupBy(expr(s"(ts_packed >> 32) DIV $tickSec").as("tick"))
+      .agg(count(lit(1)).as("n_arrived"))
+      .withColumn("n_admitted", least(col("n_arrived"), lit(budget)))
+      .withColumn("n_deferred", col("n_arrived") - col("n_admitted"))
 }

@@ -28,7 +28,18 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Untimed: drop cache entries and localCheckpoint blocks the query
+      // left behind — accumulated block-manager pressure would otherwise
+      // tax every LATER query's timing for state it never created.
+      // (SPARK_GRAFT_KEEP_CACHE=1 disables, for A/B-ing the policy.)
+      if (!sys.env.get("SPARK_GRAFT_KEEP_CACHE").contains("1")) {
+        try {
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        } catch { case _: Throwable => () }
+      }
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -156,11 +156,13 @@ object Dedup {
   // --- SimHash -------------------------------------------------------------
 
   /** SimHash signature width: phash64 yields 60-bit longs (15 hex chars),
-    * so the signature uses all 60 — wide enough that 4 bands give 15 bits
-    * (32,768 buckets) each.
+    * so the signature uses all 60. Bands follow the pigeonhole guarantee:
+    * catching every pair within Hamming distance d needs d+1 bands (d
+    * differing bits can corrupt at most d bands, leaving one clean shared
+    * band) — 5 bands of 12 bits for the default maxHamming = 4.
     */
   val SimhashBits = 60
-  val SimhashBands = 4
+  val SimhashBands = 5
   val SimhashBandBits: Int = SimhashBits / SimhashBands
 
   /** 60-bit SimHash signature (doc_id, simhash:long): bit i of the
@@ -187,21 +189,20 @@ object Dedup {
       .select(col("doc_id"), simhash.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: 15-bit-band blocking (pairs agreeing on any
-    * of the 4 signature bands are candidates), verified by Hamming
+  /** SimHash near-dup pairs: 12-bit-band blocking (pairs agreeing on any
+    * of the 5 signature bands are candidates), verified by Hamming
     * distance.
     *
-    * Scale shape: 32,768 buckets per band (vs 256 with byte bands — at
+    * Scale shape: 4,096 buckets per band (vs 256 with byte bands — at
     * 1B docs a byte band held ~1M docs and the self-join went quadratic),
     * and buckets larger than `maxBandBucket` are dropped before the
     * self-join, the same quadratic-blowup guard as [[minhashLsh]]. With
     * md5-derived shingle hashes the signature bits are i.i.d., so
-    * contiguous bands block as well as permuted ones. A true near-dup
-    * pair with Hamming ≤ 4 disagrees in ≤4 bits, which can corrupt at
-    * most 4 of the 4 bands only when each hits a different band — with 4
-    * spread bits the pair still agrees on some band with P ≥ 1 - (no
-    * shared clean band), and dropped-bucket pairs resurface through their
-    * other bands.
+    * contiguous bands block as well as permuted ones. Recall guarantee:
+    * a pair within the default maxHamming = 4 differs in ≤ 4 bits, which
+    * corrupt at most 4 of the 5 bands — the pair always shares at least
+    * one clean band (pigeonhole; only capped-out buckets can still drop
+    * it, and those pairs resurface through their other bands).
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, maxHamming: Int = 4, maxBandBucket: Int = 500): DataFrame = {

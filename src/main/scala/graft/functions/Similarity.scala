@@ -167,12 +167,17 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("sim"))
   }
 
+  /** Prepared rows in centroid form (centroid_id, cv, cn) — the ONE
+    * definition of the centroid-table schema.
+    */
+  private def toCentroids(p: DataFrame): DataFrame =
+    p.select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+
   /** Seed centroid table: corpus rows selected by a deterministic
     * predicate, in centroid form (centroid_id, cv, cn).
     */
   def seedCentroids(embs: DataFrame, id: Column, emb: Column, pred: Column): DataFrame =
-    prepared(embs, id, emb).filter(pred)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    toCentroids(prepared(embs, id, emb).filter(pred))
 
   /** Nearest-centroid argmax of prepared rows against a centroid table —
     * broadcast the centroids, collapse the |corpus|×k scored rows map-side
@@ -208,8 +213,7 @@ object Similarity {
   def kmeansTrain(embs: DataFrame, id: Column, emb: Column, seedPred: Column,
       iters: Int = 2): DataFrame = {
     val p = prepared(embs, id, emb).localCheckpoint()
-    val seed = p.filter(seedPred)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val seed = toCentroids(p.filter(seedPred))
     (1 to iters).foldLeft(seed) { (cents, _) =>
       val asg = assignTo(p, cents).select(col("vec_id"), col("centroid_id"))
       val sums = asg.join(p, Seq("vec_id"))
@@ -221,6 +225,11 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
           s => s.getField("cx")).as("cv"))
         .withColumn("cn", sqNorm(col("cv")))
+        // a centroid that re-centers to the zero vector would score NaN
+        // cosine against everything — and Spark's min-struct argmax ranks
+        // NaN last while SQL ORDER BY DESC ranks it first. Degenerate
+        // clusters die instead (k shrinks), identically in both engines.
+        .filter(col("cn") > 0)
         .localCheckpoint()
     }
   }

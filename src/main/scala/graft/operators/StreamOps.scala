@@ -62,12 +62,15 @@ object StreamOps {
     val base = Oplog.fromEvents(s, dir)
     val keep = OplogFilters.chain(gids, white, black)
     val eligible = keep && col("op").isin("i", "u", "d")
+    // One corpus scan: the bounds action plus the three feed branches all
+    // read the materialized snapshot, not four passes over the parquet.
     val roled = base.withColumn("role",
       when(eligible && col("event_id") % 20 === 0, "txn")
         .when(eligible && col("event_id") % 20 === 1, "atomic")
         .otherwise("plain"))
+      .localCheckpoint()
 
-    val bounds = base.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
+    val bounds = roled.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
     val (tmin, tmax) = (bounds.getLong(0), bounds.getLong(1))
     val t1 = tmin + (tmax - tmin) / 2
     val t2 = tmin + 3 * (tmax - tmin) / 4

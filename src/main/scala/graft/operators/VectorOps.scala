@@ -180,10 +180,13 @@ object VectorOps {
                  (SELECT unnest(generate_series(1, 64)) AS i)
             GROUP BY 1, 2),
           cents$t AS (
-            SELECT centroid_id, cv, list_sum([y*y for y in cv]) AS cn FROM (
-              SELECT centroid_id,
-                list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
-              FROM sums$t GROUP BY 1))"""
+            -- cn > 0: degenerate (zero-vector) centroids die, mirroring
+            -- kmeansTrain — NaN cosines order differently in the engines
+            SELECT * FROM (
+              SELECT centroid_id, cv, list_sum([y*y for y in cv]) AS cn FROM (
+                SELECT centroid_id,
+                  list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
+                FROM sums$t GROUP BY 1)) WHERE cn > 0)"""
     }
     (seed +: steps).mkString(", ")
   }

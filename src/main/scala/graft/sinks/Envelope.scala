@@ -29,6 +29,14 @@ object Envelope {
   val MsgPersistent = 0x00001000
   val MsgStorageBackend = 0x00010000
 
+  /** The framed-feed column set [[messages]] guarantees — the single
+    * definition tunnel writers select and readers
+    * ([[graft.streaming.Receiver.framesSchema]], [[FileSink.write]])
+    * depend on.
+    */
+  val frameColumns: Seq[String] =
+    Seq("checksum", "tag", "shard", "chunk", "compress", "frame")
+
   /** The op/ns/key/o/meta tail shared by every payload encoding — one
     * definition so the json and extended-json forms cannot drift apart.
     */

@@ -42,7 +42,7 @@ object FileSink {
     // partition of frames at a time, never the batch (a `collect` here is
     // a driver OOM at 100 TB-scale batches).
     val it = framed
-      .selectExpr("checksum", "tag", "shard", "chunk", "compress", "frame")
+      .selectExpr(Envelope.frameColumns: _*)
       .orderBy("shard", "chunk")
       .toLocalIterator()
     val p = new Path(path)

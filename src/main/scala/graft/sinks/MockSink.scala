@@ -17,16 +17,22 @@ object MockSink {
 
   val MetricsName = "mock_sink"
 
+  private val callSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Batch form: execute and discard, returning the row count observed
     * on the way through (one pass — the count is not a second action).
+    * The observe name is unique per call: QueryExecutionListeners are
+    * session-global, so a shared name would let a concurrent observed
+    * query satisfy this call's latch with ITS count.
     */
   def write(df: DataFrame): Long = {
+    val name = s"${MetricsName}_${callSeq.incrementAndGet()}"
     @volatile var seen = -1L
     val done = new java.util.concurrent.CountDownLatch(1)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
-        qe.observedMetrics.get(MetricsName).foreach { r =>
+        qe.observedMetrics.get(name).foreach { r =>
           seen = r.getAs[Long]("n_rows")
           done.countDown()
         }
@@ -37,10 +43,12 @@ object MockSink {
     val spark = df.sparkSession
     spark.listenerManager.register(listener)
     try {
-      df.observe(MetricsName, count(lit(1)).as("n_rows"))
+      df.observe(name, count(lit(1)).as("n_rows"))
         .write.format("noop").mode("overwrite").save()
-      // listener callbacks are asynchronous; bounded wait for the metric
-      done.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      // listener callbacks are asynchronous; bounded wait for the metric,
+      // and a miss is an error — never a plausible-looking sentinel
+      require(done.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "mock sink: observed metric did not arrive within 30s")
     } finally spark.listenerManager.unregister(listener)
     seen
   }

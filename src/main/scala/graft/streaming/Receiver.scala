@@ -26,15 +26,17 @@ import graft.sinks.Envelope
 object Receiver {
 
   /** Schema of the framed feed (what [[Envelope.messages]] emits and the
-    * tunnel writers persist).
+    * tunnel writers persist). Column names come from the shared
+    * [[Envelope.frameColumns]] contract so writer and reader cannot
+    * silently drift (a name mismatch here would read as all-null columns,
+    * not an error).
     */
-  val framesSchema: StructType = StructType(Seq(
-    StructField("checksum", LongType),
-    StructField("tag", IntegerType),
-    StructField("shard", IntegerType),
-    StructField("chunk", IntegerType),
-    StructField("compress", IntegerType),
-    StructField("frame", BinaryType)))
+  val framesSchema: StructType = {
+    val types = Map[String, DataType](
+      "checksum" -> LongType, "tag" -> IntegerType, "shard" -> IntegerType,
+      "chunk" -> IntegerType, "compress" -> IntegerType, "frame" -> BinaryType)
+    StructType(Envelope.frameColumns.map(n => StructField(n, types(n))))
+  }
 
   /** Decode one micro-batch of frames to canonical records — shard rides
     * along so per-worker ordering is reconstructible downstream.

@@ -118,13 +118,17 @@ object EventNormalizer {
     */
   def routeInvalid(normalized: DataFrame, errorsDir: String): DataFrame = {
     import org.apache.spark.sql.SaveMode
-    val invalid = normalized.filter(col("op") === "x")
+    // One snapshot for all three consumers (emptiness probe, errors
+    // write, returned valid rows): without it a non-deterministic input
+    // could drop a poison row from the output yet never record it — the
+    // exact loss the dead-letter route exists to prevent.
+    val snap = normalized.localCheckpoint()
+    val invalid = snap.filter(col("op") === "x")
     // Empty-guard so a clean batch never creates (or touches) the errors
-    // table; micro-batch inputs are already materialized by the source, so
-    // the second scan of the batch is cheap.
+    // table.
     if (!invalid.isEmpty) {
       invalid.write.mode(SaveMode.Append).parquet(errorsDir)
     }
-    normalized.filter(col("op") =!= "x")
+    snap.filter(col("op") =!= "x")
   }
 }

@@ -153,6 +153,59 @@ object Dedup {
     verifyJaccard(cand, threshold)
   }
 
+  // --- Cluster dedup (connected components) --------------------------------
+
+  /** Connected components over a near-dup pair graph: the "keep one doc
+    * per near-dup cluster" step a training pipeline runs AFTER pairwise
+    * detection (pairs alone over-delete: a~b and b~c must collapse to one
+    * survivor, not two independent drops).
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — each vertex
+    * repeatedly takes the min label among itself and its neighbors. The
+    * classic Spark shape for CC: per iteration one join + one aggregation
+    * (both partial-aggregatable), state = |vertices| labels, lineage cut
+    * per step. Iterations ≤ graph diameter; near-dup graphs are
+    * shallow (clusters are quasi-cliques), so convergence is fast at any
+    * scale. The fixpoint is unique, so the result is deterministic
+    * regardless of execution order.
+    *
+    * Returns one row per non-singleton cluster: (cluster = min doc_id,
+    * n_members, keep_id = cluster) — documents outside any pair are
+    * implicitly their own singleton cluster and need no row.
+    */
+  def nearDupComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    // Labels only ever decrease, so Σlabel strictly decreases until the
+    // fixpoint — convergence is one single-row aggregate per step, not a
+    // self-join diff of the label table.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prev = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      // neighbor minimum per vertex (map-side combinable), then the
+      // pointwise min with the vertex's own label
+      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(labels("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      val cur = labelSum(next)
+      converged = cur == prev
+      prev = cur
+      labels = next
+    }
+    labels.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keep_id"))
+  }
+
   // --- SimHash -------------------------------------------------------------
 
   /** SimHash signature width: phash64 yields 60-bit longs (15 hex chars),

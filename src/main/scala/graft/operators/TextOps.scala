@@ -52,7 +52,14 @@ object TextOps {
       Dedup.ngramJaccard(docs(s, dir), col("doc_id"), col("text"))),
 
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), col("doc_id"), col("text")))
+      Dedup.simhashPairs(docs(s, dir), col("doc_id"), col("text"))),
+
+    // Cluster dedup: connected components over the MinHash-LSH pair graph
+    // (a~b and b~c collapse to ONE survivor) — iterative min-label
+    // propagation to fixpoint; oracle = recursive-CTE closure.
+    "dedup_components" -> ((s, dir) =>
+      Dedup.nearDupComponents(
+        Dedup.minhashLsh(docs(s, dir), col("doc_id"), col("text"))))
   )
 
   // ---- oracle SQL builders -------------------------------------------------
@@ -85,6 +92,30 @@ object TextOps {
 
   private def bandSigSql(band: Int): String =
     (0 until 4).map(r => s"CAST(mh_${band * 4 + r} AS VARCHAR)").mkString(" || '_' || ")
+
+  /** MinHash-LSH candidate/verify CTE chain ending in `j(doc_a, doc_b,
+    * jaccard)` — shared by the pair query and the cluster-dedup closure.
+    */
+  private def minhashPairCtes: String =
+    s"""base AS (SELECT doc_id, ${hashedShingleSql(3)} AS s
+          FROM (SELECT doc_id, $toks AS t, text FROM documents)),
+        sig AS (SELECT doc_id, s, ${minhashExprs.mkString(", ")} FROM base),
+        banded AS (
+          SELECT doc_id, band,
+            CASE band ${(0 until 4).map(b => s"WHEN $b THEN ${bandSigSql(b)}").mkString(" ")} END AS bsig
+          FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)),
+        bounded AS (
+          SELECT * FROM (
+            SELECT doc_id, band, bsig, COUNT(*) OVER (PARTITION BY band, bsig) AS bkt_n
+            FROM banded) WHERE bkt_n <= 500),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bounded a JOIN bounded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        j AS (
+          SELECT doc_a, doc_b,
+            CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+              (CAST(len(sa.s) + len(sb.s) AS DOUBLE) - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)) AS jaccard
+          FROM pairs JOIN sig sa ON sa.doc_id = pairs.doc_a JOIN sig sb ON sb.doc_id = pairs.doc_b)"""
 
   def oracles: Map[String, String] = Map(
     "text_stats" ->
@@ -128,26 +159,23 @@ object TextOps {
          FROM documents GROUP BY 1""",
 
     "dedup_minhash_lsh" ->
-      s"""WITH base AS (SELECT doc_id, ${hashedShingleSql(3)} AS s
-            FROM (SELECT doc_id, $toks AS t, text FROM documents)),
-          sig AS (SELECT doc_id, s, ${minhashExprs.mkString(", ")} FROM base),
-          banded AS (
-            SELECT doc_id, band,
-              CASE band ${(0 until 4).map(b => s"WHEN $b THEN ${bandSigSql(b)}").mkString(" ")} END AS bsig
-            FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)),
-          bounded AS (
-            SELECT * FROM (
-              SELECT doc_id, band, bsig, COUNT(*) OVER (PARTITION BY band, bsig) AS bkt_n
-              FROM banded) WHERE bkt_n <= 500),
-          pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bounded a JOIN bounded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-          j AS (
-            SELECT doc_a, doc_b,
-              CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-                (CAST(len(sa.s) + len(sb.s) AS DOUBLE) - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)) AS jaccard
-            FROM pairs JOIN sig sa ON sa.doc_id = pairs.doc_a JOIN sig sb ON sb.doc_id = pairs.doc_b)
-          SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""",
+      s"WITH $minhashPairCtes SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5",
+
+    "dedup_components" ->
+      s"""WITH $minhashPairCtes,
+          good AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM good
+            UNION SELECT doc_b, doc_a FROM good),
+          verts AS (SELECT DISTINCT src AS doc_id FROM edges)
+          SELECT label AS cluster, COUNT(*) AS n_members, MIN(doc_id) AS keep_id
+          FROM (
+            WITH RECURSIVE cc AS (
+              SELECT doc_id, doc_id AS label FROM verts
+              UNION
+              SELECT e.dst AS doc_id, cc.label FROM cc JOIN edges e ON e.src = cc.doc_id)
+            SELECT doc_id, MIN(label) AS label FROM cc GROUP BY 1) t
+          GROUP BY 1""",
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, ${hashedShingleSql(4, mod = "")} AS s

@@ -59,6 +59,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.exists { case (a, b, h) => a == 1 && b == 2 && h == 0 })
   }
 
+  test("nearDupComponents: chains collapse to one cluster; keep_id is the min member") {
+    // pair graph: 1-2, 2-3 (one chain), 7-9 (separate), 5 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupComponents(pairs)
+      .orderBy("cluster")
+      .select("cluster", "n_members", "keep_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L), (7L, 2L, 7L)))
+    // a long path (diameter > 2) still converges to the single min label
+    val path = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("doc_a", "doc_b")
+    val one = Dedup.nearDupComponents(path)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(one == Seq((1L, 6L, 1L)))
+  }
+
   test("simhash band-bucket cap drops oversized buckets (quadratic guard)") {
     // 12 identical docs land in the same bucket of every band: with the
     // cap below the group size the self-join sees none of them; with the

@@ -259,7 +259,10 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, maxHamming: Int = 4, maxBandBucket: Int = 500): DataFrame = {
-    val sig = simhashSig(docs, id, text, shingleN)
+    // Lineage cut: both sides of the banded self-join consume the
+    // signature table — without it each side re-runs the full
+    // scan→explode→60-sum aggregate (the dominant cost, twice).
+    val sig = simhashSig(docs, id, text, shingleN).localCheckpoint()
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
       .withColumn("bkt",

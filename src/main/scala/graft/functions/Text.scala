@@ -71,6 +71,48 @@ object Text {
     }
   }
 
+  /** Repetition signals (the Gopher/C4-style repetition filters a
+    * training pipeline applies after exact/near dedup — excessive n-gram
+    * repetition marks boilerplate and degenerate text):
+    *   - top_word_frac / top_bigram_frac: fraction of (bi)gram occurrences
+    *     covered by the single most frequent one,
+    *   - dup_bigram_frac: 1 − distinct/total bigrams.
+    *
+    * Shape: one explode of words ∪ bigrams to (doc_id, kind, gram), a
+    * count per gram and a max/sum per (doc, kind) — both hash aggregates
+    * with map-side partial combine; one exchange keyed by (doc_id, kind,
+    * gram). No per-row quadratic array lambdas (an array-native mode()
+    * would be O(distinct·n) interpreted work per document).
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame,
+      id: Column, text: Column): org.apache.spark.sql.DataFrame = {
+    val t = tokens(text)
+    // guard: sequence(1, 0) would DESCEND in Spark; short docs get no bigrams
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => array_join(slice(t, i, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val words = docs.select(id.as("doc_id"), lit("w").as("kind"),
+      explode(t).as("gram"))
+    val bis = docs.select(id.as("doc_id"), lit("b").as("kind"),
+      explode(bigrams).as("gram"))
+    val stats = words.unionByName(bis)
+      .groupBy(col("doc_id"), col("kind"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("kind"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("total"),
+        count(lit(1)).as("n_distinct"))
+    stats.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("kind") === "w", col("total"))).as("n_tokens"),
+        max(when(col("kind") === "w",
+          col("top_c").cast("double") / col("total"))).as("top_word_frac"),
+        max(when(col("kind") === "b",
+          col("top_c").cast("double") / col("total"))).as("top_bigram_frac"),
+        max(when(col("kind") === "b",
+          lit(1.0) - col("n_distinct").cast("double") / col("total"))).as("dup_bigram_frac"))
+  }
+
   /** Quality signals: mean word length, type-token ratio, length score.
     * quality = 0.4·cap(avg_word_len/8) + 0.3·distinct_ratio + 0.3·cap(n_tokens/100)
     * — all double arithmetic with an identical evaluation shape in the

@@ -42,6 +42,11 @@ object TextOps {
       docs(s, dir).select(col("doc_id"),
         Text.bpeTokenCount(col("text")).cast("long").as("n_bpe"))),
 
+    // Gopher/C4-style repetition filters: top-(bi)gram concentration and
+    // duplicate-bigram fraction per document.
+    "text_repetition" -> ((s, dir) =>
+      Text.repetitionStats(docs(s, dir), col("doc_id"), col("text"))),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -153,6 +158,27 @@ object TextOps {
       s"""SELECT doc_id,
           CAST(len(regexp_extract_all(lower(text), '${Text.bpeRegex}')) AS BIGINT) AS n_bpe
           FROM documents""",
+
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+          grams AS (
+            SELECT doc_id, 'w' AS kind, unnest(t) AS gram FROM toks
+            UNION ALL
+            SELECT doc_id, 'b' AS kind,
+              unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)]) AS gram
+            FROM toks),
+          counts AS (
+            SELECT doc_id, kind, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+          stats AS (
+            SELECT doc_id, kind, MAX(c) AS top_c,
+              CAST(SUM(c) AS BIGINT) AS total, COUNT(*) AS n_distinct
+            FROM counts GROUP BY 1, 2)
+          SELECT doc_id,
+            MAX(CASE WHEN kind = 'w' THEN total END) AS n_tokens,
+            MAX(CASE WHEN kind = 'w' THEN CAST(top_c AS DOUBLE) / total END) AS top_word_frac,
+            MAX(CASE WHEN kind = 'b' THEN CAST(top_c AS DOUBLE) / total END) AS top_bigram_frac,
+            MAX(CASE WHEN kind = 'b' THEN 1.0 - CAST(n_distinct AS DOUBLE) / total END) AS dup_bigram_frac
+          FROM stats GROUP BY 1""",
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -26,6 +26,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == Seq("en", "es", "und"))
   }
 
+  test("repetitionStats: concentration and dup fractions; single-token doc has no bigrams") {
+    val df = Seq(
+      (1L, "a b a b a"),   // words: a×3,b×2 → top 3/5; bigrams: "a b"×2,"b a"×2 → top 2/4, dup 1-2/4
+      (2L, "x y z w"),     // all distinct → top_word 1/4, top_bigram 1/3, dup 0
+      (3L, "solo")         // no bigrams → bigram stats null
+    ).toDF("doc_id", "text")
+    val got = graft.functions.Text.repetitionStats(df, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Option[Double], Option[Double])].collect()
+    assert(got(0) == ((1L, 5L, 0.6, Some(0.5), Some(0.5))))
+    assert(got(1) == ((2L, 4L, 0.25, Some(1.0 / 3.0), Some(0.0))))
+    assert(got(2) == ((3L, 1L, 1.0, None, None)))
+  }
+
   test("exact dedup groups identical texts and keeps the min id") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val got = Dedup.exact(df, col("doc_id"), col("text"))

@@ -117,43 +117,51 @@ object Envelope {
   }
 
   /** P12 compressor (`modules/compress.go:18-100`): frame-body compression
-    * for the wire/file tunnels. Codec ids in the compress header field:
-    * 0 = none, 1 = deflate (zlib, BestCompression — the reference's
-    * default level). Parquet/Kafka sinks use their own codecs; this path
-    * exists for the TMessage-framed tunnels.
+    * for the wire/file tunnels, with the reference's codec-id wire values:
+    * 0 = none, 1 = gzip, 2 = snappy (block format), 3 = zlib,
+    * 4 = raw deflate — all at BestCompression where the codec has levels
+    * (`compress.go: CompressLevel = BestCompression`). Parquet/Kafka
+    * sinks use their own codecs; this path exists for the TMessage-framed
+    * tunnels.
     */
-  val CompressDeflate = 1
+  val CompressNone = 0
+  val CompressGzip = 1
+  val CompressSnappy = 2
+  val CompressZlib = 3
+  val CompressDeflate = 4
 
   /** Compress each frame's body (past the 20-byte header), patching the
     * compress field. Runs as a typed map — per-row JVM compression, the
     * same shape as the reference's writer hook.
     */
-  def compressFrames(framed: DataFrame): DataFrame = {
-    val spark = framed.sparkSession
-    import spark.implicits._
+  def compressFrames(framed: DataFrame, codec: Int = CompressZlib): DataFrame = {
     val cols = framed.columns
     framed.withColumn("frame",
-      udf((f: Array[Byte]) => compressFrame(f)).apply(col("frame")))
-      .withColumn("compress", lit(CompressDeflate))
+      udf((f: Array[Byte]) => compressFrame(f, codec)).apply(col("frame")))
+      .withColumn("compress", lit(codec))
       .select(cols.map(col): _*)
   }
 
-  def compressFrame(frame: Array[Byte]): Array[Byte] = {
+  def compressFrame(frame: Array[Byte], codec: Int = CompressZlib): Array[Byte] = {
     val header = frame.take(20)
-    val body = frame.drop(20)
-    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+    val body = compressBody(frame.drop(20), codec)
+    // Patch the compress field (bytes 12-15) to the codec id.
+    ByteBuffer.wrap(header).order(ByteOrder.BIG_ENDIAN).putInt(12, codec)
+    header ++ body
+  }
+
+  private def deflateWith(body: Array[Byte], nowrap: Boolean): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION, nowrap)
     d.setInput(body); d.finish()
     val out = new java.io.ByteArrayOutputStream(body.length / 2 + 64)
     val buf = new Array[Byte](8192)
     while (!d.finished()) out.write(buf, 0, d.deflate(buf))
     d.end()
-    // Patch compress field (bytes 12-15) to the deflate codec id.
-    ByteBuffer.wrap(header).order(ByteOrder.BIG_ENDIAN).putInt(12, CompressDeflate)
-    header ++ out.toByteArray
+    out.toByteArray
   }
 
-  private[sinks] def inflate(body: Array[Byte]): Array[Byte] = {
-    val inf = new java.util.zip.Inflater()
+  private def inflateWith(body: Array[Byte], nowrap: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(nowrap)
     inf.setInput(body)
     val out = new java.io.ByteArrayOutputStream(body.length * 3 + 64)
     val buf = new Array[Byte](8192)
@@ -165,6 +173,40 @@ object Envelope {
     inf.end()
     out.toByteArray
   }
+
+  def compressBody(body: Array[Byte], codec: Int): Array[Byte] = codec match {
+    case CompressNone => body
+    case CompressGzip =>
+      val bos = new java.io.ByteArrayOutputStream(body.length / 2 + 64)
+      val gz = new java.util.zip.GZIPOutputStream(bos) {
+        `def`.setLevel(java.util.zip.Deflater.BEST_COMPRESSION)
+      }
+      gz.write(body); gz.close()
+      bos.toByteArray
+    case CompressSnappy => org.xerial.snappy.Snappy.compress(body)
+    case CompressZlib => deflateWith(body, nowrap = false)
+    case CompressDeflate => deflateWith(body, nowrap = true)
+    case other => throw new IllegalArgumentException(s"invalid compressor id $other")
+  }
+
+  def decompressBody(body: Array[Byte], codec: Int): Array[Byte] = codec match {
+    case CompressNone => body
+    case CompressGzip =>
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
+      val out = new java.io.ByteArrayOutputStream(body.length * 3 + 64)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      out.toByteArray
+    case CompressSnappy => org.xerial.snappy.Snappy.uncompress(body)
+    case CompressZlib => inflateWith(body, nowrap = false)
+    case CompressDeflate => inflateWith(body, nowrap = true)
+    case other => throw new IllegalArgumentException(s"invalid compressor id $other")
+  }
+
+  private[sinks] def inflate(body: Array[Byte]): Array[Byte] =
+    inflateWith(body, nowrap = false)
 
   /** Decoded record of a TMessage frame. */
   final case class Decoded(checksum: Long, tag: Int, shard: Int, compress: Int,
@@ -185,8 +227,7 @@ object Envelope {
     val shard = head.getInt
     val compress = head.getInt
     val nFromHead = head.getInt
-    val body =
-      if (compress == CompressDeflate) inflate(frame.drop(20)) else frame.drop(20)
+    val body = decompressBody(frame.drop(20), compress)
     val bb = ByteBuffer.wrap(body).order(ByteOrder.BIG_ENDIAN)
     var n = nFromHead
     val out = Seq.newBuilder[Array[Byte]]

@@ -96,8 +96,7 @@ object FileSink {
         val rawBody = new Array[Byte](bodyLen)
         in.readFully(rawBody)
         consumed += 24L + bodyLen
-        val body =
-          if (compress == Envelope.CompressDeflate) Envelope.inflate(rawBody) else rawBody
+        val body = Envelope.decompressBody(rawBody, compress)
         val bodyBuf = ByteBuffer.wrap(body).order(ByteOrder.BIG_ENDIAN)
         val payloads = Seq.newBuilder[Array[Byte]]
         while (bodyBuf.hasRemaining) {

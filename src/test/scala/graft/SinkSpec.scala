@@ -80,22 +80,25 @@ class SinkSpec extends AnyFunSuite {
     assert(allPayloads == want)
   }
 
-  test("P12: deflate-compressed frames shrink and decode transparently (incl. file sink)") {
+  test("P12: every reference codec id round-trips, shrinks (where it can), and checksum-validates") {
     val framed = Envelope.messages(Envelope.encode(oplogDf, 1))
     val plain = framed.select(col("frame")).as[Array[Byte]].head()
-    val compressed = Envelope.compressFrames(framed)
-      .select(col("frame")).as[Array[Byte]].head()
-    assert(compressed.length < plain.length)
-    val d = Envelope.decodeMessage(compressed) // inflates + checksum-validates
-    assert(d.compress == Envelope.CompressDeflate)
-    assert(d.payloads.map(new String(_, "UTF-8")).toSet ==
-      Envelope.decodeMessage(plain).payloads.map(new String(_, "UTF-8")).toSet)
-    // file sink round-trips compressed blocks too
+    val want = Envelope.decodeMessage(plain).payloads.map(new String(_, "UTF-8")).toSet
+    // reference wire ids: 1=gzip 2=snappy 3=zlib 4=raw deflate
+    for (codec <- Seq(Envelope.CompressGzip, Envelope.CompressSnappy,
+        Envelope.CompressZlib, Envelope.CompressDeflate)) {
+      val compressed = Envelope.compressFrames(framed, codec)
+        .select(col("frame")).as[Array[Byte]].head()
+      assert(compressed.length < plain.length, s"codec $codec did not shrink")
+      val d = Envelope.decodeMessage(compressed)
+      assert(d.compress == codec)
+      assert(d.payloads.map(new String(_, "UTF-8")).toSet == want)
+    }
+    // file sink round-trips compressed blocks too (default codec = zlib)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_file_sink_z.bin"
     FileSink.write(spark, Envelope.compressFrames(framed), path)
     val blocks = FileSink.read(spark, path)
-    assert(blocks.flatMap(_.payloads).map(new String(_, "UTF-8")).toSet ==
-      Envelope.decodeMessage(plain).payloads.map(new String(_, "UTF-8")).toSet)
+    assert(blocks.flatMap(_.payloads).map(new String(_, "UTF-8")).toSet == want)
   }
 
   test("conflict side-output flags re-inserts of live keys only") {

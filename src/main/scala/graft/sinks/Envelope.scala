@@ -130,24 +130,49 @@ object Envelope {
   val CompressZlib = 3
   val CompressDeflate = 4
 
-  /** Compress each frame's body (past the 20-byte header), patching the
-    * compress field. Runs as a typed map — per-row JVM compression, the
-    * same shape as the reference's writer hook.
+  /** Compress each frame's payloads — INDIVIDUALLY, as the reference's
+    * Compressor module does (`compress.go:100-116` loops RawLogs), with
+    * the checksum recomputed over the compressed payloads afterwards
+    * (module order is Compressor then ChecksumCalculator,
+    * `write_controller.go:46-49`). The [len|payload] framing itself is
+    * never compressed, so a reference reader parses the frame first and
+    * decompresses payload by payload. Runs as a per-row JVM map — the
+    * same shape as the reference's writer hook. The checksum column is
+    * updated alongside the frame bytes.
     */
   def compressFrames(framed: DataFrame, codec: Int = CompressZlib): DataFrame = {
     val cols = framed.columns
-    framed.withColumn("frame",
-      udf((f: Array[Byte]) => compressFrame(f, codec)).apply(col("frame")))
+    val zip = udf((f: Array[Byte]) => compressFrame(f, codec))
+    framed.withColumn("frame", zip(col("frame")))
       .withColumn("compress", lit(codec))
+      .withColumn("checksum",
+        udf((f: Array[Byte]) =>
+          ByteBuffer.wrap(f, 0, 4).order(ByteOrder.BIG_ENDIAN).getInt.toLong & 0xFFFFFFFFL)
+          .apply(col("frame")))
       .select(cols.map(col): _*)
   }
 
+  /** Rebuild TMessage bytes from header fields + payloads (ToBytes,
+    * `tunnel/tunnel.go:61-73`).
+    */
+  def frameBytes(checksum: Long, tag: Int, shard: Int, compress: Int,
+      payloads: Seq[Array[Byte]]): Array[Byte] = {
+    val size = 20 + payloads.map(_.length + 4).sum
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt((checksum & 0xFFFFFFFFL).toInt)
+    bb.putInt(tag); bb.putInt(shard); bb.putInt(compress)
+    bb.putInt(payloads.length)
+    payloads.foreach { p => bb.putInt(p.length); bb.put(p) }
+    bb.array()
+  }
+
   def compressFrame(frame: Array[Byte], codec: Int = CompressZlib): Array[Byte] = {
-    val header = frame.take(20)
-    val body = compressBody(frame.drop(20), codec)
-    // Patch the compress field (bytes 12-15) to the codec id.
-    ByteBuffer.wrap(header).order(ByteOrder.BIG_ENDIAN).putInt(12, codec)
-    header ++ body
+    val d = decodeMessage(frame) // validates the pre-compress checksum
+    val zipped = d.payloads.map(compressBody(_, codec))
+    val crc = zipped.foldLeft(0L) { (acc, p) =>
+      val c = new java.util.zip.CRC32; c.update(p); acc ^ c.getValue
+    }
+    frameBytes(crc, d.tag, d.shard, codec, zipped)
   }
 
   private def deflateWith(body: Array[Byte], nowrap: Boolean): Array[Byte] = {
@@ -208,17 +233,23 @@ object Envelope {
   private[sinks] def inflate(body: Array[Byte]): Array[Byte] =
     inflateWith(body, nowrap = false)
 
-  /** Decoded record of a TMessage frame. */
+  /** Decoded record of a TMessage frame (`payloads` are decompressed). */
   final case class Decoded(checksum: Long, tag: Int, shard: Int, compress: Int,
       payloads: Seq[Array[Byte]]) {
-    /** Recompute the XOR-of-CRC32 checksum from the payloads. */
+    /** XOR-of-CRC32 over the (decompressed) payloads — equals `checksum`
+      * only for uncompressed frames; the wire checksum covers payloads as
+      * framed (post-compression) and is validated during decode.
+      */
     def crc32Xor: Long = payloads.foldLeft(0L) { (acc, p) =>
       val c = new java.util.zip.CRC32; c.update(p); acc ^ c.getValue
     }
   }
 
   /** `TMessage.FromBytes` (`tunnel/tunnel.go:75-100`): the tunnel-reader
-    * side (S5). Validates the framing and the checksum.
+    * side (S5). Parses the (never-compressed) framing, validates the
+    * checksum over the payloads AS FRAMED (the reference checksums after
+    * compression), then decompresses each payload — the receiver's
+    * CRC-check → decompress order (`receiver/replayer.go:54-103`).
     */
   def decodeMessage(frame: Array[Byte]): Decoded = {
     val head = ByteBuffer.wrap(frame, 0, 20).order(ByteOrder.BIG_ENDIAN)
@@ -227,8 +258,7 @@ object Envelope {
     val shard = head.getInt
     val compress = head.getInt
     val nFromHead = head.getInt
-    val body = decompressBody(frame.drop(20), compress)
-    val bb = ByteBuffer.wrap(body).order(ByteOrder.BIG_ENDIAN)
+    val bb = ByteBuffer.wrap(frame, 20, frame.length - 20).order(ByteOrder.BIG_ENDIAN)
     var n = nFromHead
     val out = Seq.newBuilder[Array[Byte]]
     while (n > 0) {
@@ -246,9 +276,13 @@ object Envelope {
       n -= 1
     }
     require(bb.remaining() == 0, "message decode left bytes are not empty")
-    val d = Decoded(checksum, tag, shard, compress, out.result())
-    require(d.crc32Xor == checksum, s"checksum mismatch: $checksum vs ${d.crc32Xor}")
-    d
+    val framedPayloads = out.result()
+    val crc = framedPayloads.foldLeft(0L) { (acc, p) =>
+      val c = new java.util.zip.CRC32; c.update(p); acc ^ c.getValue
+    }
+    require(crc == checksum, s"checksum mismatch: $checksum vs $crc")
+    Decoded(checksum, tag, shard, compress,
+      framedPayloads.map(decompressBody(_, compress)))
   }
 
   /** Round-trip: frames → decoded payload JSON rows (one per record).

@@ -96,21 +96,24 @@ object FileSink {
         val rawBody = new Array[Byte](bodyLen)
         in.readFully(rawBody)
         consumed += 24L + bodyLen
-        val body = Envelope.decompressBody(rawBody, compress)
-        val bodyBuf = ByteBuffer.wrap(body).order(ByteOrder.BIG_ENDIAN)
-        val payloads = Seq.newBuilder[Array[Byte]]
+        // framing is never compressed: parse payloads as framed, validate
+        // the checksum over them (it covers the post-compression bytes),
+        // THEN decompress each — the reference reader's CRC→decompress order
+        val bodyBuf = ByteBuffer.wrap(rawBody).order(ByteOrder.BIG_ENDIAN)
+        val framedPayloads = Seq.newBuilder[Array[Byte]]
         while (bodyBuf.hasRemaining) {
           val plen = bodyBuf.getInt
           val payload = new Array[Byte](plen)
           bodyBuf.get(payload)
-          payloads += payload
+          framedPayloads += payload
         }
-        val block = Block(checksum, tag, shard, compress, payloads.result())
-        val crc = block.payloads.foldLeft(0L) { (acc, x) =>
+        val framed = framedPayloads.result()
+        val crc = framed.foldLeft(0L) { (acc, x) =>
           val c = new java.util.zip.CRC32; c.update(x); acc ^ c.getValue
         }
         require(crc == checksum, s"file tunnel: block checksum mismatch")
-        blocks += block
+        blocks += Block(checksum, tag, shard, compress,
+          framed.map(Envelope.decompressBody(_, compress)))
       }
       blocks.result()
     } finally in.close()

@@ -89,7 +89,12 @@ class SinkSpec extends AnyFunSuite {
         Envelope.CompressZlib, Envelope.CompressDeflate)) {
       val compressed = Envelope.compressFrames(framed, codec)
         .select(col("frame")).as[Array[Byte]].head()
-      assert(compressed.length < plain.length, s"codec $codec did not shrink")
+      // Compression is per payload (reference Compressor semantics), so
+      // fixed-header codecs (gzip: 18 bytes/payload) can grow tiny test
+      // payloads — only the headerless deflate forms must always shrink
+      // this fixture.
+      if (codec == Envelope.CompressZlib || codec == Envelope.CompressDeflate)
+        assert(compressed.length < plain.length, s"codec $codec did not shrink")
       val d = Envelope.decodeMessage(compressed)
       assert(d.compress == codec)
       assert(d.payloads.map(new String(_, "UTF-8")).toSet == want)

@@ -174,33 +174,44 @@ object Dedup {
     * implicitly their own singleton cluster and need no row.
     */
   def nearDupComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
     // Labels only ever decrease, so Σlabel strictly decreases until the
     // fixpoint — convergence is one single-row aggregate per step, not a
-    // self-join diff of the label table.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    var prev = labelSum(labels)
+    // self-join diff of the label table. Summed as DECIMAL(38,0): an
+    // int64 sum could wrap a genuine decrease to a multiple of 2^64 and
+    // falsely converge on adversarial full-range ids.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+    // Per-iteration snapshots: persist + a LogicalRDD view keeps the plan
+    // depth constant, and unpersisting the superseded table bounds the
+    // loop at two label copies (localCheckpoint blocks can't be freed
+    // selectively). The final snapshot stays persisted for the caller's
+    // aggregation.
+    var persisted = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    var prev = labelSum(persisted)
+    var labels = spark.createDataFrame(persisted.rdd, persisted.schema)
     var converged = false
     while (!converged) {
       // neighbor minimum per vertex (map-side combinable), then the
       // pointwise min with the vertex's own label
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+      val nextPersisted = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      val cur = labelSum(next)
-      converged = cur == prev
+        .persist()
+      val cur = labelSum(nextPersisted) // materializes before the unpersist
+      converged = cur.compareTo(prev) == 0
       prev = cur
-      labels = next
+      persisted.unpersist(false)
+      persisted = nextPersisted
+      labels = spark.createDataFrame(nextPersisted.rdd, nextPersisted.schema)
     }
     labels.groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keep_id"))

@@ -92,11 +92,15 @@ object Text {
       transform(sequence(lit(1), size(t) - 1),
         i => array_join(slice(t, i, lit(2)), " ")))
       .otherwise(array().cast("array<string>"))
-    val words = docs.select(id.as("doc_id"), lit("w").as("kind"),
-      explode(t).as("gram"))
-    val bis = docs.select(id.as("doc_id"), lit("b").as("kind"),
-      explode(bigrams).as("gram"))
-    val stats = words.unionByName(bis)
+    // ONE scan + ONE tokenize: words and bigrams ride a single exploded
+    // array of (kind, gram) structs — a union of two branches would plan
+    // two full table scans.
+    val grams = concat(
+      transform(t, w => struct(lit("w").as("kind"), w.as("gram"))),
+      transform(bigrams, b => struct(lit("b").as("kind"), b.as("gram"))))
+    val stats = docs
+      .select(id.as("doc_id"), explode(grams).as("kg"))
+      .select(col("doc_id"), col("kg.kind").as("kind"), col("kg.gram").as("gram"))
       .groupBy(col("doc_id"), col("kind"), col("gram"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"), col("kind"))

@@ -142,13 +142,13 @@ object Envelope {
     */
   def compressFrames(framed: DataFrame, codec: Int = CompressZlib): DataFrame = {
     val cols = framed.columns
-    val zip = udf((f: Array[Byte]) => compressFrame(f, codec))
-    framed.withColumn("frame", zip(col("frame")))
+    // one UDF yields both the rebuilt frame and its checksum — the header
+    // layout is interpreted in exactly one place (frameBytes)
+    val zip = udf((f: Array[Byte]) => compressFrameWithCrc(f, codec))
+    framed.withColumn("z", zip(col("frame")))
+      .withColumn("frame", col("z._1"))
+      .withColumn("checksum", col("z._2"))
       .withColumn("compress", lit(codec))
-      .withColumn("checksum",
-        udf((f: Array[Byte]) =>
-          ByteBuffer.wrap(f, 0, 4).order(ByteOrder.BIG_ENDIAN).getInt.toLong & 0xFFFFFFFFL)
-          .apply(col("frame")))
       .select(cols.map(col): _*)
   }
 
@@ -166,14 +166,15 @@ object Envelope {
     bb.array()
   }
 
-  def compressFrame(frame: Array[Byte], codec: Int = CompressZlib): Array[Byte] = {
+  private def compressFrameWithCrc(frame: Array[Byte], codec: Int): (Array[Byte], Long) = {
     val d = decodeMessage(frame) // validates the pre-compress checksum
     val zipped = d.payloads.map(compressBody(_, codec))
-    val crc = zipped.foldLeft(0L) { (acc, p) =>
-      val c = new java.util.zip.CRC32; c.update(p); acc ^ c.getValue
-    }
-    frameBytes(crc, d.tag, d.shard, codec, zipped)
+    val crc = xorCrc32(zipped)
+    (frameBytes(crc, d.tag, d.shard, codec, zipped), crc)
   }
+
+  def compressFrame(frame: Array[Byte], codec: Int = CompressZlib): Array[Byte] =
+    compressFrameWithCrc(frame, codec)._1
 
   private def deflateWith(body: Array[Byte], nowrap: Boolean): Array[Byte] = {
     val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION, nowrap)
@@ -233,17 +234,17 @@ object Envelope {
   private[sinks] def inflate(body: Array[Byte]): Array[Byte] =
     inflateWith(body, nowrap = false)
 
-  /** Decoded record of a TMessage frame (`payloads` are decompressed). */
-  final case class Decoded(checksum: Long, tag: Int, shard: Int, compress: Int,
-      payloads: Seq[Array[Byte]]) {
-    /** XOR-of-CRC32 over the (decompressed) payloads — equals `checksum`
-      * only for uncompressed frames; the wire checksum covers payloads as
-      * framed (post-compression) and is validated during decode.
-      */
-    def crc32Xor: Long = payloads.foldLeft(0L) { (acc, p) =>
+  /** XOR of per-payload CRC-32s (`TMessage.Crc32`, `tunnel/tunnel.go:53-59`)
+    * — THE checksum rule, shared by encoder, decoder, and the file reader.
+    */
+  def xorCrc32(payloads: Seq[Array[Byte]]): Long =
+    payloads.foldLeft(0L) { (acc, p) =>
       val c = new java.util.zip.CRC32; c.update(p); acc ^ c.getValue
     }
-  }
+
+  /** Decoded record of a TMessage frame (`payloads` are decompressed). */
+  final case class Decoded(checksum: Long, tag: Int, shard: Int, compress: Int,
+      payloads: Seq[Array[Byte]])
 
   /** `TMessage.FromBytes` (`tunnel/tunnel.go:75-100`): the tunnel-reader
     * side (S5). Parses the (never-compressed) framing, validates the
@@ -277,9 +278,7 @@ object Envelope {
     }
     require(bb.remaining() == 0, "message decode left bytes are not empty")
     val framedPayloads = out.result()
-    val crc = framedPayloads.foldLeft(0L) { (acc, p) =>
-      val c = new java.util.zip.CRC32; c.update(p); acc ^ c.getValue
-    }
+    val crc = xorCrc32(framedPayloads)
     require(crc == checksum, s"checksum mismatch: $checksum vs $crc")
     Decoded(checksum, tag, shard, compress,
       framedPayloads.map(decompressBody(_, compress)))

@@ -102,15 +102,18 @@ object FileSink {
         val bodyBuf = ByteBuffer.wrap(rawBody).order(ByteOrder.BIG_ENDIAN)
         val framedPayloads = Seq.newBuilder[Array[Byte]]
         while (bodyBuf.hasRemaining) {
+          // untrusted input: fail with the codec's framing error, not a
+          // NegativeArraySize/BufferUnderflow from a corrupt length
+          require(bodyBuf.remaining() >= 4, "file tunnel: truncated block body")
           val plen = bodyBuf.getInt
+          require(plen >= 0 && plen <= bodyBuf.remaining(),
+            s"file tunnel: payload length is invalid: $plen")
           val payload = new Array[Byte](plen)
           bodyBuf.get(payload)
           framedPayloads += payload
         }
         val framed = framedPayloads.result()
-        val crc = framed.foldLeft(0L) { (acc, x) =>
-          val c = new java.util.zip.CRC32; c.update(x); acc ^ c.getValue
-        }
+        val crc = Envelope.xorCrc32(framed)
         require(crc == checksum, s"file tunnel: block checksum mismatch")
         blocks += Block(checksum, tag, shard, compress,
           framed.map(Envelope.decompressBody(_, compress)))

@@ -151,8 +151,10 @@ object StreamOps {
       // one file → one AvailableNow micro-batch → deterministic batch_id 0
       .coalesce(1).write.parquet(feedDir)
 
+    // 16 buckets at test scale (same harness choice as cdc_incr_state —
+    // a state-layout parameter, not operator semantics)
     val q = IncrSync.startOplog(s, feedDir, s"$work/target", s"$work/ckpt",
-      gids = gids, white = white, black = black, txnTtlMs = 0)
+      gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 16)
     q.awaitTermination()
 
     val state = IncrSync.readOrEmpty(s, s"$work/target/state")

@@ -145,7 +145,8 @@ object IncrSync {
       white: Seq[String] = Seq("^app\\..*$"),
       black: Seq[String] = Nil,
       txnTtlMs: Long = TxnAssembler.DefaultTxnTtlMs,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      nBuckets: Int = StateBuckets): StreamingQuery = {
     val effectiveTtlMs = if (trigger == Trigger.AvailableNow()) 0L else txnTtlMs
     import spark.implicits._
     val stream = spark.readStream.schema(oplogSchema).parquet(sourceDir)
@@ -230,7 +231,7 @@ object IncrSync {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, targetDir, batchId)
+        applyBatch(batch, targetDir, batchId, nBuckets)
       }
       .start()
   }

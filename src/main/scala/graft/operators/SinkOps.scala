@@ -53,16 +53,19 @@ object SinkOps {
     // K7: duplicate-key inserts recorded as a conflict side-output.
     "sink_conflicts" -> ((s, dir) => Envelope.conflicts(filtered(s, dir))),
 
-    // K5 + P12 end-to-end: deflate-compressed frames through the file
+    // K5 + P12 end-to-end: zlib-compressed frames through the file
     // tunnel (magic header + block framing + checksums) and back. The
     // oracle is the plain pre-encode projection — whatever the wire does,
-    // the records must invert exactly.
+    // the records must invert exactly. Shard 0 only: the query verifies
+    // framing/codec semantics, which are volume-independent (the oracle
+    // applies the same shard predicate).
     "sink_file_tunnel" -> ((s, dir) => {
       import graft.sinks.FileSink
       val work = s"${System.getProperty("java.io.tmpdir")}/graft_file_tunnel_q"
       graft.streaming.IncrSync.deletePath(s, work)
       val framed = Envelope.compressFrames(
         Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))
+        .filter(col("shard") === 0)
       FileSink.write(s, framed, s"$work/tunnel.bin")
       // reader side: driver-streamed block iteration (S5 file reader)
       import s.implicits._
@@ -131,7 +134,7 @@ object SinkOps {
       s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql"),
 
     "sink_file_tunnel" -> withOplog(
-      s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql"),
+      s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql AND $shardSql = 0"),
 
     "sink_conflicts" -> withOplog(
       s""", eff AS (

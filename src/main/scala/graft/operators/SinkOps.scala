@@ -53,6 +53,9 @@ object SinkOps {
     // K7: duplicate-key inserts recorded as a conflict side-output.
     "sink_conflicts" -> ((s, dir) => Envelope.conflicts(filtered(s, dir))),
 
+    // K3/K4: the socket writers against a loopback receiver.
+    "sink_socket_roundtrip" -> ((s, dir) => socketRoundtrip(s, dir)),
+
     // K5 + P12 end-to-end: zlib-compressed frames through the file
     // tunnel (magic header + block framing + checksums) and back. The
     // oracle is the plain pre-encode projection — whatever the wire does,
@@ -80,6 +83,91 @@ object SinkOps {
           get_json_object(col("payload_json"), "$.meta.g").as("g"))
     })
   )
+
+  /** K3/K4 end-to-end: frames through the REAL socket writers — shards
+    * 0-1 over the fire-and-forget TCP writer, shards 2-3 over the RPC
+    * writer (which blocks on the 8-byte ack per frame) — against an
+    * in-process loopback server, then decoded back to records. The
+    * oracle is the plain pre-encode projection.
+    */
+  private def socketRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import java.io.{DataInputStream, DataOutputStream}
+    import java.net.ServerSocket
+    import graft.sinks.{RpcFrameWriter, TcpFrameWriter}
+    val framed = Envelope.messages(Envelope.encode(filtered(s, dir), nShards))
+      .select(col("shard"), col("frame")).localCheckpoint()
+    val expected = framed.count()
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
+    // Two receivers, as in the reference: the TCP one NEVER replies (the
+    // writer is fire-and-forget and never reads — an ack written to a
+    // client that already closed triggers an RST that discards buffered
+    // unread frames), the RPC one acks every frame (the writer blocks on
+    // the 8-byte reply).
+    def serve(ack: Boolean): ServerSocket = {
+      val server = new ServerSocket(0)
+      val acceptor = new Thread(() => {
+        try {
+          while (true) {
+            val sock = server.accept()
+            val h = new Thread(() => {
+              try {
+                val in = new DataInputStream(sock.getInputStream)
+                val out = new DataOutputStream(sock.getOutputStream)
+                var go = true
+                while (go) {
+                  try {
+                    val len = in.readInt()
+                    require(len >= 0 && len <= (1 << 26), s"bad frame length $len")
+                    val buf = new Array[Byte](len)
+                    in.readFully(buf)
+                    received.add(buf)
+                    if (ack) {
+                      out.writeLong(received.size.toLong) // the reply IS the ack
+                      out.flush()
+                    }
+                  } catch { case _: java.io.IOException => go = false }
+                }
+              } finally sock.close()
+            })
+            h.setDaemon(true); h.start()
+          }
+        } catch { case _: Exception => () } // server closed
+      })
+      acceptor.setDaemon(true); acceptor.start()
+      server
+    }
+    val tcpServer = serve(ack = false)
+    val rpcServer = serve(ack = true)
+    val (tcpPort, rpcPort) = (tcpServer.getLocalPort, rpcServer.getLocalPort)
+    try {
+      framed.filter(col("shard") < 2).repartition(2, col("shard"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val w = new TcpFrameWriter("127.0.0.1", tcpPort)
+          w.open(0L, 0L); it.foreach(w.process); w.close(null)
+        }
+      framed.filter(col("shard") >= 2).repartition(2, col("shard"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val w = new RpcFrameWriter("127.0.0.1", rpcPort)
+          w.open(0L, 0L); it.foreach(w.process); w.close(null)
+        }
+      // the TCP path doesn't wait for acks: drain until every frame landed
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (received.size < expected && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      require(received.size == expected,
+        s"socket round-trip incomplete: ${received.size} of $expected frames")
+    } finally { tcpServer.close(); rpcServer.close() }
+    import s.implicits._
+    received.toArray(Array.empty[Array[Byte]]).toSeq
+      .flatMap(f => Envelope.decodeMessage(f).payloads.map(new String(_, "UTF-8")))
+      .toDF("payload_json")
+      .select(
+        get_json_object(col("payload_json"), "$.ts").cast("bigint").as("ts_packed"),
+        get_json_object(col("payload_json"), "$.op").as("op"),
+        get_json_object(col("payload_json"), "$.ns").as("ns"),
+        get_json_object(col("payload_json"), "$.key").as("doc_key"),
+        get_json_object(col("payload_json"), "$.meta.g").as("g"))
+  }
 
   private val chainSql: String = Oplog.oracleChainSql
 
@@ -135,6 +223,9 @@ object SinkOps {
 
     "sink_file_tunnel" -> withOplog(
       s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql AND $shardSql = 0"),
+
+    "sink_socket_roundtrip" -> withOplog(
+      s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql"),
 
     "sink_conflicts" -> withOplog(
       s""", eff AS (

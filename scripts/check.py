@@ -6,12 +6,16 @@ DuckDB over the same parquet tables and compares (column-name-sorted,
 row-sorted, exact values). Dev tool only — the engine itself has no
 Python/DuckDB dependency.
 
-Usage: python3 scripts/check.py [sfdir] [outdir] [--skip-verify]
+Usage: python3 scripts/check.py [sfdir] [outdir] [--skip-verify] [--only q1,q2]
 """
 import json, math, subprocess, sys, glob, os
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+OUT = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") else "/tmp/graft_verify"
+ONLY = set()
+for i, a in enumerate(sys.argv):
+    if a == "--only" and i + 1 < len(sys.argv):
+        ONLY = set(sys.argv[i + 1].split(","))
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
@@ -25,7 +29,7 @@ def run_verify():
               "java.base/sun.util.calendar"]]
     env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS","8"))
     cmd = ["java","-Xmx8g",*opens,"-Dspark.ui.enabled=false",
-           "-Dspark.sql.session.timeZone=UTC","-cp",cp,"graft.Verify",SF,OUT]
+           "-Dspark.sql.session.timeZone=UTC","-cp",cp,"graft.Verify",SF,OUT,*sorted(ONLY)]
     r = subprocess.run(cmd, cwd="/root/repo", env=env, capture_output=True, text=True)
     for line in r.stderr.splitlines():
         if "[verify]" in line or "Exception" in line: print(line)
@@ -53,6 +57,7 @@ def main():
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if ONLY and name not in ONLY: continue
         pdir = f"{OUT}/{name}"
         if not glob.glob(f"{pdir}/*.parquet"):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue

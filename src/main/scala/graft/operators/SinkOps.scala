@@ -56,6 +56,36 @@ object SinkOps {
     // K3/K4: the socket writers against a loopback receiver.
     "sink_socket_roundtrip" -> ((s, dir) => socketRoundtrip(s, dir)),
 
+    // K6 MockWriter: the stream drained into the noop sink with the
+    // observed in-plan counter — delivered volume must equal the oracle's
+    // COUNT(*) (the reference's MockWriter keeps exactly this count,
+    // `tunnel/mock_writer.go`).
+    "sink_mock_count" -> ((s, dir) => {
+      import graft.sinks.MockSink
+      val n = MockSink.write(filtered(s, dir))
+      import s.implicits._
+      Seq(n).toDF("n_delivered")
+    }),
+
+    // Entry point C end-to-end: the REAL `Receiver.start` streaming query
+    // over a written framed feed — checksum gate, decompress, payload
+    // decode, replay append, offset-commit ack — then the replayed target
+    // table compared against the pre-encode oracle
+    // (`receiver/replayer.go:54-146`).
+    "sink_receiver_e2e" -> ((s, dir) => {
+      import graft.streaming.Receiver
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_receiver_q"
+      graft.streaming.IncrSync.deletePath(s, work)
+      val framed = Envelope.compressFrames(
+        Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))
+      framed.selectExpr(Envelope.frameColumns: _*)
+        .coalesce(1).write.parquet(s"$work/frames")
+      val q = Receiver.start(s, s"$work/frames", s"$work/target", s"$work/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$work/target/decoded")
+        .select("ts_packed", "op", "ns", "doc_key", "g")
+    }),
+
     // K5 + P12 end-to-end: zlib-compressed frames through the file
     // tunnel (magic header + block framing + checksums) and back. The
     // oracle is the plain pre-encode projection — whatever the wire does,
@@ -70,10 +100,13 @@ object SinkOps {
         Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))
         .filter(col("shard") === 0)
       FileSink.write(s, framed, s"$work/tunnel.bin")
-      // reader side: driver-streamed block iteration (S5 file reader)
+      // reader side: lazy driver-streamed block iteration (S5 file
+      // reader); materialized here only because the oracle-gate result is
+      // itself a DataFrame at test scale
       import s.implicits._
       FileSink.read(s, s"$work/tunnel.bin")
         .flatMap(_.payloads.map(new String(_, "UTF-8")))
+        .toSeq
         .toDF("payload_json")
         .select(
           get_json_object(col("payload_json"), "$.ts").cast("bigint").as("ts_packed"),
@@ -223,6 +256,12 @@ object SinkOps {
 
     "sink_file_tunnel" -> withOplog(
       s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql AND $shardSql = 0"),
+
+    "sink_mock_count" -> withOplog(
+      s"SELECT COUNT(*) AS n_delivered FROM oplog WHERE $chainSql"),
+
+    "sink_receiver_e2e" -> withOplog(
+      s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql"),
 
     "sink_socket_roundtrip" -> withOplog(
       s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql"),

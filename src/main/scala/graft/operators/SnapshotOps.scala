@@ -73,6 +73,47 @@ object SnapshotOps {
       colls.map(c => s.read.parquet(s"$work/full/${c}_spec")).reduce(_ unionByName _)
     }),
 
+    // W11 drop-dest + full resync (`doc_syncer.go:64-99`): the target
+    // starts with a stale previous copy whose partitions the resync will
+    // NOT rewrite (piece=99 — under dynamic partition overwrite only the
+    // drop removes it). After dropDest + copyTable the target must hold
+    // exactly the source rows: any stale residue shows as an extra piece.
+    "snap_drop_dest" -> ((s, dir) => {
+      import graft.streaming.{FullSync, IncrSync}
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_drop_dest_q"
+      IncrSync.deletePath(s, work)
+      Tables.load(s, dir, "orders").limit(100)
+        .withColumn("piece", lit(99L))
+        .write.partitionBy("piece").parquet(s"$work/full/orders")
+      FullSync.dropDest(s, work, "orders")
+      FullSync.copyTable(s, dir, "orders", "o_orderkey", work, nPieces = 8)
+      s.read.parquet(s"$work/full/orders")
+        .groupBy(col("piece").cast("bigint").as("piece"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).as("key_min"),
+          max(col("o_orderkey")).as("key_max"))
+    }),
+
+    // X4 auto shard-key selection, full decision matrix
+    // (`coordinator/replication.go:166-183`): `shard_key = auto` resolves
+    // to by-id routing unless the collection carries a non-`_id` unique
+    // index (parallel by-id apply could violate the constraint).
+    "snap_auto_shard_key" -> ((s, dir) => {
+      import graft.partition.Hashers
+      import s.implicits._
+      val cases = Seq(
+        // (case, index catalog rows as (name, unique))
+        ("id_only", Seq(("_id_", true))),
+        ("secondary_nonunique", Seq(("_id_", true), ("ts_1", false))),
+        ("secondary_unique", Seq(("_id_", true), ("email_1", true))),
+        ("mixed", Seq(("_id_", true), ("ts_1", false), ("email_1", true))),
+        ("no_indexes", Seq.empty[(String, Boolean)]))
+      cases.map { case (name, idx) =>
+        val catalog = idx.toDF("name", "unique")
+        (name, Hashers.autoShardKey(catalog))
+      }.toDF("idx_case", "shard_key")
+    }),
+
     // F8 complete surface: compound (string, number) shard key against an
     // explicit chunk map with MinKey/MaxKey bounds, membership by BSON
     // type-ordered lexicographic tuple comparison (orphan_filter.go's
@@ -120,6 +161,19 @@ object SnapshotOps {
            ('users_0', 'id', 8), ('users_1', 'collection', 8),
            ('users_2', 'id', 8), ('users_3', 'id', 8)
          ) t("table", shard_key, n_pieces)""",
+
+    "snap_drop_dest" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
+         SELECT ((o_orderkey - lo) * 8) // (hi - lo + 1) AS piece,
+           COUNT(*) AS n_rows, MIN(o_orderkey) AS key_min, MAX(o_orderkey) AS key_max
+         FROM orders, b GROUP BY 1""",
+
+    "snap_auto_shard_key" ->
+      """SELECT * FROM (VALUES
+           ('id_only', 'id'), ('secondary_nonunique', 'id'),
+           ('secondary_unique', 'collection'), ('mixed', 'collection'),
+           ('no_indexes', 'id')
+         ) t(idx_case, shard_key)""",
 
     // Closed form of the two owned chunk ranges:
     //   [(MinKey,MinKey), ('A',2000))  → flag 'A' with key < 2000

@@ -68,57 +68,72 @@ object FileSink {
     } finally out.close()
   }
 
-  /** Read a tunnel file back into blocks, validating the magic, protocol,
-    * block markers, and each block's XOR-of-CRC32 checksum (the S5
-    * file-reader side, `tunnel/file_reader.go`).
+  /** Read a tunnel file back as a LAZY block iterator, validating the
+    * magic, protocol, block markers, and each block's XOR-of-CRC32
+    * checksum (the S5 file-reader side, `tunnel/file_reader.go`).
+    *
+    * A tunnel file is an append log and can exceed the driver heap;
+    * resident memory is one decoded block (≤ the 1024-log frame cap),
+    * never the file — blocks are decoded on demand as the caller pulls.
+    * The stream closes on exhaustion or on the first decode error; an
+    * abandoned iterator is also closed by `close()` (the caller owns the
+    * handle when it stops early).
     */
-  def read(spark: SparkSession, path: String): Seq[Block] = {
+  def read(spark: SparkSession, path: String): Iterator[Block] with AutoCloseable = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fileLen = fs.getFileStatus(p).getLen
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(p)))
-    // Streaming block-at-a-time read: a tunnel file is an append log and
-    // can exceed 2 GB — memory here is one block (≤ the 1024-log frame
-    // cap), never the file.
+    var consumed = 32L
+    var closed = false
+    def closeNow(): Unit = if (!closed) { closed = true; in.close() }
     try {
       require(in.readLong() == FileMagic, "file tunnel: bad magic")
       require(in.readInt() == FileProtocol, "file tunnel: bad protocol")
       in.skipBytes(32 - 12)
-      var consumed = 32L
-      val blocks = Seq.newBuilder[Block]
-      while (consumed < fileLen) {
-        val checksum = in.readInt().toLong & 0xFFFFFFFFL
-        val tag = in.readInt()
-        val shard = in.readInt()
-        val compress = in.readInt()
-        require(in.readInt() == BlockMarker, "file tunnel: bad block marker")
-        val bodyLen = in.readInt()
-        val rawBody = new Array[Byte](bodyLen)
-        in.readFully(rawBody)
-        consumed += 24L + bodyLen
-        // framing is never compressed: parse payloads as framed, validate
-        // the checksum over them (it covers the post-compression bytes),
-        // THEN decompress each — the reference reader's CRC→decompress order
-        val bodyBuf = ByteBuffer.wrap(rawBody).order(ByteOrder.BIG_ENDIAN)
-        val framedPayloads = Seq.newBuilder[Array[Byte]]
-        while (bodyBuf.hasRemaining) {
-          // untrusted input: fail with the codec's framing error, not a
-          // NegativeArraySize/BufferUnderflow from a corrupt length
-          require(bodyBuf.remaining() >= 4, "file tunnel: truncated block body")
-          val plen = bodyBuf.getInt
-          require(plen >= 0 && plen <= bodyBuf.remaining(),
-            s"file tunnel: payload length is invalid: $plen")
-          val payload = new Array[Byte](plen)
-          bodyBuf.get(payload)
-          framedPayloads += payload
-        }
-        val framed = framedPayloads.result()
-        val crc = Envelope.xorCrc32(framed)
-        require(crc == checksum, s"file tunnel: block checksum mismatch")
-        blocks += Block(checksum, tag, shard, compress,
-          framed.map(Envelope.decompressBody(_, compress)))
+    } catch { case e: Throwable => closeNow(); throw e }
+    new Iterator[Block] with AutoCloseable {
+      override def close(): Unit = closeNow()
+      override def hasNext: Boolean = {
+        val more = !closed && consumed < fileLen
+        if (!more) closeNow()
+        more
       }
-      blocks.result()
-    } finally in.close()
+      override def next(): Block = {
+        if (!hasNext) throw new NoSuchElementException("file tunnel: exhausted")
+        try {
+          val checksum = in.readInt().toLong & 0xFFFFFFFFL
+          val tag = in.readInt()
+          val shard = in.readInt()
+          val compress = in.readInt()
+          require(in.readInt() == BlockMarker, "file tunnel: bad block marker")
+          val bodyLen = in.readInt()
+          val rawBody = new Array[Byte](bodyLen)
+          in.readFully(rawBody)
+          consumed += 24L + bodyLen
+          // framing is never compressed: parse payloads as framed, validate
+          // the checksum over them (it covers the post-compression bytes),
+          // THEN decompress each — the reference reader's CRC→decompress order
+          val bodyBuf = ByteBuffer.wrap(rawBody).order(ByteOrder.BIG_ENDIAN)
+          val framedPayloads = Seq.newBuilder[Array[Byte]]
+          while (bodyBuf.hasRemaining) {
+            // untrusted input: fail with the codec's framing error, not a
+            // NegativeArraySize/BufferUnderflow from a corrupt length
+            require(bodyBuf.remaining() >= 4, "file tunnel: truncated block body")
+            val plen = bodyBuf.getInt
+            require(plen >= 0 && plen <= bodyBuf.remaining(),
+              s"file tunnel: payload length is invalid: $plen")
+            val payload = new Array[Byte](plen)
+            bodyBuf.get(payload)
+            framedPayloads += payload
+          }
+          val framed = framedPayloads.result()
+          val crc = Envelope.xorCrc32(framed)
+          require(crc == checksum, s"file tunnel: block checksum mismatch")
+          Block(checksum, tag, shard, compress,
+            framed.map(Envelope.decompressBody(_, compress)))
+        } catch { case e: Throwable => closeNow(); throw e }
+      }
+    }
   }
 }

@@ -71,7 +71,7 @@ class SinkSpec extends AnyFunSuite {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_file_sink_test.bin"
     val framed = Envelope.messages(Envelope.encode(oplogDf, 2))
     FileSink.write(spark, framed, path)
-    val blocks = FileSink.read(spark, path)
+    val blocks = FileSink.read(spark, path).toSeq
     assert(blocks.map(_.shard).sorted == framed.select("shard").as[Int].collect().sorted.toSeq)
     assert((blocks.head.tag & Envelope.MsgPersistent) != 0)
     assert((blocks.head.tag & Envelope.MsgStorageBackend) != 0)
@@ -102,8 +102,36 @@ class SinkSpec extends AnyFunSuite {
     // file sink round-trips compressed blocks too (default codec = zlib)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_file_sink_z.bin"
     FileSink.write(spark, Envelope.compressFrames(framed), path)
-    val blocks = FileSink.read(spark, path)
+    val blocks = FileSink.read(spark, path).toSeq
     assert(blocks.flatMap(_.payloads).map(new String(_, "UTF-8")).toSet == want)
+  }
+
+  test("S5 file reader is lazy: blocks decode on demand, a corrupt tail fails only when reached") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_file_sink_lazy.bin"
+    val framed = Envelope.messages(Envelope.encode(oplogDf, 2))
+    val nBlocks = framed.count().toInt
+    assert(nBlocks >= 2)
+    FileSink.write(spark, framed, path)
+    // corrupt the tail: garbage appended past the last valid block
+    val fos = new java.io.FileOutputStream(path, true)
+    fos.write(Array.fill[Byte](64)(0x5A)); fos.close()
+    // the raw append invalidates Hadoop's local .crc sidecar; drop it so
+    // the read exercises OUR framing checks, not the transport checksum
+    val f = new java.io.File(path)
+    new java.io.File(f.getParent, "." + f.getName + ".crc").delete()
+    // an eager reader would materialize (and fail on) the whole file here;
+    // the lazy one yields every valid block before the tail errors
+    val it = FileSink.read(spark, path)
+    (1 to nBlocks).foreach(_ => assert(it.next().payloads.nonEmpty))
+    intercept[IllegalArgumentException](it.next())
+    // early stop: caller closes the handle after one block, no exhaustion
+    val it2 = FileSink.read(spark, path)
+    assert(it2.next().payloads.nonEmpty)
+    it2.close()
+    // normal exhaustion on an uncorrupted file self-closes via hasNext
+    val clean = s"${System.getProperty("java.io.tmpdir")}/graft_file_sink_clean.bin"
+    FileSink.write(spark, framed, clean)
+    assert(FileSink.read(spark, clean).size == nBlocks)
   }
 
   test("conflict side-output flags re-inserts of live keys only") {

@@ -191,6 +191,97 @@ object Cdc {
           col("idx"), col("op"), col("ts"))
     }),
 
+    // T1 TTL purge (`oplog/txn_buffer.go:63-301` orphan cleanup): the REAL
+    // streaming assembler under ProcessingTimeTimeout, driven through three
+    // micro-batches. Txns with (lsid + txnNumber) % 5 == 0 are "orphans":
+    // their commit is withheld until after the TTL, so the buffered partial
+    // state must time out and be purged — the late commit then emits ONLY
+    // its own entry's ops (the purged partials are gone by design). All
+    // other txns ship partials + commit together and emit fully. The
+    // MemoryStream feed is driver-side by definition (it is the harness,
+    // like the reference's test fixtures); the assembler runs distributed.
+    "cdc_txn_ttl" -> ((s, dir) => {
+      import graft.streaming.TxnAssembler
+      import graft.streaming.TxnAssembler.TxnEntry
+      import s.implicits._
+      val wOps = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lsid"), col("txn_number"))
+        .orderBy(col("ts_packed"), col("event_id"))
+      val wTxn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lsid"), col("txn_number"))
+      val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+        .withColumn("lsid", col("doc_key"))
+        .withColumn("txn_number", expr("ts_us DIV 3600000000"))
+        .withColumn("rn", row_number().over(wOps) - 1)
+        .withColumn("payload", concat(lit("{\"event_id\":"), col("event_id").cast("string"),
+          lit(",\"op\":\""), col("op"), lit("\"}")))
+        .withColumn("entry_seq", expr("rn DIV 2"))
+      val entries = eff.groupBy(col("lsid"), col("txn_number"), col("entry_seq"))
+        .agg(max(col("ts_packed")).as("ts"),
+          transform(array_sort(collect_list(struct(col("rn"), col("payload")))),
+            x => x.getField("payload")).as("ops"))
+        .withColumn("kind",
+          when(col("entry_seq") < max(col("entry_seq")).over(wTxn), "partial")
+            .otherwise("commit"))
+        .withColumn("orphan",
+          pmod(col("lsid").cast("bigint") + col("txn_number"), lit(5)) === 0)
+        .select(col("lsid"), col("txn_number"), col("entry_seq"), col("kind"),
+          col("ops"), col("ts"), col("orphan"))
+        .as[(String, Long, Long, String, Seq[String], Long, Boolean)]
+        .collect()
+      def toEntry(t: (String, Long, Long, String, Seq[String], Long, Boolean)) =
+        TxnEntry(t._1, t._2, t._3, t._4, t._5, t._6)
+      val (orphanCommits, immediate) =
+        entries.partition(t => t._7 && t._4 == "commit")
+
+      // Expected emissions, known in closed form: healthy txns release
+      // every op; purged orphans release only their commit entry's ops.
+      val nImmediate = immediate.filterNot(_._7).map(_._5.size.toLong).sum
+      val nFinal = nImmediate + orphanCommits.map(_._5.size.toLong).sum
+
+      // `processAllAvailable` CANNOT drive this stream: with a processing-
+      // time timeout the state operator demands a batch every trigger
+      // (`shouldRunAnotherBatch` == true), so `noNewData` is never set and
+      // the call blocks forever. The no-data batches are exactly what
+      // expires the orphan state — so poll the sink for the closed-form
+      // count instead, the way Spark's own suites use a manual clock.
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 120000L
+        while (s.table("cdc_txn_ttl_out").count() < n &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      }
+
+      val ttlMs = 2000L
+      implicit val sqlCtx = s.sqlContext
+      s.catalog.dropTempView("cdc_txn_ttl_out")
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TxnEntry]
+      val q = TxnAssembler.assemble(input.toDS(), ttlMs = ttlMs)
+        .writeStream.format("memory").queryName("cdc_txn_ttl_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+        .start()
+      try {
+        // Batch 1: every partial + the non-orphan commits. Healthy txns
+        // emit fully and clear state; orphan partials register the TTL.
+        input.addData(immediate.map(toEntry).toSeq)
+        awaitRows(nImmediate)
+        // Past the deadline (registered at batch 1's timestamp, at or
+        // before this sleep's start): the continuous no-data batches fire
+        // the timeout pass and purge every orphan buffer, emitting nothing.
+        Thread.sleep(ttlMs + 1200)
+        // The withheld commits — state is gone, so each emits only its own
+        // ops (the ts patch within the entry still applies). Were the purge
+        // broken, the buffered partials would leak out here and the row
+        // count/hash would diverge from the oracle.
+        input.addData(orphanCommits.map(toEntry).toSeq)
+        awaitRows(nFinal)
+      } finally q.stop()
+      s.table("cdc_txn_ttl_out")
+        .select(col("lsid"), col("txnNumber").as("txn_number"),
+          col("idx"), col("op"), col("ts"))
+        .localCheckpoint()
+    }),
+
     // G5: top-3 namespaces per op type (`executor/executor.go:417-471`),
     // deterministic tie-break by ns.
     "cdc_top3_ns" -> ((s, dir) => {
@@ -501,6 +592,29 @@ object Cdc {
             CASE WHEN rn = n - 1 THEN commit_ts ELSE commit_ts - 1 END AS ts
           FROM eff
           WHERE (CAST(lsid AS BIGINT) + txn_number) % 7 <> 0"""),
+
+    // Orphans ((lsid+txn) % 5 == 0) lose their buffered partials to the
+    // TTL purge: only the commit entry's own ops survive, re-indexed from
+    // 0 within the entry (entries pack 2 ops, so the last entry holds the
+    // rows with rn DIV 2 == (n-1) DIV 2). The ts patch is unchanged: the
+    // chain's last op keeps commit_ts, every other emitted op gets
+    // commit_ts - 1.
+    "cdc_txn_ttl" -> withOplog(
+      s""", eff AS (
+            SELECT doc_key AS lsid, ts_us // 3600000000 AS txn_number, event_id, op, ts_packed,
+              ROW_NUMBER() OVER (PARTITION BY doc_key, ts_us // 3600000000
+                ORDER BY ts_packed, event_id) - 1 AS rn,
+              COUNT(*) OVER (PARTITION BY doc_key, ts_us // 3600000000) AS n,
+              MAX(ts_packed) OVER (PARTITION BY doc_key, ts_us // 3600000000) AS commit_ts
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          flagged AS (
+            SELECT *, (CAST(lsid AS BIGINT) + txn_number) % 5 = 0 AS orphan FROM eff)
+          SELECT lsid, txn_number,
+            CAST(CASE WHEN orphan THEN rn - 2 * ((n - 1) // 2) ELSE rn END AS INT) AS idx,
+            '{"event_id":' || CAST(event_id AS VARCHAR) || ',"op":"' || op || '"}' AS op,
+            CASE WHEN rn = n - 1 THEN commit_ts ELSE commit_ts - 1 END AS ts
+          FROM flagged
+          WHERE NOT orphan OR rn // 2 = (n - 1) // 2"""),
 
     "cdc_txn_group" -> withOplog(
       s"""SELECT doc_key AS lsid, ts_us // 3600000000 AS txn_number,

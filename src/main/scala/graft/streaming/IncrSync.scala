@@ -81,12 +81,22 @@ object IncrSync {
       white: Seq[String] = Seq("^app\\..*$"),
       black: Seq[String] = Nil,
       startingTs: Long = Long.MinValue,
-      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+      maxFilesPerTrigger: Int = 0): StreamingQuery =
+    startFrom(spark, ParquetDirSource(sourceDir, eventsSchema, maxFilesPerTrigger),
+      targetDir, checkpointDir, gids, white, black, startingTs)
+
+  /** [[start]] over any [[ChangeSource]] — the injection seam a live
+    * change-stream connector implements (see [[ChangeSource]] for the
+    * resume-token ↔ offset mapping).
+    */
+  def startFrom(spark: SparkSession, source: ChangeSource, targetDir: String,
+      checkpointDir: String,
+      gids: Seq[String] = Seq(""),
+      white: Seq[String] = Seq("^app\\..*$"),
+      black: Seq[String] = Nil,
+      startingTs: Long = Long.MinValue): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventsSchema)
-    val sized = if (maxFilesPerTrigger > 0)
-      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
-    val stream = sized.parquet(sourceDir)
+    val stream = source.load(spark)
     val oplog = Oplog.project(stream)
       .filter(col("ts_packed") > startingTs)
       .filter(OplogFilters.chain(gids, white, black) || col("op") === "c")
@@ -146,10 +156,24 @@ object IncrSync {
       black: Seq[String] = Nil,
       txnTtlMs: Long = TxnAssembler.DefaultTxnTtlMs,
       trigger: Trigger = Trigger.AvailableNow(),
+      nBuckets: Int = StateBuckets): StreamingQuery =
+    startOplogFrom(spark, ParquetDirSource(sourceDir, oplogSchema),
+      targetDir, checkpointDir, gids, white, black, txnTtlMs, trigger, nBuckets)
+
+  /** [[startOplog]] over any [[ChangeSource]] — the oplog-tailing seam
+    * (S1); a live connector plugs in here without touching the dataflow.
+    */
+  def startOplogFrom(spark: SparkSession, source: ChangeSource, targetDir: String,
+      checkpointDir: String,
+      gids: Seq[String] = Seq(""),
+      white: Seq[String] = Seq("^app\\..*$"),
+      black: Seq[String] = Nil,
+      txnTtlMs: Long = TxnAssembler.DefaultTxnTtlMs,
+      trigger: Trigger = Trigger.AvailableNow(),
       nBuckets: Int = StateBuckets): StreamingQuery = {
     val effectiveTtlMs = if (trigger == Trigger.AvailableNow()) 0L else txnTtlMs
     import spark.implicits._
-    val stream = spark.readStream.schema(oplogSchema).parquet(sourceDir)
+    val stream = source.load(spark)
       .withColumn("db", substring_index(col("ns"), ".", 1))
       .withColumn("coll", substring_index(col("ns"), ".", -1))
     val o = col("o")

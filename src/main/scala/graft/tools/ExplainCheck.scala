@@ -17,7 +17,8 @@ object ExplainCheck {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       println(plan.split("\n").filter(l => l.contains("Scan") || l.contains("ReadSchema")
         || l.contains("Exchange") || l.contains("PushedFilters")
-        || l.contains("WholeStageCodegen")).mkString("\n"))
+        || l.contains("WholeStageCodegen") || l.contains("Join")
+        || l.contains("CartesianProduct")).mkString("\n"))
     }
     spark.stop()
   }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated plan audit over EVERY `SparkEntry.queries` entry at sf0.001
+  * (the `tools/ExplainCheck` dev loop promoted to an assertion suite).
+  *
+  * What a plan must not contain to survive a 100 TB cluster:
+  *  - `CartesianProduct` — an unkeyed all-pairs join is quadratic I/O; any
+  *    intentional small-side cross join must arrive as a broadcast.
+  *  - `BroadcastNestedLoopJoin` outside the whitelisted queries whose
+  *    semantics genuinely are "compare everything against a broadcast
+  *    small side" (brute-force kNN, threshold pairs, LSH probe padding).
+  *  - an Exchange blow-up: shuffles are the scale currency; the cap is
+  *    sized from the audited maximum (a window + join + agg pipeline) with
+  *    small headroom so a regression that doubles shuffles fails loudly.
+  *
+  * Harness queries (socket/file/stream e2e) execute their pipeline during
+  * DataFrame construction and return a read-back of materialized results —
+  * for those the walked plan is the read-back (their inner plans are
+  * asserted by their dedicated specs); they are still walked so a future
+  * refactor that turns one into a live cartesian plan is caught.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose construction runs a real-time harness (streaming TTL
+    * sleeps, loopback sockets) — several seconds each regardless of scale
+    * factor. Their result plans are read-backs; dedicated specs cover the
+    * inner dataflow (StreamingSpec / SinkSpec / CatalogSocketSpec).
+    */
+  private val slowHarness = Set(
+    "cdc_txn_ttl", // sleeps past a real 2 s processing-time TTL
+    "sink_socket_roundtrip", // TCP+RPC loopback servers
+    "sink_receiver_e2e", // two full streaming queries
+    "cdc_stream_e2e" // full streaming query with stateful txn assembly
+  )
+
+  /** Broadcast nested-loop joins that ARE the operator's semantics: a
+    * broadcast tiny side compared against every row — no equi-key exists.
+    * (Verified against each plan: every other join in the suite is a
+    * BroadcastHashJoin or SortMergeJoin.)
+    */
+  private val bnljAllowed = Set(
+    "sim_knn_brute", // broadcast query set × corpus (baseline brute kNN)
+    "sim_ivf_assign", "sim_ivf_search", // broadcast k-means centroid table
+    "snap_orphan_compound", // broadcast chunk bounds, BSON-order range semi-join
+    "snap_range_pieces" // broadcast piece bounds × table rows
+  )
+
+  /** Shuffle-count ceiling. The audited maximum today is 8 (multi-stage
+    * window + join + agg pipelines); 12 leaves refactor headroom while
+    * still failing a plan whose shuffle count doubles.
+    */
+  private val maxExchanges = 12
+
+  for (name <- SparkEntry.queries.keys.toSeq.sorted if !slowHarness(name)) {
+    test(s"plan audit: $name") {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+      if (!bnljAllowed(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected BroadcastNestedLoopJoin:\n$plan")
+      }
+      val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
+      assert(exchanges <= maxExchanges,
+        s"$name plans $exchanges exchanges (cap $maxExchanges):\n$plan")
+    }
+  }
+
+  test("plan audit: q6_filter pushes its scan predicates into parquet") {
+    val plan = SparkEntry.queries("q6_filter")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_discount") && pushed.contains("l_quantity"),
+      s"q6_filter scan lost its pushdown:\n$plan")
+  }
+
+  test("plan audit: events scans prune to the referenced columns") {
+    // The canonical projection reads 5 of the table's 6 columns; a query
+    // that only needs (op, ns) must not widen the scan back to full rows.
+    val plan = SparkEntry.queries("cdc_filter_chain")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("props"),
+      s"cdc_filter_chain reads the unused props column:\n$plan")
+  }
+}

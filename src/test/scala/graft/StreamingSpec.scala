@@ -10,6 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.{FullSync, IncrSync, TxnAssembler}
 import graft.streaming.TxnAssembler.{InnerOp, TxnEntry}
 
+/** Canonical oplog row for the source-seam injection test (package level —
+  * Dataset encoders must not capture the suite instance).
+  */
+case class SeamOplogRow(event_id: Long, ts_packed: Long, op: String, ns: String,
+    doc_key: String, value: Double, props: String, g: String, from_migrate: Boolean,
+    lsid: Option[String], txn_number: Option[Long], o: Option[String])
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
@@ -92,6 +99,54 @@ class StreamingSpec extends AnyFunSuite {
     val out = TxnAssembler.assembleGroup(
       TxnAssembler.TxnKey("s1", 1), Iterator.empty, stale)
     assert(out.isEmpty && stale.isRemoved)
+  }
+
+  test("txn TTL e2e: an orphaned partial chain expires under ProcessingTimeTimeout; its late commit emits only its own ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TxnEntry]
+    val ttl = 1500L
+    // NOTE: `processAllAvailable` cannot drive a processing-time-timeout
+    // stream — the state operator demands a batch every trigger, so
+    // `noNewData` is never set and the call blocks forever. Those no-data
+    // batches are what expires the state; poll the sink instead.
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000L
+      while (spark.table("txn_ttl_spec").count() < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    }
+    val q = TxnAssembler.assemble(input.toDS(), ttlMs = ttl)
+      .writeStream.format("memory").queryName("txn_ttl_spec").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      // healthy txn commits in-batch; the orphan buffers two partial ops
+      input.addData(
+        TxnEntry("h", 1, 0, "partial", Seq("h0"), 100),
+        TxnEntry("h", 1, 1, "commit", Seq("h1"), 200),
+        TxnEntry("orph", 2, 0, "partial", Seq("x0", "x1"), 100))
+      awaitRows(2)
+      assert(spark.table("txn_ttl_spec").count() == 2) // h0, h1 released
+
+      // past the deadline (registered at batch 1's timestamp, which is at
+      // or before this sleep's start — margin is guaranteed on any box);
+      // the continuous no-data batches run the timeout pass and purge the
+      // orphan buffer, emitting nothing
+      Thread.sleep(ttl + 1000)
+      assert(spark.table("txn_ttl_spec").count() == 2) // purge emits nothing
+
+      // late commit: state was purged, only the commit entry's op emits —
+      // x0/x1 are gone (oplog/txn_buffer.go:63-301 orphan cleanup contract)
+      input.addData(TxnEntry("orph", 2, 1, "commit", Seq("x2"), 300))
+      awaitRows(3)
+      val orph = spark.table("txn_ttl_spec").as[InnerOp]
+        .filter(_.lsid == "orph").collect()
+      assert(orph.map(_.op).toSeq == Seq("x2"))
+      assert(orph.head.ts == 300 && orph.head.idx == 0)
+      // later traffic on other keys is unaffected by the purge
+      input.addData(TxnEntry("h", 2, 0, "commit", Seq("h2"), 400))
+      awaitRows(4)
+      assert(spark.table("txn_ttl_spec").filter($"lsid" === "h").count() == 3)
+    } finally q.stop()
   }
 
   test("incr sync: stream → filter → two-phase apply → checkpoint; restart is a no-op; final state matches batch replay") {
@@ -254,6 +309,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.filter($"doc_key" === "k1").head().getAs[Double]("last_value") == 999.0)
     assert(state.filter($"doc_key" === "k2").count() == 0)
     assert(state.count() == 199)
+  }
+
+  test("pluggable source seam: a MemoryStream-backed ChangeSource drives the same oplog dataflow") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = Files.createTempDirectory("graft_seam").toFile.getAbsolutePath
+    val input = MemoryStream[SeamOplogRow]
+    def dml(eid: Long, ts: Long, op: String, ns: String, key: String, v: Double) =
+      SeamOplogRow(eid, ts, op, ns, key, v, "{}", "", false, None, None, None)
+    input.addData(
+      dml(1L, 100L, "i", "app.u0", "k1", 1.0),
+      dml(2L, 200L, "u", "app.u0", "k1", 2.0),
+      dml(3L, 300L, "i", "app.u1", "k2", 3.0),
+      dml(4L, 400L, "i", "other.t", "k9", 9.0)) // outside the whitelist
+    // Inject the live-connector seam: the dataflow (filter chain, txn
+    // assembly, barrier apply, checkpoint) is untouched — only `load`
+    // changes. A MongoDB connector implements the same trait.
+    val src = graft.streaming.FrameSource(() => input.toDF())
+    val q = IncrSync.startOplogFrom(spark, src, s"$work/target", s"$work/ckpt", nBuckets = 4)
+    q.awaitTermination()
+    val state = IncrSync.readOrEmpty(spark, s"$work/target/state")
+      .select("ns", "doc_key", "last_value").as[(String, String, Double)].collect().toSet
+    assert(state == Set(("app.u0", "k1", 2.0), ("app.u1", "k2", 3.0)))
   }
 
   test("receiver (entry point C): framed feed → checksum/decode → replay; restart is a no-op") {

@@ -65,12 +65,24 @@ object Receiver {
   def start(spark: SparkSession, framesDir: String, targetDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
+      handler: (DataFrame, Long) => Unit = null): StreamingQuery =
+    startFrom(spark, ParquetDirSource(framesDir, framesSchema),
+      targetDir, checkpointDir, trigger, handler)
+
+  /** [[start]] over any [[ChangeSource]] carrying the frame columns — the
+    * seam a live tunnel consumer (e.g. a Kafka reader of the TMessage
+    * envelope) implements; offsets/acks ride the streaming checkpoint
+    * exactly as described in [[ChangeSource]].
+    */
+  def startFrom(spark: SparkSession, source: ChangeSource, targetDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
       handler: (DataFrame, Long) => Unit = null): StreamingQuery = {
     val apply: (DataFrame, Long) => Unit =
       if (handler != null) handler
       else (decoded, _) =>
         decoded.write.mode(SaveMode.Append).parquet(s"$targetDir/decoded")
-    spark.readStream.schema(framesSchema).parquet(framesDir)
+    source.load(spark)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

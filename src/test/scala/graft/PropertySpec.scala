@@ -95,6 +95,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("txn fold: batch-split invariance — any micro-batch cut of a chain emits the same ops and leaves the same buffer") {
+    import graft.streaming.TxnAssembler.{foldEntries, TxnEntry, TxnKey}
+    val key = TxnKey("L", 1L)
+    val chainGen = for {
+      n <- Gen.choose(1, 8)
+      kinds <- Gen.listOfN(n, Gen.frequency(4 -> "partial", 2 -> "commit", 1 -> "abort"))
+    } yield kinds.zipWithIndex.map { case (k, i) =>
+      TxnEntry("L", 1L, i.toLong, k,
+        if (k == "abort") Nil else Seq(s"op${i}a", s"op${i}b"), 100L + i)
+    }
+    samples(for { es <- chainGen; cut <- Gen.choose(0, 8) } yield (es, cut), 30)
+      .foreach { case (entries, cut0) =>
+        val cut = math.min(cut0, entries.size)
+        // one shot vs split at `cut` with the buffer threaded through —
+        // exactly what the streaming state does across triggers
+        val (wholeBuf, whole) = foldEntries(key, entries, Nil)
+        val (b1, out1) = foldEntries(key, entries.take(cut), Nil)
+        val (b2, out2) = foldEntries(key, entries.drop(cut), b1)
+        assert(out1 ++ out2 == whole)
+        assert(b2 == wholeBuf)
+      }
+  }
+
   test("envelope codec round-trips arbitrary payload content") {
     val payloadGen = Gen.listOfN(5, Gen.asciiPrintableStr.map(_.take(40)))
     samples(payloadGen, 10).foreach { payloads =>

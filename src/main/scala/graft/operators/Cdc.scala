@@ -266,17 +266,24 @@ object Cdc {
         input.addData(immediate.map(toEntry).toSeq)
         awaitRows(nImmediate)
         // Past the deadline (registered at batch 1's timestamp, at or
-        // before this sleep's start): the continuous no-data batches fire
-        // the timeout pass and purge every orphan buffer, emitting nothing.
+        // before this sleep's start): the no-data batches fire the timeout
+        // pass and purge every orphan buffer, emitting nothing.
         Thread.sleep(ttlMs + 1200)
+        // Sentinel tick: "~tick~" is no corpus doc_key, so it collides with
+        // nothing; observing its emission PROVES a post-deadline batch ran
+        // its timeout pass — the purge is then a certainty, not a race
+        // against the trigger clock on a loaded box.
+        input.addData(TxnEntry("~tick~", 0L, 0L, "commit", Seq("tick"), 0L))
+        awaitRows(nImmediate + 1)
         // The withheld commits — state is gone, so each emits only its own
         // ops (the ts patch within the entry still applies). Were the purge
         // broken, the buffered partials would leak out here and the row
         // count/hash would diverge from the oracle.
         input.addData(orphanCommits.map(toEntry).toSeq)
-        awaitRows(nFinal)
+        awaitRows(nFinal + 1)
       } finally q.stop()
       s.table("cdc_txn_ttl_out")
+        .filter(col("lsid") =!= "~tick~")
         .select(col("lsid"), col("txnNumber").as("txn_number"),
           col("idx"), col("op"), col("ts"))
         .localCheckpoint()

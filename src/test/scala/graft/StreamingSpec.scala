@@ -128,23 +128,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("txn_ttl_spec").count() == 2) // h0, h1 released
 
       // past the deadline (registered at batch 1's timestamp, which is at
-      // or before this sleep's start — margin is guaranteed on any box);
-      // the continuous no-data batches run the timeout pass and purge the
-      // orphan buffer, emitting nothing
+      // or before this sleep's start — margin is guaranteed on any box)
       Thread.sleep(ttl + 1000)
-      assert(spark.table("txn_ttl_spec").count() == 2) // purge emits nothing
+      // sentinel tick: observing its emission proves a post-deadline batch
+      // ran its timeout pass, so the orphan purge has certainly happened
+      input.addData(TxnEntry("tick", 0, 0, "commit", Seq("t0"), 0))
+      awaitRows(3)
+      assert(spark.table("txn_ttl_spec").as[InnerOp]
+        .filter(_.lsid == "orph").isEmpty) // purge emitted nothing
 
       // late commit: state was purged, only the commit entry's op emits —
       // x0/x1 are gone (oplog/txn_buffer.go:63-301 orphan cleanup contract)
       input.addData(TxnEntry("orph", 2, 1, "commit", Seq("x2"), 300))
-      awaitRows(3)
+      awaitRows(4)
       val orph = spark.table("txn_ttl_spec").as[InnerOp]
         .filter(_.lsid == "orph").collect()
       assert(orph.map(_.op).toSeq == Seq("x2"))
       assert(orph.head.ts == 300 && orph.head.idx == 0)
       // later traffic on other keys is unaffected by the purge
       input.addData(TxnEntry("h", 2, 0, "commit", Seq("h2"), 400))
-      awaitRows(4)
+      awaitRows(5)
       assert(spark.table("txn_ttl_spec").filter($"lsid" === "h").count() == 3)
     } finally q.stop()
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Dedup, Text}
+import graft.functions.{Dedup, Similarity, Text}
 import graft.functions.Portable.phash64Sql
 
 /** Text-analysis and deduplication queries over `documents`
@@ -64,7 +64,25 @@ object TextOps {
     // propagation to fixpoint; oracle = recursive-CTE closure.
     "dedup_components" -> ((s, dir) =>
       Dedup.nearDupComponents(
-        Dedup.minhashLsh(docs(s, dir), col("doc_id"), col("text"))))
+        Dedup.minhashLsh(docs(s, dir), col("doc_id"), col("text")))),
+
+    // Embedding-cosine near-dup over documents: each document joined to
+    // its embedding vector (doc_id = vec_id), label-blocked quantized
+    // cosine at threshold 0.4 (the same bounded candidate generation as
+    // sim_threshold_pairs — no all-pairs join), then connected components
+    // pick ONE survivor per near-dup cluster, carrying its language.
+    "dedup_embed_cosine" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val joined = d.join(Tables.load(s, dir, "embeddings"),
+        d("doc_id") === col("vec_id"))
+      val pairs = Similarity.thresholdPairs(joined,
+          d("doc_id"), col("embedding"), col("label"), threshold = 0.4)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.nearDupComponents(pairs)
+        .join(d.select(col("doc_id"), col("lang")), col("keep_id") === col("doc_id"))
+        .select(col("cluster"), col("n_members"), col("keep_id"),
+          col("lang").as("keep_lang"))
+    })
   )
 
   // ---- oracle SQL builders -------------------------------------------------
@@ -248,6 +266,36 @@ object TextOps {
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM bounded a JOIN bounded b ON a.band = b.band AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
-          SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 4"""
+          SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 4""",
+
+    "dedup_embed_cosine" ->
+      s"""WITH prep AS (
+            SELECT vec_id, label, v, list_sum([y*y for y in v]) AS nrm
+            FROM (SELECT vec_id, label,
+                    [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS v
+                  FROM embeddings JOIN documents ON doc_id = vec_id)),
+          bounded AS (
+            SELECT * FROM (
+              SELECT *, COUNT(*) OVER (PARTITION BY label) AS blk_n FROM prep)
+            WHERE blk_n <= 10000),
+          good AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM bounded a JOIN bounded b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE ${VectorOps.simSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.4),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM good
+            UNION SELECT doc_b, doc_a FROM good),
+          verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+          cls AS (
+            SELECT label AS cluster, COUNT(*) AS n_members, MIN(doc_id) AS keep_id
+            FROM (
+              WITH RECURSIVE cc AS (
+                SELECT doc_id, doc_id AS label FROM verts
+                UNION
+                SELECT e.dst AS doc_id, cc.label FROM cc JOIN edges e ON e.src = cc.doc_id)
+              SELECT doc_id, MIN(label) AS label FROM cc GROUP BY 1) t
+            GROUP BY 1)
+          SELECT cluster, n_members, keep_id, d.lang AS keep_lang
+          FROM cls JOIN documents d ON d.doc_id = keep_id"""
   )
 }

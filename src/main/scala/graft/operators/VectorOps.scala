@@ -62,8 +62,11 @@ object VectorOps {
                  [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS v
                FROM embeddings))"""
 
-  /** Deterministic cosine between prepared rows a/b (aliases in scope). */
-  private def simSql(va: String, na: String, vb: String, nb: String): String =
+  /** Deterministic cosine between prepared rows a/b (aliases in scope).
+    * Shared with [[TextOps]]'s embedding-cosine dedup oracle so the two
+    * stay in lockstep with [[Similarity.cosineQ]].
+    */
+  private[operators] def simSql(va: String, na: String, vb: String, nb: String): String =
     s"""CAST(list_sum([$va[i] * $vb[i] for i in generate_series(1, len($va))]) AS DOUBLE)
         / sqrt(CAST($na * $nb AS DOUBLE))"""
 

@@ -17,6 +17,10 @@ case class SeamOplogRow(event_id: Long, ts_packed: Long, op: String, ns: String,
     doc_key: String, value: Double, props: String, g: String, from_migrate: Boolean,
     lsid: Option[String], txn_number: Option[Long], o: Option[String])
 
+/** Raw `events` row for the events-side seam test. */
+case class SeamEventRow(event_id: Long, ts: Long, user_id: Long,
+    event_type: String, value: Double, props: String)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
@@ -334,6 +338,24 @@ class StreamingSpec extends AnyFunSuite {
     val state = IncrSync.readOrEmpty(spark, s"$work/target/state")
       .select("ns", "doc_key", "last_value").as[(String, String, Double)].collect().toSet
     assert(state == Set(("app.u0", "k1", 2.0), ("app.u1", "k2", 3.0)))
+  }
+
+  test("pluggable source seam (events side): startFrom projects and applies an injected event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = Files.createTempDirectory("graft_seam_ev").toFile.getAbsolutePath
+    val input = MemoryStream[SeamEventRow]
+    input.addData(
+      SeamEventRow(1L, 1000000000L, 1L, "signup", 1.0, "{}"),   // i app.users_1 k=1
+      SeamEventRow(2L, 2000000000L, 1L, "purchase", 2.0, "{}"), // u app.users_1 k=1
+      SeamEventRow(3L, 3000000000L, 2L, "signup", 3.0, "{}"),   // i app.users_2 k=2
+      SeamEventRow(4L, 4000000000L, 50L, "signup", 9.0, "{}"))  // local db → filtered
+    val q = IncrSync.startFrom(spark,
+      graft.streaming.FrameSource(() => input.toDF()),
+      s"$work/target", s"$work/ckpt")
+    q.awaitTermination()
+    val state = IncrSync.readOrEmpty(spark, s"$work/target/state")
+      .select("ns", "doc_key", "last_value").as[(String, String, Double)].collect().toSet
+    assert(state == Set(("app.users_1", "1", 2.0), ("app.users_2", "2", 3.0)))
   }
 
   test("receiver (entry point C): framed feed → checksum/decode → replay; restart is a no-op") {

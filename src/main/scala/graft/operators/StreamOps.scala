@@ -41,7 +41,8 @@ object StreamOps {
   private val black = Seq("^app\\.users_3$")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cdc_stream_e2e" -> ((s, dir) => run(s, dir)))
+    "cdc_stream_e2e" -> ((s, dir) => run(s, dir)),
+    "cdc_resume_restart" -> ((s, dir) => runResume(s, dir)))
 
   /** Member payload: the self-describing inner-op JSON the assembler and
     * the atomic exploder re-project to canonical rows.
@@ -172,9 +173,95 @@ object StreamOps {
     state.unionByName(ddl).unionByName(ckRange).unionByName(ckN)
   }
 
+  /** Crash/resume e2e with post-restart data (the reference's checkpoint
+    * reconciliation contract, `collector/ckpt/ckpt_manager.go:25-140`,
+    * `checkpoint.go:81-147`): run the REAL `IncrSync.startOplog` over a
+    * first feed file to termination, then — with the query stopped — land
+    * MORE source files and restart with the SAME checkpointLocation.
+    *
+    * The restarted query must resume from the committed offset: batch 1
+    * processes ONLY the new file. The oracle pins that down exactly —
+    * per-batch `_ckpt` rows carry (batch_id, lsn_min, lsn_max, n_logs) in
+    * closed form for each phase, so a resume that re-reads phase-1 data
+    * (n_logs too high), or skips it wholesale (state missing phase-1-only
+    * keys), or restarts batch numbering (duplicate batch_id 0) all
+    * hash-diverge. Final state must equal the one-shot fold over BOTH
+    * phases (the phases are time-split, so the idempotent merge converges
+    * to the global last-effective-write).
+    */
+  private def runResume(s: SparkSession, dir: String): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_resume_restart_q"
+    IncrSync.deletePath(s, work)
+    val keep = OplogFilters.chain(gids, white, black)
+    val eff = Oplog.fromEvents(s, dir)
+      .filter(keep && col("op").isin("i", "u", "d"))
+      .localCheckpoint()
+    val bounds = eff.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
+    // exact integer midpoint (doubles round above 2^53 — same arithmetic
+    // as the oracle's `tmin + (tmax - tmin) // 2`)
+    val t1 = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    def feedify(df: DataFrame): DataFrame = df.select(
+      col("event_id"), col("ts_packed"), col("op"), col("ns"), col("doc_key"),
+      col("value"), col("props"), col("g"), col("from_migrate"),
+      nullS.as("lsid"), nullL.as("txn_number"), nullS.as("o"))
+
+    val feedDir = s"$work/feed"
+    // phase 1: one file → one AvailableNow batch (batch_id 0)
+    feedify(eff.filter(col("ts_packed") <= t1)).coalesce(1).write.parquet(feedDir)
+    val q1 = IncrSync.startOplog(s, feedDir, s"$work/target", s"$work/ckpt",
+      gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 16)
+    q1.awaitTermination()
+
+    // the query is STOPPED; more data lands (a new file — the file source's
+    // resumable unit), then the same checkpointLocation restarts the query
+    feedify(eff.filter(col("ts_packed") > t1)).coalesce(1)
+      .write.mode("append").parquet(feedDir)
+    val q2 = IncrSync.startOplog(s, feedDir, s"$work/target", s"$work/ckpt",
+      gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 16)
+    q2.awaitTermination()
+
+    val state = IncrSync.readOrEmpty(s, s"$work/target/state")
+      .select(lit("state").as("section"), col("ns").as("a"), col("doc_key").as("b"),
+        col("last_event_id").as("x"), lit(0L).as("y"), col("last_value").as("v"))
+    val ck = s.read.parquet(s"$work/target/_ckpt")
+      .select(lit("ckpt").as("section"), col("batch_id").cast("string").as("a"),
+        lit("").as("b"), col("lsn_min").as("x"), col("lsn_max").as("y"),
+        col("n_logs").cast("double").as("v"))
+    state.unionByName(ck)
+  }
+
   private val chainSql: String = Oplog.oracleChainSql
 
   def oracles: Map[String, String] = Map(
+    "cdc_resume_restart" -> Oplog.withOracleCte(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          tt AS (
+            SELECT tmin + (tmax - tmin) // 2 AS t1
+            FROM (SELECT MIN(ts_packed) AS tmin, MAX(ts_packed) AS tmax FROM eff)),
+          state AS (
+            SELECT ns, doc_key, value, event_id FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff) WHERE rn = 1 AND op <> 'd'),
+          ck AS (
+            SELECT '0' AS bid, MIN(ts_packed) AS lsn_min, MAX(ts_packed) AS lsn_max,
+              COUNT(*) AS n
+            FROM eff, tt WHERE ts_packed <= t1
+            UNION ALL
+            SELECT '1', MIN(ts_packed), MAX(ts_packed), COUNT(*)
+            FROM eff, tt WHERE ts_packed > t1)
+          SELECT 'state' AS section, ns AS a, doc_key AS b,
+            event_id AS x, CAST(0 AS BIGINT) AS y, value AS v
+          FROM state
+          UNION ALL
+          SELECT 'ckpt', bid, '', lsn_min, lsn_max, CAST(n AS DOUBLE) FROM ck"""),
+
     "cdc_stream_e2e" -> Oplog.withOracleCte(
       s""", eff AS (
             SELECT event_id, ts_packed, ts_us, op, ns, doc_key, value,

@@ -35,7 +35,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "cdc_txn_ttl", // sleeps past a real 2 s processing-time TTL
     "sink_socket_roundtrip", // TCP+RPC loopback servers
     "sink_receiver_e2e", // two full streaming queries
-    "cdc_stream_e2e" // full streaming query with stateful txn assembly
+    "cdc_stream_e2e", // full streaming query with stateful txn assembly
+    "cdc_resume_restart", // two sequential streaming queries (stop + resume)
+    "cdc_metrics" // streaming query + listener-fed metrics table
   )
 
   /** Broadcast nested-loop joins that ARE the operator's semantics: a

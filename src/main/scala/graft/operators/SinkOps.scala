@@ -114,6 +114,34 @@ object SinkOps {
           get_json_object(col("payload_json"), "$.ns").as("ns"),
           get_json_object(col("payload_json"), "$.key").as("doc_key"),
           get_json_object(col("payload_json"), "$.meta.g").as("g"))
+    }),
+
+    // K5 at its production shape: one tunnel file PER SHARD, written
+    // executor-side (no driver funnel — `FileSink.writeSharded`), every
+    // shard file read back and its block shard ids validated against the
+    // file it landed in. The oracle is the full pre-encode projection plus
+    // the routing shard — a frame written to the wrong shard file, a lost
+    // shard, or a driver-side fallback (the in-task require) all fail.
+    "sink_file_tunnel_sharded" -> ((s, dir) => {
+      import graft.sinks.FileSink
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_file_tunnel_sharded_q"
+      graft.streaming.IncrSync.deletePath(s, work)
+      val framed = Envelope.compressFrames(
+        Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))
+      val shards = FileSink.writeSharded(s, framed, s"$work/tunnel.bin")
+      import s.implicits._
+      shards.flatMap { k =>
+        FileSink.read(s, s"$work/tunnel.bin.shard-$k").flatMap { b =>
+          require(b.shard == k, s"shard-$k file carries a shard-${b.shard} block")
+          b.payloads.map(p => (k.toLong, new String(p, "UTF-8")))
+        }.toSeq
+      }.toDF("shard", "payload_json")
+        .select(col("shard"),
+          get_json_object(col("payload_json"), "$.ts").cast("bigint").as("ts_packed"),
+          get_json_object(col("payload_json"), "$.op").as("op"),
+          get_json_object(col("payload_json"), "$.ns").as("ns"),
+          get_json_object(col("payload_json"), "$.key").as("doc_key"),
+          get_json_object(col("payload_json"), "$.meta.g").as("g"))
     })
   )
 
@@ -256,6 +284,10 @@ object SinkOps {
 
     "sink_file_tunnel" -> withOplog(
       s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql AND $shardSql = 0"),
+
+    "sink_file_tunnel_sharded" -> withOplog(
+      s"""SELECT CAST($shardSql AS BIGINT) AS shard, ts_packed, op, ns, doc_key, g
+          FROM oplog WHERE $chainSql"""),
 
     "sink_mock_count" -> withOplog(
       s"SELECT COUNT(*) AS n_delivered FROM oplog WHERE $chainSql"),

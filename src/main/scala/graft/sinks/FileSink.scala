@@ -2,8 +2,13 @@ package graft.sinks
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataOutputStream, FileSystem, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** K5 file tunnel (`tunnel/file_writer.go:57-168`): an append log with a
   * 32-byte magic header and per-message block framing
@@ -11,8 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * followed by the message's length-prefixed payloads.
   *
   * Uses the Hadoop `FileSystem` API throughout so the same code addresses
-  * HDFS/S3 paths on a cluster; one file per shard (the writer is driven
-  * from `foreachBatch` per shard partition — appends never interleave).
+  * HDFS/S3 paths on a cluster. Two write shapes: [[write]] produces ONE
+  * append log through a single driver-fed stream (the single-log case);
+  * [[writeSharded]] is the production layout — one file per shard, each
+  * written from its own executor task (the reference's one-file-per-worker
+  * model, `tunnel/file_writer.go:57-168`).
   */
 object FileSink {
 
@@ -50,22 +58,80 @@ object FileSink {
     val out = fs.create(p, true)
     try {
       out.write(headerBytes)
-      it.forEachRemaining { r =>
-        val frame = r.getAs[Array[Byte]]("frame")
-        // The file block re-frames the TMessage body (past its 20-byte
-        // header) with the block header carrying the same fields.
-        val body = frame.drop(20)
-        val bb = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
-        bb.putInt((r.getAs[Long]("checksum") & 0xFFFFFFFFL).toInt)
-        bb.putInt(r.getAs[Int]("tag") | Envelope.MsgPersistent | Envelope.MsgStorageBackend)
-        bb.putInt(r.getAs[Int]("shard"))
-        bb.putInt(r.getAs[Int]("compress"))
-        bb.putInt(BlockMarker)
-        bb.putInt(body.length)
-        out.write(bb.array())
-        out.write(body)
-      }
+      it.forEachRemaining(writeBlockRow(out, _))
     } finally out.close()
+  }
+
+  /** One framed row as a file block: the block header re-frames the
+    * TMessage body (past its 20-byte header) carrying the same fields.
+    */
+  private def writeBlockRow(out: FSDataOutputStream, r: Row): Unit = {
+    val frame = r.getAs[Array[Byte]]("frame")
+    val body = frame.drop(20)
+    val bb = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt((r.getAs[Long]("checksum") & 0xFFFFFFFFL).toInt)
+    bb.putInt(r.getAs[Int]("tag") | Envelope.MsgPersistent | Envelope.MsgStorageBackend)
+    bb.putInt(r.getAs[Int]("shard"))
+    bb.putInt(r.getAs[Int]("compress"))
+    bb.putInt(BlockMarker)
+    bb.putInt(body.length)
+    out.write(bb.array())
+    out.write(body)
+  }
+
+  /** One tunnel file PER SHARD, written executor-side (the reference's
+    * one-file-per-worker layout, `tunnel/file_writer.go:57-168`): frames
+    * cluster on the shard key, sort within each task by (shard, chunk),
+    * and every task streams its shards straight to `<path>.shard-<k>` —
+    * no driver funnel, so aggregate tunnel throughput scales with the
+    * shard count instead of one `FSDataOutputStream`.
+    *
+    * A task may co-own several shards (hash co-residence); they arrive
+    * sorted, so it writes them sequentially with one open stream at a
+    * time. `create(overwrite = true)` keeps task retries idempotent: a
+    * retry rewrites its whole shard file from scratch. The in-lambda
+    * `TaskContext` require is the no-driver-iterator guarantee — the
+    * write path provably executes inside executor tasks.
+    *
+    * @return shard ids written (ascending), for the caller to locate
+    *   `<path>.shard-<k>` files without listing the filesystem.
+    */
+  def writeSharded(spark: SparkSession, framed: DataFrame, path: String): Seq[Int] = {
+    // Hadoop Configuration is not serializable — ship its entries and
+    // rebuild per task (works for any scheme the driver conf addresses).
+    val confEntries = spark.sparkContext.hadoopConfiguration.asScala
+      .map(e => e.getKey -> e.getValue).toVector
+    val prefix = path
+    val shards = framed
+      .selectExpr(Envelope.frameColumns: _*)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("chunk"))
+      .mapPartitions { it =>
+        require(TaskContext.get() != null,
+          "file tunnel: sharded write must run inside an executor task")
+        val conf = new Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        var cur = Int.MinValue
+        var out: FSDataOutputStream = null
+        val written = Seq.newBuilder[Int]
+        def roll(shard: Int): Unit = {
+          if (out != null) out.close()
+          val p = new Path(s"$prefix.shard-$shard")
+          out = p.getFileSystem(conf).create(p, true)
+          out.write(headerBytes)
+          written += shard
+        }
+        try {
+          it.foreach { r =>
+            val shard = r.getAs[Int]("shard")
+            if (shard != cur) { roll(shard); cur = shard }
+            writeBlockRow(out, r)
+          }
+        } finally if (out != null) out.close()
+        written.result().iterator
+      }(org.apache.spark.sql.Encoders.scalaInt)
+      .collect() // one int per (task, shard) — bounded by the shard count
+    shards.toSeq.sorted
   }
 
   /** Read a tunnel file back as a LAZY block iterator, validating the

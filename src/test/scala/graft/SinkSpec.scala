@@ -80,6 +80,34 @@ class SinkSpec extends AnyFunSuite {
     assert(allPayloads == want)
   }
 
+  test("K5 sharded: one file per shard, written executor-side, blocks land in their shard's file") {
+    val prefix = s"${System.getProperty("java.io.tmpdir")}/graft_file_sink_sharded.bin"
+    val framed = Envelope.messages(Envelope.encode(oplogDf, 4))
+    val shards = FileSink.writeSharded(spark, framed, prefix)
+    // ≥2 shard files — the single-writer funnel is gone (the in-lambda
+    // TaskContext require already proved every write ran inside a task;
+    // a driver-side fallback would have thrown during the action)
+    assert(shards.size >= 2)
+    assert(shards == framed.select("shard").as[Int].collect().distinct.sorted.toSeq)
+    // every block in <prefix>.shard-k belongs to shard k, in chunk order,
+    // and the union of all shard files is exactly the framed feed
+    val wantByShard = framed.select(col("shard"), col("frame"))
+      .as[(Int, Array[Byte])].collect()
+      .groupBy(_._1).view.mapValues(_.flatMap(f =>
+        Envelope.decodeMessage(f._2).payloads.map(new String(_, "UTF-8"))).toSet).toMap
+    shards.foreach { k =>
+      val blocks = FileSink.read(spark, s"$prefix.shard-$k").toSeq
+      assert(blocks.nonEmpty)
+      assert(blocks.forall(_.shard == k))
+      assert(blocks.flatMap(_.payloads).map(new String(_, "UTF-8")).toSet == wantByShard(k))
+    }
+    // idempotent re-run: create(overwrite) rewrites, never appends
+    val again = FileSink.writeSharded(spark, framed, prefix)
+    assert(again == shards)
+    assert(FileSink.read(spark, s"$prefix.shard-${shards.head}").size ==
+      framed.filter(col("shard") === shards.head).count())
+  }
+
   test("P12: every reference codec id round-trips, shrinks (where it can), and checksum-validates") {
     val framed = Envelope.messages(Envelope.encode(oplogDf, 1))
     val plain = framed.select(col("frame")).as[Array[Byte]].head()

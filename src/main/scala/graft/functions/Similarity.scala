@@ -93,15 +93,20 @@ object Similarity {
     * zero explode, zero shuffle (the previous shape blew each vector into
     * dim×planes = 512 rows through two shuffled groupBys).
     */
-  def lshBuckets(p: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val bucket = (0 until numPlanes).map { j =>
+  def lshBuckets(p: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame =
+    p.select(col("vec_id"), lshBucketCol(col("v"), numPlanes, dim).as("bucket"))
+
+  /** The bucket id as a plain column over a quantized vector column — for
+    * callers that want the bucket inline (e.g. as a blocking key) without
+    * a join back onto the corpus.
+    */
+  def lshBucketCol(v: Column, numPlanes: Int = 8, dim: Int = 64): Column =
+    (0 until numPlanes).map { j =>
       val signs = typedLit((0 until dim).map(planeSign(j, _, dim)))
-      val d = aggregate(zip_with(col("v"), signs, (x, s) => x * s),
-        lit(0L), (acc, v) => acc + v)
+      val d = aggregate(zip_with(v, signs, (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x)
       when(d > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    p.select(col("vec_id"), bucket.as("bucket"))
-  }
 
   /** ANN top-1 neighbor within the LSH bucket (the scale path: candidate
     * generation is an equi-join on `bucket`, never all-pairs). Buckets

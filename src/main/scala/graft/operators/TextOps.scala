@@ -67,16 +67,20 @@ object TextOps {
         Dedup.minhashLsh(docs(s, dir), col("doc_id"), col("text")))),
 
     // Embedding-cosine near-dup over documents: each document joined to
-    // its embedding vector (doc_id = vec_id), label-blocked quantized
-    // cosine at threshold 0.4 (the same bounded candidate generation as
-    // sim_threshold_pairs — no all-pairs join), then connected components
-    // pick ONE survivor per near-dup cluster, carrying its language.
+    // its embedding vector (doc_id = vec_id), quantized cosine at
+    // threshold 0.4 with the random-hyperplane LSH bucket as the blocking
+    // key — the scale-true candidate generator (an equi-join on a derived
+    // bucket id, like sim_ann_lsh), not a data label that could be absent
+    // or degenerate at corpus scale. Then connected components pick ONE
+    // survivor per near-dup cluster, carrying its language.
     "dedup_embed_cosine" -> ((s, dir) => {
       val d = docs(s, dir)
       val joined = d.join(Tables.load(s, dir, "embeddings"),
-        d("doc_id") === col("vec_id"))
+          d("doc_id") === col("vec_id"))
+        .withColumn("bucket",
+          Similarity.lshBucketCol(Similarity.quantize(col("embedding"))))
       val pairs = Similarity.thresholdPairs(joined,
-          d("doc_id"), col("embedding"), col("label"), threshold = 0.4)
+          d("doc_id"), col("embedding"), col("bucket"), threshold = 0.4)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       Dedup.nearDupComponents(pairs)
         .join(d.select(col("doc_id"), col("lang")), col("keep_id") === col("doc_id"))
@@ -270,17 +274,19 @@ object TextOps {
 
     "dedup_embed_cosine" ->
       s"""WITH prep AS (
-            SELECT vec_id, label, v, list_sum([y*y for y in v]) AS nrm
-            FROM (SELECT vec_id, label,
+            SELECT vec_id, v, list_sum([y*y for y in v]) AS nrm
+            FROM (SELECT vec_id,
                     [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS v
                   FROM embeddings JOIN documents ON doc_id = vec_id)),
+          ${VectorOps.bucketCte},
           bounded AS (
             SELECT * FROM (
-              SELECT *, COUNT(*) OVER (PARTITION BY label) AS blk_n FROM prep)
+              SELECT p.*, b.bucket, COUNT(*) OVER (PARTITION BY b.bucket) AS blk_n
+              FROM prep p JOIN buck b USING (vec_id))
             WHERE blk_n <= 10000),
           good AS (
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-            FROM bounded a JOIN bounded b ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM bounded a JOIN bounded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE ${VectorOps.simSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.4),
           edges AS (
             SELECT doc_a AS src, doc_b AS dst FROM good

@@ -70,7 +70,11 @@ object VectorOps {
     s"""CAST(list_sum([$va[i] * $vb[i] for i in generate_series(1, len($va))]) AS DOUBLE)
         / sqrt(CAST($na * $nb AS DOUBLE))"""
 
-  private val bucketCte: String =
+  /** LSH-bucket CTE chain over a `prep(vec_id, v, ...)` CTE — shared with
+    * [[TextOps]]'s embedding-cosine dedup oracle so the bucket formula
+    * stays in lockstep with [[Similarity.lshBucketCol]].
+    */
+  private[operators] val bucketCte: String =
     s"""pe AS (
           SELECT vec_id, i, v[i] AS q, j
           FROM prep, (SELECT unnest(generate_series(1, 64)) AS i),

@@ -1,7 +1,10 @@
 package graft.metrics
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** G7 metrics accumulation (`common/metric.go:43-200`,
   * `executor/executor.go:417-471`): the reference samples per-second
@@ -41,4 +44,67 @@ object Metrics {
     */
   def observedStream(oplog: DataFrame): DataFrame =
     oplog.observe(MetricsName, count(lit(1)).as("n_total"), counters: _*)
+}
+
+/** One `_metrics` row per micro-batch (the queryable snapshot the
+  * reference's REST monitor serves, `common/metric.go:43-52,87-200` —
+  * counts, not rates: TPS is a quotient the consumer takes over
+  * `batch_id` timestamps, never a stored number).
+  *
+  * `n_raw` is the source's rows-ingested count for the batch
+  * (`numInputRows`), so `n_raw - n_kept` is the filter-chain drop count
+  * without a second pass over the stream; the per-op counters come from
+  * the in-plan [[Metrics.observedStream]] aggregate.
+  */
+final case class MetricsSnapshot(run_id: String, batch_id: Long,
+    n_raw: Long, n_kept: Long, n_insert: Long, n_update: Long,
+    n_delete: Long, n_command: Long, n_noop: Long,
+    traffic_bytes: Option[Long], lsn_newest: Option[Long])
+
+/** G7's queryable surface: a [[StreamingQueryListener]] that buffers every
+  * batch's observed counters and, once the run's terminated event arrives
+  * (the listener bus is ordered per query, so termination implies every
+  * progress event has been delivered), writes them as a `_metrics` parquet
+  * table alongside `_ckpt`.
+  *
+  * Driver-resident state is one small row per micro-batch — bounded by run
+  * length, never by data volume. Events from other queries sharing the
+  * session are buffered too but filtered out at [[write]] by run id.
+  */
+final class MetricsRecorder(spark: SparkSession, path: String)
+    extends StreamingQueryListener {
+
+  private val buf = new java.util.concurrent.ConcurrentLinkedQueue[MetricsSnapshot]()
+  private val terminated = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    Option(p.observedMetrics.get(Metrics.MetricsName)).foreach { m =>
+      buf.add(MetricsSnapshot(p.runId.toString, p.batchId,
+        p.sources.map(_.numInputRows).sum,
+        m.getAs[Long]("n_total"), m.getAs[Long]("n_insert"),
+        m.getAs[Long]("n_update"), m.getAs[Long]("n_delete"),
+        m.getAs[Long]("n_command"), m.getAs[Long]("n_noop"),
+        Option(m.getAs[java.lang.Long]("traffic_bytes")).map(_.longValue),
+        Option(m.getAs[java.lang.Long]("lsn_newest")).map(_.longValue)))
+    }
+  }
+
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+    terminated.add(e.runId.toString)
+  }
+
+  /** Wait for `runId`'s terminated event, then write its snapshots. */
+  def write(runId: String, timeoutMs: Long = 30000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!terminated.contains(runId.toString) && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    require(terminated.contains(runId),
+      "metrics recorder: query termination event not delivered in time")
+    import spark.implicits._
+    buf.asScala.filter(_.run_id == runId).toSeq.toDF()
+      .coalesce(1).write.mode("append").parquet(path)
+  }
 }

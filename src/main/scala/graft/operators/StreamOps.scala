@@ -42,7 +42,18 @@ object StreamOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_e2e" -> ((s, dir) => run(s, dir)),
-    "cdc_resume_restart" -> ((s, dir) => runResume(s, dir)))
+    "cdc_resume_restart" -> ((s, dir) => runResume(s, dir)),
+    "cdc_metrics" -> ((s, dir) => runMetrics(s, dir)))
+
+  /** Canonical oplog rows as a raw-oplog feed (null txn columns). */
+  private def feedify(df: DataFrame): DataFrame = {
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    df.select(
+      col("event_id"), col("ts_packed"), col("op"), col("ns"), col("doc_key"),
+      col("value"), col("props"), col("g"), col("from_migrate"),
+      nullS.as("lsid"), nullL.as("txn_number"), nullS.as("o"))
+  }
 
   /** Member payload: the self-describing inner-op JSON the assembler and
     * the atomic exploder re-project to canonical rows.
@@ -201,13 +212,6 @@ object StreamOps {
     // as the oracle's `tmin + (tmax - tmin) // 2`)
     val t1 = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
 
-    val nullS = lit(null).cast("string")
-    val nullL = lit(null).cast("long")
-    def feedify(df: DataFrame): DataFrame = df.select(
-      col("event_id"), col("ts_packed"), col("op"), col("ns"), col("doc_key"),
-      col("value"), col("props"), col("g"), col("from_migrate"),
-      nullS.as("lsid"), nullL.as("txn_number"), nullS.as("o"))
-
     val feedDir = s"$work/feed"
     // phase 1: one file → one AvailableNow batch (batch_id 0)
     feedify(eff.filter(col("ts_packed") <= t1)).coalesce(1).write.parquet(feedDir)
@@ -233,9 +237,59 @@ object StreamOps {
     state.unionByName(ck)
   }
 
+  /** G7's queryable metrics surface (`common/metric.go:43-52,87-200`): run
+    * the real `IncrSync.startOplog` over the UNFILTERED corpus feed with a
+    * [[graft.metrics.MetricsRecorder]] attached; the listener writes one
+    * `_metrics` row per batch alongside `_ckpt`. The query returns the
+    * run's deterministic totals — per-op delivered counts, traffic bytes,
+    * newest LSN, and the filter-drop count (`n_raw - n_kept`, the chain
+    * dropping noops, foreign gids, system DBs, and blacklisted
+    * namespaces) — summed over batches so the result is independent of
+    * trigger batching. Rates (TPS) are quotients for the consumer, never
+    * stored numbers.
+    */
+  private def runMetrics(s: SparkSession, dir: String): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_metrics_q"
+    IncrSync.deletePath(s, work)
+    // the WHOLE corpus — the engine's own filter chain does the dropping
+    feedify(Oplog.fromEvents(s, dir)).coalesce(1).write.parquet(s"$work/feed")
+    val rec = new graft.metrics.MetricsRecorder(s, s"$work/target/_metrics")
+    s.streams.addListener(rec)
+    try {
+      val q = IncrSync.startOplog(s, s"$work/feed", s"$work/target", s"$work/ckpt",
+        gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 16)
+      q.awaitTermination()
+      rec.write(q.runId.toString)
+    } finally s.streams.removeListener(rec)
+    s.read.parquet(s"$work/target/_metrics").agg(
+      sum(col("n_raw")).as("n_raw"),
+      sum(col("n_kept")).as("n_kept"),
+      (sum(col("n_raw")) - sum(col("n_kept"))).as("n_filtered"),
+      sum(col("n_insert")).as("n_insert"),
+      sum(col("n_update")).as("n_update"),
+      sum(col("n_delete")).as("n_delete"),
+      sum(col("n_command")).as("n_command"),
+      sum(col("n_noop")).as("n_noop"),
+      sum(col("traffic_bytes")).as("traffic_bytes"),
+      max(col("lsn_newest")).as("lsn_newest"))
+  }
+
   private val chainSql: String = Oplog.oracleChainSql
 
   def oracles: Map[String, String] = Map(
+    "cdc_metrics" -> Oplog.withOracleCte(
+      s""", kept AS (SELECT * FROM oplog WHERE $chainSql)
+          SELECT (SELECT COUNT(*) FROM oplog) AS n_raw,
+            COUNT(*) AS n_kept,
+            (SELECT COUNT(*) FROM oplog) - COUNT(*) AS n_filtered,
+            CAST(SUM(CASE WHEN op = 'i' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+            CAST(SUM(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+            CAST(SUM(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+            CAST(0 AS BIGINT) AS n_command, CAST(0 AS BIGINT) AS n_noop,
+            CAST(SUM(octet_length(encode(props))) AS BIGINT) AS traffic_bytes,
+            MAX(ts_packed) AS lsn_newest
+          FROM kept"""),
+
     "cdc_resume_restart" -> Oplog.withOracleCte(
       s""", eff AS (
             SELECT event_id, ts_packed, op, ns, doc_key, value

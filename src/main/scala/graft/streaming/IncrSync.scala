@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -170,7 +170,23 @@ object IncrSync {
       black: Seq[String] = Nil,
       txnTtlMs: Long = TxnAssembler.DefaultTxnTtlMs,
       trigger: Trigger = Trigger.AvailableNow(),
-      nBuckets: Int = StateBuckets): StreamingQuery = {
+      nBuckets: Int = StateBuckets): StreamingQuery =
+    startOplogTo(spark, source, ParquetTarget(targetDir, nBuckets), checkpointDir,
+      gids, white, black, txnTtlMs, trigger)
+
+  /** [[startOplogFrom]] against any [[TargetWriter]] — the sink seam
+    * ([[ChangeSource]]'s write-side symmetric): a live MongoDB/JDBC
+    * connector receives the per-segment merge sets, barrier commands, and
+    * checkpoint commits without any dataflow edits (see [[TargetWriter]]
+    * for the W1-W5 ↔ bulk-op mapping).
+    */
+  def startOplogTo(spark: SparkSession, source: ChangeSource, target: TargetWriter,
+      checkpointDir: String,
+      gids: Seq[String] = Seq(""),
+      white: Seq[String] = Seq("^app\\..*$"),
+      black: Seq[String] = Nil,
+      txnTtlMs: Long = TxnAssembler.DefaultTxnTtlMs,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val effectiveTtlMs = if (trigger == Trigger.AvailableNow()) 0L else txnTtlMs
     import spark.implicits._
     val stream = source.load(spark)
@@ -255,7 +271,7 @@ object IncrSync {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, targetDir, batchId, nBuckets)
+        applyBatchTo(batch, target, batchId)
       }
       .start()
   }
@@ -268,9 +284,18 @@ object IncrSync {
     */
   def applyBatch(batch: DataFrame, targetDir: String, batchId: Long,
       nBuckets: Int = StateBuckets,
+      fullSyncFinishPosition: Long = 0L): Unit =
+    applyBatchTo(batch, ParquetTarget(targetDir, nBuckets), batchId,
+      fullSyncFinishPosition)
+
+  /** [[applyBatch]] against any [[TargetWriter]]: the T4 segmentation, F9
+    * guard, and T8 checkpoint ordering live HERE (engine semantics); what
+    * a merge set, a command, or a checkpoint commit physically does lives
+    * behind the seam.
+    */
+  def applyBatchTo(batch: DataFrame, target: TargetWriter, batchId: Long,
       fullSyncFinishPosition: Long = 0L): Unit = {
     val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     batch.persist()
     try {
       val normal = batch.filter(col("op") =!= "c")
@@ -291,21 +316,24 @@ object IncrSync {
             "snapshot/DDL overlap, cannot replay safely")
       }
 
+      // The seam receives each segment already reduced to its
+      // last-effective-write set (one groupBy pass — no second shuffle of
+      // the batch; `Replay.lastPerKey` is partial-aggregatable).
+      def dml(seg: DataFrame): Unit = target.applyDml(Replay.lastPerKey(seg))
+
       if (barrierRows.isEmpty) {
-        applyDmlSegment(normal, targetDir, nBuckets)
+        dml(normal)
       } else {
         // Segment the DML stream at the barrier timestamps; apply each
         // segment, then its trailing barrier, serially.
         val cuts = barrierRows.map(_.getAs[Long]("ts_packed"))
         var lo = Long.MinValue
         barrierRows.zip(cuts).zipWithIndex.foreach { case ((row, cut), i) =>
-          applyDmlSegment(
-            normal.filter(col("ts_packed") > lo && col("ts_packed") <= cut),
-            targetDir, nBuckets)
-          applyBarrierOp(spark, row, targetDir, nBuckets, batchId, i)
+          dml(normal.filter(col("ts_packed") > lo && col("ts_packed") <= cut))
+          target.applyCommand(spark, row, batchId, i)
           lo = cut
         }
-        applyDmlSegment(normal.filter(col("ts_packed") > lo), targetDir, nBuckets)
+        dml(normal.filter(col("ts_packed") > lo))
       }
 
       // Checkpoint row — only after every segment is durable.
@@ -313,106 +341,8 @@ object IncrSync {
         min(col("ts_packed")).as("lsn_min"), max(col("ts_packed")).as("lsn_max"),
         count(lit(1)).as("n_logs"))
         .withColumn("batch_id", lit(batchId))
-      ck.coalesce(1).write.mode(SaveMode.Append).parquet(s"$targetDir/_ckpt")
+      target.commitCheckpoint(ck)
     } finally batch.unpersist()
-  }
-
-  /** Idempotent merge of one DML segment into the touched state buckets. */
-  private def applyDmlSegment(normal: DataFrame, targetDir: String, nBuckets: Int): Unit = {
-    val spark = normal.sparkSession
-    // One window pass yields both the delta and the touched-key set —
-    // no second shuffle of the batch.
-    val last = Replay.lastPerKey(normal)
-      .withColumnRenamed("n_ops", "batch_ops")
-      .withColumn("bucket", bucketOf(nBuckets))
-    last.persist()
-    try {
-      val delta = last.filter(col("op") =!= "d").drop("op")
-      val statePath = s"$targetDir/state"
-      val touched = last.select(col("ns"), col("doc_key"), col("bucket"))
-      val touchedBuckets = touched.select("bucket").distinct()
-        .collect().map(_.getInt(0)).toSeq // bounded by nBuckets
-      if (touchedBuckets.isEmpty) return
-      // Partition-pruned read: only buckets this batch can modify.
-      val existing = readOrEmpty(spark, statePath)
-        .filter(col("bucket").isin(touchedBuckets: _*))
-      // New content of the touched buckets: old rows whose key is untouched
-      // + the batch delta (keys whose last op was a delete are in neither).
-      val kept = existing.join(touched.select("ns", "doc_key"), Seq("ns", "doc_key"), "left_anti")
-      val newState = kept.unionByName(delta)
-      newState.persist()
-      // Dynamic partition overwrite replaces exactly the partitions present
-      // in `newState`. A touched bucket whose keys were ALL deleted has no
-      // rows to write — clear its partition directory explicitly.
-      val writtenBuckets = newState.select("bucket").distinct()
-        .collect().map(_.getInt(0)).toSet
-      // Cluster by the partition column: one writer task per bucket, one
-      // file per bucket per batch (instead of |shuffle partitions| part
-      // files in every bucket directory — a small-file explosion that
-      // compounds at every trigger).
-      newState.repartition(col("bucket"))
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(statePath)
-      val fs = new Path(statePath).getFileSystem(spark.sessionState.newHadoopConf())
-      (touchedBuckets.toSet -- writtenBuckets).foreach { b =>
-        fs.delete(new Path(s"$statePath/bucket=$b"), true)
-      }
-      newState.unpersist()
-    } finally last.unpersist()
-  }
-
-  /** W5 doCommand replay (`executor/db_writer.go:61-219`): DDL applied to
-    * the state table — drop removes the ns, dropDatabase the db,
-    * renameCollection rewrites ns (and re-buckets). DDL is rare and
-    * serialized, so the full-table rewrite here is the reference's own
-    * cost model (barriers stop the world). Every barrier is also logged.
-    */
-  def applyBarrierOp(spark: SparkSession, row: org.apache.spark.sql.Row,
-      targetDir: String, nBuckets: Int, batchId: Long, seq: Int): Unit = {
-    import org.json4s._
-    val ns = row.getAs[String]("ns")
-    val ts = row.getAs[Long]("ts_packed")
-    val body = row.getAs[String]("props")
-    val db = ns.split("\\.", 2)(0)
-    val statePath = s"$targetDir/state"
-    val parsed = try { graft.transform.UpdateSpec.parse(body) } catch {
-      case _: Exception => JObject(Nil)
-    }
-    val (cmd, arg) = parsed.obj.headOption match {
-      case Some((k, JString(v))) => (k, v)
-      case Some((k, _)) => (k, "")
-      case None => ("", "")
-    }
-    cmd match {
-      case "drop" =>
-        rewriteState(spark, statePath, s => s.filter(col("ns") =!= s"$db.$arg"))
-      case "dropDatabase" =>
-        rewriteState(spark, statePath, s => s.filter(!col("ns").startsWith(db + ".")))
-      case "renameCollection" =>
-        val to = (parsed \ "to") match { case JString(t) => t; case _ => arg }
-        rewriteState(spark, statePath, s => s
-          .withColumn("ns", when(col("ns") === arg, to).otherwise(col("ns")))
-          .withColumn("bucket", bucketOf(nBuckets)))
-      case _ => () // unknown/no-op command: log only
-    }
-    import spark.implicits._
-    Seq((batchId, seq, ns, cmd, ts))
-      .toDF("batch_id", "apply_seq", "ns", "cmd", "ts_packed")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$targetDir/ddl_log")
-  }
-
-  /** Full-state rewrite through a temp dir + atomic-ish swap (barrier-only
-    * path; DML never does this).
-    */
-  private def rewriteState(spark: SparkSession, statePath: String,
-      f: DataFrame => DataFrame): Unit = {
-    val fs = new Path(statePath).getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new Path(statePath))) return
-    val tmp = statePath + "_rewrite"
-    f(readOrEmpty(spark, statePath))
-      .repartition(col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
-    fs.delete(new Path(statePath), true)
-    fs.rename(new Path(tmp), new Path(statePath))
   }
 
   /** Read the bucketed state table (empty DataFrame if absent yet). */

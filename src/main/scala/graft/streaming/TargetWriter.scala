@@ -1,0 +1,182 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pluggable sink seam — the [[ChangeSource]] symmetric for the write
+  * side (reference `executor/db_writer.go:61-219`,
+  * `executor/db_writer_bulk.go:23-283`): [[IncrSync.applyBatchTo]] drives
+  * any target through this trait, so a live MongoDB (or JDBC, or Delta)
+  * connector plugs in without touching the dataflow — exactly as a live
+  * change-stream connector plugs into [[ChangeSource]] on the read side.
+  * The sandbox default is the hash-bucketed parquet state table
+  * ([[ParquetTarget]]); everything upstream of the seam (filter chain,
+  * txn assembly, barrier segmentation, checkpoint construction) is the
+  * production path either way.
+  *
+  * ## W1-W5 ↔ connector bulk-op mapping (`db_writer_bulk.go:23-283`)
+  *
+  * The engine hands the writer the per-segment '''last-effective-write
+  * set''' (one row per touched (ns, doc_key), `Replay.lastPerKey`), not
+  * the raw op stream — so the reference's bulk error ladder collapses to
+  * a deterministic MERGE:
+  *
+  *  - '''W1 doInsert''' (`doInsert:23-77`): the reference bulk-inserts
+  *    and, on `DuplicateKey`, downgrades to update-on-insert
+  *    (`dupUpdate`). Here a row with `op = i` is an upsert (`ReplaceOne
+  *    {upsert: true}`) — the dup-key branch is unreachable by
+  *    construction, which IS the reference's own `FullFinishTs`-passed
+  *    behavior.
+  *  - '''W2 doUpdateOnInsert''' (`doUpdate:120-283` upsert arm): same
+  *    upsert — insert-vs-update is a server-side outcome, not a client
+  *    decision.
+  *  - '''W3 doUpdate''': a row with `op = u` carries the folded final
+  *    value (update specs already replayed by `UpdateSpec`); apply as
+  *    `ReplaceOne {upsert: true}`. The reference's "update a missing doc"
+  *    error arm becomes the insert outcome of the same upsert.
+  *  - '''W4 doDelete''' (`doDelete:186-231`): a row with `op = d` is a
+  *    `DeleteOne` on the key; deleting an absent doc is a no-op, not an
+  *    error (at-least-once replay must converge).
+  *  - '''W5 doCommand''' (`db_writer.go:61-219`): [[applyCommand]] is
+  *    invoked serially between DML segments (T4 barrier order). The
+  *    connector runs the command (drop/dropDatabase/renameCollection) via
+  *    `runCommand` and appends it to the DDL log.
+  *
+  * '''Idempotence contract''': [[applyDml]] may be called again with the
+  * same segment after a crash (Spark replays the last uncommitted batch).
+  * Upsert+delete of a last-effective-write set is naturally idempotent;
+  * any other implementation must be too. '''Ordering contract''': calls
+  * arrive in batch order — DML segment, then its trailing barrier, ...,
+  * then [[commitCheckpoint]] exactly once per batch, strictly after every
+  * segment of that batch is durable (T8: ack-then-checkpoint, never
+  * driver-clock).
+  */
+trait TargetWriter extends Serializable {
+
+  /** W1-W4: merge one barrier-free DML segment, reduced to its
+    * last-effective-write set — columns `(ns, doc_key, op, last_value,
+    * last_event_id, n_ops)`, one row per touched key; `op = d` means the
+    * key's final state is deleted.
+    */
+  def applyDml(last: DataFrame): Unit
+
+  /** W5: one DDL barrier row (`op = c`; command JSON in `props`), applied
+    * serially at its segmentation point. `seq` is the barrier's index
+    * within the batch (DDL-log ordering).
+    */
+  def applyCommand(spark: SparkSession, row: Row, batchId: Long, seq: Int): Unit
+
+  /** T8: commit the batch's checkpoint row `(lsn_min, lsn_max, n_logs,
+    * batch_id)` — called exactly once per batch, after every segment acked.
+    */
+  def commitCheckpoint(ck: DataFrame): Unit
+}
+
+/** The sandbox/cluster-file default target: the hash-bucketed parquet
+  * state table of [[IncrSync]] (state at `dir/state/bucket=<b>/`, DDL log
+  * at `dir/ddl_log`, checkpoints at `dir/_ckpt`). A micro-batch only
+  * rewrites the buckets its keys hash into — O(batch), not O(state), per
+  * trigger; see the layout note on [[IncrSync]].
+  */
+final case class ParquetTarget(targetDir: String,
+    nBuckets: Int = IncrSync.StateBuckets) extends TargetWriter {
+
+  def applyDml(last0: DataFrame): Unit = {
+    val spark = last0.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val last = last0
+      .withColumnRenamed("n_ops", "batch_ops")
+      .withColumn("bucket", IncrSync.bucketOf(nBuckets))
+    last.persist()
+    try {
+      val delta = last.filter(col("op") =!= "d").drop("op")
+      val statePath = s"$targetDir/state"
+      val touched = last.select(col("ns"), col("doc_key"), col("bucket"))
+      val touchedBuckets = touched.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded by nBuckets
+      if (touchedBuckets.isEmpty) return
+      // Partition-pruned read: only buckets this batch can modify.
+      val existing = IncrSync.readOrEmpty(spark, statePath)
+        .filter(col("bucket").isin(touchedBuckets: _*))
+      // New content of the touched buckets: old rows whose key is untouched
+      // + the batch delta (keys whose last op was a delete are in neither).
+      val kept = existing.join(touched.select("ns", "doc_key"), Seq("ns", "doc_key"), "left_anti")
+      val newState = kept.unionByName(delta)
+      newState.persist()
+      // Dynamic partition overwrite replaces exactly the partitions present
+      // in `newState`. A touched bucket whose keys were ALL deleted has no
+      // rows to write — clear its partition directory explicitly.
+      val writtenBuckets = newState.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      // Cluster by the partition column: one writer task per bucket, one
+      // file per bucket per batch (instead of |shuffle partitions| part
+      // files in every bucket directory — a small-file explosion that
+      // compounds at every trigger).
+      newState.repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(statePath)
+      val fs = new Path(statePath).getFileSystem(spark.sessionState.newHadoopConf())
+      (touchedBuckets.toSet -- writtenBuckets).foreach { b =>
+        fs.delete(new Path(s"$statePath/bucket=$b"), true)
+      }
+      newState.unpersist()
+    } finally last.unpersist()
+  }
+
+  /** W5 doCommand replay (`executor/db_writer.go:61-219`): DDL applied to
+    * the state table — drop removes the ns, dropDatabase the db,
+    * renameCollection rewrites ns (and re-buckets). DDL is rare and
+    * serialized, so the full-table rewrite here is the reference's own
+    * cost model (barriers stop the world). Every barrier is also logged.
+    */
+  def applyCommand(spark: SparkSession, row: Row, batchId: Long, seq: Int): Unit = {
+    import org.json4s._
+    val ns = row.getAs[String]("ns")
+    val ts = row.getAs[Long]("ts_packed")
+    val body = row.getAs[String]("props")
+    val db = ns.split("\\.", 2)(0)
+    val statePath = s"$targetDir/state"
+    val parsed = try { graft.transform.UpdateSpec.parse(body) } catch {
+      case _: Exception => JObject(Nil)
+    }
+    val (cmd, arg) = parsed.obj.headOption match {
+      case Some((k, JString(v))) => (k, v)
+      case Some((k, _)) => (k, "")
+      case None => ("", "")
+    }
+    cmd match {
+      case "drop" =>
+        rewriteState(spark, statePath, s => s.filter(col("ns") =!= s"$db.$arg"))
+      case "dropDatabase" =>
+        rewriteState(spark, statePath, s => s.filter(!col("ns").startsWith(db + ".")))
+      case "renameCollection" =>
+        val to = (parsed \ "to") match { case JString(t) => t; case _ => arg }
+        rewriteState(spark, statePath, s => s
+          .withColumn("ns", when(col("ns") === arg, to).otherwise(col("ns")))
+          .withColumn("bucket", IncrSync.bucketOf(nBuckets)))
+      case _ => () // unknown/no-op command: log only
+    }
+    import spark.implicits._
+    Seq((batchId, seq, ns, cmd, ts))
+      .toDF("batch_id", "apply_seq", "ns", "cmd", "ts_packed")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$targetDir/ddl_log")
+  }
+
+  def commitCheckpoint(ck: DataFrame): Unit =
+    ck.coalesce(1).write.mode(SaveMode.Append).parquet(s"$targetDir/_ckpt")
+
+  /** Full-state rewrite through a temp dir + atomic-ish swap (barrier-only
+    * path; DML never does this).
+    */
+  private def rewriteState(spark: SparkSession, statePath: String,
+      f: DataFrame => DataFrame): Unit = {
+    val fs = new Path(statePath).getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(statePath))) return
+    val tmp = statePath + "_rewrite"
+    f(IncrSync.readOrEmpty(spark, statePath))
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
+    fs.delete(new Path(statePath), true)
+    fs.rename(new Path(tmp), new Path(statePath))
+  }
+}

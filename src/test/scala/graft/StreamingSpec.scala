@@ -21,6 +21,45 @@ case class SeamOplogRow(event_id: Long, ts_packed: Long, op: String, ns: String,
 case class SeamEventRow(event_id: Long, ts: Long, user_id: Long,
     event_type: String, value: Double, props: String)
 
+/** Sink-seam injection double: records every TargetWriter call in order
+  * (what a live MongoDB connector would receive — merge sets, serialized
+  * commands, the post-ack checkpoint). Package level: the foreachBatch
+  * closure serializes the target, so it must not capture the suite.
+  */
+final class RecordingTarget extends graft.streaming.TargetWriter {
+  import java.util.concurrent.ConcurrentLinkedQueue
+  import scala.jdk.CollectionConverters._
+  private val callsQ = new ConcurrentLinkedQueue[String]()
+  private val dmlQ = new ConcurrentLinkedQueue[Set[(String, String, String, Long, Double)]]()
+  private val cmdQ = new ConcurrentLinkedQueue[(Long, Int, String, Long)]()
+  private val ckQ = new ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+
+  def calls: Seq[String] = callsQ.asScala.toSeq
+  def dmlSets: Seq[Set[(String, String, String, Long, Double)]] = dmlQ.asScala.toSeq
+  def cmds: Seq[(Long, Int, String, Long)] = cmdQ.asScala.toSeq
+  def ckpts: Seq[(Long, Long, Long, Long)] = ckQ.asScala.toSeq
+
+  def applyDml(last: org.apache.spark.sql.DataFrame): Unit = {
+    callsQ.add("dml")
+    dmlQ.add(last.collect().map(r => (r.getAs[String]("ns"), r.getAs[String]("doc_key"),
+      r.getAs[String]("op"), r.getAs[Long]("last_event_id"),
+      r.getAs[Double]("last_value"))).toSet)
+  }
+  def applyCommand(spark: org.apache.spark.sql.SparkSession, row: Row,
+      batchId: Long, seq: Int): Unit = {
+    callsQ.add(s"cmd:$seq")
+    val cmd = graft.transform.UpdateSpec.parse(row.getAs[String]("props"))
+      .obj.headOption.map(_._1).getOrElse("")
+    cmdQ.add((batchId, seq, cmd, row.getAs[Long]("ts_packed")))
+  }
+  def commitCheckpoint(ck: org.apache.spark.sql.DataFrame): Unit = {
+    callsQ.add("ckpt")
+    val r = ck.head()
+    ckQ.add((r.getAs[Long]("batch_id"), r.getAs[Long]("lsn_min"),
+      r.getAs[Long]("lsn_max"), r.getAs[Long]("n_logs")))
+  }
+}
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
@@ -356,6 +395,54 @@ class StreamingSpec extends AnyFunSuite {
     val state = IncrSync.readOrEmpty(spark, s"$work/target/state")
       .select("ns", "doc_key", "last_value").as[(String, String, Double)].collect().toSet
     assert(state == Set(("app.users_1", "1", 2.0), ("app.users_2", "2", 3.0)))
+  }
+
+  test("pluggable sink seam: applyBatchTo drives a TargetWriter in T4/T8 order with reduced merge sets") {
+    val rec = new RecordingTarget
+    val batch = Seq(
+      // segment 1 (ts <= 300): k1 folds i+u to one merge row, k2 inserts
+      (1L, 100L, "i", "app.u0", "k1", 1.0, "{}"),
+      (2L, 200L, "u", "app.u0", "k1", 2.0, "{}"),
+      (3L, 250L, "i", "app.u1", "k2", 3.0, "{}"),
+      // barrier at 300, then segment 2: k2's delete, k3's insert
+      (9L, 300L, "c", "app.$cmd", "", 0.0, """{"drop":"u9"}"""),
+      (4L, 400L, "d", "app.u1", "k2", 0.0, "{}"),
+      (5L, 500L, "i", "app.u0", "k3", 5.0, "{}"),
+      // barrier at 600 with NO trailing DML: the empty tail segment still
+      // runs (and reduces to zero rows) before the checkpoint
+      (8L, 600L, "c", "app.$cmd", "", 0.0, """{"drop":"u8"}"""))
+      .toDF("event_id", "ts_packed", "op", "ns", "doc_key", "value", "props")
+    IncrSync.applyBatchTo(batch, rec, batchId = 7L)
+    // T4: segment, barrier, segment, barrier, tail segment; T8: ckpt LAST
+    assert(rec.calls.toSeq == Seq("dml", "cmd:0", "dml", "cmd:1", "dml", "ckpt"))
+    // the seam receives last-effective-write SETS, not raw op streams
+    assert(rec.dmlSets(0) == Set(("app.u0", "k1", "u", 2L, 2.0), ("app.u1", "k2", "i", 3L, 3.0)))
+    assert(rec.dmlSets(1) == Set(("app.u1", "k2", "d", 4L, 0.0), ("app.u0", "k3", "i", 5L, 5.0)))
+    assert(rec.dmlSets(2).isEmpty)
+    assert(rec.cmds.toSeq == Seq((7L, 0, "drop", 300L), (7L, 1, "drop", 600L)))
+    assert(rec.ckpts.toSeq == Seq((7L, 100L, 600L, 7L))) // (batch, min, max, n)
+  }
+
+  test("pluggable sink seam: startOplogTo streams into an injected TargetWriter — no dataflow edits") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = Files.createTempDirectory("graft_sink_seam").toFile.getAbsolutePath
+    val input = MemoryStream[SeamOplogRow]
+    def dml(eid: Long, ts: Long, op: String, ns: String, key: String, v: Double) =
+      SeamOplogRow(eid, ts, op, ns, key, v, "{}", "", false, None, None, None)
+    input.addData(
+      dml(1L, 100L, "i", "app.u0", "k1", 1.0),
+      dml(2L, 200L, "u", "app.u0", "k1", 2.0),
+      dml(3L, 300L, "i", "other.t", "k9", 9.0)) // outside the whitelist
+    val rec = new RecordingTarget
+    val q = IncrSync.startOplogTo(spark,
+      graft.streaming.FrameSource(() => input.toDF()), rec, s"$work/ckpt",
+      txnTtlMs = 0)
+    q.awaitTermination()
+    // the filter chain ran upstream of the seam; the target saw one merged
+    // row and one checkpoint, exactly the live-connector contract
+    assert(rec.dmlSets.flatten.toSet == Set(("app.u0", "k1", "u", 2L, 2.0)))
+    assert(rec.cmds.isEmpty)
+    assert(rec.ckpts.toSeq == Seq((0L, 100L, 200L, 2L)))
   }
 
   test("receiver (entry point C): framed feed → checksum/decode → replay; restart is a no-op") {

@@ -293,4 +293,37 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // --- benchmark contamination ---------------------------------------------
+
+  /** Decontamination pass of a training pipeline: flag corpus documents
+    * sharing any word `shingleN`-gram with a benchmark/eval document set
+    * (the standard n-gram-overlap contamination check; same hashed-shingle
+    * representation as [[minhashSignatures]]).
+    *
+    * Scale shape: eval benchmarks are small by nature, so their distinct
+    * shingle-hash set BROADCASTS; the corpus side explodes to thin
+    * (doc_id, hash) longs and the overlap is a map-side broadcast hash
+    * join + partial-aggregated count — no shuffle of corpus text, no
+    * all-pairs anything. Output: each contaminated doc with its distinct
+    * overlapping-shingle count and the contaminated fraction of its own
+    * shingle set.
+    */
+  def contamination(docs: DataFrame, id: Column, text: Column,
+      benchPred: Column, shingleN: Int = 3): DataFrame = {
+    val sets = docs.select(id.as("doc_id"), benchPred.as("is_bench"),
+      array_distinct(transform(shingles(text, shingleN),
+        s => phash64(s) % lit(4294967296L))).as("s"))
+    val bench = sets.filter(col("is_bench"))
+      .select(explode(col("s")).as("h")).distinct()
+    val corpus = sets.filter(!col("is_bench"))
+      .select(col("doc_id"), size(col("s")).as("n_shingles"), explode(col("s")).as("h"))
+    corpus.join(broadcast(bench), Seq("h"))
+      // `s` is distinct per doc, so count(*) IS the distinct-overlap count
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"))
+  }
 }

@@ -44,6 +44,28 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** PII redaction regexes (training-pipeline scrub pass), shared with the
+    * DuckDB oracle verbatim — RE2-safe constructs only (no lookarounds),
+    * so Java and RE2 agree on every match.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.)(([0-9]{1,3})\\.){2}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9()\\-. ]{6,}[0-9]"
+
+  /** PII scrub: emails, IPv4 addresses, then phone-like digit runs
+    * replaced by type tags — a pure codegen'd regexp_replace chain (one
+    * projection, no UDF). Order matters and is part of the contract:
+    * an IPv4 is also a phone-shaped digit run, so IPs must be tagged
+    * before the phone pass (emails first, their local parts can contain
+    * digit runs).
+    */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Stopword-marker language scores; argmax with fixed precedence.
     * A heuristic n-gram/stopword classifier: counts per-language marker
     * tokens and picks the best-scoring language, 'und' when no marker hits.

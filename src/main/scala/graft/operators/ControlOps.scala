@@ -43,6 +43,24 @@ object ControlOps {
     "cdc_qos_admission" -> ((s, dir) =>
       Coordinator.qosAdmission(filtered(s, dir), tickSec = 86400L, budget = 50L)),
 
+    // T7 + sentinel resize (`common/sentinel.go:20-37`): the admission
+    // budget comes from a control table — 50/tick from the corpus start,
+    // resized to 20 at the mid tick and 80 at the 3/4 tick (two sentinel
+    // updates mid-stream, no restart). The first window also proves the
+    // default-budget fallback stays inert when a control row covers it.
+    "cdc_qos_reload" -> ((s, dir) => {
+      val df = filtered(s, dir)
+      val b = df.agg(
+        expr("min((ts_packed >> 32) DIV 86400)"),
+        expr("max((ts_packed >> 32) DIV 86400)")).head()
+      val (t0, t1) = (b.getLong(0), b.getLong(1))
+      import s.implicits._
+      val limits = Seq((t0, 50L), (t0 + (t1 - t0) / 2, 20L),
+        (t0 + 3 * (t1 - t0) / 4, 80L)).toDF("from_tick", "budget")
+      Coordinator.qosAdmissionDynamic(df, tickSec = 86400L, limits,
+        defaultBudget = 50L)
+    }),
+
     // F10/T11: graceful-exit truncation at the corpus's midpoint ts.
     "cdc_exit_point" -> ((s, dir) => {
       val df = filtered(s, dir)
@@ -73,6 +91,26 @@ object ControlOps {
             LEAST(COUNT(*), 50) AS n_admitted,
             COUNT(*) - LEAST(COUNT(*), 50) AS n_deferred
           FROM eff GROUP BY 1"""),
+
+    "cdc_qos_reload" -> withOplog(
+      s""", eff AS (SELECT * FROM oplog WHERE $chainSql),
+          ticks AS (
+            SELECT (ts_packed >> 32) // 86400 AS tick, COUNT(*) AS n_arrived
+            FROM eff GROUP BY 1),
+          bounds AS (SELECT MIN(tick) AS t0, MAX(tick) AS t1 FROM ticks),
+          limits AS (
+            SELECT t0 AS from_tick, 50 AS budget FROM bounds
+            UNION ALL SELECT t0 + (t1 - t0) // 2, 20 FROM bounds
+            UNION ALL SELECT t0 + 3 * (t1 - t0) // 4, 80 FROM bounds),
+          act AS (
+            SELECT t.tick, t.n_arrived,
+              CAST(COALESCE((SELECT budget FROM limits l WHERE l.from_tick <= t.tick
+                ORDER BY l.from_tick DESC LIMIT 1), 50) AS BIGINT) AS budget
+            FROM ticks t)
+          SELECT tick, n_arrived, budget,
+            LEAST(n_arrived, budget) AS n_admitted,
+            n_arrived - LEAST(n_arrived, budget) AS n_deferred
+          FROM act"""),
 
     "cdc_exit_point" -> withOplog(
       s""", eff AS (SELECT * FROM oplog WHERE $chainSql),

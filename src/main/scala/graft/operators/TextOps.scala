@@ -47,6 +47,33 @@ object TextOps {
     "text_repetition" -> ((s, dir) =>
       Text.repetitionStats(docs(s, dir), col("doc_id"), col("text"))),
 
+    // PII scrub: the corpus text salted with a deterministic email, phone,
+    // and IPv4 per document (the synthetic corpus carries no organic PII —
+    // the salt makes every regex do real work), then redacted by the
+    // codegen'd scrub chain. The oracle mirrors salt + regexes verbatim;
+    // per-type tag counts prove each pattern class actually fired.
+    "text_pii_scrub" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("dirty", concat(
+          col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" at 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 now")))
+        .withColumn("clean", Text.piiScrub(col("dirty")))
+        .select(col("doc_id"),
+          md5(col("clean")).as("clean_md5"),
+          Text.occurrences(col("clean"), "<EMAIL>").as("n_email"),
+          Text.occurrences(col("clean"), "<PHONE>").as("n_phone"),
+          Text.occurrences(col("clean"), "<IP>").as("n_ip"))),
+
+    // Decontamination: corpus docs sharing any 3-gram shingle with the
+    // "benchmark" docs (doc_id % 50 == 0 — the deterministic eval-set
+    // stand-in), with overlap count and contaminated fraction.
+    "text_contamination" -> ((s, dir) =>
+      Dedup.contamination(docs(s, dir), col("doc_id"), col("text"),
+        benchPred = col("doc_id") % 50 === 0)),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -201,6 +228,39 @@ object TextOps {
             MAX(CASE WHEN kind = 'b' THEN CAST(top_c AS DOUBLE) / total END) AS top_bigram_frac,
             MAX(CASE WHEN kind = 'b' THEN 1.0 - CAST(n_distinct AS DOUBLE) / total END) AS dup_bigram_frac
           FROM stats GROUP BY 1""",
+
+    "text_pii_scrub" ->
+      s"""WITH dirty AS (
+            SELECT doc_id,
+              text || ' contact u' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now' AS d
+            FROM documents),
+          clean AS (
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(d,
+                '${Text.EmailRe}', '<EMAIL>', 'g'),
+                '${Text.Ipv4Re}', '<IP>', 'g'),
+                '${Text.PhoneRe}', '<PHONE>', 'g') AS c
+            FROM dirty)
+          SELECT doc_id, md5(c) AS clean_md5,
+            CAST((length(c) - length(replace(c, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_email,
+            CAST((length(c) - length(replace(c, '<PHONE>', ''))) / 7 AS BIGINT) AS n_phone,
+            CAST((length(c) - length(replace(c, '<IP>', ''))) / 4 AS BIGINT) AS n_ip
+          FROM clean""",
+
+    "text_contamination" ->
+      s"""WITH sh AS (SELECT doc_id, ${hashedShingleSql(3)} AS s
+            FROM (SELECT doc_id, $toks AS t, text FROM documents)),
+          bench AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 50 = 0),
+          corpus AS (
+            SELECT doc_id, len(s) AS n_shingles, unnest(s) AS h
+            FROM sh WHERE doc_id % 50 <> 0)
+          SELECT doc_id, COUNT(*) AS n_hits,
+            CAST(COUNT(*) AS DOUBLE) / n_shingles AS contamination
+          FROM corpus JOIN bench USING (h)
+          GROUP BY doc_id, n_shingles""",
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -119,4 +119,32 @@ object Coordinator {
       .agg(count(lit(1)).as("n_arrived"))
       .withColumn("n_admitted", least(col("n_arrived"), lit(budget)))
       .withColumn("n_deferred", col("n_arrived") - col("n_admitted"))
+
+  /** T7 + sentinel dynamic resize (`common/sentinel.go:20-37`): the
+    * reference watches a control document and resizes the speed limit at
+    * runtime, no restart. Spark-native shape: the budget is a CONTROL
+    * TABLE `(from_tick, budget)` instead of a constant — a sentinel
+    * update is a new row, and the budget active at tick t is the row with
+    * the greatest `from_tick <= t` (as-of semantics).
+    *
+    * Scale shape: the control table is tiny and broadcast; the as-of
+    * lookup is a broadcast range join collapsed by a partial-aggregatable
+    * max-struct argmax over the (already aggregated) per-tick rows —
+    * |ticks| × |updates| intermediate, never |records| × anything.
+    * Ticks before the first control row fall back to `defaultBudget`
+    * (the statically configured limit the sentinel later overrides).
+    */
+  def qosAdmissionDynamic(batch: DataFrame, tickSec: Long, limits: DataFrame,
+      defaultBudget: Long): DataFrame = {
+    val ticks = batch.groupBy(expr(s"(ts_packed >> 32) DIV $tickSec").as("tick"))
+      .agg(count(lit(1)).as("n_arrived"))
+    val lim = broadcast(limits.select(col("from_tick"), col("budget")))
+    ticks.join(lim, col("from_tick") <= col("tick"), "left")
+      .groupBy(col("tick"), col("n_arrived"))
+      .agg(max(struct(col("from_tick"), col("budget"))).as("m"))
+      .select(col("tick"), col("n_arrived"),
+        coalesce(col("m.budget"), lit(defaultBudget)).as("budget"))
+      .withColumn("n_admitted", least(col("n_arrived"), col("budget")))
+      .withColumn("n_deferred", col("n_arrived") - col("n_admitted"))
+  }
 }

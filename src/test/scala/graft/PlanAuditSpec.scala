@@ -49,7 +49,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_knn_brute", // broadcast query set × corpus (baseline brute kNN)
     "sim_ivf_assign", "sim_ivf_search", // broadcast k-means centroid table
     "snap_orphan_compound", // broadcast chunk bounds, BSON-order range semi-join
-    "snap_range_pieces" // broadcast piece bounds × table rows
+    "snap_range_pieces", // broadcast piece bounds × table rows
+    "cdc_qos_reload" // broadcast sentinel control table, as-of range join on ticks
   )
 
   /** Shuffle-count ceiling. The audited maximum today is 8 (multi-stage

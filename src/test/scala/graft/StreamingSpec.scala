@@ -470,6 +470,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$work/target/decoded").count() == oplog.count())
   }
 
+  test("kafka tunnel wiring: sink projection → source parse inverts the frame contract") {
+    import graft.sinks.Envelope
+    import graft.streaming.{KafkaTunnel, Receiver}
+    val src = "/root/testdata/sf0.001"
+    val oplog = graft.model.Oplog.fromEvents(spark, src)
+      .filter(graft.filters.OplogFilters.chain(Seq(""), Seq("^app\\..*$"), Nil))
+    val framed = Envelope.compressFrames(Envelope.messages(Envelope.encode(oplog, 4)))
+      .selectExpr(Envelope.frameColumns: _*).localCheckpoint()
+
+    // write side: partition IS the shard (reference routing parity) and
+    // the frame bytes ride `value` untouched
+    val pub = KafkaTunnel.KafkaTunnelSink.toKafkaRows(framed)
+    assert(pub.columns.toSeq == Seq("partition", "key", "value"))
+    assert(pub.select("partition").as[Int].collect().sorted.toSeq ==
+      framed.select("shard").as[Int].collect().sorted.toSeq)
+
+    // broker stand-in: per-partition offsets assigned in publish (chunk)
+    // order — exactly Kafka's per-partition append contract
+    val kafkaRows = framed.select(col("frame").as("value"),
+      col("shard").as("partition"), col("chunk").cast("long").as("offset"))
+    val parsed = KafkaTunnel.parseFrames(kafkaRows)
+    assert(parsed.columns.toSeq == Envelope.frameColumns)
+    // the parse must reproduce the framed feed bit for bit
+    assert(parsed.except(framed).count() == 0 && framed.except(parsed).count() == 0)
+    // and the receiver's decode path consumes the parsed frames whole
+    val decoded = Receiver.decodeBatch(parsed)
+    assert(decoded.count() == oplog.count())
+    assert(decoded.select("ts_packed", "op", "ns", "doc_key", "g")
+      .except(oplog.select("ts_packed", "op", "ns", "doc_key", "g")).count() == 0)
+  }
+
   test("full sync: range-partitioned snapshot copy + handoff position") {
     val work = Files.createTempDirectory("graft_full").toFile.getAbsolutePath
     val src = "/root/testdata/sf0.001"

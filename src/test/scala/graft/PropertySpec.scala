@@ -118,6 +118,56 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("pii scrub is idempotent and total on arbitrary text") {
+    // the replacement tags contain no digit/@ material, so a second pass
+    // must be a fixpoint — on generated text salted with real PII shapes
+    val piiGen = for {
+      pre <- Gen.alphaStr.map(_.take(12))
+      user <- Gen.alphaNumStr.map(_.take(6).padTo(1, 'x'))
+      n <- Gen.choose(1000, 9999)
+      a <- Gen.choose(0, 255); b <- Gen.choose(0, 255)
+    } yield s"$pre $user@test.org call +1-555-$n from $a.$b.2.3 end"
+    val texts = samples(piiGen, 40)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val once = df.select(col("id"), graft.functions.Text.piiScrub(col("text")).as("c"))
+    val twice = once.select(col("id"), graft.functions.Text.piiScrub(col("c")).as("c"))
+    assert(once.except(twice).count() == 0 && twice.except(once).count() == 0)
+    // every pattern class fired on every row
+    val counts = once.select(
+      sum(graft.functions.Text.occurrences(col("c"), "<EMAIL>")),
+      sum(graft.functions.Text.occurrences(col("c"), "<PHONE>")),
+      sum(graft.functions.Text.occurrences(col("c"), "<IP>"))).head()
+    assert(counts.getLong(0) >= 40 && counts.getLong(1) >= 40 && counts.getLong(2) >= 40)
+  }
+
+  test("dynamic QoS with one control row equals the static token bucket") {
+    val arrivalsGen = Gen.listOfN(200, Gen.choose(0L, 5000000000L))
+    samples(arrivalsGen, 3).foreach { tss =>
+      val df = tss.zipWithIndex.map { case (ts, i) => (i.toLong, ts << 32) }
+        .toDF("event_id", "ts_packed")
+      val budget = 7L
+      val limits = Seq((Long.MinValue, budget)).toDF("from_tick", "budget")
+      val dyn = graft.streaming.Coordinator
+        .qosAdmissionDynamic(df, 86400L, limits, defaultBudget = budget)
+        .select("tick", "n_arrived", "n_admitted", "n_deferred")
+      val stat = graft.streaming.Coordinator.qosAdmission(df, 86400L, budget)
+      assert(dyn.except(stat).count() == 0 && stat.except(dyn).count() == 0)
+    }
+  }
+
+  test("contamination: an exact copy of a benchmark doc is fully contaminated") {
+    val textGen = Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta")).map(_.mkString(" "))
+    val texts = samples(textGen, 10)
+    // doc 0 is the benchmark; doc 10 copies it verbatim; others are random
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+ (10L, texts.head)
+    val df = rows.toDF("doc_id", "text")
+    val out = graft.functions.Dedup
+      .contamination(df, col("doc_id"), col("text"), benchPred = col("doc_id") === 0)
+      .filter(col("doc_id") === 10).head()
+    assert(out.getAs[Double]("contamination") == 1.0)
+  }
+
   test("envelope codec round-trips arbitrary payload content") {
     val payloadGen = Gen.listOfN(5, Gen.asciiPrintableStr.map(_.take(40)))
     samples(payloadGen, 10).foreach { payloads =>

@@ -470,6 +470,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$work/target/decoded").count() == oplog.count())
   }
 
+  test("mongo change-stream wiring: connector rows project through the 8-way dispatch to the oplog feed") {
+    // connector-shaped rows (publish.full.document.only = false): struct
+    // ns/to, documentKey/fullDocument/updateDescription as JSON parts
+    val base = Seq(
+      (1L, (100L << 32) + 1, "insert", "app", "u0", None: Option[String], None: Option[String],
+        Some("""{"_id":7,"c":1}"""), Some("""{"_id":7}"""), None: Option[String], None: Option[Seq[String]]),
+      (2L, (200L << 32) + 2, "update", "app", "u0", None, None,
+        None, Some("""{"_id":7}"""), Some("""{"c":2}"""), Some(Seq("k"))),
+      (3L, (300L << 32) + 3, "delete", "app", "u0", None, None,
+        None, Some("""{"_id":7}"""), None, None),
+      (4L, (400L << 32) + 4, "drop", "app", "u1", None, None, None, None, None, None))
+      .toDF("seq", "clusterTime", "operationType", "nsdb", "nscoll", "todb",
+        "tocoll", "fullDocument", "documentKey", "updatedFields", "removedFields")
+    val raw = base.select(col("seq"), col("clusterTime"), col("operationType"),
+      struct(col("nsdb").as("db"), col("nscoll").as("coll")).as("ns"),
+      struct(col("todb").as("db"), col("tocoll").as("coll")).as("to"),
+      col("documentKey"), col("fullDocument"),
+      struct(col("updatedFields").as("updatedFields"),
+        col("removedFields").as("removedFields")).as("updateDescription"))
+
+    import graft.streaming.MongoChangeSource
+    val feed = MongoChangeSource.toOplogFeed(
+      graft.transform.EventNormalizer.normalize(
+        MongoChangeSource.projectConnectorEvents(raw)))
+    assert(feed.columns.toSeq == IncrSync.oplogSchema.fieldNames.toSeq)
+    val got = feed.select("event_id", "op", "ns", "doc_key", "props")
+      .as[(Long, String, String, String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "i", "app.u0", "7", """{"_id":7,"c":1}"""),
+      (2L, "u", "app.u0", "7", """{"$set":{"c":2},"$unset":{"k":1}}"""),
+      (3L, "d", "app.u0", "7", """{"_id":7}"""),
+      (4L, "c", "app.$cmd", "", """{"drop":"u1"}""")))
+    // ts_packed carries the packed BSON timestamp through untouched
+    assert(feed.select("ts_packed").as[Long].collect().sorted.toSeq ==
+      Seq((100L << 32) + 1, (200L << 32) + 2, (300L << 32) + 3, (400L << 32) + 4))
+    // and the feed drives the real apply: last-effective-write for _id 7
+    // is the delete, the drop arrives as a barrier command
+    val rec = new RecordingTarget
+    IncrSync.applyBatchTo(feed, rec, batchId = 0L)
+    assert(rec.dmlSets.head == Set(("app.u0", "7", "d", 3L, 0.0)))
+    assert(rec.cmds.map(c => (c._3, c._4)) == Seq(("drop", (400L << 32) + 4)))
+  }
+
   test("kafka tunnel wiring: sink projection → source parse inverts the frame contract") {
     import graft.sinks.Envelope
     import graft.streaming.{KafkaTunnel, Receiver}

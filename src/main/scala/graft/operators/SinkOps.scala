@@ -116,12 +116,13 @@ object SinkOps {
           get_json_object(col("payload_json"), "$.meta.g").as("g"))
     }),
 
-    // K5 at its production shape: one tunnel file PER SHARD, written
-    // executor-side (no driver funnel — `FileSink.writeSharded`), every
-    // shard file read back and its block shard ids validated against the
-    // file it landed in. The oracle is the full pre-encode projection plus
-    // the routing shard — a frame written to the wrong shard file, a lost
-    // shard, or a driver-side fallback (the in-task require) all fail.
+    // K5 at its production shape: one tunnel file PER SHARD, written AND
+    // read executor-side (`FileSink.writeSharded` / `readSharded` — no
+    // driver funnel on either side), every block's shard id validated
+    // against the file it landed in. The oracle is the full pre-encode
+    // projection plus the routing shard — a frame written to the wrong
+    // shard file, a lost shard, or a driver-side fallback (the in-task
+    // require) all fail.
     "sink_file_tunnel_sharded" -> ((s, dir) => {
       import graft.sinks.FileSink
       val work = s"${System.getProperty("java.io.tmpdir")}/graft_file_tunnel_sharded_q"
@@ -129,13 +130,9 @@ object SinkOps {
       val framed = Envelope.compressFrames(
         Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))
       val shards = FileSink.writeSharded(s, framed, s"$work/tunnel.bin")
-      import s.implicits._
-      shards.flatMap { k =>
-        FileSink.read(s, s"$work/tunnel.bin.shard-$k").flatMap { b =>
-          require(b.shard == k, s"shard-$k file carries a shard-${b.shard} block")
-          b.payloads.map(p => (k.toLong, new String(p, "UTF-8")))
-        }.toSeq
-      }.toDF("shard", "payload_json")
+      FileSink.readSharded(s, s"$work/tunnel.bin", shards)
+        .select(col("shard").cast("bigint").as("shard"),
+          decode(col("payload"), "UTF-8").as("payload_json"))
         .select(col("shard"),
           get_json_object(col("payload_json"), "$.ts").cast("bigint").as("ts_packed"),
           get_json_object(col("payload_json"), "$.op").as("op"),

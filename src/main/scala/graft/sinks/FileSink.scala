@@ -134,6 +134,34 @@ object FileSink {
     shards.toSeq.sorted
   }
 
+  /** Read a [[writeSharded]] layout back DISTRIBUTED: one task per shard
+    * file, each streaming its blocks through the lazy checksum-validating
+    * iterator and emitting decoded payloads — the read-side symmetric of
+    * the per-shard write (no driver funnel; aggregate read throughput
+    * scales with the shard count). Each block's header shard id is
+    * verified against the file it came from.
+    *
+    * @return (shard, payload) rows — payload bytes are the decompressed
+    *   tunnel payloads in file (= chunk) order within each shard.
+    */
+  def readSharded(spark: SparkSession, path: String, shards: Seq[Int]): DataFrame = {
+    val confEntries = spark.sparkContext.hadoopConfiguration.asScala
+      .map(e => e.getKey -> e.getValue).toVector
+    val prefix = path
+    import spark.implicits._
+    spark.createDataset(shards)(org.apache.spark.sql.Encoders.scalaInt)
+      .repartition(math.max(shards.size, 1))
+      .flatMap { k =>
+        val conf = new Configuration(false)
+        confEntries.foreach { case (c, v) => conf.set(c, v) }
+        readWith(conf, s"$prefix.shard-$k").flatMap { b =>
+          require(b.shard == k, s"shard-$k file carries a shard-${b.shard} block")
+          b.payloads.map(p => (k, p))
+        }
+      }
+      .toDF("shard", "payload")
+  }
+
   /** Read a tunnel file back as a LAZY block iterator, validating the
     * magic, protocol, block markers, and each block's XOR-of-CRC32
     * checksum (the S5 file-reader side, `tunnel/file_reader.go`).
@@ -145,9 +173,15 @@ object FileSink {
     * abandoned iterator is also closed by `close()` (the caller owns the
     * handle when it stops early).
     */
-  def read(spark: SparkSession, path: String): Iterator[Block] with AutoCloseable = {
+  def read(spark: SparkSession, path: String): Iterator[Block] with AutoCloseable =
+    readWith(spark.sparkContext.hadoopConfiguration, path)
+
+  /** [[read]] against an explicit Hadoop configuration — the task-side
+    * entry [[readSharded]] uses (a task has no SparkSession).
+    */
+  def readWith(conf: Configuration, path: String): Iterator[Block] with AutoCloseable = {
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     val fileLen = fs.getFileStatus(p).getLen
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(p)))
     var consumed = 32L

@@ -106,6 +106,11 @@ class SinkSpec extends AnyFunSuite {
     assert(again == shards)
     assert(FileSink.read(spark, s"$prefix.shard-${shards.head}").size ==
       framed.filter(col("shard") === shards.head).count())
+    // distributed read: one task per shard file, payload union identical
+    val dist = FileSink.readSharded(spark, prefix, shards)
+      .select(col("shard"), decode(col("payload"), "UTF-8").as("p"))
+      .as[(Int, String)].collect()
+    assert(dist.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap == wantByShard)
   }
 
   test("P12: every reference codec id round-trips, shrinks (where it can), and checksum-validates") {

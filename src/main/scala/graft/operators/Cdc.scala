@@ -47,6 +47,14 @@ object Cdc {
       EventNormalizer.normalize(ChangeEvent.fromEvents(s, dir))
         .select("event_id", "ts_packed", "op", "ns", "o", "o2")),
 
+    // P2's fullDocument=updateLookup mode (`changestram_event.go:176-185`):
+    // an update with a valid post-image replays as {"$set": fullDocument}
+    // instead of the updateDescription diff.
+    "cdc_event_fulldoc" -> ((s, dir) =>
+      EventNormalizer.normalize(ChangeEvent.fromEvents(s, dir), fullDocMode = true)
+        .filter(col("op") === "u")
+        .select("event_id", "ts_packed", "ns", "o", "o2")),
+
     // F1+F2+F3+F5+F7 keep-chain, summarized per (op, ns).
     "cdc_filter_chain" -> ((s, dir) =>
       filtered(s, dir).groupBy(col("op"), col("ns")).agg(count(lit(1)).as("n"))),
@@ -407,6 +415,15 @@ object Cdc {
             CASE WHEN operation_type IN ('replace','update') THEN document_key
               ELSE '{}' END AS o2
           FROM cev""",
+
+    "cdc_event_fulldoc" ->
+      s"""WITH cev AS (${ChangeEvent.oracleCte})
+          SELECT event_id, ts_packed, db || '.' || coll AS ns,
+            CASE WHEN operation_type = 'replace' OR full_document <> '{}'
+              THEN '{"$$set":' || full_document || '}'
+              ELSE '{}' END AS o,
+            document_key AS o2
+          FROM cev WHERE operation_type IN ('replace', 'update')""",
 
     "cdc_filter_chain" -> withOplog(
       s"SELECT op, ns, COUNT(*) AS n FROM oplog WHERE $chainSql GROUP BY op, ns"),

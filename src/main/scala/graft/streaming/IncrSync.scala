@@ -341,7 +341,7 @@ object IncrSync {
         min(col("ts_packed")).as("lsn_min"), max(col("ts_packed")).as("lsn_max"),
         count(lit(1)).as("n_logs"))
         .withColumn("batch_id", lit(batchId))
-      target.commitCheckpoint(ck)
+      target.commitCheckpoint(ck, batchId)
     } finally batch.unpersist()
   }
 

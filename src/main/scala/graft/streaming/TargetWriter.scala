@@ -68,9 +68,13 @@ trait TargetWriter extends Serializable {
   def applyCommand(spark: SparkSession, row: Row, batchId: Long, seq: Int): Unit
 
   /** T8: commit the batch's checkpoint row `(lsn_min, lsn_max, n_logs,
-    * batch_id)` — called exactly once per batch, after every segment acked.
+    * batch_id)` — called once per batch delivery, after every segment
+    * acked. MUST be an upsert on `batchId` (the reference's ckpt update,
+    * `ckpt_operation.go:20-190`): a crash between this commit and Spark's
+    * offset commit replays the whole batch, and the replayed commit must
+    * overwrite, not duplicate.
     */
-  def commitCheckpoint(ck: DataFrame): Unit
+  def commitCheckpoint(ck: DataFrame, batchId: Long): Unit
 }
 
 /** The sandbox/cluster-file default target: the hash-bucketed parquet
@@ -157,13 +161,20 @@ final case class ParquetTarget(targetDir: String,
       case _ => () // unknown/no-op command: log only
     }
     import spark.implicits._
+    // Keyed by (batch, seq) directory so a replayed batch OVERWRITES its
+    // own log entries instead of appending duplicates (at-least-once
+    // replay must leave the observable log exactly-once).
     Seq((batchId, seq, ns, cmd, ts))
       .toDF("batch_id", "apply_seq", "ns", "cmd", "ts_packed")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$targetDir/ddl_log")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$targetDir/ddl_log/batch=$batchId/seq=$seq")
   }
 
-  def commitCheckpoint(ck: DataFrame): Unit =
-    ck.coalesce(1).write.mode(SaveMode.Append).parquet(s"$targetDir/_ckpt")
+  def commitCheckpoint(ck: DataFrame, batchId: Long): Unit =
+    // per-batch directory + overwrite = the reference's ckpt upsert; a
+    // replayed batch rewrites its row, never duplicating the history
+    ck.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$targetDir/_ckpt/batch=$batchId")
 
   /** Full-state rewrite through a temp dir + atomic-ish swap (barrier-only
     * path; DML never does this).

@@ -52,7 +52,7 @@ final class RecordingTarget extends graft.streaming.TargetWriter {
       .obj.headOption.map(_._1).getOrElse("")
     cmdQ.add((batchId, seq, cmd, row.getAs[Long]("ts_packed")))
   }
-  def commitCheckpoint(ck: org.apache.spark.sql.DataFrame): Unit = {
+  def commitCheckpoint(ck: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
     callsQ.add("ckpt")
     val r = ck.head()
     ckQ.add((r.getAs[Long]("batch_id"), r.getAs[Long]("lsn_min"),
@@ -283,7 +283,8 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 100L, "i", "app.u0", "k1", 1.0, "{}"),
       (2L, 200L, "u", "app.u0", "k1", 2.0, "{}"),
       (3L, 300L, "i", "app.u1", "k2", 3.0, "{}"),
-      (4L, 400L, "d", "app.u1", "k2", 0.0, "{}"))
+      (4L, 400L, "d", "app.u1", "k2", 0.0, "{}"),
+      (9L, 500L, "c", "app.$cmd", "", 0.0, """{"drop":"u9"}"""))
       .toDF("event_id", "ts_packed", "op", "ns", "doc_key", "value", "props")
     IncrSync.applyBatch(batch, work, 0L, nBuckets = 4)
     val first = IncrSync.readOrEmpty(spark, s"$work/state")
@@ -292,6 +293,10 @@ class StreamingSpec extends AnyFunSuite {
     val second = IncrSync.readOrEmpty(spark, s"$work/state")
       .orderBy("ns", "doc_key").collect().toSeq
     assert(first == second && first.nonEmpty)
+    // the observable log is exactly-once under replay: the ckpt commit and
+    // the DDL log are keyed per (batch, seq) and overwrite, never append
+    assert(spark.read.parquet(s"$work/_ckpt").count() == 1)
+    assert(spark.read.parquet(s"$work/ddl_log").count() == 1)
   }
 
   test("S1 resume position: records at or below startingTs are excluded at the source") {

@@ -104,7 +104,9 @@ final class MetricsRecorder(spark: SparkSession, path: String)
     require(terminated.contains(runId),
       "metrics recorder: query termination event not delivered in time")
     import spark.implicits._
+    // keyed per run + overwrite: re-invoking write for a run replaces its
+    // snapshot rows instead of appending duplicates
     buf.asScala.filter(_.run_id == runId).toSeq.toDF()
-      .coalesce(1).write.mode("append").parquet(path)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/run=$runId")
   }
 }

@@ -80,8 +80,12 @@ object Receiver {
       handler: (DataFrame, Long) => Unit = null): StreamingQuery = {
     val apply: (DataFrame, Long) => Unit =
       if (handler != null) handler
-      else (decoded, _) =>
-        decoded.write.mode(SaveMode.Append).parquet(s"$targetDir/decoded")
+      else (decoded, batchId) =>
+        // keyed per batch + overwrite: a replayed micro-batch (crash
+        // between write and offset commit) rewrites its own partition
+        // instead of appending duplicates
+        decoded.write.mode(SaveMode.Overwrite)
+          .parquet(s"$targetDir/decoded/batch=$batchId")
     source.load(spark)
       .writeStream
       .option("checkpointLocation", checkpointDir)

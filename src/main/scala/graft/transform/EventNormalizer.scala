@@ -108,15 +108,20 @@ object EventNormalizer {
           col("event_id").cast("string"))))
         .otherwise(col("op")))
 
-  /** Streaming dead-letter route: append invalidate/unknown rows
-    * (`op == "x"`) to an errors table and return only the valid rows —
+  /** Streaming dead-letter route: record invalidate/unknown rows
+    * (`op == "x"`) in an errors table and return only the valid rows —
     * called inside `foreachBatch`, where a raise_error would kill the
     * query instead of quarantining the poison event
     * (changestram_event.go:432-439 errors; a long-running stream must
     * keep flowing). The errors table carries the full normalized row so
     * the manual-handling path loses nothing.
+    *
+    * @param batchId the micro-batch id: the errors table is keyed per
+    *   batch and overwrites, so a replayed batch (at-least-once delivery)
+    *   re-records rather than duplicates its poison rows.
     */
-  def routeInvalid(normalized: DataFrame, errorsDir: String): DataFrame = {
+  def routeInvalid(normalized: DataFrame, errorsDir: String,
+      batchId: Long = 0L): DataFrame = {
     import org.apache.spark.sql.SaveMode
     // One snapshot for all three consumers (emptiness probe, errors
     // write, returned valid rows): without it a non-deterministic input
@@ -127,7 +132,7 @@ object EventNormalizer {
     // Empty-guard so a clean batch never creates (or touches) the errors
     // table.
     if (!invalid.isEmpty) {
-      invalid.write.mode(SaveMode.Append).parquet(errorsDir)
+      invalid.write.mode(SaveMode.Overwrite).parquet(s"$errorsDir/batch=$batchId")
     }
     snap.filter(col("op") =!= "x")
   }

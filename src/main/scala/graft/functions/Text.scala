@@ -44,6 +44,37 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Deterministic train/val/test assignment: a portable hash of the
+    * document id (salted, so the split is independent of any other
+    * hash-keyed decision) bucketed 0-99, cut at the given percentages.
+    * Pure projection — the split is stable under any partitioning,
+    * re-run, or engine, which is the whole point of a hash split at
+    * corpus scale (no sampling state, no shuffle).
+    */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val bucket = pmod(graft.functions.Portable.phash64(
+      concat(id.cast("string"), lit(":split"))), lit(100))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Context-window chunking (training-prep sequence windowing): explode a
+    * document into token windows of `size` tokens advancing by `stride`
+    * (overlap = size - stride), as (chunk_idx, chunk_tokens) structs. The
+    * final window may be short; every token lands in at least one window.
+    * One codegen'd projection + explode — scales linearly, no shuffle.
+    */
+  def chunkWindows(text: Column, size: Int, stride: Int): Column = {
+    val t = tokens(text)
+    val starts = when(size_(t) >= 1,
+      sequence(lit(1), size_(t), lit(stride))).otherwise(array().cast("array<int>"))
+    transform(starts, (s, i) => struct(i.as("chunk_idx"),
+      slice(t, s, lit(size)).as("chunk_tokens")))
+  }
+
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** PII redaction regexes (training-pipeline scrub pass), shared with the
     * DuckDB oracle verbatim — RE2-safe constructs only (no lookarounds),
     * so Java and RE2 agree on every match.

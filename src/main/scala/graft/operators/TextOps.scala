@@ -47,6 +47,25 @@ object TextOps {
     "text_repetition" -> ((s, dir) =>
       Text.repetitionStats(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Deterministic 80/10/10 hash split (train/val/test assignment): a
+    // salted portable hash of the id, stable under any partitioning or
+    // re-run — the sampling-free split a 100 TB pipeline needs.
+    "text_split_assign" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Text.splitAssign(col("doc_id")).as("split"))),
+
+    // Context-window chunking: 64-token windows advancing by 56 (8-token
+    // overlap), exploded to (doc, chunk) rows — training-prep sequence
+    // windowing as one codegen'd projection + explode.
+    "text_chunk" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(Text.chunkWindows(col("text"), size = 64, stride = 56)).as("c"))
+        .select(col("doc_id"),
+          col("c.chunk_idx").cast("long").as("chunk_idx"),
+          size(col("c.chunk_tokens")).cast("long").as("n_tokens"),
+          md5(encode(array_join(col("c.chunk_tokens"), " "), "UTF-8")).as("chunk_md5"))),
+
     // PII scrub: the corpus text salted with a deterministic email, phone,
     // and IPv4 per document (the synthetic corpus carries no organic PII —
     // the salt makes every regex do real work), then redacted by the
@@ -228,6 +247,25 @@ object TextOps {
             MAX(CASE WHEN kind = 'b' THEN CAST(top_c AS DOUBLE) / total END) AS top_bigram_frac,
             MAX(CASE WHEN kind = 'b' THEN 1.0 - CAST(n_distinct AS DOUBLE) / total END) AS dup_bigram_frac
           FROM stats GROUP BY 1""",
+
+    "text_split_assign" ->
+      s"""SELECT doc_id,
+          CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                  ${phash64Sql("CAST(doc_id AS VARCHAR) || ':split'")} % 100 AS h
+                FROM documents)""",
+
+    "text_chunk" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+          st AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t), 56)) AS s FROM tk),
+          ch AS (
+            SELECT doc_id, CAST((s - 1) // 56 AS BIGINT) AS chunk_idx,
+              t[s : s + 63] AS w
+            FROM st)
+          SELECT doc_id, chunk_idx, CAST(len(w) AS BIGINT) AS n_tokens,
+            md5(array_to_string(w, ' ')) AS chunk_md5
+          FROM ch""",
 
     "text_pii_scrub" ->
       s"""WITH dirty AS (

@@ -66,6 +66,38 @@ object TextOps {
           size(col("c.chunk_tokens")).cast("long").as("n_tokens"),
           md5(encode(array_join(col("c.chunk_tokens"), " "), "UTF-8")).as("chunk_md5"))),
 
+    // Token-budget packing (training-batch assembly): documents packed
+    // into ~2048-token bins by running token offset within a partition
+    // key (lang here; a salt at corpus scale), in deterministic doc order
+    // — bin = floor(preceding_tokens / budget). One windowed cumsum per
+    // partition; no global sort, no sequential driver loop.
+    "text_pack" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", ((col("cum") - col("n_tokens")) / lit(2048)).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+    }),
+
+    // Per-group quota sampling (diversity capping): keep at most 25 docs
+    // per language, chosen by a salted hash rank — deterministic,
+    // partition-stable, no sampling state (the per-source cap step of a
+    // data-mixing pipeline).
+    "text_quota_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(graft.functions.Portable.phash64(
+          concat(col("doc_id").cast("string"), lit(":q"))), col("doc_id"))
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 25)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // PII scrub: the corpus text salted with a deterministic email, phone,
     // and IPv4 per document (the synthetic corpus carries no organic PII —
     // the salt makes every regex do real work), then redacted by the
@@ -247,6 +279,26 @@ object TextOps {
             MAX(CASE WHEN kind = 'b' THEN CAST(top_c AS DOUBLE) / total END) AS top_bigram_frac,
             MAX(CASE WHEN kind = 'b' THEN 1.0 - CAST(n_distinct AS DOUBLE) / total END) AS dup_bigram_frac
           FROM stats GROUP BY 1""",
+
+    "text_pack" ->
+      s"""WITH tk AS (
+            SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n FROM documents),
+          c AS (
+            SELECT doc_id, lang, n,
+              SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM tk)
+          SELECT lang, CAST((cum - n) // 2048 AS BIGINT) AS bin,
+            COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_tokens
+          FROM c GROUP BY 1, 2""",
+
+    "text_quota_sample" ->
+      s"""SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY ${phash64Sql("CAST(doc_id AS VARCHAR) || ':q'")}, doc_id) AS rk
+            FROM documents)
+          WHERE rk <= 25""",
 
     "text_split_assign" ->
       s"""SELECT doc_id,

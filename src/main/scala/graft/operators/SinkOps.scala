@@ -116,6 +116,33 @@ object SinkOps {
           get_json_object(col("payload_json"), "$.meta.g").as("g"))
     }),
 
+    // Entry point C crash/resume with post-restart data: run the real
+    // receiver to termination on half the framed feed (shards 0-1), land
+    // MORE frame files while it is stopped, restart with the same
+    // checkpointLocation. The per-batch partition of the decoded table
+    // pins attribution: phase-1 frames must decode in batch 0 and phase-2
+    // in batch 1 — re-reading the old file duplicates rows, skipping it
+    // loses them, either hash-diverges.
+    "sink_receiver_resume" -> ((s, dir) => {
+      import graft.streaming.Receiver
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_receiver_resume_q"
+      graft.streaming.IncrSync.deletePath(s, work)
+      val framed = Envelope.compressFrames(
+        Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))
+        .selectExpr(Envelope.frameColumns: _*).localCheckpoint()
+      framed.filter(col("shard") < 2)
+        .coalesce(1).write.parquet(s"$work/frames")
+      val q1 = Receiver.start(s, s"$work/frames", s"$work/target", s"$work/ckpt")
+      q1.awaitTermination()
+      framed.filter(col("shard") >= 2)
+        .coalesce(1).write.mode("append").parquet(s"$work/frames")
+      val q2 = Receiver.start(s, s"$work/frames", s"$work/target", s"$work/ckpt")
+      q2.awaitTermination()
+      s.read.parquet(s"$work/target/decoded")
+        .select(col("batch").cast("bigint").as("batch_id"),
+          col("ts_packed"), col("op"), col("ns"), col("doc_key"), col("g"))
+    }),
+
     // K5 at its production shape: one tunnel file PER SHARD, written AND
     // read executor-side (`FileSink.writeSharded` / `readSharded` — no
     // driver funnel on either side), every block's shard id validated
@@ -291,6 +318,11 @@ object SinkOps {
 
     "sink_receiver_e2e" -> withOplog(
       s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql"),
+
+    "sink_receiver_resume" -> withOplog(
+      s"""SELECT CAST(CASE WHEN $shardSql < 2 THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
+          ts_packed, op, ns, doc_key, g
+          FROM oplog WHERE $chainSql"""),
 
     "sink_socket_roundtrip" -> withOplog(
       s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql"),

@@ -35,6 +35,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "cdc_txn_ttl", // sleeps past a real 2 s processing-time TTL
     "sink_socket_roundtrip", // TCP+RPC loopback servers
     "sink_receiver_e2e", // two full streaming queries
+    "sink_receiver_resume", // stop + resume receiver streaming queries
     "cdc_stream_e2e", // full streaming query with stateful txn assembly
     "cdc_resume_restart", // two sequential streaming queries (stop + resume)
     "cdc_metrics" // streaming query + listener-fed metrics table

@@ -79,6 +79,22 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** SQ8 scalar quantization (the IVF storage companion at corpus scale:
+    * 4 bytes/component → 1): per-vector min/max affine code,
+    * q = round((x - min) · 255 / (max - min)) ∈ [0, 255]; decode is
+    * min + q · (max - min) / 255, so reconstruction error is bounded by
+    * half a step. A constant vector (max == min) codes to all zeros. Pure
+    * codegen'd projection, IEEE-deterministic in both engines.
+    */
+  def sq8Encode(emb: Column): Column = {
+    val mn = array_min(emb).cast("double")
+    val mx = array_max(emb).cast("double")
+    when(mx > mn,
+      transform(emb, x =>
+        round((x.cast("double") - mn) * 255.0 / (mx - mn)).cast("int")))
+      .otherwise(transform(emb, _ => lit(0)))
+  }
+
   /** ±1 hyperplane component for (plane j, position pos) — an LCG over the
     * flattened index, deterministic and engine-portable. Evaluated in
     * Scala at plan time (the formula stays within Int range for

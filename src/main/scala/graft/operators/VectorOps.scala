@@ -29,6 +29,19 @@ object VectorOps {
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.annLshTop1(embs(s, dir), col("vec_id"), col("embedding"))),
 
+    // SQ8 storage codes: per-vector 8-bit affine quantization (4x smaller
+    // inverted lists — the standard IVF+SQ8 pairing). Digested codes plus
+    // the affine params the decoder needs.
+    "sim_sq8" -> ((s, dir) =>
+      embs(s, dir).select(col("vec_id"),
+        array_min(col("embedding")).cast("double").as("qmin"),
+        array_max(col("embedding")).cast("double").as("qmax"),
+        Similarity.sq8Encode(col("embedding")).as("q"))
+        .select(col("vec_id"), col("qmin"), col("qmax"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          md5(encode(concat_ws(",",
+            transform(col("q"), x => x.cast("string"))), "UTF-8")).as("q_md5"))),
+
     // IVF coarse quantizer: k-means-trained centroids (2 Lloyd's
     // iterations from the 8 lowest-id seeds), nearest-centroid histogram.
     "sim_ivf_assign" -> ((s, dir) => {
@@ -126,6 +139,25 @@ object VectorOps {
                 ORDER BY ${simSql("a.v", "a.nrm", "b.v", "b.nrm")} DESC, b.vec_id) AS rn
             FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
           SELECT vec_id, ann_id, sim FROM scored WHERE rn = 1""",
+
+    "sim_sq8" ->
+      s"""WITH enc AS (
+            SELECT vec_id,
+              CAST(list_min(embedding) AS DOUBLE) AS qmin,
+              CAST(list_max(embedding) AS DOUBLE) AS qmax,
+              embedding AS e
+            FROM embeddings),
+          coded AS (
+            SELECT vec_id, qmin, qmax,
+              CASE WHEN qmax > qmin
+                THEN [CAST(round((CAST(x AS DOUBLE) - qmin) * 255.0 / (qmax - qmin)) AS INT)
+                      for x in e]
+                ELSE [0 for x in e] END AS q
+            FROM enc)
+          SELECT vec_id, qmin, qmax,
+            CAST(list_sum(q) AS BIGINT) AS q_sum,
+            md5(array_to_string(list_transform(q, y -> CAST(y AS VARCHAR)), ',')) AS q_md5
+          FROM coded""",
 
     "sim_ivf_assign" ->
       s"""WITH $prepCte, ${kmeansCtes(2)},

@@ -84,6 +84,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q6_filter scan lost its pushdown:\n$plan")
   }
 
+  test("plan audit: text_split_assign prunes the text column from the scan") {
+    // the split is a pure function of doc_id — reading the (wide) text
+    // column would dominate I/O at corpus scale for no reason
+    val plan = SparkEntry.queries("text_split_assign")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("text"),
+      s"text_split_assign reads the unused text column:\n$plan")
+  }
+
+  test("plan audit: sim_sq8 prunes the label column from the scan") {
+    val plan = SparkEntry.queries("sim_sq8")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("label"),
+      s"sim_sq8 reads the unused label column:\n$plan")
+  }
+
   test("plan audit: events scans prune to the referenced columns") {
     // The canonical projection reads 5 of the table's 6 columns; a query
     // that only needs (op, ns) must not widen the scan back to full rows.

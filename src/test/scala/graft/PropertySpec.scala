@@ -168,6 +168,62 @@ class PropertySpec extends AnyFunSuite {
     assert(out.getAs[Double]("contamination") == 1.0)
   }
 
+  test("chunk windows cover every token; stripping the overlap reconstructs the document") {
+    val textGen = Gen.choose(1, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))
+    val texts = samples(textGen, 20)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val chunks = df.select(col("id"),
+        explode(graft.functions.Text.chunkWindows(col("text"), size = 64, stride = 56)).as("c"))
+      .select(col("id"), col("c.chunk_idx").as("idx"), col("c.chunk_tokens").as("w"))
+      .as[(Long, Int, Seq[String])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ").toSeq
+      val ws = chunks(i.toLong)
+      // chunk k holds tokens [k*56, k*56+64); the first 56 of each chunk
+      // plus the tail of the last reconstruct the document exactly
+      assert(ws.map(_._2).toSeq == ws.indices.toSeq)
+      val rebuilt = (ws.dropRight(1).flatMap(_._3.take(56)) ++ ws.last._3).toSeq
+      assert(rebuilt == toks, s"doc $i not reconstructed")
+    }
+  }
+
+  test("hash split is stable and lands near the requested fractions") {
+    val ids = (0L until 5000L).toDF("doc_id")
+    val split = ids.select(col("doc_id"),
+      graft.functions.Text.splitAssign(col("doc_id")).as("s"))
+    val counts = split.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 4000L) < 300)
+    assert(math.abs(counts("val") - 500L) < 150)
+    assert(math.abs(counts("test") - 500L) < 150)
+    // deterministic: a re-evaluation under different partitioning agrees
+    val again = ids.repartition(7).select(col("doc_id"),
+      graft.functions.Text.splitAssign(col("doc_id")).as("s"))
+    assert(split.except(again).count() == 0)
+  }
+
+  test("sq8 reconstruction error is bounded by half a quantization step") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 250.0f))
+    val vecs = samples(vecGen, 30)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "e")
+    val rows = df.select(col("id"), col("e"),
+        graft.functions.Similarity.sq8Encode(col("e")).as("q"))
+      .as[(Long, Seq[Float], Seq[Int])].collect()
+    rows.foreach { case (_, e, q) =>
+      assert(q.forall(c => c >= 0 && c <= 255))
+      val (mn, mx) = (e.min.toDouble, e.max.toDouble)
+      if (mx > mn) {
+        val step = (mx - mn) / 255.0
+        e.zip(q).foreach { case (x, c) =>
+          val recon = mn + c * step
+          assert(math.abs(x - recon) <= step / 2 + 1e-9,
+            s"component $x reconstructed as $recon (step $step)")
+        }
+      } else assert(q.forall(_ == 0))
+    }
+  }
+
   test("envelope codec round-trips arbitrary payload content") {
     val payloadGen = Gen.listOfN(5, Gen.asciiPrintableStr.map(_.take(40)))
     samples(payloadGen, 10).foreach { payloads =>

@@ -47,6 +47,23 @@ object TextOps {
     "text_repetition" -> ((s, dir) =>
       Text.repetitionStats(docs(s, dir), col("doc_id"), col("text"))),
 
+    // The pillars composed as ONE pipeline (the point of building on a
+    // relational engine): quality gate → exact dedup (keep lowest id per
+    // content hash) → hash split, summarized per (lang, split). Catalyst
+    // plans the whole chain — filter pushdown, one window, one final agg.
+    "pipe_curation" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      docs(s, dir)
+        .filter(Text.qualityScore(col("text")) >= 0.5)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("split", Text.splitAssign(col("doc_id")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    }),
+
     // Deterministic 80/10/10 hash split (train/val/test assignment): a
     // salted portable hash of the id, stable under any partitioning or
     // re-run — the sampling-free split a 100 TB pipeline needs.
@@ -279,6 +296,27 @@ object TextOps {
             MAX(CASE WHEN kind = 'b' THEN CAST(top_c AS DOUBLE) / total END) AS top_bigram_frac,
             MAX(CASE WHEN kind = 'b' THEN 1.0 - CAST(n_distinct AS DOUBLE) / total END) AS dup_bigram_frac
           FROM stats GROUP BY 1""",
+
+    "pipe_curation" ->
+      s"""WITH q AS (
+            SELECT doc_id, lang, text,
+              0.4 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) / 8.0, 1.0)
+            + 0.3 * (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE))
+            + 0.3 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) AS quality
+            FROM documents),
+          f AS (SELECT * FROM q WHERE quality >= 0.5),
+          d AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM f),
+          k AS (SELECT * FROM d WHERE rn = 1),
+          s AS (
+            SELECT lang,
+              CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+              CAST(len($toks) AS BIGINT) AS n
+            FROM (SELECT *, ${phash64Sql("CAST(doc_id AS VARCHAR) || ':split'")} % 100 AS h
+                  FROM k))
+          SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+          FROM s GROUP BY 1, 2""",
 
     "text_pack" ->
       s"""WITH tk AS (

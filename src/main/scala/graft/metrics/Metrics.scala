@@ -67,9 +67,11 @@ final case class MetricsSnapshot(run_id: String, batch_id: Long,
   * progress event has been delivered), writes them as a `_metrics` parquet
   * table alongside `_ckpt`.
   *
-  * Driver-resident state is one small row per micro-batch — bounded by run
-  * length, never by data volume. Events from other queries sharing the
-  * session are buffered too but filtered out at [[write]] by run id.
+  * Driver-resident state is one small row per micro-batch of the runs
+  * observed since the last [[write]] — never data volume. [[write]]
+  * drains the written run's rows from the buffer, so the
+  * attach → run → write → detach lifecycle holds no residue; a recorder
+  * left attached across many runs only grows by the unwritten ones.
   */
 final class MetricsRecorder(spark: SparkSession, path: String)
     extends StreamingQueryListener {
@@ -108,5 +110,9 @@ final class MetricsRecorder(spark: SparkSession, path: String)
     // snapshot rows instead of appending duplicates
     buf.asScala.filter(_.run_id == runId).toSeq.toDF()
       .coalesce(1).write.mode("overwrite").parquet(s"$path/run=$runId")
+    // drain what was written (and the terminated marker) — the buffer
+    // holds only not-yet-written runs, not the session's full history
+    buf.removeIf(_.run_id == runId)
+    terminated.remove(runId)
   }
 }

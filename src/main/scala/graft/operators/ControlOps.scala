@@ -104,8 +104,10 @@ object ControlOps {
             UNION ALL SELECT t0 + 3 * (t1 - t0) // 4, 80 FROM bounds),
           act AS (
             SELECT t.tick, t.n_arrived,
+              -- budget DESC mirrors the engine's deterministic tie-break
+              -- for (degenerate) duplicate from_ticks on a tiny tick span
               CAST(COALESCE((SELECT budget FROM limits l WHERE l.from_tick <= t.tick
-                ORDER BY l.from_tick DESC LIMIT 1), 50) AS BIGINT) AS budget
+                ORDER BY l.from_tick DESC, l.budget DESC LIMIT 1), 50) AS BIGINT) AS budget
             FROM ticks t)
           SELECT tick, n_arrived, budget,
             LEAST(n_arrived, budget) AS n_admitted,

@@ -96,30 +96,53 @@ object FileSink {
     * @return shard ids written (ascending), for the caller to locate
     *   `<path>.shard-<k>` files without listing the filesystem.
     */
-  def writeSharded(spark: SparkSession, framed: DataFrame, path: String): Seq[Int] = {
-    // Hadoop Configuration is not serializable — ship its entries and
-    // rebuild per task (works for any scheme the driver conf addresses).
-    val confEntries = spark.sparkContext.hadoopConfiguration.asScala
+  /** Hadoop Configuration is not serializable — ship its entries and
+    * rebuild per task (works for any scheme the driver conf addresses).
+    */
+  private def confEntries(spark: SparkSession): Vector[(String, String)] =
+    spark.sparkContext.hadoopConfiguration.asScala
       .map(e => e.getKey -> e.getValue).toVector
+
+  private def rebuild(entries: Vector[(String, String)]): Configuration = {
+    val conf = new Configuration(false)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+
+  def writeSharded(spark: SparkSession, framed: DataFrame, path: String): Seq[Int] = {
+    val entries = confEntries(spark)
     val prefix = path
     val shards = framed
       .selectExpr(Envelope.frameColumns: _*)
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("chunk"))
       .mapPartitions { it =>
-        require(TaskContext.get() != null,
+        val ctx = TaskContext.get()
+        require(ctx != null,
           "file tunnel: sharded write must run inside an executor task")
-        val conf = new Configuration(false)
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val conf = rebuild(entries)
+        // Write-then-commit per shard: stream to a per-attempt temp file,
+        // then swap it in whole. Two attempts of one task (speculation, a
+        // zombie retry) each own their temp file, so the visible shard
+        // file is always ONE complete attempt's output — never two
+        // interleaved streams through create(overwrite).
         var cur = Int.MinValue
         var out: FSDataOutputStream = null
+        var tmp: Path = null
         val written = Seq.newBuilder[Int]
+        def commit(): Unit = if (out != null) {
+          out.close(); out = null
+          val dst = new Path(s"$prefix.shard-$cur")
+          val fs = dst.getFileSystem(conf)
+          fs.delete(dst, false)
+          require(fs.rename(tmp, dst), s"file tunnel: commit rename failed for $dst")
+          written += cur
+        }
         def roll(shard: Int): Unit = {
-          if (out != null) out.close()
-          val p = new Path(s"$prefix.shard-$shard")
-          out = p.getFileSystem(conf).create(p, true)
+          commit()
+          tmp = new Path(s"$prefix.shard-$shard.attempt-${ctx.taskAttemptId()}")
+          out = tmp.getFileSystem(conf).create(tmp, true)
           out.write(headerBytes)
-          written += shard
         }
         try {
           it.foreach { r =>
@@ -127,7 +150,11 @@ object FileSink {
             if (shard != cur) { roll(shard); cur = shard }
             writeBlockRow(out, r)
           }
-        } finally if (out != null) out.close()
+          commit()
+        } finally if (out != null) { // abandoned attempt: drop its temp
+          out.close()
+          try tmp.getFileSystem(conf).delete(tmp, false) catch { case _: Exception => () }
+        }
         written.result().iterator
       }(org.apache.spark.sql.Encoders.scalaInt)
       .collect() // one int per (task, shard) — bounded by the shard count
@@ -145,17 +172,21 @@ object FileSink {
     *   tunnel payloads in file (= chunk) order within each shard.
     */
   def readSharded(spark: SparkSession, path: String, shards: Seq[Int]): DataFrame = {
-    val confEntries = spark.sparkContext.hadoopConfiguration.asScala
-      .map(e => e.getKey -> e.getValue).toVector
+    val entries = confEntries(spark)
     val prefix = path
     import spark.implicits._
     spark.createDataset(shards)(org.apache.spark.sql.Encoders.scalaInt)
       .repartition(math.max(shards.size, 1))
       .flatMap { k =>
-        val conf = new Configuration(false)
-        confEntries.foreach { case (c, v) => conf.set(c, v) }
-        readWith(conf, s"$prefix.shard-$k").flatMap { b =>
-          require(b.shard == k, s"shard-$k file carries a shard-${b.shard} block")
+        val blocks = readWith(rebuild(entries), s"$prefix.shard-$k")
+        blocks.flatMap { b =>
+          if (b.shard != k) {
+            // decode errors self-close inside the iterator; this
+            // validation failure must release the handle too
+            blocks.close()
+            throw new IllegalArgumentException(
+              s"shard-$k file carries a shard-${b.shard} block")
+          }
           b.payloads.map(p => (k, p))
         }
       }

@@ -133,6 +133,13 @@ object Coordinator {
     * |ticks| × |updates| intermediate, never |records| × anything.
     * Ticks before the first control row fall back to `defaultBudget`
     * (the statically configured limit the sentinel later overrides).
+    *
+    * Contract: `from_tick` should be unique — the reference sentinel
+    * holds ONE current value, so a same-tick update REPLACES the control
+    * row (caller-side upsert), it does not append a second. If duplicates
+    * do appear, the argmax resolves them deterministically toward the
+    * LARGER budget (max over (from_tick, budget) structs) — never
+    * nondeterministically.
     */
   def qosAdmissionDynamic(batch: DataFrame, tickSec: Long, limits: DataFrame,
       defaultBudget: Long): DataFrame = {

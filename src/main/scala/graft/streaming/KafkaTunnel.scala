@@ -38,7 +38,14 @@ object KafkaTunnel {
       be32(1).cast("long").as("checksum"),
       be32(5).cast("int").as("tag"),
       be32(9).cast("int").as("shard"),
-      col("offset").cast("int").as("chunk"),
+      // chunk is int by the frames-schema contract; a partition whose
+      // offsets outgrew Int.MaxValue must fail loudly, not wrap negative
+      // and silently break the (shard, chunk) ordering key
+      when(col("offset") <= lit(Int.MaxValue.toLong), col("offset").cast("int"))
+        .otherwise(raise_error(concat(
+          lit("kafka tunnel: offset exceeds Int.MaxValue, chunk would wrap: "),
+          col("offset").cast("string"))).cast("int"))
+        .as("chunk"),
       be32(13).cast("int").as("compress"),
       col("value").as("frame"))
   }

@@ -118,10 +118,12 @@ object EventNormalizer {
     *
     * @param batchId the micro-batch id: the errors table is keyed per
     *   batch and overwrites, so a replayed batch (at-least-once delivery)
-    *   re-records rather than duplicates its poison rows.
+    *   re-records rather than duplicates its poison rows. REQUIRED — a
+    *   defaulted id would make every batch overwrite the same directory,
+    *   silently losing earlier batches' dead letters.
     */
   def routeInvalid(normalized: DataFrame, errorsDir: String,
-      batchId: Long = 0L): DataFrame = {
+      batchId: Long): DataFrame = {
     import org.apache.spark.sql.SaveMode
     // One snapshot for all three consumers (emptiness probe, errors
     // write, returned valid rows): without it a non-deterministic input

@@ -98,15 +98,20 @@ class EventNormalizerSpec extends AnyFunSuite {
     val errDir = s"$work/errors"
     val mixed = EventNormalizer.normalize(
       event("insert").union(event("invalidate")).union(event("delete")))
-    val valid = EventNormalizer.routeInvalid(mixed, errDir)
+    val valid = EventNormalizer.routeInvalid(mixed, errDir, batchId = 0L)
     assert(valid.filter(col("op") === "x").count() == 0)
     assert(valid.count() == 2)
     val errs = spark.read.parquet(errDir)
     assert(errs.count() == 1 && errs.head().getAs[String]("op") == "x")
+    // a later batch's poison rows land beside (not over) batch 0's; a
+    // REPLAY of batch 1 overwrites its own directory, never appends
+    EventNormalizer.routeInvalid(mixed, errDir, batchId = 1L).count()
+    EventNormalizer.routeInvalid(mixed, errDir, batchId = 1L).count()
+    assert(spark.read.parquet(errDir).count() == 2)
     // a clean batch appends nothing (and never creates a spurious table)
     val work2 = java.nio.file.Files.createTempDirectory("graft_dlq2").toFile.getAbsolutePath
     val clean = EventNormalizer.routeInvalid(
-      EventNormalizer.normalize(event("insert")), s"$work2/errors")
+      EventNormalizer.normalize(event("insert")), s"$work2/errors", batchId = 0L)
     assert(clean.count() == 1)
     assert(!new java.io.File(s"$work2/errors").exists())
   }

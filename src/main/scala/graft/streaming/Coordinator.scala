@@ -66,6 +66,46 @@ object Coordinator {
     else RunFull(smallestNew)
   }
 
+  /** Mask the password in a connection URL for logs/metrics surfaces
+    * (`common/common.go:151-182` BlockMongoUrlPassword): characters
+    * between the credential colon (the first ':' past a scheme's "://")
+    * and the '@' are replaced. URLs without credentials pass through
+    * unchanged.
+    */
+  def blockUrlPassword(url: String, replace: String = "***"): String = {
+    var colon = url.indexOf(':')
+    if (colon == -1 || colon == url.length - 1) return url
+    if (url.charAt(colon + 1) == '/') {
+      colon = url.indexOf(':', colon + 1)
+      if (colon == -1) return url
+    }
+    val at = url.indexOf('@')
+    if (at == -1 || at == url.length - 1 || at <= colon) return url
+    url.substring(0, colon + 1) + replace + url.substring(at)
+  }
+
+  /** Version gate (`common/db_opertion.go:67-103` GetAndCompareVersion):
+    * true iff `version`'s (major, minor) is at or above `threshold`'s —
+    * the reference gates change-stream/txn features on it. Unparseable or
+    * too-short versions gate CLOSED (false), like the reference's error
+    * returns.
+    */
+  def versionAtLeast(version: String, threshold: String): Boolean = {
+    val v = version.split("\\.")
+    val t = threshold.split("\\.")
+    if (v.length < 2 || t.length < 2) return false
+    try {
+      var i = 0
+      while (i < 2) {
+        val (ve, te) = (v(i).toInt, t(i).toInt)
+        if (ve > te) return true
+        if (ve < te) return false
+        i += 1
+      }
+      true
+    } catch { case _: NumberFormatException => false }
+  }
+
   /** T6 target-delay holdback (`batcher.go:240-262`): a record is delivered
     * only once it is at least `delaySec` old (with the reference's 3 s NTP
     * slack); records at or below `fullSyncFinishPosition` never wait. The

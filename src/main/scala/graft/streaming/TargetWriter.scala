@@ -77,6 +77,26 @@ trait TargetWriter extends Serializable {
   def commitCheckpoint(ck: DataFrame, batchId: Long): Unit
 }
 
+object TargetWriter {
+
+  /** The reference's write-error ladder (`executor/db_writer.go:223-265`
+    * IgnoreError), for connectors implementing [[TargetWriter.applyDml]]
+    * against a live store: which server error codes are benign for which
+    * op, given the sync stage. During full sync, an update hitting
+    * PathNotViable (28/211) or an upsert hitting DuplicateKey (11000) is
+    * the snapshot racing the tailer — ignorable; a delete or command on a
+    * missing namespace (26) is always ignorable (at-least-once replay).
+    * Everything else is a real failure the connector must surface.
+    */
+  def ignorableError(op: String, code: Int, fullSyncStage: Boolean): Boolean =
+    op match {
+      case "u" => fullSyncStage && (code == 28 || code == 211)
+      case "ui" => fullSyncStage && code == 11000
+      case "d" | "c" => code == 26
+      case _ => false
+    }
+}
+
 /** The sandbox/cluster-file default target: the hash-bucketed parquet
   * state table of [[IncrSync]] (state at `dir/state/bucket=<b>/`, DDL log
   * at `dir/ddl_log`, checkpoints at `dir/_ckpt`). A micro-batch only

@@ -113,6 +113,30 @@ class SinkSpec extends AnyFunSuite {
     assert(dist.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap == wantByShard)
   }
 
+  test("K5 sharded: a failing attempt drops its temp file and leaves no torn shard file") {
+    val prefix = s"${System.getProperty("java.io.tmpdir")}/graft_file_sink_fail.bin"
+    val dir = new java.io.File(prefix).getParentFile
+    dir.listFiles().filter(_.getName.startsWith("graft_file_sink_fail")).foreach(_.delete())
+    val framed = Envelope.messages(Envelope.encode(oplogDf, 2))
+    // poison one frame: a null frame column NPEs inside the task mid-write
+    val poisoned = framed.withColumn("frame",
+      when(col("chunk") === 0 && col("shard") === framed.select(max("shard")).head().getInt(0),
+        lit(null).cast("binary")).otherwise(col("frame")))
+    intercept[Exception] {
+      FileSink.writeSharded(spark, poisoned, prefix)
+    }
+    // no attempt temp files survive the failure; any shard file that DID
+    // commit before the failure is complete and readable
+    val leftovers = dir.listFiles().map(_.getName)
+      .filter(n => n.startsWith("graft_file_sink_fail") && n.contains(".attempt-"))
+    assert(leftovers.isEmpty, s"temp files leaked: ${leftovers.mkString(", ")}")
+    dir.listFiles().filter(f => f.getName.startsWith("graft_file_sink_fail.bin.shard-"))
+      .foreach { f =>
+        val blocks = FileSink.read(spark, f.getAbsolutePath).toSeq
+        assert(blocks.nonEmpty) // committed = complete, checksum-valid
+      }
+  }
+
   test("P12: every reference codec id round-trips, shrinks (where it can), and checksum-validates") {
     val framed = Envelope.messages(Envelope.encode(oplogDf, 1))
     val plain = framed.select(col("frame")).as[Array[Byte]].head()

@@ -47,6 +47,30 @@ object Cdc {
       EventNormalizer.normalize(ChangeEvent.fromEvents(s, dir))
         .select("event_id", "ts_packed", "op", "ns", "o", "o2")),
 
+    // S2 at the connector boundary: the corpus reshaped into the official
+    // Spark MongoDB connector's change-event schema (struct ns/to,
+    // documentKey/fullDocument/updateDescription), then through the FULL
+    // deployment wiring — projectConnectorEvents → 8-way dispatch →
+    // toOplogFeed — so the oracle gates the exact projection a live
+    // change stream flows through (doc_key recovery from the routed op
+    // body included).
+    "cdc_connector_feed" -> ((s, dir) => {
+      val cev = ChangeEvent.fromEvents(s, dir)
+      val raw = cev.select(col("event_id").as("seq"),
+        col("ts_packed").as("clusterTime"),
+        col("operation_type").as("operationType"),
+        struct(col("db").as("db"), col("coll").as("coll")).as("ns"),
+        struct(col("to_db").as("db"), col("to_coll").as("coll")).as("to"),
+        col("document_key").as("documentKey"),
+        col("full_document").as("fullDocument"),
+        struct(col("updated_fields").as("updatedFields"),
+          col("removed_fields").as("removedFields")).as("updateDescription"))
+      graft.streaming.MongoChangeSource.toOplogFeed(
+        EventNormalizer.normalize(
+          graft.streaming.MongoChangeSource.projectConnectorEvents(raw)))
+        .select("event_id", "ts_packed", "op", "ns", "doc_key", "props")
+    }),
+
     // P2's fullDocument=updateLookup mode (`changestram_event.go:176-185`):
     // an update with a valid post-image replays as {"$set": fullDocument}
     // instead of the updateDescription diff.
@@ -414,6 +438,35 @@ object Cdc {
               ELSE '{}' END AS o,
             CASE WHEN operation_type IN ('replace','update') THEN document_key
               ELSE '{}' END AS o2
+          FROM cev""",
+
+    "cdc_connector_feed" ->
+      s"""WITH cev AS (${ChangeEvent.oracleCte})
+          SELECT event_id, ts_packed,
+            CASE operation_type WHEN 'insert' THEN 'i' WHEN 'delete' THEN 'd'
+              WHEN 'replace' THEN 'u' WHEN 'update' THEN 'u'
+              WHEN 'drop' THEN 'c' WHEN 'rename' THEN 'c'
+              WHEN 'dropDatabase' THEN 'c' ELSE 'x' END AS op,
+            CASE WHEN operation_type IN ('drop','rename','dropDatabase')
+              THEN db || '.$$cmd' ELSE db || '.' || coll END AS ns,
+            CASE WHEN operation_type IN ('insert','delete','replace','update')
+              THEN json_extract_string(document_key, '$$._id') ELSE '' END AS doc_key,
+            CASE operation_type
+              WHEN 'insert' THEN full_document
+              WHEN 'delete' THEN document_key
+              WHEN 'replace' THEN '{"$$set":' || full_document || '}'
+              WHEN 'update' THEN (CASE
+                WHEN updated_fields <> '{}' AND len(removed_fields) > 0
+                  THEN '{"$$set":' || updated_fields
+                    || ',"$$unset":' || $unsetJsonSql || '}'
+                WHEN updated_fields <> '{}' THEN '{"$$set":' || updated_fields || '}'
+                WHEN len(removed_fields) > 0 THEN '{"$$unset":' || $unsetJsonSql || '}'
+                ELSE '{}' END)
+              WHEN 'drop' THEN '{"drop":"' || coll || '"}'
+              WHEN 'rename' THEN '{"renameCollection":"' || db || '.' || coll
+                || '","to":"' || to_db || '.' || to_coll || '"}'
+              WHEN 'dropDatabase' THEN '{"dropDatabase":1}'
+              ELSE '{}' END AS props
           FROM cev""",
 
     "cdc_event_fulldoc" ->

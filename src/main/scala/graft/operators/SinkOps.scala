@@ -116,6 +116,23 @@ object SinkOps {
           get_json_object(col("payload_json"), "$.meta.g").as("g"))
     }),
 
+    // K2/S5 at the Kafka boundary: compressed frames through the
+    // deployment projections — sink rows simulated as broker output
+    // (per-partition offsets in publish order), parsed back through
+    // KafkaTunnel.parseFrames (big-endian header fields off the frame
+    // bytes), then the receiver's checksum-gated decode. The oracle is
+    // the pre-encode projection plus the routing shard.
+    "sink_kafka_frames" -> ((s, dir) => {
+      import graft.streaming.{KafkaTunnel, Receiver}
+      val framed = Envelope.compressFrames(
+        Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))
+      val brokerRows = framed.select(col("frame").as("value"),
+        col("shard").as("partition"), col("chunk").cast("long").as("offset"))
+      Receiver.decodeBatch(KafkaTunnel.parseFrames(brokerRows))
+        .select(col("shard").cast("bigint").as("shard"),
+          col("ts_packed"), col("op"), col("ns"), col("doc_key"), col("g"))
+    }),
+
     // Entry point C crash/resume with post-restart data: run the real
     // receiver to termination on half the framed feed (shards 0-1), land
     // MORE frame files while it is stopped, restart with the same
@@ -318,6 +335,10 @@ object SinkOps {
 
     "sink_receiver_e2e" -> withOplog(
       s"SELECT ts_packed, op, ns, doc_key, g FROM oplog WHERE $chainSql"),
+
+    "sink_kafka_frames" -> withOplog(
+      s"""SELECT CAST($shardSql AS BIGINT) AS shard, ts_packed, op, ns, doc_key, g
+          FROM oplog WHERE $chainSql"""),
 
     "sink_receiver_resume" -> withOplog(
       s"""SELECT CAST(CASE WHEN $shardSql < 2 THEN 0 ELSE 1 END AS BIGINT) AS batch_id,

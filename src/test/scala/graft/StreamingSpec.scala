@@ -549,6 +549,37 @@ class StreamingSpec extends AnyFunSuite {
       .except(oplog.select("ts_packed", "op", "ns", "doc_key", "g")).count() == 0)
   }
 
+  test("receiver: a corrupted frame fails the batch loudly — no silent drop past the checksum gate") {
+    import graft.sinks.Envelope
+    import graft.streaming.Receiver
+    val work = Files.createTempDirectory("graft_recv_bad").toFile.getAbsolutePath
+    val src = "/root/testdata/sf0.001"
+    val oplog = graft.model.Oplog.fromEvents(spark, src)
+      .filter(graft.filters.OplogFilters.chain(Seq(""), Seq("^app\\..*$"), Nil))
+    val framed = Envelope.messages(Envelope.encode(oplog, 2))
+      .selectExpr(Envelope.frameColumns: _*)
+    // flip one payload byte in one frame; the stored checksum now lies
+    val corrupt = udf((f: Array[Byte], flip: Boolean) => {
+      if (flip) { val g = f.clone(); g(g.length - 1) = (g(g.length - 1) ^ 0x01).toByte; g }
+      else f
+    })
+    framed.withColumn("frame", corrupt(col("frame"), col("chunk") === 0 && col("shard") === 0))
+      .coalesce(1).write.parquet(s"$work/frames")
+    val q = Receiver.start(spark, s"$work/frames", s"$work/target", s"$work/ckpt")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    // the failure is the checksum gate, and the batch never committed
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(ex).exists(_.contains("checksum")))
+    // the job aborted before commit: no committed part files (an aborted
+    // write may leave only the _temporary scratch dir behind)
+    val committed = Option(new java.io.File(s"$work/target/decoded/batch=0").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("part-"))
+    assert(committed.isEmpty, s"uncommitted batch left data: ${committed.mkString(", ")}")
+  }
+
   test("full sync: range-partitioned snapshot copy + handoff position") {
     val work = Files.createTempDirectory("graft_full").toFile.getAbsolutePath
     val src = "/root/testdata/sf0.001"

@@ -43,7 +43,8 @@ object StreamOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_e2e" -> ((s, dir) => run(s, dir)),
     "cdc_resume_restart" -> ((s, dir) => runResume(s, dir)),
-    "cdc_metrics" -> ((s, dir) => runMetrics(s, dir)))
+    "cdc_metrics" -> ((s, dir) => runMetrics(s, dir)),
+    "cdc_full_incr_handoff" -> ((s, dir) => runHandoff(s, dir)))
 
   /** Canonical oplog rows as a raw-oplog feed (null txn columns). */
   private def feedify(df: DataFrame): DataFrame = {
@@ -237,6 +238,49 @@ object StreamOps {
     state.unionByName(ck)
   }
 
+  /** The full→incr handoff (§3.2 → §3.1; the reference's parallel
+    * full+incr contract, `collector/coordinator/replication.go:238-266`,
+    * SURVEY T5 mapping: "snapshot at T0, then replay changes from T0"):
+    * the snapshot fold of everything at-or-below T0 lands in the bucketed
+    * state as the full-sync batch (batch -1, the snapshot's own
+    * checkpoint namespace), then the REAL `IncrSync.startOplog` runs over
+    * the WHOLE feed with `startingTs = T0` — the S1 resume predicate must
+    * exclude every snapshotted record at the source, so the incr batch's
+    * `_ckpt` row carries exactly the post-T0 count (re-reading the
+    * snapshot rows, or skipping post-T0 ones, hash-diverges), and the
+    * final state equals the one-shot fold.
+    */
+  private def runHandoff(s: SparkSession, dir: String): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_handoff_q"
+    IncrSync.deletePath(s, work)
+    val keep = OplogFilters.chain(gids, white, black)
+    val eff = Oplog.fromEvents(s, dir)
+      .filter(keep && col("op").isin("i", "u", "d"))
+      .localCheckpoint()
+    val bounds = eff.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
+    val t0 = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+
+    // "full sync": the snapshot fold at T0, applied as the full-sync batch
+    IncrSync.applyBatch(feedify(eff.filter(col("ts_packed") <= t0)),
+      s"$work/target", batchId = -1L, nBuckets = 16)
+
+    // incr over the WHOLE feed, resuming at the handoff position
+    feedify(eff).coalesce(1).write.parquet(s"$work/feed")
+    val q = IncrSync.startOplog(s, s"$work/feed", s"$work/target", s"$work/ckpt",
+      gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 16,
+      startingTs = t0)
+    q.awaitTermination()
+
+    val state = IncrSync.readOrEmpty(s, s"$work/target/state")
+      .select(lit("state").as("section"), col("ns").as("a"), col("doc_key").as("b"),
+        col("last_event_id").as("x"), lit(0L).as("y"), col("last_value").as("v"))
+    val ck = s.read.parquet(s"$work/target/_ckpt")
+      .select(lit("ckpt").as("section"), col("batch_id").cast("string").as("a"),
+        lit("").as("b"), col("lsn_min").as("x"), col("lsn_max").as("y"),
+        col("n_logs").cast("double").as("v"))
+    state.unionByName(ck)
+  }
+
   /** G7's queryable metrics surface (`common/metric.go:43-52,87-200`): run
     * the real `IncrSync.startOplog` over the UNFILTERED corpus feed with a
     * [[graft.metrics.MetricsRecorder]] attached; the listener writes one
@@ -277,6 +321,32 @@ object StreamOps {
   private val chainSql: String = Oplog.oracleChainSql
 
   def oracles: Map[String, String] = Map(
+    "cdc_full_incr_handoff" -> Oplog.withOracleCte(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          tt AS (
+            SELECT tmin + (tmax - tmin) // 2 AS t0
+            FROM (SELECT MIN(ts_packed) AS tmin, MAX(ts_packed) AS tmax FROM eff)),
+          state AS (
+            SELECT ns, doc_key, value, event_id FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff) WHERE rn = 1 AND op <> 'd'),
+          ck AS (
+            SELECT '-1' AS bid, MIN(ts_packed) AS lsn_min, MAX(ts_packed) AS lsn_max,
+              COUNT(*) AS n
+            FROM eff, tt WHERE ts_packed <= t0
+            UNION ALL
+            SELECT '0', MIN(ts_packed), MAX(ts_packed), COUNT(*)
+            FROM eff, tt WHERE ts_packed > t0)
+          SELECT 'state' AS section, ns AS a, doc_key AS b,
+            event_id AS x, CAST(0 AS BIGINT) AS y, value AS v
+          FROM state
+          UNION ALL
+          SELECT 'ckpt', bid, '', lsn_min, lsn_max, CAST(n AS DOUBLE) FROM ck"""),
+
     "cdc_metrics" -> Oplog.withOracleCte(
       s""", kept AS (SELECT * FROM oplog WHERE $chainSql)
           SELECT (SELECT COUNT(*) FROM oplog) AS n_raw,

@@ -156,9 +156,11 @@ object IncrSync {
       black: Seq[String] = Nil,
       txnTtlMs: Long = TxnAssembler.DefaultTxnTtlMs,
       trigger: Trigger = Trigger.AvailableNow(),
-      nBuckets: Int = StateBuckets): StreamingQuery =
+      nBuckets: Int = StateBuckets,
+      startingTs: Long = Long.MinValue): StreamingQuery =
     startOplogFrom(spark, ParquetDirSource(sourceDir, oplogSchema),
-      targetDir, checkpointDir, gids, white, black, txnTtlMs, trigger, nBuckets)
+      targetDir, checkpointDir, gids, white, black, txnTtlMs, trigger, nBuckets,
+      startingTs)
 
   /** [[startOplog]] over any [[ChangeSource]] — the oplog-tailing seam
     * (S1); a live connector plugs in here without touching the dataflow.
@@ -170,9 +172,10 @@ object IncrSync {
       black: Seq[String] = Nil,
       txnTtlMs: Long = TxnAssembler.DefaultTxnTtlMs,
       trigger: Trigger = Trigger.AvailableNow(),
-      nBuckets: Int = StateBuckets): StreamingQuery =
+      nBuckets: Int = StateBuckets,
+      startingTs: Long = Long.MinValue): StreamingQuery =
     startOplogTo(spark, source, ParquetTarget(targetDir, nBuckets), checkpointDir,
-      gids, white, black, txnTtlMs, trigger)
+      gids, white, black, txnTtlMs, trigger, startingTs)
 
   /** [[startOplogFrom]] against any [[TargetWriter]] — the sink seam
     * ([[ChangeSource]]'s write-side symmetric): a live MongoDB/JDBC
@@ -186,10 +189,16 @@ object IncrSync {
       white: Seq[String] = Seq("^app\\..*$"),
       black: Seq[String] = Nil,
       txnTtlMs: Long = TxnAssembler.DefaultTxnTtlMs,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      startingTs: Long = Long.MinValue): StreamingQuery = {
     val effectiveTtlMs = if (trigger == Trigger.AvailableNow()) 0L else txnTtlMs
     import spark.implicits._
+    // S1 resume predicate ({ts: {$gt: ckpt}}, `oplog_reader.go:90-97`) —
+    // also the full→incr handoff position: records at or below the
+    // snapshot's finish ts are excluded AT THE SOURCE (pushdown reaches
+    // the scan), the reference's parallel full+incr replay contract.
     val stream = source.load(spark)
+      .filter(col("ts_packed") > startingTs)
       .withColumn("db", substring_index(col("ns"), ".", 1))
       .withColumn("coll", substring_index(col("ns"), ".", -1))
     val o = col("o")

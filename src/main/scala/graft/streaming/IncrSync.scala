@@ -197,6 +197,18 @@ object IncrSync {
     // also the full→incr handoff position: records at or below the
     // snapshot's finish ts are excluded AT THE SOURCE (pushdown reaches
     // the scan), the reference's parallel full+incr replay contract.
+    //
+    // CONTRACT: startingTs must be a TRANSACTION-CONSISTENT position — no
+    // partial session-txn chain may straddle it, or the chain's pre-cut
+    // entries are dropped before assembly and its commit releases only
+    // the tail (the reference's user-configured start_position has the
+    // identical sharp edge: a {ts: {$gt: T}} cursor cannot resurrect a
+    // chain's earlier entries either; its checkpoint manager only records
+    // batch-boundary positions, which never split a chain). A snapshot
+    // taken at a majority-commit point satisfies this. RESTART resume
+    // (same checkpointLocation) is NOT affected: buffered partials
+    // survive in the state store, so a chain split across a crash
+    // reassembles.
     val stream = source.load(spark)
       .filter(col("ts_packed") > startingTs)
       .withColumn("db", substring_index(col("ns"), ".", 1))

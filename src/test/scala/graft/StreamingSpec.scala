@@ -549,6 +549,43 @@ class StreamingSpec extends AnyFunSuite {
       .except(oplog.select("ts_packed", "op", "ns", "doc_key", "g")).count() == 0)
   }
 
+  test("restart resume reassembles a txn chain split across stopped runs (state-store persistence)") {
+    val work = Files.createTempDirectory("graft_txn_restart").toFile.getAbsolutePath
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), IncrSync.oplogSchema)
+    def inner(eid: Int, op: String, v: Double) =
+      s"""{"event_id":$eid,"op":"$op","ns":"app.u0","doc_key":"ka","value":$v}"""
+    // run 1: two partialTxn entries (chain open) + one plain row
+    val p1 = Seq(
+      Row(100L, 100L, "c", "admin.$cmd", "", 0.0, null, "", false, "L", 1L,
+        s"""{"applyOps":[${inner(1, "i", 1.0)}],"partialTxn":true}"""),
+      Row(101L, 200L, "c", "admin.$cmd", "", 0.0, null, "", false, "L", 1L,
+        s"""{"applyOps":[${inner(2, "u", 2.0)}],"partialTxn":true}"""),
+      Row(5L, 150L, "i", "app.u1", "kp", 9.0, "{}", "", false, null, null, null))
+    df(p1).coalesce(1).write.parquet(s"$work/feed")
+    val q1 = IncrSync.startOplog(spark, s"$work/feed", s"$work/target", s"$work/ckpt",
+      txnTtlMs = 0, nBuckets = 4)
+    q1.awaitTermination()
+    // the chain is buffered, not emitted: only the plain row reached state
+    val s1 = IncrSync.readOrEmpty(spark, s"$work/target/state")
+      .select("ns", "doc_key").as[(String, String)].collect().toSet
+    assert(s1 == Set(("app.u1", "kp")))
+
+    // the query is STOPPED; the commit entry arrives; restart resumes the
+    // buffered partials from the state store and releases the whole chain
+    val p2 = Seq(
+      Row(102L, 300L, "c", "admin.$cmd", "", 0.0, null, "", false, "L", 1L,
+        s"""{"applyOps":[${inner(3, "u", 3.0)}]}"""))
+    df(p2).coalesce(1).write.mode("append").parquet(s"$work/feed")
+    val q2 = IncrSync.startOplog(spark, s"$work/feed", s"$work/target", s"$work/ckpt",
+      txnTtlMs = 0, nBuckets = 4)
+    q2.awaitTermination()
+    val s2 = IncrSync.readOrEmpty(spark, s"$work/target/state")
+      .select("ns", "doc_key", "last_value", "last_event_id")
+      .as[(String, String, Double, Long)].collect().toSet
+    assert(s2 == Set(("app.u1", "kp", 9.0, 5L), ("app.u0", "ka", 3.0, 3L)))
+  }
+
   test("receiver: a corrupted frame fails the batch loudly — no silent drop past the checksum gate") {
     import graft.sinks.Envelope
     import graft.streaming.Receiver

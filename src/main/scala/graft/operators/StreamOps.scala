@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.filters.OplogFilters
 import graft.model.Oplog
@@ -44,7 +45,8 @@ object StreamOps {
     "cdc_stream_e2e" -> ((s, dir) => run(s, dir)),
     "cdc_resume_restart" -> ((s, dir) => runResume(s, dir)),
     "cdc_metrics" -> ((s, dir) => runMetrics(s, dir)),
-    "cdc_full_incr_handoff" -> ((s, dir) => runHandoff(s, dir)))
+    "cdc_full_incr_handoff" -> ((s, dir) => runHandoff(s, dir)),
+    "cdc_soak_live" -> ((s, dir) => runSoak(s, dir)))
 
   /** Canonical oplog rows as a raw-oplog feed (null txn columns). */
   private def feedify(df: DataFrame): DataFrame = {
@@ -281,6 +283,168 @@ object StreamOps {
     state.unionByName(ck)
   }
 
+  /** Continuous-tail soak of the REAL `IncrSync.startOplog` under a
+    * ProcessingTime trigger with a LIVE transaction TTL — the reference's
+    * production shape (the tailer never drains: `collector/syncer.go`'s
+    * fetch loop keeps polling and the barrier flush expires orphaned
+    * chains, `oplog/txn_buffer.go:63-301`): source files land WHILE the
+    * query runs, and the oracle pins the four-phase delivery in closed
+    * form.
+    *
+    * Feed roles (mirrored 1:1 in the SQL): eligible rows with
+    * `event_id % 10 == 0` become transaction-chain members keyed by
+    * doc_key (one entry per op; the last entry is the commit, earlier
+    * entries partialTxn); chains with `doc_key % 3 == 0` are ORPHANS
+    * (commit withheld past the TTL), the rest CROSS chains (commit lands
+    * in a later file than its partials — chain reassembly across
+    * mid-stream arrivals). Every other row rides as plain DML, time-split
+    * into thirds:
+    *
+    *   file 1 (pre-staged): plain(ts <= t1) + every partial entry
+    *   file 2 (pre-staged): plain(t1..t2)   + cross commits → full chains
+    *                        emit with the T3 ts patch
+    *   [sleep past TTL]     orphan buffers purge on a no-data batch
+    *   file 3 (mid-stream): one plain row at t_sent — its application
+    *                        proves a post-deadline batch ran its timeout
+    *                        pass, making the purge a certainty instead of
+    *                        a race against the trigger clock
+    *   file 4 (mid-stream): plain(ts > t2)  + orphan commits → state is
+    *                        gone, each releases ONLY its own entry's op
+    *
+    * Files 1 and 2 are staged before the query starts, and the source
+    * runs with `maxFilesPerTrigger = 1` so each file is still its OWN
+    * micro-batch in mod-time order — this pins four distinct batches
+    * while shrinking the cross-chain TTL race window to batch-1's
+    * processing time alone (the TTL on a cross chain's partials starts at
+    * batch 1 and its commit is already on disk, one trigger away; were
+    * file 2 landed only after batch 1 was observed complete, the window
+    * would also absorb polling latency and a parquet write, which on a
+    * contended host can exceed any reasonable TTL).
+    *
+    * `processAllAvailable`/AvailableNow cannot drive this stream (a
+    * processing-time timeout schedules no-data batches forever, so
+    * `noNewData` never latches) — the harness polls `_ckpt` for
+    * closed-form delivered counts, the sanctioned pattern from
+    * `cdc_txn_ttl`. The oracle checks the final state (a TTL that killed
+    * a cross chain before its commit, or a purge that leaked orphan
+    * partials, hash-diverges), the delivered-row total, the lsn range,
+    * and that the four files arrived as four distinct micro-batches
+    * (possible only because idle triggers skip the checkpoint — see
+    * `IncrSync.applyBatchTo`). State folds by DELIVERY order (batch,
+    * then ts, then event_id) — the target's merge semantics: a later
+    * batch overwrites a touched key unconditionally, exactly like the
+    * reference's in-order DirectWriter replay.
+    */
+  private[graft] def runSoak(s: SparkSession, dir: String,
+      ttlMs: Long = 10000L): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_soak_live_q"
+    IncrSync.deletePath(s, work)
+    val keep = OplogFilters.chain(gids, white, black)
+    val eff = Oplog.fromEvents(s, dir)
+      .filter(keep && col("op").isin("i", "u", "d"))
+      .localCheckpoint()
+    val bounds = eff.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
+    val (tmin, tmax) = (bounds.getLong(0), bounds.getLong(1))
+    // exact integer arithmetic, mirrored verbatim in the oracle
+    val t1 = tmin + (tmax - tmin) / 3
+    val t2 = tmin + 2 * ((tmax - tmin) / 3)
+    val tSent = tmax + 1000L
+
+    val member = col("event_id") % 10 === 0
+    val plainRows = eff.filter(!member)
+    val w = Window.partitionBy(col("doc_key")).orderBy(col("ts_packed"), col("event_id"))
+    val wAll = Window.partitionBy(col("doc_key"))
+    val chains = eff.filter(member)
+      .withColumn("payload", payloadCol)
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("orphan", pmod(col("doc_key").cast("bigint"), lit(3)) === 0)
+      .withColumn("entry_o",
+        when(col("rn") < col("n") - 1,
+          concat(lit("{\"applyOps\":["), col("payload"), lit("],\"partialTxn\":true}")))
+          .otherwise(concat(lit("{\"applyOps\":["), col("payload"), lit("]}"))))
+      .select(col("rn"), col("n"), col("orphan"), col("ts_packed"),
+        col("doc_key").as("chain"), col("entry_o"))
+      .localCheckpoint() // frozen once: three file writes + the count math
+
+    val nullS = lit(null).cast("string")
+    // entry event_id := rn — the assembler's chain seq must be monotone in
+    // entry order (member event_ids are not monotone in (ts, id) order)
+    def entryRows(df: DataFrame): DataFrame =
+      df.select(col("rn").as("event_id"), col("ts_packed"), lit("c").as("op"),
+        lit("admin.$cmd").as("ns"), lit("").as("doc_key"), lit(0.0).as("value"),
+        nullS.as("props"), lit("").as("g"), lit(false).as("from_migrate"),
+        col("chain").as("lsid"), lit(1L).as("txn_number"), col("entry_o").as("o"))
+
+    // closed-form delivery counts (partials emit nothing; a cross commit
+    // releases its whole chain; a purged orphan's commit only itself)
+    val nP1 = plainRows.filter(col("ts_packed") <= t1).count()
+    val nP2 = plainRows.filter(col("ts_packed") > t1 && col("ts_packed") <= t2).count()
+    val nP3 = plainRows.filter(col("ts_packed") > t2).count()
+    val nCross = chains.filter(!col("orphan")).count()
+    val nOrphanChains = chains.filter(col("orphan")).select("chain").distinct().count()
+
+    val sentinel = s.createDataFrame(
+      s.sparkContext.parallelize(Seq(Row(8999999999L, tSent, "i", "app.users_1",
+        "-1", 42.0, "{}", "", false, null, null, null))), IncrSync.oplogSchema)
+
+    val ckptPath = new org.apache.hadoop.fs.Path(s"$work/target/_ckpt")
+    val ckptFs = ckptPath.getFileSystem(s.sessionState.newHadoopConf())
+    def ckptTotal(): Long =
+      try {
+        if (!ckptFs.exists(ckptPath)) 0L
+        else s.read.parquet(s"$work/target/_ckpt")
+          .agg(coalesce(sum(col("n_logs")), lit(0L))).head().getLong(0)
+      } catch { case _: Throwable => 0L }
+    def awaitTotal(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (ckptTotal() < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    }
+
+    val feedDir = s"$work/feed"
+    // files 1 and 2 pre-staged IN ORDER (mod-time sequenced by the writes
+    // themselves); maxFilesPerTrigger=1 below still makes each its own
+    // micro-batch, so the cross commits sit one trigger behind their
+    // partials — the purge race is bounded by batch-1 processing alone
+    feedify(plainRows.filter(col("ts_packed") <= t1))
+      .unionByName(entryRows(chains.filter(col("rn") < col("n") - 1)))
+      .coalesce(1).write.parquet(feedDir)
+    feedify(plainRows.filter(col("ts_packed") > t1 && col("ts_packed") <= t2))
+      .unionByName(entryRows(chains.filter(!col("orphan") && col("rn") === col("n") - 1)))
+      .coalesce(1).write.mode("append").parquet(feedDir)
+
+    val q = IncrSync.startOplogFrom(s,
+      graft.streaming.ParquetDirSource(feedDir, IncrSync.oplogSchema, maxFilesPerTrigger = 1),
+      s"$work/target", s"$work/ckpt",
+      gids = gids, white = white, black = black, txnTtlMs = ttlMs,
+      trigger = Trigger.ProcessingTime("250 milliseconds"), nBuckets = 16)
+    try {
+      awaitTotal(nP1 + nP2 + nCross)
+      // the orphan deadline (batch-1 start + ttl) is certainly behind us
+      // after this sleep: the anchor (now) is at or after batch 2's end
+      Thread.sleep(ttlMs + 1500)
+      sentinel.coalesce(1).write.mode("append").parquet(feedDir)
+      awaitTotal(nP1 + nP2 + nCross + 1)
+      feedify(plainRows.filter(col("ts_packed") > t2))
+        .unionByName(entryRows(chains.filter(col("orphan") && col("rn") === col("n") - 1)))
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      awaitTotal(nP1 + nP2 + nCross + 1 + nP3 + nOrphanChains)
+    } finally q.stop()
+
+    val state = IncrSync.readOrEmpty(s, s"$work/target/state")
+      .select(lit("state").as("section"), col("ns").as("a"), col("doc_key").as("b"),
+        col("last_event_id").as("x"), lit(0L).as("y"), col("last_value").as("v"))
+    val ck = s.read.parquet(s"$work/target/_ckpt")
+    val ckRange = ck.agg(min(col("lsn_min")).as("mn"), max(col("lsn_max")).as("mx"))
+      .select(lit("ckpt_range").as("section"), lit("").as("a"), lit("").as("b"),
+        col("mn").as("x"), col("mx").as("y"), lit(0.0).as("v"))
+    val ckN = ck.agg(sum(col("n_logs")).as("tot"), count(lit(1)).as("nb"))
+      .select(lit("ckpt_n").as("section"), lit("").as("a"), lit("").as("b"),
+        col("tot").as("x"), col("nb").as("y"), lit(0.0).as("v"))
+    state.unionByName(ckRange).unionByName(ckN)
+  }
+
   /** G7's queryable metrics surface (`common/metric.go:43-52,87-200`): run
     * the real `IncrSync.startOplog` over the UNFILTERED corpus feed with a
     * [[graft.metrics.MetricsRecorder]] attached; the listener writes one
@@ -321,6 +485,58 @@ object StreamOps {
   private val chainSql: String = Oplog.oracleChainSql
 
   def oracles: Map[String, String] = Map(
+    "cdc_soak_live" -> Oplog.withOracleCte(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          tt AS (
+            SELECT tmin + (tmax - tmin) // 3 AS t1,
+                   tmin + 2 * ((tmax - tmin) // 3) AS t2,
+                   tmax + 1000 AS t_sent
+            FROM (SELECT MIN(ts_packed) AS tmin, MAX(ts_packed) AS tmax FROM eff)),
+          mem AS (
+            SELECT *,
+              ROW_NUMBER() OVER (PARTITION BY doc_key
+                ORDER BY ts_packed, event_id) - 1 AS rn,
+              COUNT(*) OVER (PARTITION BY doc_key) AS n,
+              MAX(ts_packed) OVER (PARTITION BY doc_key) AS commit_ts,
+              CAST(doc_key AS BIGINT) % 3 = 0 AS orphan
+            FROM eff WHERE event_id % 10 = 0),
+          -- delivered rows with their delivery batch: plain time-split
+          -- into batches 1/2/4; cross chains emit whole on commit (batch
+          -- 2, T3 ts patch); orphans purge — the late commit releases
+          -- only its own op (batch 4); the sentinel is batch 3
+          applied AS (
+            SELECT event_id, op, ns, doc_key, value, ts_packed AS ts_eff,
+              CASE WHEN ts_packed <= t1 THEN 1
+                   WHEN ts_packed <= t2 THEN 2 ELSE 4 END AS bat
+            FROM eff, tt WHERE event_id % 10 <> 0
+            UNION ALL
+            SELECT event_id, op, ns, doc_key, value,
+              CASE WHEN rn = n - 1 THEN commit_ts ELSE commit_ts - 1 END, 2
+            FROM mem WHERE NOT orphan
+            UNION ALL
+            SELECT event_id, op, ns, doc_key, value, ts_packed, 4
+            FROM mem WHERE orphan AND rn = n - 1
+            UNION ALL
+            SELECT 8999999999, 'i', 'app.users_1', '-1', 42.0, t_sent, 3 FROM tt),
+          -- delivery-order fold: a later batch overwrites a touched key
+          -- unconditionally (in-order replay), within a batch the
+          -- last-effective-write by (ts, event_id) wins
+          state AS (
+            SELECT ns, doc_key, value, event_id FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY bat DESC, ts_eff DESC, event_id DESC) AS rnk
+              FROM applied) WHERE rnk = 1 AND op <> 'd')
+          SELECT 'state' AS section, ns AS a, doc_key AS b,
+            event_id AS x, CAST(0 AS BIGINT) AS y, value AS v
+          FROM state
+          UNION ALL
+          SELECT 'ckpt_range', '', '', MIN(ts_eff), MAX(ts_eff), 0.0 FROM applied
+          UNION ALL
+          SELECT 'ckpt_n', '', '', COUNT(*), CAST(4 AS BIGINT), 0.0 FROM applied"""),
+
     "cdc_full_incr_handoff" -> Oplog.withOracleCte(
       s""", eff AS (
             SELECT event_id, ts_packed, op, ns, doc_key, value

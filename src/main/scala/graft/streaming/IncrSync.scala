@@ -319,6 +319,17 @@ object IncrSync {
     val spark = batch.sparkSession
     batch.persist()
     try {
+      // Materialize the cache with one FULL pass before anything else: the
+      // G7 observe counters fire exactly once per delivery this way (a
+      // limit-style emptiness probe would run the plan a second, partial
+      // time and corrupt the counts). Idle triggers — under a continuous
+      // ProcessingTime trigger with a txn TTL the state operator schedules
+      // a no-data batch EVERY interval; that is what fires processing-time
+      // timeouts — deliver nothing, so nothing is ack'd: the checkpoint
+      // must not move (T8 — the reference's ckpt manager only flushes on
+      // ack'd traffic, `ckpt_manager.go:25-140`), and an idle tail must
+      // not append one empty _ckpt row per trigger forever.
+      if (batch.count() == 0L) return
       val normal = batch.filter(col("op") =!= "c")
       val barrier = batch.filter(col("op") === "c")
 

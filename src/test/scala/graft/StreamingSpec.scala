@@ -586,6 +586,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(s2 == Set(("app.u1", "kp", 9.0, 5L), ("app.u0", "ka", 3.0, 3L)))
   }
 
+  test("continuous-trigger soak: mid-stream arrivals + live TTL converge to the delivery-order fold") {
+    import graft.model.Oplog
+    import graft.filters.OplogFilters
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.StreamOps.runSoak(spark, dir, ttlMs = 6000L).collect()
+
+    // four micro-batches, one per landed file (idle TTL triggers skipped)
+    val ckN = out.find(_.getAs[String]("section") == "ckpt_n").get
+    assert(ckN.getAs[Long]("y") == 4L)
+
+    // the sentinel's application proves a post-TTL-deadline batch ran
+    val state = out.filter(_.getAs[String]("section") == "state")
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("x"), r.getAs[Double]("v"))).toSet
+    assert(state.contains(("app.users_1", "-1", 8999999999L, 42.0)))
+
+    // independent expected fold (window-rank over delivery order, vs the
+    // engine's incremental bucket merge + groupBy-max): plain rows in ts
+    // thirds (batches 1/2/4), cross chains whole at batch 2 with the T3
+    // patch, orphan chains only their commit op at batch 4, sentinel 3.
+    val keep = OplogFilters.chain(Seq(""), Seq("^app\\.users_[0-9]+$"), Seq("^app\\.users_3$"))
+    val eff = Oplog.fromEvents(spark, dir).filter(keep && col("op").isin("i", "u", "d"))
+    val b = eff.agg(min("ts_packed"), max("ts_packed")).head()
+    val (tmin, tmax) = (b.getLong(0), b.getLong(1))
+    val (t1, t2) = (tmin + (tmax - tmin) / 3, tmin + 2 * ((tmax - tmin) / 3))
+    val w = Window.partitionBy(col("doc_key"))
+    val mem = eff.filter(col("event_id") % 10 === 0)
+      .withColumn("rn", row_number().over(w.orderBy(col("ts_packed"), col("event_id"))) - 1)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("commit_ts", max(col("ts_packed")).over(w))
+      .withColumn("orphan", pmod(col("doc_key").cast("bigint"), lit(3)) === 0)
+    val applied = eff.filter(col("event_id") % 10 =!= 0)
+      .select(col("event_id"), col("op"), col("ns"), col("doc_key"), col("value"),
+        col("ts_packed").as("ts_eff"),
+        when(col("ts_packed") <= t1, 1).when(col("ts_packed") <= t2, 2).otherwise(4).as("bat"))
+      .unionByName(mem.filter(!col("orphan"))
+        .select(col("event_id"), col("op"), col("ns"), col("doc_key"), col("value"),
+          when(col("rn") === col("n") - 1, col("commit_ts"))
+            .otherwise(col("commit_ts") - 1).as("ts_eff"), lit(2).as("bat")))
+      .unionByName(mem.filter(col("orphan") && col("rn") === col("n") - 1)
+        .select(col("event_id"), col("op"), col("ns"), col("doc_key"), col("value"),
+          col("ts_packed").as("ts_eff"), lit(4).as("bat")))
+    val expected = applied
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("ns"), col("doc_key"))
+          .orderBy(col("bat").desc, col("ts_eff").desc, col("event_id").desc)))
+      .filter(col("rnk") === 1 && col("op") =!= "d")
+      .select(col("ns"), col("doc_key"), col("event_id"), col("value"))
+      .as[(String, String, Long, Double)].collect().toSet +
+      (("app.users_1", "-1", 8999999999L, 42.0))
+    assert(state == expected)
+
+    // delivered-total: plain + all cross members + one op per orphan chain + sentinel
+    val nPlain = eff.filter(col("event_id") % 10 =!= 0).count()
+    val nCross = mem.filter(!col("orphan")).count()
+    val nOrph = mem.filter(col("orphan")).select("doc_key").distinct().count()
+    assert(ckN.getAs[Long]("x") == nPlain + nCross + nOrph + 1)
+  }
+
   test("receiver: a corrupted frame fails the batch loudly — no silent drop past the checksum gate") {
     import graft.sinks.Envelope
     import graft.streaming.Receiver

@@ -22,11 +22,14 @@ object Bench {
       }
       SparkEntry.queries.get("q7_distinct").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    // Self-calibration probe: a fixed CPU-bound plan timed before and
-    // after the suite, plus the OS load average. On a quiet box the two
-    // probe times agree at ~0.1s; a contended capture (other builds/tests
-    // sharing the cores — BENCH_r06's 5x artifact) inflates them, making
-    // bad timing runs machine-detectable instead of judge-adjudicated.
+    // Self-calibration probes: a fixed CPU-bound plan timed before the
+    // suite, after it, and INTERLEAVED every few queries, plus the OS
+    // load average. On a quiet box every probe agrees at ~0.1s; a
+    // contended capture (other builds/tests sharing the cores) inflates
+    // whichever probes bracket the contention window — r6's 5x artifact
+    // AND r7's mid-run one both become machine-detectable AND localizable
+    // (pre/post probes alone miss contention that starts and ends inside
+    // the run). `scripts/bench_compare.py` reads the spread.
     def probe(): Double = {
       val t0 = System.nanoTime()
       spark.range(100000000L).selectExpr("sum(id * 3 + 1)").collect()
@@ -34,12 +37,19 @@ object Bench {
     }
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val probeEvery = 12
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val loadPre = loadAvg()
-    val probePre = probe()
+    // Warm the probe plan itself (untimed): the first few executions JIT
+    // the codegen'd sum loop — without this the series drifts ~3x from
+    // first to last on a perfectly quiet box, which is exactly the
+    // signature the spread check treats as contention.
+    (1 to 3).foreach(_ => probe())
+    probes += probe()
     // Optional args = query-name filter (dev iteration); driver passes none.
     val selected = if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
                    else SparkEntry.queries
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -53,15 +63,18 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         } catch { case _: Throwable => () }
       }
+      // Untimed interleave: lands between query timings, charged to none.
+      if ((i + 1) % probeEvery == 0) probes += probe()
       name -> dt
     }
-    val probePost = probe()
+    probes += probe()
     val loadPost = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","probe_pre":$probePre,"probe_post":$probePost""" +
+      s""","probe_pre":${probes.head},"probe_post":${probes.last}""" +
+      s""","probes":${probes.mkString("[", ",", "]")},"probe_every":$probeEvery""" +
       s""","load_avg":${math.max(loadPre, loadPost)}}"""
     println(json)
     // Stdout has been observed truncated in driver capture (BENCH_r* with

@@ -70,7 +70,11 @@ object Coordinator {
     * (`common/common.go:151-182` BlockMongoUrlPassword): characters
     * between the credential colon (the first ':' past a scheme's "://")
     * and the '@' are replaced. URLs without credentials pass through
-    * unchanged.
+    * unchanged. Deliberately STRICTER than the reference on one edge: a
+    * password containing an unencoded '@' (mongodb://u:p@ss@host) masks
+    * to the LAST '@' before the path, where the reference's first-'@'
+    * scan would leak the password's tail into logs — this is a
+    * credential-scrub surface, so the safer cut wins over parity.
     */
   def blockUrlPassword(url: String, replace: String = "***"): String = {
     var colon = url.indexOf(':')
@@ -79,7 +83,10 @@ object Coordinator {
       colon = url.indexOf(':', colon + 1)
       if (colon == -1) return url
     }
-    val at = url.indexOf('@')
+    // the credential block ends at the last '@' before the path
+    val pathStart = url.indexOf('/', colon + 1)
+    val end = if (pathStart == -1) url.length else pathStart
+    val at = url.lastIndexOf('@', end - 1)
     if (at == -1 || at == url.length - 1 || at <= colon) return url
     url.substring(0, colon + 1) + replace + url.substring(at)
   }

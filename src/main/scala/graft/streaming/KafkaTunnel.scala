@@ -34,10 +34,22 @@ object KafkaTunnel {
     */
   def parseFrames(raw: DataFrame): DataFrame = {
     def be32(pos: Int) = conv(hex(substring(col("value"), pos, 4)), 16, 10)
+    // header ints are int by the frames-schema contract; a corrupt frame
+    // whose 4 bytes carry the high bit would cast int → NULL silently —
+    // fail loudly instead, same posture as the chunk guard below (real
+    // Envelope values top out at the tag flags, far below 2^31)
+    def be32Int(pos: Int, name: String) = {
+      val v = be32(pos).cast("long")
+      when(v <= lit(Int.MaxValue.toLong), v.cast("int"))
+        .otherwise(raise_error(concat(
+          lit(s"kafka tunnel: corrupt $name in frame header: "),
+          v.cast("string"))).cast("int"))
+        .as(name)
+    }
     raw.select(
       be32(1).cast("long").as("checksum"),
-      be32(5).cast("int").as("tag"),
-      be32(9).cast("int").as("shard"),
+      be32Int(5, "tag"),
+      be32Int(9, "shard"),
       // chunk is int by the frames-schema contract; a partition whose
       // offsets outgrew Int.MaxValue must fail loudly, not wrap negative
       // and silently break the (shard, chunk) ordering key
@@ -46,7 +58,7 @@ object KafkaTunnel {
           lit("kafka tunnel: offset exceeds Int.MaxValue, chunk would wrap: "),
           col("offset").cast("string"))).cast("int"))
         .as("chunk"),
-      be32(13).cast("int").as("compress"),
+      be32Int(13, "compress"),
       col("value").as("frame"))
   }
 

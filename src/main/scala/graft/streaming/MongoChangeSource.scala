@@ -54,6 +54,10 @@ object MongoChangeSource {
     * delete, the full document for insert); change streams carry no gid /
     * fromMigrate (those are raw-oplog fields), and session-transaction
     * events arrive already committed, so the txn columns stay null.
+    * Change streams also carry no numeric `value` column (that is a
+    * corpus-feed convenience, not a wire field), so it is hardwired to
+    * 0.0 here and the state table's `last_value` is always 0 on the
+    * connector path — the document payload rides `props` instead.
     */
   def toOplogFeed(normalized: DataFrame): DataFrame = {
     val nullS = lit(null).cast("string")

@@ -547,6 +547,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(decoded.count() == oplog.count())
     assert(decoded.select("ts_packed", "op", "ns", "doc_key", "g")
       .except(oplog.select("ts_packed", "op", "ns", "doc_key", "g")).count() == 0)
+
+    // a corrupt header int with the high bit set fails loudly (it would
+    // otherwise cast int → NULL and degrade silently): flip the tag
+    // field's first byte in one frame
+    val corruptTag = udf((f: Array[Byte]) => {
+      val g = f.clone(); g(4) = 0xFF.toByte; g
+    })
+    val badRows = kafkaRows.limit(1).withColumn("value", corruptTag(col("value")))
+    val ex = intercept[Exception] {
+      KafkaTunnel.parseFrames(badRows).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("corrupt tag")))
   }
 
   test("restart resume reassembles a txn chain split across stopped runs (state-store persistence)") {

@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.functions.Portable.phash64
 import graft.functions.Text.shingles
@@ -25,6 +26,36 @@ object Dedup {
   def exact(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.groupBy(md5(text).as("content_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** A kept (first-seen) document for one content digest. */
+  case class DigestDoc(digest: String, doc_id: Long)
+
+  /** Streaming incremental exact dedup: the continuous-ingest analogue of
+    * [[exact]]. New documents arrive as a stream; the FIRST delivery of a
+    * content digest emits its smallest doc_id of that micro-batch, every
+    * later delivery of the same digest — same batch or any later one — is
+    * suppressed by per-digest state (`flatMapGroupsWithState`, no
+    * timeout: a dedup ledger never expires).
+    *
+    * Scale shape: state is one boolean per DISTINCT digest, hash-
+    * partitioned by Spark's state store across executors — the standard
+    * "have I seen this content hash" ledger a streaming ingest pipeline
+    * keeps, queryable/restartable via the checkpoint. Input column
+    * contract: `digest` (string), `doc_id` (long).
+    */
+  def streamingFirstPerDigest(stream: DataFrame): Dataset[DigestDoc] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("digest"), col("doc_id")).as[DigestDoc]
+      .groupByKey(_.digest)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (digest: String, rows: Iterator[DigestDoc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator(DigestDoc(digest, rows.map(_.doc_id).min))
+          })
+  }
 
   // --- MinHash -----------------------------------------------------------
 

@@ -33,6 +33,16 @@ object Portable {
   def revenueSum(price: Column, discount: Column): Column =
     sum(dec2(price) * (lit(1).cast(DecimalType(18, 2)) - dec2(discount))).cast("double")
 
+  /** Order-independent sum of a double expression, rounded to 6 decimals
+    * first: the rounded values are exact DECIMAL(28,6), so the aggregate
+    * is associative and engine-portable even when the addends come from
+    * transcendental math (ln in BM25 idf may differ between libm
+    * implementations in the last ulp — far below the 6-dp quantum).
+    * DuckDB equivalent: CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE).
+    */
+  def detSum6(c: Column): Column =
+    sum(round(c, 6).cast(DecimalType(28, 6))).cast("double")
+
   /** Portable 60-bit hash of a string: first 15 hex chars of MD5 as a long.
     * DuckDB equivalent: ('0x' || substr(md5(x),1,15))::BIGINT
     */

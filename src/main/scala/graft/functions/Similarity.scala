@@ -188,6 +188,107 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("sim"))
   }
 
+  // --- Product quantization ----------------------------------------------
+
+  /** Exact integer squared-L2 distance between quantized vectors (the PQ
+    * metric — order-free, no doubles, so argmins are engine-identical).
+    */
+  def sqDistQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Subvector rows (vec_id, m, sv) of prepared vectors: subspace m is
+    * components [m·subDim, (m+1)·subDim). One projection + explode of an
+    * nSub-element array — no shuffle.
+    */
+  def pqSubvectors(p: DataFrame, nSub: Int = 4, subDim: Int = 16): DataFrame = {
+    val arms = (0 until nSub).map(m => struct(lit(m).as("m"),
+      slice(col("v"), m * subDim + 1, subDim).as("sv")))
+    p.select(col("vec_id"), explode(array(arms: _*)).as("a"))
+      .select(col("vec_id"), col("a.m").as("m"), col("a.sv").as("sv"))
+  }
+
+  /** Nearest-codeword assignment per (vector, subspace): broadcast the
+    * codebook (nSub·k rows), collapse the scored candidates map-side via
+    * the partial-aggregatable min-struct argmin (ties → smallest code).
+    * Codebook schema: (m, code, cw).
+    */
+  def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame =
+    sub.join(broadcast(codebook), Seq("m"))
+      .withColumn("d", sqDistQ(col("sv"), col("cw")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("code"))).as("mm"))
+      .select(col("vec_id"), col("m"), col("mm.code").as("code"), col("mm.d").as("d"))
+
+  /** Product-quantization codebook training: independent Lloyd's runs in
+    * each of the nSub subspaces under exact integer squared-L2 (all
+    * subspaces advance together — the per-iteration passes are shared).
+    * Seeds are the seedPred vectors' subvectors (code = vec_id);
+    * re-centering rounds the per-dimension mean back onto the integer
+    * grid (exact sums, one rounded division), so the codebook is
+    * engine-identical. A codeword that loses all members drops out,
+    * identically in both engines (no NaN arm here — distances are
+    * integers). Per-iteration cost: one broadcast-assign over the
+    * subvector rows, then k·nSub·subDim partial sums through one
+    * exchange; localCheckpoint bounds plan depth.
+    */
+  def pqTrain(embs: DataFrame, id: Column, emb: Column, seedPred: Column,
+      nSub: Int = 4, subDim: Int = 16, iters: Int = 2): DataFrame = {
+    val sub = pqSubvectors(prepared(embs, id, emb), nSub, subDim).localCheckpoint()
+    val seed = sub.filter(seedPred)
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cw"))
+    (1 to iters).foldLeft(seed) { (cb, _) =>
+      val asg = pqAssign(sub, cb).select(col("vec_id"), col("m"), col("code"))
+      val sums = asg.join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("cx", round(col("sx").cast("double") / col("n")).cast("long"))
+      sums.groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          s => s.getField("cx")).as("cw"))
+        .localCheckpoint()
+    }
+  }
+
+  /** PQ encode: each vector compressed to nSub code ids (64 quantized
+    * longs → 4 small ints — the classic 16-32x inverted-list shrink).
+    * Output: (vec_id, codes) with codes in subspace order.
+    */
+  def pqEncode(embs: DataFrame, id: Column, emb: Column, codebook: DataFrame,
+      nSub: Int = 4, subDim: Int = 16): DataFrame =
+    pqAssign(pqSubvectors(prepared(embs, id, emb), nSub, subDim), codebook)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** Asymmetric-distance (ADC) top-k search over PQ codes: per query, a
+    * lookup table of |Q|·nSub·k exact subspace distances is broadcast;
+    * the corpus moves through ONE equi-join on (m, code) and a partial-
+    * aggregatable integer sum — the scored pairs collapse map-side, and
+    * no full-dimension vector is touched after encoding (the point of
+    * PQ at 100 TB: the scan reads 4 codes, not 64 components).
+    */
+  def pqAdcSearch(embs: DataFrame, id: Column, emb: Column, codebook: DataFrame,
+      queryPred: Column, k: Int = 3, nSub: Int = 4, subDim: Int = 16): DataFrame = {
+    val p = prepared(embs, id, emb)
+    val codes = pqAssign(pqSubvectors(p, nSub, subDim), codebook)
+      .select(col("vec_id"), col("m"), col("code"))
+    val lut = pqSubvectors(p.filter(queryPred), nSub, subDim)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qsv"))
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("d", sqDistQ(col("qsv"), col("cw")))
+      .select(col("query_id"), col("m"), col("code"), col("d"))
+    val adc = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("adc"))
+  }
+
   /** Prepared rows in centroid form (centroid_id, cv, cn) — the ONE
     * definition of the centroid-table schema.
     */

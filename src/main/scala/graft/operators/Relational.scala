@@ -135,6 +135,29 @@ object Relational {
       val only96 = y96.except(y97).withColumn("kind", lit("only_1996"))
       both.unionByName(only96)
         .groupBy(col("kind")).agg(count(lit(1)).as("n_custs"))
+    }),
+
+    // Gap-based sessionization of the event stream (30-min inactivity
+    // cut): lag + conditional flag + running sum + one aggregate, all
+    // inside the SAME user_id hash partitioning — Catalyst plans one
+    // exchange, the two windows and the final group-by reuse its sort.
+    // Pure integer (ns) arithmetic, so sessions are engine-identical.
+    "q10_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val gapUs = 1800000000L // 30 min (µs — the oracle's timestamp grain)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        // µs precision: DuckDB reads TIMESTAMP(NANOS) parquet at µs, so
+        // the comparison grain is ts DIV 1000 (same as Oplog.project)
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts"))
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") - lag(col("ts"), 1).over(w) > gapUs, 1).otherwise(0))
+        .withColumn("sess_seq", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_seq"))
+        .agg(min(col("ts")).as("ts_start"), max(col("ts")).as("ts_end"),
+          count(lit(1)).as("n_events"))
     })
   )
 
@@ -199,6 +222,20 @@ object Relational {
              SELECT 'both' AS kind, o_custkey FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
              UNION ALL
              SELECT 'only_1996', o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97))
-         SELECT kind, COUNT(*) AS n_custs FROM tagged GROUP BY kind"""
+         SELECT kind, COUNT(*) AS n_custs FROM tagged GROUP BY kind""",
+
+    "q10_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts FROM events),
+           m AS (SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           s AS (SELECT *,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess_seq
+             FROM m)
+         SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+           MIN(ts) AS ts_start, MAX(ts) AS ts_end, COUNT(*) AS n_events
+         FROM s GROUP BY 1, 2"""
   )
 }

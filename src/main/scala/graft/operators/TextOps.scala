@@ -47,6 +47,35 @@ object TextOps {
     "text_repetition" -> ((s, dir) =>
       Text.repetitionStats(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Okapi BM25 retrieval scoring against a fixed query-term set (the
+    // lexical-search half of a retrieval/dedup stack; k1=1.2, b=0.75).
+    // Shape at scale: corpus stats (N, avgdl) are ONE tiny agg collected
+    // to the driver as plan literals; per-doc tf explodes only tokens
+    // matching the |Q| query terms (thin rows, map-side combined); df is
+    // a |Q|-row broadcast hash join. No global sort, no wide shuffle.
+    // All score arithmetic mirrors the oracle operation-for-operation,
+    // and the per-doc sum goes through Portable.detSum6 so addend order
+    // cannot desync the engines (ln may differ in the last ulp).
+    "text_bm25" -> ((s, dir) => {
+      val qTerms = Seq("spark", "join", "window", "stream")
+      val d = docs(s, dir).select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val st = d.select(size(col("toks")).cast("double").as("dl"))
+        .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl")).head()
+      val (nDocs, avgdl) = (st.getDouble(0), st.getDouble(1))
+      val tf = d.select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+          explode(filter(col("toks"), t => t.isin(qTerms: _*))).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(dfreq), Seq("term"))
+        .withColumn("idf",
+          log(((lit(nDocs) - col("df")) + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("contrib", col("idf") * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl))))))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.Portable.detSum6(col("contrib")).as("bm25"))
+    }),
+
     // The pillars composed as ONE pipeline (the point of building on a
     // relational engine): quality gate → exact dedup (keep lowest id per
     // content hash) → hash split, summarized per (lang, split). Catalyst
@@ -144,6 +173,37 @@ object TextOps {
 
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), col("doc_id"), col("text"))),
+
+    // Streaming incremental exact dedup: the corpus arrives as TWO files
+    // (even doc_ids, then odd), each its own micro-batch
+    // (maxFilesPerTrigger=1, mod-time order); the per-digest state ledger
+    // must emit each digest exactly once — the even batch's smallest id
+    // if any even doc carries it, else the smallest odd id. A later
+    // duplicate "winning" (min over both phases) or a leak (digest
+    // emitted twice) hash-diverges from the oracle.
+    "dedup_stream_exact" -> ((s, dir) => {
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_stream_q"
+      graft.streaming.IncrSync.deletePath(s, work)
+      val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("digest"))
+        .localCheckpoint()
+      d.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$work/feed")
+      d.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$work/feed")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("digest",
+          org.apache.spark.sql.types.StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      val q = Dedup.streamingFirstPerDigest(stream).writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .option("path", s"$work/out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out").select(col("digest"), col("doc_id"))
+    }),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), col("doc_id"), col("text"))),
@@ -271,6 +331,30 @@ object TextOps {
     "text_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents",
 
+    // Mirrors the Spark plan operation-for-operation: n/avgdl are exact
+    // (integer-valued doubles sum exactly in any order), idf/weight use
+    // the identical parenthesization, and the per-doc sum is the
+    // Portable.detSum6 decimal aggregate.
+    "text_bm25" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+          dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM d),
+          stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+          tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM (SELECT doc_id, unnest(tk) AS term FROM d)
+            WHERE term IN ('spark','join','window','stream')
+            GROUP BY 1, 2),
+          dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+          SELECT doc_id, CAST(SUM(CAST(ROUND(
+              ln(((n_docs - df) + 0.5) / (df + 0.5) + 1.0) *
+              ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 6)
+            AS DECIMAL(28,6))) AS DOUBLE) AS bm25
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY doc_id""",
+
     "text_bpe_tokens" ->
       s"""SELECT doc_id,
           CAST(len(regexp_extract_all(lower(text), '${Text.bpeRegex}')) AS BIGINT) AS n_bpe
@@ -393,6 +477,15 @@ object TextOps {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",
+
+    // per-digest winner under phased delivery: even batch first
+    "dedup_stream_exact" ->
+      """WITH dg AS (SELECT doc_id, md5(text) AS digest FROM documents)
+         SELECT digest,
+           CASE WHEN COUNT(*) FILTER (WHERE doc_id % 2 = 0) > 0
+                THEN MIN(doc_id) FILTER (WHERE doc_id % 2 = 0)
+                ELSE MIN(doc_id) END AS doc_id
+         FROM dg GROUP BY digest""",
 
     "dedup_minhash_lsh" ->
       s"WITH $minhashPairCtes SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5",

@@ -42,6 +42,30 @@ object VectorOps {
           md5(encode(concat_ws(",",
             transform(col("q"), x => x.cast("string"))), "UTF-8")).as("q_md5"))),
 
+    // Product quantization, the ANN storage/search companion past SQ8:
+    // 4 subspaces x 16 dims, 8-codeword codebooks trained per subspace
+    // (2 Lloyd's iterations under exact integer L2, seeds = the 8
+    // lowest-id vectors' subvectors); each vector compresses to 4 codes.
+    "sim_pq_encode" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8)
+      Similarity.pqEncode(e, col("vec_id"), col("embedding"), cb)
+        .select(col("vec_id"), col("codes")(0).as("c0"), col("codes")(1).as("c1"),
+          col("codes")(2).as("c2"), col("codes")(3).as("c3"))
+    }),
+
+    // ADC search over the PQ codes: per-query subspace distance LUT
+    // (broadcast), corpus moves through one (m, code) equi-join + integer
+    // sum — after encoding, the scan never touches a full vector again.
+    "sim_pq_adc" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8)
+      Similarity.pqAdcSearch(e, col("vec_id"), col("embedding"), cb,
+        col("vec_id") < 10)
+    }),
+
     // IVF coarse quantizer: k-means-trained centroids (2 Lloyd's
     // iterations from the 8 lowest-id seeds), nearest-centroid histogram.
     "sim_ivf_assign" -> ((s, dir) => {
@@ -159,6 +183,32 @@ object VectorOps {
             md5(array_to_string(list_transform(q, y -> CAST(y AS VARCHAR)), ',')) AS q_md5
           FROM coded""",
 
+    "sim_pq_encode" ->
+      s"""WITH $prepCte, ${pqCtes(2)}, ${pqEncCte(2)}
+          SELECT vec_id,
+            MAX(CASE WHEN m = 0 THEN code END) AS c0,
+            MAX(CASE WHEN m = 1 THEN code END) AS c1,
+            MAX(CASE WHEN m = 2 THEN code END) AS c2,
+            MAX(CASE WHEN m = 3 THEN code END) AS c3
+          FROM enc GROUP BY vec_id""",
+
+    "sim_pq_adc" ->
+      s"""WITH $prepCte, ${pqCtes(2)}, ${pqEncCte(2)},
+          lut AS (
+            SELECT s.vec_id AS query_id, s.m, c.code, ${l2Sql("s.sv", "c.cw")} AS d
+            FROM subprep s JOIN cb2 c USING (m) WHERE s.vec_id < 10),
+          adc AS (
+            SELECT l.query_id, a.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
+            FROM enc a JOIN lut l ON l.m = a.m AND l.code = a.code
+            WHERE l.query_id <> a.vec_id
+            GROUP BY 1, 2)
+          SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, adc
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc, vec_id) AS rank
+            FROM adc)
+          WHERE rank <= 3""",
+
     "sim_ivf_assign" ->
       s"""WITH $prepCte, ${kmeansCtes(2)},
           assigned AS (
@@ -197,6 +247,48 @@ object VectorOps {
           SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
           FROM scored WHERE rank <= 3"""
   )
+
+  /** Integer squared-L2 over DuckDB lists — [[Similarity.sqDistQ]]'s SQL. */
+  private def l2Sql(a: String, b: String): String =
+    s"list_sum([($a[i]-$b[i])*($a[i]-$b[i]) for i in generate_series(1, len($a))])"
+
+  /** PQ training CTE chain mirroring [[Similarity.pqTrain]] (4 subspaces
+    * x 16 dims, seeds = vec_id < 8, integer-L2 argmin with code
+    * tie-break, round(mean) re-centering on the integer grid).
+    */
+  private def pqCtes(iters: Int): String = {
+    val sub =
+      """subprep AS (
+           SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
+           FROM prep, (SELECT unnest(generate_series(0, 3)) AS m))"""
+    val seed = "cb0 AS (SELECT m, vec_id AS code, sv AS cw FROM subprep WHERE vec_id < 8)"
+    val steps = (1 to iters).map { t =>
+      s"""pasg$t AS (
+            SELECT vec_id, m, code FROM (
+              SELECT s.vec_id, s.m, c.code,
+                ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                  ORDER BY ${l2Sql("s.sv", "c.cw")} ASC, c.code) AS rn
+              FROM subprep s JOIN cb${t - 1} c USING (m)) WHERE rn = 1),
+          psums$t AS (
+            SELECT a.m, a.code, i, SUM(s.sv[i]) AS sx, COUNT(*) AS n
+            FROM pasg$t a JOIN subprep s USING (vec_id, m),
+                 (SELECT unnest(generate_series(1, 16)) AS i)
+            GROUP BY 1, 2, 3),
+          cb$t AS (
+            SELECT m, code, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cw
+            FROM psums$t GROUP BY 1, 2)"""
+    }
+    (Seq(sub, seed) ++ steps).mkString(", ")
+  }
+
+  /** Final-codebook assignment CTE (the encode pass over cb`iters`). */
+  private def pqEncCte(iters: Int): String =
+    s"""enc AS (
+          SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, c.code,
+              ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                ORDER BY ${l2Sql("s.sv", "c.cw")} ASC, c.code) AS rn
+            FROM subprep s JOIN cb$iters c USING (m)) WHERE rn = 1)"""
 
   /** Lloyd's-iteration CTE chain mirroring [[Similarity.kmeansTrain]]:
     * cents0 = the 8 lowest-id seeds; each iteration assigns every vector

@@ -81,6 +81,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents(1)._2 == Seq(33L, 900L, 0L, 0L))
   }
 
+  test("PQ: codes reference the codebook; ADC equals the summed subspace LUT distance") {
+    // 12 vectors in 64 dims with two obvious per-subspace clusters
+    val corpus = (0 until 12).map { i =>
+      (i.toLong, Seq.tabulate(64)(d =>
+        (if ((i + d / 16) % 2 == 0) 0.9f else -0.9f) + (i % 3) * 0.01f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val cb = Similarity.pqTrain(corpus, col("vec_id"), col("embedding"),
+      col("vec_id") < 4, nSub = 4, subDim = 16, iters = 2)
+    val cbRows = cb.select("m", "code").as[(Int, Long)].collect()
+    assert(cbRows.map(_._1).toSet == Set(0, 1, 2, 3))
+    val codeSet = cbRows.toSet
+    val enc = Similarity.pqEncode(corpus, col("vec_id"), col("embedding"), cb)
+      .as[(Long, Seq[Long])].collect()
+    assert(enc.length == 12 && enc.forall(_._2.length == 4))
+    // every emitted code exists in its subspace's codebook
+    assert(enc.forall { case (_, codes) =>
+      codes.zipWithIndex.forall { case (c, m) => codeSet((m, c)) } })
+    // ADC: ranks are 1..k per query, distances non-decreasing in rank
+    val adc = Similarity.pqAdcSearch(corpus, col("vec_id"), col("embedding"),
+      cb, col("vec_id") < 3, k = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(adc.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).toSeq == Seq(1L, 2L, 3L) &&
+        rows.sortBy(_._3).map(_._4).sliding(2).forall(p => p.head <= p.last) })
+  }
+
   test("annLshTop1: bucketed candidates only, each result is the bucket argmax") {
     val corpus = (0 until 50).map { i =>
       (i.toLong, Seq.tabulate(64)(d => ((i * 37 + d * 13) % 17 - 8).toFloat / 8f), 0)

@@ -99,4 +99,44 @@ class TextDedupSpec extends AnyFunSuite {
     val open = Dedup.simhashPairs(df, col("doc_id"), col("text"))
     assert(open.count() == 12L * 11 / 2)
   }
+
+  test("streaming dedup: a digest's first batch wins; later duplicates are suppressed by state") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sdedup").toFile.getAbsolutePath
+    // batch 1: digest A twice (ids 4, 2), digest B once (id 6)
+    Seq((4L, "A"), (2L, "A"), (6L, "B")).toDF("doc_id", "digest")
+      .coalesce(1).write.parquet(s"$work/feed")
+    // batch 2: digest A again with a SMALLER id (must NOT win), new C
+    Seq((1L, "A"), (3L, "C")).toDF("doc_id", "digest")
+      .coalesce(1).write.mode("append").parquet(s"$work/feed")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("digest",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+    val q = Dedup.streamingFirstPerDigest(stream).writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$work/out")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("A", 2L), ("B", 6L), ("C", 3L)))
+
+    // restart with a THIRD file: the ledger survives the checkpoint —
+    // another A duplicate stays suppressed, new D emits
+    Seq((9L, "A"), (8L, "D")).toDF("doc_id", "digest")
+      .coalesce(1).write.mode("append").parquet(s"$work/feed")
+    val q2 = Dedup.streamingFirstPerDigest(stream).writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").start()
+    q2.awaitTermination()
+    val got2 = spark.read.parquet(s"$work/out")
+      .as[(String, Long)].collect().toSet
+    assert(got2 == got + (("D", 8L)))
+  }
 }

@@ -46,7 +46,31 @@ object StreamOps {
     "cdc_resume_restart" -> ((s, dir) => runResume(s, dir)),
     "cdc_metrics" -> ((s, dir) => runMetrics(s, dir)),
     "cdc_full_incr_handoff" -> ((s, dir) => runHandoff(s, dir)),
-    "cdc_soak_live" -> ((s, dir) => runSoak(s, dir)))
+    "cdc_soak_live" -> ((s, dir) => runSoak(s, dir)),
+    "stream_window_late" -> ((s, dir) => runWindowed(s, dir)))
+
+  /** Stage a multi-file feed whose files must be consumed IN ORDER by a
+    * `maxFilesPerTrigger = 1` file source: write each part, then pin
+    * strictly increasing modification times (2 s apart) on its files.
+    * Two sub-millisecond parquet writes otherwise land with the SAME
+    * mod time and the source's oldest-first ordering falls back to the
+    * random part-file names — a latent coin-flip in any staged harness.
+    */
+  private[graft] def stageOrdered(s: SparkSession, feedDir: String,
+      parts: Seq[DataFrame]): Unit = {
+    val path = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+    var known = Set.empty[String]
+    val base = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode(if (i == 0) "overwrite" else "append").parquet(feedDir)
+      val files = fs.listStatus(path).map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      files.filterNot(f => known(f.getName))
+        .foreach(f => fs.setTimes(f, base + i * 2000L, -1))
+      known ++= files.map(_.getName)
+    }
+  }
 
   /** Canonical oplog rows as a raw-oplog feed (null txn columns). */
   private def feedify(df: DataFrame): DataFrame = {
@@ -403,16 +427,16 @@ object StreamOps {
     }
 
     val feedDir = s"$work/feed"
-    // files 1 and 2 pre-staged IN ORDER (mod-time sequenced by the writes
-    // themselves); maxFilesPerTrigger=1 below still makes each its own
+    // files 1 and 2 pre-staged IN ORDER (mod times pinned by
+    // stageOrdered); maxFilesPerTrigger=1 below still makes each its own
     // micro-batch, so the cross commits sit one trigger behind their
     // partials — the purge race is bounded by batch-1 processing alone
-    feedify(plainRows.filter(col("ts_packed") <= t1))
-      .unionByName(entryRows(chains.filter(col("rn") < col("n") - 1)))
-      .coalesce(1).write.parquet(feedDir)
-    feedify(plainRows.filter(col("ts_packed") > t1 && col("ts_packed") <= t2))
-      .unionByName(entryRows(chains.filter(!col("orphan") && col("rn") === col("n") - 1)))
-      .coalesce(1).write.mode("append").parquet(feedDir)
+    stageOrdered(s, feedDir, Seq(
+      feedify(plainRows.filter(col("ts_packed") <= t1))
+        .unionByName(entryRows(chains.filter(col("rn") < col("n") - 1))),
+      feedify(plainRows.filter(col("ts_packed") > t1 && col("ts_packed") <= t2))
+        .unionByName(entryRows(
+          chains.filter(!col("orphan") && col("rn") === col("n") - 1)))))
 
     val q = IncrSync.startOplogFrom(s,
       graft.streaming.ParquetDirSource(feedDir, IncrSync.oplogSchema, maxFilesPerTrigger = 1),
@@ -443,6 +467,69 @@ object StreamOps {
       .select(lit("ckpt_n").as("section"), lit("").as("a"), lit("").as("b"),
         col("tot").as("x"), col("nb").as("y"), lit(0.0).as("v"))
     state.unionByName(ckRange).unionByName(ckN)
+  }
+
+  /** Watermarked event-time windowing with a DETERMINISTIC late-data
+    * drop: the canonical Structured Streaming aggregation surface
+    * (tumbling 1-day windows, 1-hour watermark, append mode), driven so
+    * the watermark race is pinned instead of flaky.
+    *
+    * The corpus is staged as THREE files in pinned mod-time order with
+    * `maxFilesPerTrigger = 1`: the UPPER time-half first (its max sets
+    * the watermark to global-max − 1 h), then a one-row filler (a
+    * re-delivery of a max-ts row), then the lower half — now late. The
+    * filler batch matters because Spark ≥ 3.4 splits the watermark
+    * (SPARK-40925): batch N evicts state with the watermark computed
+    * after batch N−1, but filters LATE INPUT with the one from batch
+    * N−2 — so the drop only engages one batch after the raise (verified
+    * empirically against 4.1.2: the same feed without the filler merges
+    * every "late" row). Closed form: the filler batch emits exactly the
+    * windows whose end is at or below the batch-1 watermark with
+    * UPPER-ONLY counts; the lower half is then dropped wholesale
+    * (windows into open state stay unemitted — the watermark never
+    * advances again). A drop that fails (lower-half windows appear, the
+    * boundary window's count inflates), over-drops, or emits open
+    * windows hash-diverges from the oracle.
+    *
+    * Output: (w_start µs, n_events, min_event, max_event) — integer-only
+    * aggregates, engine-exact.
+    */
+  private def runWindowed(s: SparkSession, dir: String): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_wm_window_q"
+    IncrSync.deletePath(s, work)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), expr("ts DIV 1000").as("ts_us")).localCheckpoint()
+    val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val tmid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    stageOrdered(s, s"$work/feed", Seq(
+      ev.filter(col("ts_us") > tmid),
+      // filler: re-deliver the max-ts row(s); they join the still-open
+      // last window (never emitted) and advance nothing — the batch
+      // exists purely to bring the late-events watermark current
+      ev.filter(col("ts_us") === b.getLong(1)),
+      ev.filter(col("ts_us") <= tmid)))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+      .select(unix_micros(col("w.start")).as("w_start"), col("n_events"),
+        col("min_event"), col("max_event"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
   }
 
   /** G7's queryable metrics surface (`common/metric.go:43-52,87-200`): run
@@ -485,6 +572,22 @@ object StreamOps {
   private val chainSql: String = Oplog.oracleChainSql
 
   def oracles: Map[String, String] = Map(
+    // Closed form of the staged watermark run: windows ending at or
+    // below (global max − 1 h), counting only upper-half (batch 1) rows.
+    "stream_window_late" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts)//1000 AS ts_us FROM events),
+          tt AS (SELECT tmin + (tmax - tmin) // 2 AS tmid,
+                        tmax - 3600000000 AS wm
+                 FROM (SELECT MIN(ts_us) AS tmin, MAX(ts_us) AS tmax FROM e)),
+          up AS (SELECT event_id, ts_us,
+                   ts_us - ts_us % 86400000000 AS w_start
+                 FROM e, tt WHERE ts_us > tmid)
+          SELECT w_start, COUNT(*) AS n_events,
+            MIN(event_id) AS min_event, MAX(event_id) AS max_event
+          FROM up, tt
+          WHERE w_start + 86400000000 <= wm
+          GROUP BY w_start""",
+
     "cdc_soak_live" -> Oplog.withOracleCte(
       s""", eff AS (
             SELECT event_id, ts_packed, op, ns, doc_key, value

@@ -186,9 +186,9 @@ object TextOps {
       graft.streaming.IncrSync.deletePath(s, work)
       val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("digest"))
         .localCheckpoint()
-      d.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$work/feed")
-      d.filter(col("doc_id") % 2 === 1).coalesce(1)
-        .write.mode("append").parquet(s"$work/feed")
+      StreamOps.stageOrdered(s, s"$work/feed", Seq(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1)))
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),

@@ -42,6 +42,24 @@ object VectorOps {
           md5(encode(concat_ws(",",
             transform(col("q"), x => x.cast("string"))), "UTF-8")).as("q_md5"))),
 
+    // SemDeDup-style semantic dedup: the trained k-means clusters are the
+    // blocking key (not a data label, not an LSH heuristic — the learned
+    // partition of embedding space), near-dup pairs only within a
+    // cluster. At corpus scale this is the standard "cluster then
+    // pairwise within cluster" shape: candidate generation is an
+    // equi-join on centroid_id with the maxBlock quadratic guard.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = KmeansIters)
+      val withCluster = e.join(
+        Similarity.ivfAssign(e, col("vec_id"), col("embedding"), cents)
+          .select(col("vec_id"), col("centroid_id")),
+        Seq("vec_id"))
+      Similarity.thresholdPairs(withCluster, col("vec_id"), col("embedding"),
+        col("centroid_id"), threshold = 0.4)
+    }),
+
     // Product quantization, the ANN storage/search companion past SQ8:
     // 4 subspaces x 16 dims, 8-codeword codebooks trained per subspace
     // (2 Lloyd's iterations under exact integer L2, seeds = the 8
@@ -182,6 +200,27 @@ object VectorOps {
             CAST(list_sum(q) AS BIGINT) AS q_sum,
             md5(array_to_string(list_transform(q, y -> CAST(y AS VARCHAR)), ',')) AS q_md5
           FROM coded""",
+
+    "dedup_semantic" ->
+      s"""WITH $prepCte, ${kmeansCtes(2)},
+          assigned AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents2 c) WHERE rn = 1),
+          pa AS (
+            SELECT * FROM (
+              SELECT a.centroid_id, p.vec_id, p.v, p.nrm,
+                COUNT(*) OVER (PARTITION BY a.centroid_id) AS bn
+              FROM assigned a JOIN prep p USING (vec_id))
+            WHERE bn <= 10000)
+          SELECT id_a, id_b, sim FROM (
+            SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+              ${simSql("x.v", "x.nrm", "y.v", "y.nrm")} AS sim
+            FROM pa x JOIN pa y
+              ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
+          WHERE sim >= 0.4""",
 
     "sim_pq_encode" ->
       s"""WITH $prepCte, ${pqCtes(2)}, ${pqEncCte(2)}

@@ -102,12 +102,12 @@ class TextDedupSpec extends AnyFunSuite {
 
   test("streaming dedup: a digest's first batch wins; later duplicates are suppressed by state") {
     val work = java.nio.file.Files.createTempDirectory("graft_sdedup").toFile.getAbsolutePath
-    // batch 1: digest A twice (ids 4, 2), digest B once (id 6)
-    Seq((4L, "A"), (2L, "A"), (6L, "B")).toDF("doc_id", "digest")
-      .coalesce(1).write.parquet(s"$work/feed")
-    // batch 2: digest A again with a SMALLER id (must NOT win), new C
-    Seq((1L, "A"), (3L, "C")).toDF("doc_id", "digest")
-      .coalesce(1).write.mode("append").parquet(s"$work/feed")
+    // batch 1: digest A twice (ids 4, 2), digest B once (id 6);
+    // batch 2: digest A again with a SMALLER id (must NOT win), new C.
+    // stageOrdered pins mod times so batch order is not a mod-time race.
+    graft.operators.StreamOps.stageOrdered(spark, s"$work/feed", Seq(
+      Seq((4L, "A"), (2L, "A"), (6L, "B")).toDF("doc_id", "digest"),
+      Seq((1L, "A"), (3L, "C")).toDF("doc_id", "digest")))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),

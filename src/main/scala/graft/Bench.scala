@@ -30,11 +30,16 @@ object Bench {
     // AND r7's mid-run one both become machine-detectable AND localizable
     // (pre/post probes alone miss contention that starts and ends inside
     // the run). `scripts/bench_compare.py` reads the spread.
-    def probe(): Double = {
+    // Each probe point is the MIN of three back-to-back samples: right
+    // after a heavy query the session's async teardown (context cleaner,
+    // state-store maintenance) inflates a single sample 2-3x on an
+    // otherwise idle box; the min is the capacity sample, while genuine
+    // external contention inflates all three and still shows.
+    def probe(): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       spark.range(100000000L).selectExpr("sum(id * 3 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
-    }
+    }.min
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val probeEvery = 12

@@ -158,6 +158,26 @@ object Relational {
         .groupBy(col("user_id"), col("sess_seq"))
         .agg(min(col("ts")).as("ts_start"), max(col("ts")).as("ts_end"),
           count(lit(1)).as("n_events"))
+    }),
+
+    // Exact per-group quantiles (discrete: value at rank ceil(p·n)) via
+    // one windowed sort per group — the honest cost of EXACT quantiles
+    // at scale (an approximate path would use a mergeable sketch, which
+    // no cross-engine oracle can hash-match). The value at a rank is
+    // deterministic even when values tie, so the result is stable under
+    // any partitioning.
+    "q11_quantiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.5), col("l_quantity"))).as("p50"),
+          max(when(col("rn") === ceil(col("n") * 0.9), col("l_quantity"))).as("p90"),
+          max(when(col("rn") === ceil(col("n") * 0.99), col("l_quantity"))).as("p99"))
     })
   )
 
@@ -236,6 +256,17 @@ object Relational {
              FROM m)
          SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
            MIN(ts) AS ts_start, MAX(ts) AS ts_end, COUNT(*) AS n_events
-         FROM s GROUP BY 1, 2"""
+         FROM s GROUP BY 1, 2""",
+
+    "q11_quantiles" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN l_quantity END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN l_quantity END) AS p90,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN l_quantity END) AS p99
+         FROM r GROUP BY 1"""
   )
 }

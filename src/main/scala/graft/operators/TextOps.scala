@@ -47,6 +47,15 @@ object TextOps {
     "text_repetition" -> ((s, dir) =>
       Text.repetitionStats(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Corpus-level term frequencies, top 20 (the vocabulary/heavy-hitter
+    // profile a tokenizer-training or quality pass starts from): explode
+    // + count collapses map-side; only |vocab| rows shuffle; the top-k
+    // sort runs on the tiny aggregated set. Ties break on the term.
+    "text_top_terms" -> ((s, dir) =>
+      docs(s, dir).select(explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(20)),
+
     // Okapi BM25 retrieval scoring against a fixed query-term set (the
     // lexical-search half of a retrieval/dedup stack; k1=1.2, b=0.75).
     // Shape at scale: corpus stats (N, avgdl) are ONE tiny agg collected
@@ -330,6 +339,11 @@ object TextOps {
 
     "text_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents",
+
+    "text_top_terms" ->
+      s"""SELECT term, COUNT(*) AS n
+          FROM (SELECT unnest($toks) AS term FROM documents)
+          GROUP BY 1 ORDER BY n DESC, term LIMIT 20""",
 
     // Mirrors the Spark plan operation-for-operation: n/avgdl are exact
     // (integer-valued doubles sum exactly in any order), idf/weight use

@@ -16,6 +16,32 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Okapi BM25 per-doc scores against the fixed query-term set (see the
+    * `text_bm25` entry's shape notes) — shared by `text_bm25` and the
+    * hybrid-retrieval fusion.
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("spark", "join", "window", "stream")
+    val base = docs(s, dir).select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("double").as("dl"),
+        filter(Text.tokens(col("text")), t => t.isin(qTerms: _*)).as("hits"))
+      .localCheckpoint()
+    val st = base.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl")).head()
+    val (nDocs, avgdl) = (st.getDouble(0), st.getDouble(1))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("idf",
+        log(((lit(nDocs) - col("df")) + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib", col("idf") * ((col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl))))))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.Portable.detSum6(col("contrib")).as("bm25"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, dir) =>
       docs(s, dir).select(
@@ -58,31 +84,50 @@ object TextOps {
 
     // Okapi BM25 retrieval scoring against a fixed query-term set (the
     // lexical-search half of a retrieval/dedup stack; k1=1.2, b=0.75).
-    // Shape at scale: corpus stats (N, avgdl) are ONE tiny agg collected
-    // to the driver as plan literals; per-doc tf explodes only tokens
-    // matching the |Q| query terms (thin rows, map-side combined); df is
-    // a |Q|-row broadcast hash join. No global sort, no wide shuffle.
-    // All score arithmetic mirrors the oracle operation-for-operation,
-    // and the per-doc sum goes through Portable.detSum6 so addend order
-    // cannot desync the engines (ln may differ in the last ulp).
-    "text_bm25" -> ((s, dir) => {
-      val qTerms = Seq("spark", "join", "window", "stream")
-      val d = docs(s, dir).select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      val st = d.select(size(col("toks")).cast("double").as("dl"))
-        .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl")).head()
-      val (nDocs, avgdl) = (st.getDouble(0), st.getDouble(1))
-      val tf = d.select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
-          explode(filter(col("toks"), t => t.isin(qTerms: _*))).as("term"))
-        .groupBy(col("doc_id"), col("dl"), col("term"))
-        .agg(count(lit(1)).cast("double").as("tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
-      tf.join(broadcast(dfreq), Seq("term"))
-        .withColumn("idf",
-          log(((lit(nDocs) - col("df")) + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
-        .withColumn("contrib", col("idf") * ((col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl))))))
-        .groupBy(col("doc_id"))
-        .agg(graft.functions.Portable.detSum6(col("contrib")).as("bm25"))
+    // Shape at scale: ONE corpus scan projects a thin checkpointed base
+    // (doc_id, dl, matched query terms) — corpus stats, per-doc tf, and
+    // per-term df all derive from it (the naive shape re-scans the
+    // corpus for df; PlanAuditSpec pins the single scan). Stats land as
+    // plan literals; df is a |Q|-row broadcast hash join. No global
+    // sort, no wide shuffle. All score arithmetic mirrors the oracle
+    // operation-for-operation, and the per-doc sum goes through
+    // Portable.detSum6 so addend order cannot desync the engines (ln
+    // may differ in the last ulp).
+    "text_bm25" -> ((s, dir) => bm25Scores(s, dir)),
+
+    // Hybrid retrieval with reciprocal-rank fusion: the lexical arm
+    // (BM25 top 50) and the vector arm (cosine vs a fixed query
+    // embedding, top 50) fuse as 1/(60+rank) sums — the standard
+    // RRF(k=60) hybrid-search combiner. Shape at scale: both arms end in
+    // a distributed TakeOrdered (no global window over the corpus — the
+    // rank windows run on the 50-row tops); the query vector is a plan
+    // literal, so the vector arm is a pure scan + map-side top-k.
+    "pipe_hybrid_rrf" -> ((s, dir) => {
+      import graft.functions.Similarity
+      val wLex = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val lex = bm25Scores(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .withColumn("r_lex", row_number().over(wLex).cast("long"))
+      val p = Similarity.prepared(Tables.load(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"))
+      val q0 = p.filter(col("vec_id") === 0).select(col("v"), col("nrm")).head()
+      val qv = typedLit(q0.getSeq[Long](0))
+      val qn = lit(q0.getLong(1))
+      val wVec = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sim").desc, col("doc_id"))
+      val vec = p.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          Similarity.cosineQ(qv, qn, col("v"), col("nrm")).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(50)
+        .withColumn("r_vec", row_number().over(wVec).cast("long"))
+      lex.select(col("doc_id"), col("r_lex"))
+        .join(vec.select(col("doc_id"), col("r_vec")), Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_vec")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
     }),
 
     // The pillars composed as ONE pipeline (the point of building on a
@@ -262,6 +307,30 @@ object TextOps {
 
   private val toks = "string_split(text, ' ')"
 
+  /** BM25 CTE chain ending in `lexall(doc_id, bm25)` — shared by the
+    * `text_bm25` oracle and the hybrid-RRF fusion oracle.
+    */
+  private lazy val bm25Ctes: String =
+    s"""d AS (SELECT doc_id, $toks AS tk FROM documents),
+        dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM d),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        tf AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM (SELECT doc_id, unnest(tk) AS term FROM d)
+          WHERE term IN ('spark','join','window','stream')
+          GROUP BY 1, 2),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        lexall AS (
+          SELECT doc_id, CAST(SUM(CAST(ROUND(
+              ln(((n_docs - df) + 0.5) / (df + 0.5) + 1.0) *
+              ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 6)
+            AS DECIMAL(28,6))) AS DOUBLE) AS bm25
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY doc_id)"""
+
   /** Marker occurrence count via the replace-length trick (see Text.occurrences). */
   private def occSql(m: String): String = {
     val e = m.replace("'", "''")
@@ -349,25 +418,36 @@ object TextOps {
     // (integer-valued doubles sum exactly in any order), idf/weight use
     // the identical parenthesization, and the per-doc sum is the
     // Portable.detSum6 decimal aggregate.
-    "text_bm25" ->
-      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
-          dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM d),
-          stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
-          tf AS (
-            SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
-            FROM (SELECT doc_id, unnest(tk) AS term FROM d)
-            WHERE term IN ('spark','join','window','stream')
-            GROUP BY 1, 2),
-          dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
-          SELECT doc_id, CAST(SUM(CAST(ROUND(
-              ln(((n_docs - df) + 0.5) / (df + 0.5) + 1.0) *
-              ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 6)
-            AS DECIMAL(28,6))) AS DOUBLE) AS bm25
-          FROM tf
-          JOIN dfreq USING (term)
-          JOIN dl USING (doc_id)
-          CROSS JOIN stats
-          GROUP BY doc_id""",
+    "text_bm25" -> s"WITH $bm25Ctes SELECT * FROM lexall",
+
+    "pipe_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+          prep AS (
+            SELECT vec_id,
+              [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS v
+            FROM embeddings),
+          pn AS (SELECT vec_id, v, list_sum([y*y for y in v]) AS nrm FROM prep),
+          q0 AS (SELECT v AS qv, nrm AS qn FROM pn WHERE vec_id = 0),
+          vsim AS (
+            SELECT vec_id AS doc_id,
+              CAST(list_sum([p.v[i] * q0.qv[i]
+                FOR i IN generate_series(1, len(p.v))]) AS DOUBLE)
+                / sqrt(CAST(p.nrm * q0.qn AS DOUBLE)) AS sim
+            FROM pn p, q0 WHERE vec_id <> 0),
+          vtop AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS r_vec
+            FROM vsim QUALIFY r_vec <= 50),
+          ltop AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+            FROM lexall QUALIFY r_lex <= 50),
+          fused AS (
+            SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+              CAST(l.r_lex AS BIGINT) AS r_lex, CAST(v.r_vec AS BIGINT) AS r_vec,
+              COALESCE(1.0 / (60.0 + l.r_lex), 0.0)
+                + COALESCE(1.0 / (60.0 + v.r_vec), 0.0) AS rrf
+            FROM ltop l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id)
+          SELECT doc_id, r_lex, r_vec, rrf
+          FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""",
 
     "text_bpe_tokens" ->
       s"""SELECT doc_id,

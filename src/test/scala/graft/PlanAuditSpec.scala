@@ -105,6 +105,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sim_sq8 reads the unused label column:\n$plan")
   }
 
+  test("plan audit: q10/q11 scans prune to the referenced columns") {
+    // sessionize touches 3 of events' 6 columns; quantiles 2 of
+    // lineitem's 16 — at 100 TB the scan width IS the query cost
+    val p10 = SparkEntry.queries("q10_sessionize")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val rs10 = p10.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs10.contains("props") && !rs10.contains("event_type"),
+      s"q10_sessionize widens the events scan:\n$p10")
+    val p11 = SparkEntry.queries("q11_quantiles")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val rs11 = p11.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs11.contains("l_extendedprice") && !rs11.contains("l_comment"),
+      s"q11_quantiles widens the lineitem scan:\n$p11")
+  }
+
+  test("plan audit: text_bm25 scans the corpus once (stats, tf, and df share the base)") {
+    val plan = SparkEntry.queries("text_bm25")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the checkpointed base is the only corpus pass — the final plan must
+    // not re-read parquet for the df (or any other) branch
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 0, s"text_bm25 re-scans the corpus ($scans parquet scans):\n$plan")
+  }
+
   test("plan audit: events scans prune to the referenced columns") {
     // The canonical projection reads 5 of the table's 6 columns; a query
     // that only needs (op, ns) must not widen the scan back to full rows.

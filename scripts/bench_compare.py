@@ -70,6 +70,12 @@ def main():
         prev = prev["parsed"]
     if "queries" not in cur and isinstance(cur.get("parsed"), dict):
         cur = cur["parsed"]
+    for tag, d, p in (("prev", prev, args.prev), ("cur", cur, args.cur)):
+        if "queries" not in d:
+            raise SystemExit(
+                f"{tag} capture {p} has no query timings (truncated driver "
+                f"capture with parsed=null? use the engine-written "
+                f"bench_latest.json instead)")
     pq, cq = prev["queries"], cur["queries"]
 
     contended_prev = describe("prev", prev)

@@ -245,4 +245,54 @@ class PropertySpec extends AnyFunSuite {
         decoded.map(new String(_, "UTF-8")).sorted.toSeq)
     }
   }
+
+  test("detSum6 is order-invariant where a raw double sum is not guaranteed to be") {
+    import graft.functions.Portable
+    val valGen = Gen.listOfN(40, Gen.choose(-1e6, 1e6))
+    samples(valGen, 5).foreach { xs =>
+      val a = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("i", "x")
+      val fwd = a.agg(Portable.detSum6(col("x"))).head().getDouble(0)
+      val rev = xs.reverse.zipWithIndex.map { case (x, i) => (i, x) }.toDF("i", "x")
+        .repartition(7).agg(Portable.detSum6(col("x"))).head().getDouble(0)
+      assert(fwd == rev, s"detSum6 order-dependent on $xs")
+    }
+  }
+
+  test("pqAssign is a true argmin: assigned distance <= distance to every codeword") {
+    import graft.functions.Similarity
+    val vecGen = Gen.listOfN(8, Gen.listOfN(64, Gen.choose(-1.0f, 1.0f)))
+    samples(vecGen, 3).foreach { vecs =>
+      val corpus = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v, 0) }
+        .toDF("vec_id", "embedding", "label")
+      val cb = Similarity.pqTrain(corpus, col("vec_id"), col("embedding"),
+        col("vec_id") < 3, iters = 1)
+      val sub = Similarity.pqSubvectors(
+        Similarity.prepared(corpus, col("vec_id"), col("embedding")))
+      val assigned = Similarity.pqAssign(sub, cb)
+      // join every (vector, subspace) against EVERY codeword of that
+      // subspace: no alternative may beat the assigned distance, and an
+      // equal-distance alternative may only have a LARGER code id
+      val beaten = sub.join(cb, Seq("m"))
+        .withColumn("alt", Similarity.sqDistQ(col("sv"), col("cw")))
+        .join(assigned.withColumnRenamed("code", "got"), Seq("vec_id", "m"))
+        .filter(col("alt") < col("d") ||
+          (col("alt") === col("d") && col("code") < col("got")))
+      assert(beaten.count() == 0)
+    }
+  }
+
+  test("hash split is a pure function of the id: stable under re-partitioning and re-run") {
+    import graft.functions.Text
+    val ids = (0 until 500).map(_.toLong).toDF("doc_id")
+    val once = ids.select(col("doc_id"), Text.splitAssign(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val again = ids.repartition(13)
+      .select(col("doc_id"), Text.splitAssign(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(once == again)
+    // and the buckets are all populated in sane proportion (80/10/10)
+    val n = once.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > n("val") && n("train") > n("test") && n.values.sum == 500)
+  }
 }

@@ -52,10 +52,15 @@ object VectorOps {
       val e = embs(s, dir)
       val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
         col("vec_id") < 8, iters = KmeansIters)
+      // checkpoint the clustered corpus once: the threshold self-join
+      // otherwise duplicates the whole assignment subtree (2 extra full
+      // corpus scans per side); at cluster scale this would be a persist
+      // of the thin (id, cluster, vector) projection
       val withCluster = e.join(
         Similarity.ivfAssign(e, col("vec_id"), col("embedding"), cents)
           .select(col("vec_id"), col("centroid_id")),
         Seq("vec_id"))
+        .localCheckpoint()
       Similarity.thresholdPairs(withCluster, col("vec_id"), col("embedding"),
         col("centroid_id"), threshold = 0.4)
     }),

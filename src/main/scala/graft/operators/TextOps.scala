@@ -130,6 +130,29 @@ object TextOps {
         .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
     }),
 
+    // Training-manifest enrichment across BOTH corpora: documents
+    // quality-gated, split-assigned, token-counted, joined to their
+    // embedding's trained k-means cluster, summarized per (split,
+    // cluster) — the manifest a loader would shard by. One equi-join on
+    // the id (the cluster side is the thin assignment projection), one
+    // final aggregate.
+    "pipe_enrich" -> ((s, dir) => {
+      import graft.functions.Similarity
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = 2)
+      val clusters = Similarity.ivfAssign(e, col("vec_id"), col("embedding"), cents)
+        .select(col("vec_id").as("doc_id"), col("centroid_id"))
+      docs(s, dir)
+        .filter(Text.qualityScore(col("text")) >= 0.5)
+        .select(col("doc_id"), Text.splitAssign(col("doc_id")).as("split"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(clusters, Seq("doc_id"))
+        .groupBy(col("split"), col("centroid_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"),
+          min(col("doc_id")).as("min_doc"))
+    }),
+
     // The pillars composed as ONE pipeline (the point of building on a
     // relational engine): quality gate → exact dedup (keep lowest id per
     // content hash) → hash split, summarized per (lang, split). Catalyst
@@ -413,6 +436,34 @@ object TextOps {
       s"""SELECT term, COUNT(*) AS n
           FROM (SELECT unnest($toks) AS term FROM documents)
           GROUP BY 1 ORDER BY n DESC, term LIMIT 20""",
+
+    "pipe_enrich" ->
+      s"""WITH ${VectorOps.prepCte}, ${VectorOps.kmeansCtes(2)},
+          assigned AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${VectorOps.simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC,
+                    c.centroid_id) AS rn
+              FROM prep p, cents2 c) WHERE rn = 1),
+          gated AS (
+            SELECT doc_id,
+              CASE WHEN ${phash64Sql("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 80
+                     THEN 'train'
+                   WHEN ${phash64Sql("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 90
+                     THEN 'val'
+                   ELSE 'test' END AS split,
+              CAST(len($toks) AS BIGINT) AS n_tokens
+            FROM documents
+            WHERE 0.4 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                    / CAST(len($toks) AS DOUBLE)) / 8.0, 1.0)
+                + 0.3 * (CAST(len(list_distinct($toks)) AS DOUBLE)
+                    / CAST(len($toks) AS DOUBLE))
+                + 0.3 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) >= 0.5)
+          SELECT split, centroid_id, COUNT(*) AS n_docs,
+            CAST(SUM(n_tokens) AS BIGINT) AS tok_sum, MIN(doc_id) AS min_doc
+          FROM gated JOIN assigned ON gated.doc_id = assigned.vec_id
+          GROUP BY 1, 2""",
 
     // Mirrors the Spark plan operation-for-operation: n/avgdl are exact
     // (integer-valued doubles sum exactly in any order), idf/weight use

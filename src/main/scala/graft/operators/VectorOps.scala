@@ -115,7 +115,7 @@ object VectorOps {
   // ---- oracle fragments -----------------------------------------------------
 
   /** Quantized vectors + squared norms, as a CTE over `embeddings`. */
-  private val prepCte: String =
+  private[operators] val prepCte: String =
     """prep AS (
          SELECT vec_id, label, v, list_sum([y*y for y in v]) AS nrm
          FROM (SELECT vec_id, label,
@@ -339,7 +339,7 @@ object VectorOps {
     * to its argmax-cosine centroid and re-centers on the quantized grid
     * (round(mean) per dimension of the integer components).
     */
-  private def kmeansCtes(iters: Int): String = {
+  private[operators] def kmeansCtes(iters: Int): String = {
     val seed =
       "cents0 AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM prep WHERE vec_id < 8)"
     val steps = (1 to iters).map { t =>

@@ -52,6 +52,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_knn_brute", // broadcast query set × corpus (baseline brute kNN)
     "sim_ivf_assign", "sim_ivf_search", // broadcast k-means centroid table
     "dedup_semantic", // broadcast k-means centroid table as the blocking key
+    "pipe_enrich", // broadcast k-means centroid table (cluster assignment arm)
     "snap_orphan_compound", // broadcast chunk bounds, BSON-order range semi-join
     "snap_range_pieces", // broadcast piece bounds × table rows
     "cdc_qos_reload" // broadcast sentinel control table, as-of range join on ticks

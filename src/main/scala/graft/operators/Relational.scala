@@ -178,6 +178,41 @@ object Relational {
           max(when(col("rn") === ceil(col("n") * 0.5), col("l_quantity"))).as("p50"),
           max(when(col("rn") === ceil(col("n") * 0.9), col("l_quantity"))).as("p90"),
           max(when(col("rn") === ceil(col("n") * 0.99), col("l_quantity"))).as("p99"))
+    }),
+
+    // Co-located join via bucketing — THE shuffle eliminator for a fact
+    // join repeated at 100 TB: both tables are bucketed (and sorted) on
+    // the join key, so the SortMergeJoin consumes the buckets directly
+    // and the ONLY exchange in the plan is the final small aggregate's
+    // (PlanAuditSpec pins that). The bucketed copies stand in for how
+    // the tables would be laid out at rest on a cluster.
+    "q12_bucketed_join" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed" +
+        dir.replace('/', '_')
+      def bucketed(table: String, key: String): String = {
+        val name = s"g_${table}_b"
+        val path = s"$wh/$table"
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        if (!s.catalog.tableExists(name) ||
+            !fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+            fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          Tables.load(s, dir, table).write
+            .bucketBy(8, key).sortBy(key)
+            .option("path", path).saveAsTable(name)
+        }
+        name
+      }
+      val o = s.table(bucketed("orders", "o_orderkey"))
+      val l = s.table(bucketed("lineitem", "l_orderkey"))
+      o.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
     })
   )
 
@@ -267,6 +302,14 @@ object Relational {
            MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN l_quantity END) AS p50,
            MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN l_quantity END) AS p90,
            MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN l_quantity END) AS p99
-         FROM r GROUP BY 1"""
+         FROM r GROUP BY 1""",
+
+    "q12_bucketed_join" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+         GROUP BY 1"""
   )
 }

@@ -121,6 +121,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q11_quantiles widens the lineitem scan:\n$p11")
   }
 
+  test("plan audit: q12_bucketed_join joins without a shuffle (bucket co-location)") {
+    // at sf0.001 the filtered orders side broadcasts (correctly); force
+    // the non-broadcast path to audit what matters at 100 TB — both
+    // sides too big to broadcast, the bucketed layout feeding the
+    // sort-merge join with NO exchange on either input
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = SparkEntry.queries("q12_bucketed_join")(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(plan.contains("SortMergeJoin"), s"q12 lost its sort-merge join:\n$plan")
+      assert("Bucketed: true".r.findAllIn(plan).size == 2,
+        s"q12 scans are not bucketed:\n$plan")
+      // the only exchange allowed is the final priority aggregate's
+      val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"q12 shuffles a bucketed join ($exchanges exchanges):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("plan audit: text_bm25 scans the corpus once (stats, tf, and df share the base)") {
     val plan = SparkEntry.queries("text_bm25")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))

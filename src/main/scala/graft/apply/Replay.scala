@@ -48,6 +48,37 @@ object Replay {
   def materialize(oplog: DataFrame): DataFrame =
     lastPerKey(oplog).filter(col("op") =!= "d").drop("op")
 
+  /** Source ↔ target verification: the distributed analogue of the
+    * reference's post-sync checker (`scripts/comparison.py` — per-
+    * collection record counts plus per-document data comparison). Both
+    * sides are per-document state tables `(ns, doc_key, last_value,
+    * last_event_id, …)`; the diff is ONE full-outer sort-merge join on
+    * the document key, classified per row and collapsed to per-namespace
+    * counters — at 100 TB this moves each state exactly once, where the
+    * reference's cursor walk re-reads the target per sampled document.
+    * `n_src_only`/`n_dst_only` are the count mismatches, `n_mismatch`
+    * the data mismatches, `n_equal` the verified documents.
+    */
+  def diffStates(src: DataFrame, dst: DataFrame): DataFrame = {
+    val s = src.select(col("ns"), col("doc_key"),
+      col("last_value").as("v_src"), col("last_event_id").as("e_src"))
+    val d = dst.select(col("ns"), col("doc_key"),
+      col("last_value").as("v_dst"), col("last_event_id").as("e_dst"))
+    s.join(d, Seq("ns", "doc_key"), "full_outer")
+      .withColumn("status",
+        // presence rides the (never-null) event id, not the value column
+        when(col("e_src").isNull, "dst_only")
+          .when(col("e_dst").isNull, "src_only")
+          .when(col("v_src") === col("v_dst") && col("e_src") === col("e_dst"), "equal")
+          .otherwise("mismatch"))
+      .groupBy(col("ns"))
+      .agg(
+        sum((col("status") === "equal").cast("long")).as("n_equal"),
+        sum((col("status") === "mismatch").cast("long")).as("n_mismatch"),
+        sum((col("status") === "src_only").cast("long")).as("n_src_only"),
+        sum((col("status") === "dst_only").cast("long")).as("n_dst_only"))
+  }
+
   /** Lazily fold a key-sorted row iterator: one live document of state,
     * one emitted row per key as the key closes — O(1 doc) memory, never a
     * partition-sized output buffer.

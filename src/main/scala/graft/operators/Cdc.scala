@@ -100,6 +100,18 @@ object Cdc {
 
     // P10 gid scrub: every record's gid blanks; n_foreign proves the scrub
     // actually hit the foreign-gid rows (not a vacuous pass-through).
+    // Post-sync verification (scripts/comparison.py analogue): diff the
+    // true state fold against a target folded from a feed with
+    // deterministic delivery defects (every 101st event lost) — the
+    // summary pins exactly which namespaces drifted and how.
+    "cdc_compare" -> ((s, dir) => {
+      val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+      val src = graft.apply.Replay.materialize(eff)
+      val dst = graft.apply.Replay.materialize(
+        eff.filter(col("event_id") % 101 =!= 0))
+      graft.apply.Replay.diffStates(src, dst)
+    }),
+
     "cdc_gid_scrub" -> ((s, dir) =>
       Transforms.gidScrub(oplog(s, dir).withColumn("g_pre", col("g")))
         .groupBy(col("g"))
@@ -509,6 +521,37 @@ object Cdc {
       """SELECT '' AS g, COUNT(*) AS n,
          CAST(SUM(CASE WHEN g = 'ext' THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign
          FROM oplog"""),
+
+    "cdc_compare" -> withOplog(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          src AS (
+            SELECT ns, doc_key, value AS v, event_id AS e FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff) WHERE rn = 1 AND op <> 'd'),
+          dst AS (
+            SELECT ns, doc_key, value AS v, event_id AS e FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff WHERE event_id % 101 <> 0) WHERE rn = 1 AND op <> 'd'),
+          f AS (
+            SELECT COALESCE(s.ns, d.ns) AS ns,
+              CASE WHEN s.e IS NULL THEN 'dst_only'
+                   WHEN d.e IS NULL THEN 'src_only'
+                   WHEN s.v = d.v AND s.e = d.e THEN 'equal'
+                   ELSE 'mismatch' END AS status
+            FROM src s FULL OUTER JOIN dst d
+              ON s.ns = d.ns AND s.doc_key = d.doc_key)
+          SELECT ns,
+            CAST(SUM(CASE WHEN status = 'equal' THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+            CAST(SUM(CASE WHEN status = 'mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+            CAST(SUM(CASE WHEN status = 'src_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_src_only,
+            CAST(SUM(CASE WHEN status = 'dst_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_dst_only
+          FROM f GROUP BY ns"""),
 
     "cdc_route_stats" -> withOplog(
       s"""SELECT $workerSql AS worker, COUNT(*) AS n, COUNT(DISTINCT ns) AS n_ns

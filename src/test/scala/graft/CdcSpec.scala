@@ -94,4 +94,24 @@ class CdcSpec extends AnyFunSuite {
       .select("w").as[Long].head()
     assert(w2 == byNs) // ns-routed: key change must not move the worker
   }
+
+  test("diffStates classifies equal / mismatch / src_only / dst_only per namespace") {
+    def state(rows: Seq[(String, String, Double, Long)]) =
+      rows.toDF("ns", "doc_key", "last_value", "last_event_id")
+    val src = state(Seq(
+      ("app.a", "k1", 1.0, 10L), // equal
+      ("app.a", "k2", 2.0, 20L), // mismatch (value drift)
+      ("app.a", "k3", 3.0, 30L), // src_only (lost on target)
+      ("app.b", "k4", 4.0, 40L))) // equal
+    val dst = state(Seq(
+      ("app.a", "k1", 1.0, 10L),
+      ("app.a", "k2", 2.5, 20L),
+      ("app.b", "k4", 4.0, 40L),
+      ("app.b", "k9", 9.0, 90L))) // dst_only (phantom write)
+    val got = graft.apply.Replay.diffStates(src, dst)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("app.a", 1L, 1L, 1L, 0L),
+      ("app.b", 1L, 0L, 0L, 1L)))
+  }
 }

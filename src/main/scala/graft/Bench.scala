@@ -66,6 +66,14 @@ object Bench {
         try {
           spark.sharedState.cacheManager.clearCache()
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          // Streaming debris: ~15 harness queries run streams; the
+          // terminated-query registry and the state-store maintenance
+          // pool otherwise accumulate across the whole suite and tax
+          // late queries with multi-second stalls (observed: a 3.9 s
+          // receiver query stretching to 49 s in a full-tree run while
+          // the CPU probes stayed flat).
+          spark.streams.resetTerminated()
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
         } catch { case _: Throwable => () }
       }
       // Untimed interleave: lands between query timings, charged to none.

@@ -112,6 +112,20 @@ object Cdc {
       graft.apply.Replay.diffStates(src, dst)
     }),
 
+    // The checker's "sample" mode, scale-correct: a deterministic hash
+    // sample of the KEY space (1 in 10) on both sides — the reference
+    // samples random documents and point-reads the target; a hash sample
+    // keeps the one-join shape and is reproducible across runs/engines.
+    "cdc_compare_sample" -> ((s, dir) => {
+      import graft.functions.Portable.phash64
+      val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+      val keep = pmod(phash64(concat(col("ns"), lit("/"), col("doc_key"))), lit(10)) === 0
+      val src = graft.apply.Replay.materialize(eff).filter(keep)
+      val dst = graft.apply.Replay.materialize(
+        eff.filter(col("event_id") % 101 =!= 0)).filter(keep)
+      graft.apply.Replay.diffStates(src, dst)
+    }),
+
     "cdc_gid_scrub" -> ((s, dir) =>
       Transforms.gidScrub(oplog(s, dir).withColumn("g_pre", col("g")))
         .groupBy(col("g"))
@@ -538,6 +552,39 @@ object Cdc {
                 ROW_NUMBER() OVER (PARTITION BY ns, doc_key
                   ORDER BY ts_packed DESC, event_id DESC) AS rn
               FROM eff WHERE event_id % 101 <> 0) WHERE rn = 1 AND op <> 'd'),
+          f AS (
+            SELECT COALESCE(s.ns, d.ns) AS ns,
+              CASE WHEN s.e IS NULL THEN 'dst_only'
+                   WHEN d.e IS NULL THEN 'src_only'
+                   WHEN s.v = d.v AND s.e = d.e THEN 'equal'
+                   ELSE 'mismatch' END AS status
+            FROM src s FULL OUTER JOIN dst d
+              ON s.ns = d.ns AND s.doc_key = d.doc_key)
+          SELECT ns,
+            CAST(SUM(CASE WHEN status = 'equal' THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+            CAST(SUM(CASE WHEN status = 'mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+            CAST(SUM(CASE WHEN status = 'src_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_src_only,
+            CAST(SUM(CASE WHEN status = 'dst_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_dst_only
+          FROM f GROUP BY ns"""),
+
+    "cdc_compare_sample" -> withOplog(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          src AS (
+            SELECT ns, doc_key, value AS v, event_id AS e FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff) WHERE rn = 1 AND op <> 'd'
+              AND ${phash64Sql("ns || '/' || doc_key")} % 10 = 0),
+          dst AS (
+            SELECT ns, doc_key, value AS v, event_id AS e FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff WHERE event_id % 101 <> 0) WHERE rn = 1 AND op <> 'd'
+              AND ${phash64Sql("ns || '/' || doc_key")} % 10 = 0),
           f AS (
             SELECT COALESCE(s.ns, d.ns) AS ns,
               CASE WHEN s.e IS NULL THEN 'dst_only'

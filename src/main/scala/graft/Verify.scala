@@ -26,11 +26,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Release cache/localCheckpoint blocks between queries (bounded
-      // memory across the whole 65-query dump).
+      // Release cache/localCheckpoint blocks and streaming debris between
+      // queries (bounded memory + no accumulated state-store maintenance
+      // across the whole 100+-query dump — see the note in Bench.scala).
       try {
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.streams.resetTerminated()
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       } catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -189,6 +189,23 @@ object TextOps {
           size(col("c.chunk_tokens")).cast("long").as("n_tokens"),
           md5(encode(array_join(col("c.chunk_tokens"), " "), "UTF-8")).as("chunk_md5"))),
 
+    // Boilerplate detection: chunk-granular cross-document dedup — a
+    // chunk whose content hash recurs across documents is repeated
+    // boilerplate (headers, licenses, templates) that a pretraining
+    // pipeline strips even when the parent documents are distinct. One
+    // shuffle on the chunk hash (same scale shape as exact dedup); only
+    // recurring chunks survive.
+    "text_chunk_dedup" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(Text.chunkWindows(col("text"), size = 64, stride = 56)).as("c"))
+        .select(col("doc_id"),
+          md5(encode(array_join(col("c.chunk_tokens"), " "), "UTF-8")).as("chunk_md5"))
+        .groupBy(col("chunk_md5"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"), min(col("doc_id")).as("keep_doc"))
+        .filter(col("n_docs") > 1)),
+
     // Token-budget packing (training-batch assembly): documents packed
     // into ~2048-token bins by running token offset within a partition
     // key (lang here; a salt at corpus scale), in deterministic doc order
@@ -585,6 +602,17 @@ object TextOps {
           SELECT doc_id, chunk_idx, CAST(len(w) AS BIGINT) AS n_tokens,
             md5(array_to_string(w, ' ')) AS chunk_md5
           FROM ch""",
+
+    "text_chunk_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+          st AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t), 56)) AS s FROM tk),
+          ch AS (
+            SELECT doc_id, md5(array_to_string(t[s : s + 63], ' ')) AS chunk_md5
+            FROM st)
+          SELECT chunk_md5, COUNT(DISTINCT doc_id) AS n_docs,
+            COUNT(*) AS n_occurrences, MIN(doc_id) AS keep_doc
+          FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1""",
 
     "text_pii_scrub" ->
       s"""WITH dirty AS (

@@ -225,13 +225,17 @@ object Replay {
     * recursive-CTE fold):
     *   i → replace document with {v: cents, m: k, arr: [k%5, (k+1)%5]}
     *   d → delete
-    *   u → by event_id % 7:
+    *   u → by event_id % 9 (applied as an upsert; isInsert = doc absent):
     *     0: {$mul:{v:-1}}            (sign flip — bounded, exercises $mul)
     *     1: {$min:{v:cents}}         2: {$max:{v:cents}}
     *     3: {$rename:{m:"m2"}}       (no-op when m is absent)
     *     4: {$addToSet:{arr:k%5}}    (creates the array when absent)
     *     5: {$pop:{arr:1}}           (drop last; no-op when absent)
     *     6: {$mul:{"arr.$[]":-1}}    (positional fan-out over all elements)
+    *     7: {$set:{m:k}, $setOnInsert:{v:cents*2, arr:[k%5]}}
+    *        ($setOnInsert contributes ONLY on the upsert-insert path)
+    *     8: {$inc:{"arr.$[lo]":10}} arrayFilters [{lo:{$lt:3}}]
+    *        (filtered positional — only elements < 3 incremented)
     * Same physical shape as [[applyOps]]: one shuffle on the key,
     * secondary sort, contiguous-key fold holding one document of state.
     */
@@ -252,6 +256,7 @@ object Replay {
         case JLong(l) => Some(l)
         case _ => None
       }
+      val loFilter = UpdateSpec.parseArrayFilters("""[{"lo":{"$lt":3}}]""")
       foldSorted[(String, String, Long, Long, Long, Long),
           (String, Option[Long], Option[Long], Option[Long], Option[String])](
         it, _._1,
@@ -262,16 +267,22 @@ object Replay {
               "arr" -> JArray(List(JLong(k % 5), JLong((k + 1) % 5))))))
             case "u" =>
               val doc = state.getOrElse(JObject(Nil))
-              val spec = (eventId % 7) match {
+              val spec = (eventId % 9) match {
                 case 0 => JObject(List("$mul" -> JObject(List("v" -> JInt(-1)))))
                 case 1 => JObject(List("$min" -> JObject(List("v" -> JLong(cents)))))
                 case 2 => JObject(List("$max" -> JObject(List("v" -> JLong(cents)))))
                 case 3 => JObject(List("$rename" -> JObject(List("m" -> JString("m2")))))
                 case 4 => JObject(List("$addToSet" -> JObject(List("arr" -> JLong(k % 5)))))
                 case 5 => JObject(List("$pop" -> JObject(List("arr" -> JInt(1)))))
-                case _ => JObject(List("$mul" -> JObject(List("arr.$[]" -> JInt(-1)))))
+                case 6 => JObject(List("$mul" -> JObject(List("arr.$[]" -> JInt(-1)))))
+                case 7 => JObject(List(
+                  "$set" -> JObject(List("m" -> JLong(k))),
+                  "$setOnInsert" -> JObject(List(
+                    "v" -> JLong(cents * 2),
+                    "arr" -> JArray(List(JLong(k % 5)))))))
+                case _ => JObject(List("$inc" -> JObject(List("arr.$[lo]" -> JInt(10)))))
               }
-              Some(UpdateSpec.applySpec(doc, spec))
+              Some(UpdateSpec.applySpec(doc, spec, loFilter, isInsert = state.isEmpty))
             case _ => None
           }
         },

@@ -244,18 +244,77 @@ object UpdateSpec {
       case _ => Nil
     }
 
+  /** A compiled `arrayFilters` entry: per-element predicates for one
+    * filtered-positional identifier (`$[ident]`). MongoDB's update
+    * command carries these alongside the spec
+    * (`[{"e": {"$lt": 3}}, {"x.grade": {"$gte": 85}}]` — conditions may
+    * address the element itself (`ident`) or a subfield (`ident.path`),
+    * and multiple conditions within one filter document AND together).
+    */
+  type ElemPred = JValue => Boolean
+
+  private def condMatches(cond: JValue, x: JValue): Boolean = cond match {
+    case o: JObject if o.obj.nonEmpty && o.obj.forall(_._1.startsWith("$")) =>
+      o.obj.forall {
+        case ("$lt", v)  => jCompare(x, v) < 0
+        case ("$lte", v) => jCompare(x, v) <= 0
+        case ("$gt", v)  => jCompare(x, v) > 0
+        case ("$gte", v) => jCompare(x, v) >= 0
+        case ("$eq", v)  => jEq(x, v)
+        case ("$ne", v)  => !jEq(x, v)
+        case ("$in", JArray(vs)) => vs.exists(jEq(_, x))
+        case _ => false
+      }
+    case v => jEq(v, x)
+  }
+
+  private def subPath(elem: JValue, path: List[String]): JValue =
+    path.foldLeft(elem) {
+      case (JArray(items), k) if isIndex(k) =>
+        if (k.toInt < items.length) items(k.toInt) else JNothing
+      case (acc, k) => acc \ k
+    }
+
+  /** Compile `arrayFilters` JSON (an array of filter documents) into a
+    * predicate per identifier. Each document's conditions are grouped by
+    * the identifier prefix before the first '.'; a document mixing two
+    * identifiers is rejected (MongoDB does the same).
+    */
+  def parseArrayFilters(json: String): Map[String, ElemPred] =
+    JsonMethods.parse(json) match {
+      case JArray(docs) =>
+        docs.map {
+          case JObject(conds) if conds.nonEmpty =>
+            val idents = conds.map(_._1.split('.').head).distinct
+            require(idents.size == 1,
+              s"arrayFilters document must use a single identifier, got $idents")
+            val compiled = conds.map { case (k, cond) =>
+              (k.split('.').toList.tail, cond)
+            }
+            idents.head -> ((x: JValue) =>
+              compiled.forall { case (p, cond) => condMatches(cond, subPath(x, p)) })
+          case other =>
+            throw new IllegalArgumentException(s"bad arrayFilters entry: $other")
+        }.toMap
+      case other => throw new IllegalArgumentException(s"bad arrayFilters: $other")
+    }
+
   /** Expand positional segments in a dotted path against the current
     * document: `$[]` fans out to one concrete (numeric-index) path per
-    * element of the array at that point; `$` resolves to the first
-    * element (this engine replays without the query predicate the server
-    * would use to pick the match, so "first element" is the documented
-    * resolution — the reference never sees positional paths at all, the
-    * server resolves them before the oplog; a self-contained engine must
-    * take a stance). Either form is a no-op when the path up to it does
-    * not hold a non-empty array. Paths with no positional segments pass
-    * through untouched as a single concrete path.
+    * element of the array at that point; `$[ident]` fans out to the
+    * elements matching `filters(ident)` (MongoDB's filtered positional —
+    * an unknown identifier is an error, as the server's "No array filter
+    * found" is); `$` resolves to the first element (this engine replays
+    * without the query predicate the server would use to pick the match,
+    * so "first element" is the documented resolution — the reference
+    * never sees positional paths at all, the server resolves them before
+    * the oplog; a self-contained engine must take a stance). Each form is
+    * a no-op when the path up to it does not hold a (non-empty, for `$`)
+    * array. Paths with no positional segments pass through untouched as a
+    * single concrete path.
     */
-  def expandPositional(doc: JObject, path: List[String]): List[List[String]] = {
+  def expandPositional(doc: JObject, path: List[String],
+      filters: Map[String, ElemPred] = Map.empty): List[List[String]] = {
     def go(node: JValue, rem: List[String], acc: List[String]): List[List[String]] = rem match {
       case Nil => List(acc.reverse)
       case "$[]" :: rest => node match {
@@ -263,6 +322,16 @@ object UpdateSpec {
           items.indices.toList.flatMap(i => go(items(i), rest, i.toString :: acc))
         case _ => Nil
       }
+      case seg :: rest if seg.length > 3 && seg.startsWith("$[") && seg.endsWith("]") =>
+        val ident = seg.substring(2, seg.length - 1)
+        val pred = filters.getOrElse(ident,
+          throw new IllegalArgumentException(s"no array filter found for identifier '$ident'"))
+        node match {
+          case JArray(items) =>
+            items.indices.toList.filter(i => pred(items(i)))
+              .flatMap(i => go(items(i), rest, i.toString :: acc))
+          case _ => Nil
+        }
       case "$" :: rest => node match {
         case JArray(items) if items.nonEmpty => go(items.head, rest, "0" :: acc)
         case _ => Nil
@@ -279,10 +348,14 @@ object UpdateSpec {
     go(doc, path, Nil)
   }
 
+  private def isPositional(s: String): Boolean =
+    s == "$" || (s.startsWith("$[") && s.endsWith("]"))
+
   /** Concrete paths for one update-spec entry (positional-aware). */
-  private def targetPaths(doc: JObject, dotted: String): List[List[String]] = {
+  private def targetPaths(doc: JObject, dotted: String,
+      filters: Map[String, ElemPred]): List[List[String]] = {
     val segs = dotted.split('.').toList
-    if (segs.exists(s => s == "$" || s == "$[]")) expandPositional(doc, segs)
+    if (segs.exists(isPositional)) expandPositional(doc, segs, filters)
     else List(segs)
   }
 
@@ -312,20 +385,37 @@ object UpdateSpec {
     case v => jEq(v, x)
   }
 
-  /** Apply a classic update spec ({$set, $unset, $inc, $mul, $min, $max,
-    * $rename, $push, $addToSet, $pull, $pop}, positional `$`/`$[]` paths)
-    * to a document. Unknown top-level keys without a $ prefix mean
-    * "replace document" (MongoDB replace-update semantics, W3's replace
-    * dispatch — reference `executor/db_writer_bulk.go:118-232`; the
-    * operator vocabulary beyond what the reference ships to the server is
-    * implemented here because this engine IS the server).
+  /** Apply a classic update spec ({$set, $unset, $setOnInsert, $inc, $mul,
+    * $min, $max, $rename, $push, $addToSet, $pull, $pop}, positional
+    * `$`/`$[]`/`$[ident]` paths) to a document. Unknown top-level keys
+    * without a $ prefix mean "replace document" (MongoDB replace-update
+    * semantics, W3's replace dispatch — reference
+    * `executor/db_writer_bulk.go:118-232`; the operator vocabulary beyond
+    * what the reference ships to the server is implemented here because
+    * this engine IS the server).
+    *
+    * `filters` are the update's compiled `arrayFilters` (for `$[ident]`
+    * paths); `isInsert` marks the upsert-insert path, the only one where
+    * `$setOnInsert` contributes (on a plain update it is a no-op, per
+    * MongoDB upsert semantics).
     */
-  def applySpec(doc: JObject, spec: JObject): JObject = {
+  def applySpec(doc: JObject, spec: JObject): JObject =
+    applySpec(doc, spec, Map.empty, isInsert = false)
+
+  def applySpec(doc: JObject, spec: JObject,
+      filters: Map[String, ElemPred], isInsert: Boolean): JObject = {
+    def targetPaths(doc: JObject, dotted: String): List[List[String]] =
+      UpdateSpec.targetPaths(doc, dotted, filters)
     val isOperatorSpec = spec.obj.forall(_._1.startsWith("$"))
     if (!isOperatorSpec) return spec // replace
     spec.obj.foldLeft(doc) {
       case (d, ("$set", JObject(fields))) =>
         fields.foldLeft(d) { (acc, kv) =>
+          targetPaths(acc, kv._1).foldLeft(acc)((a, p) => setPath(a, p, kv._2))
+        }
+      case (d, ("$setOnInsert", JObject(fields))) =>
+        if (!isInsert) d
+        else fields.foldLeft(d) { (acc, kv) =>
           targetPaths(acc, kv._1).foldLeft(acc)((a, p) => setPath(a, p, kv._2))
         }
       case (d, ("$unset", JObject(fields))) =>
@@ -455,11 +545,20 @@ object UpdateSpec {
       case (d, _) => d
     }
 
-  def applySpecJson(docJson: String, specJson: String): String = {
+  def applySpecJson(docJson: String, specJson: String): String =
+    applyUpdateJson(docJson, specJson, arrayFiltersJson = "[]", isInsert = false)
+
+  /** Full update application entry: spec (classic or v2 diff), the
+    * update's `arrayFilters` (JSON array of filter documents), and the
+    * upsert-insert flag gating `$setOnInsert`.
+    */
+  def applyUpdateJson(docJson: String, specJson: String,
+      arrayFiltersJson: String, isInsert: Boolean): String = {
     val doc = parse(docJson)
+    val filters = parseArrayFilters(arrayFiltersJson)
     JsonMethods.parse(normalizeV2Spec(specJson)) match {
       case stages: JArray => render(applyPipeline(doc, stages))
-      case spec: JObject => render(applySpec(doc, spec))
+      case spec: JObject => render(applySpec(doc, spec, filters, isInsert))
       case _ => docJson
     }
   }

@@ -291,6 +291,58 @@ class UpdateSpecSpec extends AnyFunSuite {
     assert(j(g4) == j("""{"a":[{"v":20},{"v":30}]}"""))
   }
 
+  test("$setOnInsert applies only on the upsert-insert path") {
+    val spec = """{"$set":{"m":7},"$setOnInsert":{"v":42,"arr":[1]}}"""
+    // insert path: both $set and $setOnInsert land
+    val ins = UpdateSpec.applyUpdateJson("""{}""", spec, "[]", isInsert = true)
+    assert(j(ins) == j("""{"m":7,"v":42,"arr":[1]}"""))
+    // plain update: $setOnInsert is a no-op, existing v untouched
+    val upd = UpdateSpec.applyUpdateJson("""{"v":5}""", spec, "[]", isInsert = false)
+    assert(j(upd) == j("""{"v":5,"m":7}"""))
+    // legacy entry point (no insert flag) must also treat it as a no-op,
+    // not a silent $set — the pre-round-9 behavior dropped it entirely,
+    // which happens to match the update path; lock it
+    val legacy = UpdateSpec.applySpecJson("""{"v":5}""", spec)
+    assert(j(legacy) == j("""{"v":5,"m":7}"""))
+  }
+
+  test("arrayFilters $[ident]: element and subfield conditions, unknown ident errors") {
+    // element-level condition: only elements < 3 incremented
+    val g1 = UpdateSpec.applyUpdateJson(
+      """{"arr":[1,5,2,9]}""", """{"$inc":{"arr.$[lo]":10}}""",
+      """[{"lo":{"$lt":3}}]""", isInsert = false)
+    assert(j(g1) == j("""{"arr":[11,5,12,9]}"""))
+    // subfield condition (MongoDB's grades example shape)
+    val g2 = UpdateSpec.applyUpdateJson(
+      """{"grades":[{"grade":80,"mean":75},{"grade":90,"mean":75}]}""",
+      """{"$set":{"grades.$[e].mean":100}}""",
+      """[{"e.grade":{"$gte":85}}]""", isInsert = false)
+    assert(j(g2) == j("""{"grades":[{"grade":80,"mean":75},{"grade":90,"mean":100}]}"""))
+    // $in + $ne conditions, numeric cross-type matching
+    val g3 = UpdateSpec.applyUpdateJson(
+      """{"a":[1.0,2,3]}""", """{"$mul":{"a.$[x]":-1}}""",
+      """[{"x":{"$in":[1,3],"$ne":3}}]""", isInsert = false)
+    assert(j(g3) == j("""{"a":[-1.0,2,3]}"""))
+    // no matching element: no-op; missing array: no-op
+    val g4 = UpdateSpec.applyUpdateJson(
+      """{"arr":[5,6]}""", """{"$inc":{"arr.$[lo]":10}}""",
+      """[{"lo":{"$lt":3}}]""", isInsert = false)
+    assert(j(g4) == j("""{"arr":[5,6]}"""))
+    val g5 = UpdateSpec.applyUpdateJson(
+      """{"b":1}""", """{"$inc":{"arr.$[lo]":10}}""",
+      """[{"lo":{"$lt":3}}]""", isInsert = false)
+    assert(j(g5) == j("""{"b":1}"""))
+    // unknown identifier is an error (server parity: "No array filter found")
+    intercept[IllegalArgumentException] {
+      UpdateSpec.applyUpdateJson(
+        """{"arr":[1]}""", """{"$set":{"arr.$[nope]":0}}""", "[]", isInsert = false)
+    }
+    // a filter document mixing identifiers is rejected
+    intercept[IllegalArgumentException] {
+      UpdateSpec.parseArrayFilters("""[{"a":1,"b":2}]""")
+    }
+  }
+
   test("applyOps: i/u/d fold with $inc accumulation and upsert-on-update") {
     val rows = Seq(
       // (event_id, ts_packed, op, db, coll, ns, doc_key, g, value, from_migrate, props)

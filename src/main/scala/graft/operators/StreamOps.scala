@@ -47,6 +47,7 @@ object StreamOps {
     "cdc_metrics" -> ((s, dir) => runMetrics(s, dir)),
     "cdc_full_incr_handoff" -> ((s, dir) => runHandoff(s, dir)),
     "cdc_soak_live" -> ((s, dir) => runSoak(s, dir)),
+    "cdc_rebucket" -> ((s, dir) => runRebucket(s, dir)),
     "stream_window_late" -> ((s, dir) => runWindowed(s, dir)))
 
   /** Stage a multi-file feed whose files must be consumed IN ORDER by a
@@ -262,6 +263,76 @@ object StreamOps {
         lit("").as("b"), col("lsn_min").as("x"), col("lsn_max").as("y"),
         col("n_logs").cast("double").as("v"))
     state.unionByName(ck)
+  }
+
+  /** State re-bucketing migration, oracle-gated end-to-end
+    * ([[graft.streaming.Rebucket]]): phase 1 runs the REAL
+    * `IncrSync.startOplog` at 16 buckets over the lower time-half, the
+    * stopped-stream migration rewrites `state/` to 64 buckets, and the
+    * SAME checkpointLocation restarts at 64 buckets over the upper half.
+    *
+    * Proof sections (all closed-form in the oracle):
+    *  - `mig`/`diff`: row-level symmetric difference between the
+    *    pre-migration and post-migration state content — 0 (the migration
+    *    is a semantic no-op), alongside the count of post-migration rows
+    *    whose bucket ≠ hash mod 64 — 0 (the layout really moved).
+    *  - `mig`/`rows`: post-migration row count = the phase-1 fold's live
+    *    key count (nothing dropped, nothing duplicated by the rewrite).
+    *  - `ckpt`: per-batch rows exactly as `cdc_resume_restart` — the
+    *    resumed query consumed ONLY the phase-2 file, proving the
+    *    migration left the streaming checkpoint and `_ckpt` untouched.
+    *  - `state`: final state = the one-shot fold over BOTH phases — the
+    *    64-bucket merge after migration routes/prunes correctly.
+    */
+  private def runRebucket(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Rebucket
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_rebucket_q"
+    IncrSync.deletePath(s, work)
+    val keep = OplogFilters.chain(gids, white, black)
+    val eff = Oplog.fromEvents(s, dir)
+      .filter(keep && col("op").isin("i", "u", "d"))
+      .localCheckpoint()
+    val bounds = eff.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
+    val t1 = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+
+    val feedDir = s"$work/feed"
+    feedify(eff.filter(col("ts_packed") <= t1)).coalesce(1).write.parquet(feedDir)
+    val q1 = IncrSync.startOplog(s, feedDir, s"$work/target", s"$work/ckpt",
+      gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 16)
+    q1.awaitTermination()
+
+    val semCols = Seq("ns", "doc_key", "last_value", "last_event_id", "batch_ops")
+    val pre = IncrSync.readOrEmpty(s, s"$work/target/state")
+      .select(semCols.map(col): _*).localCheckpoint()
+
+    Rebucket.migrate(s, s"$work/target", from = 16, to = 64)
+
+    val post = IncrSync.readOrEmpty(s, s"$work/target/state").localCheckpoint()
+    val postSem = post.select(semCols.map(col): _*)
+    val diffCnt = pre.exceptAll(postSem).count() + postSem.exceptAll(pre).count()
+    val offLayout = post.filter(col("bucket") =!= IncrSync.bucketOf(64)).count()
+    val postRows = post.count()
+
+    // stream resumes from the SAME checkpoint, against the 64-bucket layout
+    feedify(eff.filter(col("ts_packed") > t1)).coalesce(1)
+      .write.mode("append").parquet(feedDir)
+    val q2 = IncrSync.startOplog(s, feedDir, s"$work/target", s"$work/ckpt",
+      gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 64)
+    q2.awaitTermination()
+
+    import s.implicits._
+    val mig = Seq(
+      ("mig", "diff", "", diffCnt, offLayout, 0.0),
+      ("mig", "rows", "", postRows, 0L, 0.0))
+      .toDF("section", "a", "b", "x", "y", "v")
+    val state = IncrSync.readOrEmpty(s, s"$work/target/state")
+      .select(lit("state").as("section"), col("ns").as("a"), col("doc_key").as("b"),
+        col("last_event_id").as("x"), lit(0L).as("y"), col("last_value").as("v"))
+    val ck = s.read.parquet(s"$work/target/_ckpt")
+      .select(lit("ckpt").as("section"), col("batch_id").cast("string").as("a"),
+        lit("").as("b"), col("lsn_min").as("x"), col("lsn_max").as("y"),
+        col("n_logs").cast("double").as("v"))
+    state.unionByName(ck).unionByName(mig)
   }
 
   /** The full→incr handoff (§3.2 → §3.1; the reference's parallel
@@ -704,6 +775,43 @@ object StreamOps {
           FROM state
           UNION ALL
           SELECT 'ckpt', bid, '', lsn_min, lsn_max, CAST(n AS DOUBLE) FROM ck"""),
+
+    "cdc_rebucket" -> Oplog.withOracleCte(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          tt AS (
+            SELECT tmin + (tmax - tmin) // 2 AS t1
+            FROM (SELECT MIN(ts_packed) AS tmin, MAX(ts_packed) AS tmax FROM eff)),
+          state1 AS (
+            SELECT ns, doc_key FROM (
+              SELECT ns, doc_key, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff, tt WHERE ts_packed <= t1) WHERE rn = 1 AND op <> 'd'),
+          state AS (
+            SELECT ns, doc_key, value, event_id FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff) WHERE rn = 1 AND op <> 'd'),
+          ck AS (
+            SELECT '0' AS bid, MIN(ts_packed) AS lsn_min, MAX(ts_packed) AS lsn_max,
+              COUNT(*) AS n
+            FROM eff, tt WHERE ts_packed <= t1
+            UNION ALL
+            SELECT '1', MIN(ts_packed), MAX(ts_packed), COUNT(*)
+            FROM eff, tt WHERE ts_packed > t1)
+          SELECT 'state' AS section, ns AS a, doc_key AS b,
+            event_id AS x, CAST(0 AS BIGINT) AS y, value AS v
+          FROM state
+          UNION ALL
+          SELECT 'ckpt', bid, '', lsn_min, lsn_max, CAST(n AS DOUBLE) FROM ck
+          UNION ALL
+          SELECT 'mig', 'diff', '', CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0
+          UNION ALL
+          SELECT 'mig', 'rows', '', (SELECT COUNT(*) FROM state1),
+            CAST(0 AS BIGINT), 0.0"""),
 
     "cdc_stream_e2e" -> Oplog.withOracleCte(
       s""", eff AS (

@@ -703,4 +703,59 @@ class StreamingSpec extends AnyFunSuite {
     val pos = FullSync.recordHandoff(spark, src, work)
     assert(spark.read.parquet(s"$work/_handoff").head().getLong(0) == pos && pos > 0)
   }
+
+  test("rebucket: layout moves, content is a semantic no-op, wrong `from` rejected, crash recovers") {
+    import graft.streaming.Rebucket
+    val work = Files.createTempDirectory("graft_rebucket").toFile.getAbsolutePath
+    // seed a 4-bucket state via the real apply path
+    val batch = Seq(
+      (1L, 10L, "i", "app.users_1", "k1", 1.0, "{}"),
+      (2L, 11L, "i", "app.users_1", "k2", 2.0, "{}"),
+      (3L, 12L, "i", "app.users_2", "k3", 3.0, "{}"),
+      (4L, 13L, "u", "app.users_2", "k4", 4.0, "{}"),
+      (5L, 14L, "i", "app.users_1", "k5", 5.0, "{}"))
+      .toDF("event_id", "ts_packed", "op", "ns", "doc_key", "value", "props")
+    IncrSync.applyBatch(batch, work, batchId = 0L, nBuckets = 4)
+    val semCols = Seq("ns", "doc_key", "last_value", "last_event_id", "batch_ops")
+    val pre = IncrSync.readOrEmpty(spark, s"$work/state")
+      .select(semCols.map(col): _*).collect().toSet
+
+    // wrong `from` is rejected before any write (stale layout belief)
+    val ex = intercept[IllegalArgumentException] {
+      Rebucket.migrate(spark, work, from = 16, to = 8)
+    }
+    assert(ex.getMessage.contains("not hash-bucketed by 16"))
+
+    Rebucket.migrate(spark, work, from = 4, to = 8)
+    val post = IncrSync.readOrEmpty(spark, s"$work/state")
+    assert(post.select(semCols.map(col): _*).collect().toSet == pre)
+    // every row sits in its hash-mod-8 bucket, and the layout really moved
+    assert(post.filter(col("bucket") =!= IncrSync.bucketOf(8)).count() == 0)
+    assert(post.filter(col("bucket") >= 4).count() > 0)
+
+    // a post-migration apply at the new count merges correctly
+    val batch2 = Seq((6L, 20L, "u", "app.users_1", "k1", 9.0, "{}"),
+      (7L, 21L, "d", "app.users_2", "k3", 0.0, "{}"))
+      .toDF("event_id", "ts_packed", "op", "ns", "doc_key", "value", "props")
+    IncrSync.applyBatch(batch2, work, batchId = 1L, nBuckets = 8)
+    val after = IncrSync.readOrEmpty(spark, s"$work/state")
+    assert(after.filter(col("doc_key") === "k1").head().getAs[Double]("last_value") == 9.0)
+    assert(after.filter(col("doc_key") === "k3").count() == 0)
+    assert(after.count() == 4)
+
+    // crash between the two swap renames: state gone, backup present
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(s"$work/state"),
+      new org.apache.hadoop.fs.Path(s"$work/state_mig_old"))
+    Rebucket.recover(spark, work)
+    assert(IncrSync.readOrEmpty(spark, s"$work/state").count() == 4)
+    // migrate() itself also recovers first, then proceeds
+    fs.rename(new org.apache.hadoop.fs.Path(s"$work/state"),
+      new org.apache.hadoop.fs.Path(s"$work/state_mig_old"))
+    Rebucket.migrate(spark, work, from = 8, to = 16)
+    val rec = IncrSync.readOrEmpty(spark, s"$work/state")
+    assert(rec.count() == 4 &&
+      rec.filter(col("bucket") =!= IncrSync.bucketOf(16)).count() == 0)
+  }
 }

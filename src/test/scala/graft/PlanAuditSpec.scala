@@ -51,6 +51,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljAllowed = Set(
     "sim_knn_brute", // broadcast query set × corpus (baseline brute kNN)
     "sim_ivf_assign", "sim_ivf_search", // broadcast k-means centroid table
+    "pipe_ann", // broadcast trained centroid table (train-once assign + ivf arms)
     "dedup_semantic", // broadcast k-means centroid table as the blocking key
     "pipe_enrich", // broadcast k-means centroid table (cluster assignment arm)
     "snap_orphan_compound", // broadcast chunk bounds, BSON-order range semi-join

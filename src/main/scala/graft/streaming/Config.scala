@@ -1,0 +1,178 @@
+package graft.streaming
+
+/** The validated engine configuration — the Spark-native port of the
+  * reference's config-sanitization sweep (`cmd/collector/sanitize.go:93-365`:
+  * `checkDefaultValue` fills defaults and rejects out-of-vocabulary values,
+  * `checkConflict` runs the cross-field checks). The reference runs ~40
+  * checks; the subset here is everything not tied to a live server
+  * connection or the REST/quorum surfaces the survey maps n-a
+  * (`checkConnection`'s dial-outs, HTTP port dedup, profiling ports).
+  *
+  * Shape: [[GraftConfig.sanitize]] returns either the config with every
+  * default filled and every forced coercion applied (the reference mutates
+  * `conf.Options` in place; a case-class copy is the functional same), or
+  * the FIRST violated check's reason — the reference returns on first
+  * error too, so the matrix in `CoordinatorSpec` can pin reasons 1:1.
+  *
+  * Graft-specific fields ride the same sweep: `nBuckets` (the state-table
+  * layout constant, see [[Rebucket]]) and the `trigger`/`txnTtlMs` pair —
+  * a positive transaction TTL under an AvailableNow drain is REJECTED
+  * here (a processing-time timeout needs the no-data batches only a
+  * continuous trigger schedules; the query would never terminate).
+  */
+final case class GraftConfig(
+    id: String = "",
+    syncMode: String = "", // {all, full, incr}
+    sourceUrls: Seq[String] = Nil, // mongo_urls
+    mongosUrl: String = "", // mongo_s_url
+    configServerUrl: String = "", // mongo_cs_url
+    checkpointStorage: String = "", // {database, api}
+    checkpointStorageUrl: String = "",
+    checkpointStartPositionSec: Long = 0,
+    checkpointIntervalMs: Long = 0,
+    fetchMethod: String = "", // {oplog, change_stream}
+    tunnel: String = "", // {direct, rpc, tcp, file, kafka, mock}
+    tunnelAddress: Seq[String] = Nil,
+    tunnelMessage: String = "", // {raw, bson, json}
+    tunnelWriteThread: Int = 0,
+    kafkaPartitions: Int = 0,
+    compressor: String = "", // {none, gzip, zlib, deflate, snappy}
+    workers: Int = 0, // incr_sync.worker
+    executors: Int = 0, // incr_sync.executor
+    conflictWriteTo: String = "", // {none, db, sdk}
+    shardKey: String = "", // {auto, id, collection}
+    shardByObjectIdWhiteList: Seq[String] = Nil,
+    white: Seq[String] = Nil,
+    black: Seq[String] = Nil,
+    ddlEnable: Boolean = false,
+    watchFullDocument: Boolean = false,
+    targetDelaySec: Long = 0,
+    batchingMaxSize: Int = 0,
+    fetcherBufferCapacity: Int = 0,
+    fullSyncParallelThread: Int = 0,
+    oplogStoreDisk: Boolean = false,
+    masterQuorum: Boolean = false,
+    nBuckets: Int = IncrSync.StateBuckets,
+    trigger: String = "", // {available_now, processing_time}
+    txnTtlMs: Long = 0) {
+
+  /** Result of [[sanitize]]: `collisionEnable` is the one derived flag the
+    * reference computes rather than validates (`sanitize.go:420`).
+    */
+  def collisionEnable: Boolean = executors != 1
+
+  def sanitize: Either[String, GraftConfig] = {
+    var c = this
+
+    // ---- checkDefaultValue (`sanitize.go:73-267`): fill, then gate ----
+    if (c.id.isEmpty) c = c.copy(id = "graft")
+    if (c.syncMode.isEmpty) c = c.copy(syncMode = "incr")
+    if (!Set("all", "full", "incr")(c.syncMode))
+      return Left("sync_mode should in {all, full, incr}")
+    if (c.mongosUrl.isEmpty && c.sourceUrls.isEmpty)
+      return Left("mongo_s_url and mongo_urls cannot be empty at the same time")
+
+    if (c.fetchMethod.isEmpty) c = c.copy(fetchMethod = "oplog")
+    if (!Set("oplog", "change_stream")(c.fetchMethod))
+      return Left("incr_sync.mongo_fetch_method should in {oplog, change_stream}")
+
+    if (c.checkpointStorage.isEmpty) c = c.copy(checkpointStorage = "database")
+    if (!Set("database", "api")(c.checkpointStorage))
+      return Left("checkpoint.storage should in {database, api}")
+    if (c.checkpointStartPositionSec <= 0) c = c.copy(checkpointStartPositionSec = 1)
+    if (c.checkpointIntervalMs <= 0) c = c.copy(checkpointIntervalMs = 5000)
+
+    if (c.fullSyncParallelThread <= 0) c = c.copy(fullSyncParallelThread = 1)
+    else if (c.fullSyncParallelThread > 128)
+      return Left("full_sync.reader.parallel_thread should <= 128")
+
+    if (c.shardKey.isEmpty) c = c.copy(shardKey = "collection")
+    if (!Set("auto", "id", "collection")(c.shardKey))
+      return Left("incr_sync.shard_key should in {auto, id, collection}")
+    if (c.shardByObjectIdWhiteList.nonEmpty && c.shardKey != "collection")
+      return Left("incr_sync.shard_by_object_id_whitelist should only be set " +
+        "when 'incr_sync.shard_key == collection'")
+
+    if (c.workers == 0) c = c.copy(workers = 8)
+    else if (c.workers < 0 || c.workers > 256)
+      return Left(s"incr_sync.worker[${c.workers}] should in range [1, 256]")
+    if (c.tunnelWriteThread == 0) c = c.copy(tunnelWriteThread = c.workers)
+    else if (c.tunnelWriteThread % c.workers != 0)
+      return Left(s"incr_sync.tunnel.write_thread[${c.tunnelWriteThread}] must be " +
+        s"an integer multiple of incr_sync.worker[${c.workers}]")
+
+    if (c.compressor.isEmpty) c = c.copy(compressor = "none")
+    if (!Set("none", "gzip", "zlib", "deflate", "snappy")(c.compressor))
+      return Left("incr_sync.worker.oplog_compressor in {none, gzip, zlib, deflate, snappy}")
+    if (c.targetDelaySec < 0) c = c.copy(targetDelaySec = 0)
+    if (c.batchingMaxSize <= 0) c = c.copy(batchingMaxSize = 1024)
+    if (c.fetcherBufferCapacity <= 0) c = c.copy(fetcherBufferCapacity = 256)
+
+    if (c.tunnel.isEmpty) c = c.copy(tunnel = "direct")
+    if (!Set("direct", "rpc", "tcp", "file", "kafka", "mock")(c.tunnel))
+      return Left("incr_sync.tunnel in {direct, rpc, tcp, file, kafka, mock}")
+    if (c.tunnelMessage.isEmpty) c = c.copy(tunnelMessage = "raw")
+    if (!Set("raw", "bson", "json")(c.tunnelMessage))
+      return Left("incr_sync.tunnel.message in {raw, bson, json}")
+    if (c.executors <= 0) c = c.copy(executors = 1)
+    if (c.conflictWriteTo.isEmpty) c = c.copy(conflictWriteTo = "none")
+    if (!Set("none", "db", "sdk")(c.conflictWriteTo))
+      return Left("incr_sync.conflict_write_to in {none, db, sdk}")
+
+    // ---- checkConflict (`sanitize.go:338-482`): cross-field gates ----
+    if (c.configServerUrl.isEmpty && c.sourceUrls.length > 1)
+      return Left("mongo_cs_url be config server address when source MongoDB is sharding")
+    if (c.checkpointStorageUrl.isEmpty) {
+      if (c.sourceUrls.length == 1) c = c.copy(checkpointStorageUrl = c.sourceUrls.head)
+      else if (c.mongosUrl.nonEmpty) c = c.copy(checkpointStorageUrl = c.mongosUrl)
+      else return Left("checkpoint.storage.url should be given when source is sharding")
+    }
+    if (c.sourceUrls.distinct.length != c.sourceUrls.length)
+      return Left("mongo urls were duplicated")
+    if (c.masterQuorum && c.checkpointStorage != "database")
+      return Left("context storage should set to 'database' while master election enabled")
+    if (c.black.nonEmpty && c.white.nonEmpty)
+      return Left("at most one of {filter.namespace.black, filter.namespace.white} can be given")
+
+    if (c.sourceUrls.length > 1) {
+      // sharded source over oplog tails one reader per shard
+      if (c.fetchMethod == "oplog" && c.workers != c.sourceUrls.length)
+        c = c.copy(workers = c.sourceUrls.length)
+      if (c.ddlEnable && c.fetchMethod == "oplog")
+        return Left("DDL is not support for sharding when incr_sync.mongo_fetch_method == 'oplog'")
+      if (c.fetchMethod == "change_stream" && c.mongosUrl.isEmpty)
+        return Left("mongo_s_url should be given when source is sharding and fetch method is change stream")
+    }
+    if (c.tunnel == "direct" && c.compressor != "none")
+      c = c.copy(compressor = "none")
+    if (c.tunnelAddress.isEmpty && c.tunnel != "mock")
+      return Left("incr_sync.tunnel.address shouldn't be empty when incr_sync.tunnel != 'mock'")
+    if (c.kafkaPartitions <= 0) c = c.copy(kafkaPartitions = 1)
+    else if (c.kafkaPartitions > c.workers)
+      return Left(s"tunnel.kafka.partition[${c.kafkaPartitions}] number should <= " +
+        s"incr_sync.worker number[${c.workers}]")
+    if (c.tunnel != "direct" && c.syncMode != "incr")
+      return Left("full sync only support when tunnel type == direct")
+    if (c.tunnelMessage != "raw" && c.compressor != "none")
+      c = c.copy(compressor = "none")
+    if (c.oplogStoreDisk && c.syncMode != "all")
+      c = c.copy(oplogStoreDisk = false)
+    if (c.watchFullDocument && c.tunnel == "direct")
+      c = c.copy(watchFullDocument = false)
+    if (c.syncMode != "incr") c = c.copy(checkpointStartPositionSec = 1)
+
+    // ---- graft state/stream knobs ----
+    if (c.nBuckets <= 0 || c.nBuckets > (1 << 20))
+      return Left(s"state.buckets[${c.nBuckets}] should in range [1, 1048576]")
+    if (c.trigger.isEmpty) c = c.copy(trigger = "available_now")
+    if (!Set("available_now", "processing_time")(c.trigger))
+      return Left("trigger should in {available_now, processing_time}")
+    if (c.txnTtlMs < 0) c = c.copy(txnTtlMs = 0)
+    if (c.txnTtlMs > 0 && c.trigger == "available_now")
+      return Left("txn_ttl_ms requires trigger == 'processing_time': an AvailableNow " +
+        "drain never schedules the no-data batches that fire processing-time " +
+        "timeouts, so the query would not terminate")
+
+    Right(c)
+  }
+}

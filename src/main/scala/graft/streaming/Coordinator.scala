@@ -83,9 +83,13 @@ object Coordinator {
       colon = url.indexOf(':', colon + 1)
       if (colon == -1) return url
     }
-    // the credential block ends at the last '@' before the path
+    // the credential block ends at the last '@' before the path OR the
+    // query string — a path-less URL with '@' in the query
+    // (mongodb://u:p@host:27017?x=a@b) must not mask through the host
     val pathStart = url.indexOf('/', colon + 1)
-    val end = if (pathStart == -1) url.length else pathStart
+    val queryStart = url.indexOf('?', colon + 1)
+    val end = Seq(pathStart, queryStart).filter(_ != -1)
+      .minOption.getOrElse(url.length)
     val at = url.lastIndexOf('@', end - 1)
     if (at == -1 || at == url.length - 1 || at <= colon) return url
     url.substring(0, colon + 1) + replace + url.substring(at)

@@ -142,10 +142,12 @@ object IncrSync {
     */
   /** @param txnTtlMs TTL for orphaned partial-transaction state on a
     *   continuous trigger (a partial chain whose commit never arrives is
-    *   purged instead of living in the state store forever). Forced to 0
-    *   under AvailableNow: a processing-time timeout schedules no-data
-    *   batches to expire state, which a drain-style run never reaches —
-    *   the query would simply not terminate.
+    *   purged instead of living in the state store forever). A positive
+    *   TTL is REJECTED under AvailableNow (see [[startOplogTo]]): a
+    *   processing-time timeout needs the no-data batches only a
+    *   continuous trigger schedules — a drain-style run would simply not
+    *   terminate. Default 0 (no purge); a production ProcessingTime tail
+    *   should pass [[TxnAssembler.DefaultTxnTtlMs]] or its own bound.
     * @param trigger AvailableNow (drain) by default; pass a
     *   ProcessingTime trigger for a continuous tail.
     */
@@ -154,7 +156,7 @@ object IncrSync {
       gids: Seq[String] = Seq(""),
       white: Seq[String] = Seq("^app\\..*$"),
       black: Seq[String] = Nil,
-      txnTtlMs: Long = TxnAssembler.DefaultTxnTtlMs,
+      txnTtlMs: Long = 0L,
       trigger: Trigger = Trigger.AvailableNow(),
       nBuckets: Int = StateBuckets,
       startingTs: Long = Long.MinValue): StreamingQuery =
@@ -170,7 +172,7 @@ object IncrSync {
       gids: Seq[String] = Seq(""),
       white: Seq[String] = Seq("^app\\..*$"),
       black: Seq[String] = Nil,
-      txnTtlMs: Long = TxnAssembler.DefaultTxnTtlMs,
+      txnTtlMs: Long = 0L,
       trigger: Trigger = Trigger.AvailableNow(),
       nBuckets: Int = StateBuckets,
       startingTs: Long = Long.MinValue): StreamingQuery =
@@ -188,10 +190,18 @@ object IncrSync {
       gids: Seq[String] = Seq(""),
       white: Seq[String] = Seq("^app\\..*$"),
       black: Seq[String] = Nil,
-      txnTtlMs: Long = TxnAssembler.DefaultTxnTtlMs,
+      txnTtlMs: Long = 0L,
       trigger: Trigger = Trigger.AvailableNow(),
       startingTs: Long = Long.MinValue): StreamingQuery = {
-    val effectiveTtlMs = if (trigger == Trigger.AvailableNow()) 0L else txnTtlMs
+    // A rejected config, not a silent force-to-0 (GraftConfig.sanitize is
+    // the declarative twin of this gate): the caller asked for a TTL the
+    // drain trigger can never fire, and silently dropping it would let an
+    // operator believe orphan purging is active when it is not.
+    require(txnTtlMs == 0L || trigger != Trigger.AvailableNow(),
+      "txnTtlMs > 0 requires a ProcessingTime trigger: an AvailableNow drain " +
+        "never schedules the no-data batches that fire processing-time " +
+        "timeouts, so orphan state would never purge and the query would " +
+        "not terminate")
     import spark.implicits._
     // S1 resume predicate ({ts: {$gt: ckpt}}, `oplog_reader.go:90-97`) —
     // also the full→incr handoff position: records at or below the
@@ -267,7 +277,7 @@ object IncrSync {
     val entries = TxnAssembler.classifyEntries(
       stream.filter(isTxnEntry && col("g").isin(gids: _*) && !col("from_migrate"))
         .withColumn("seq", col("event_id")))
-    val inner = TxnAssembler.assemble(entries, ttlMs = effectiveTtlMs)
+    val inner = TxnAssembler.assemble(entries, ttlMs = txnTtlMs)
     val innerRows = inner
       .select(get_json_object(col("op"), "$.event_id").cast("long").as("event_id"),
         col("ts").as("ts_packed"),

@@ -704,6 +704,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$work/_handoff").head().getLong(0) == pos && pos > 0)
   }
 
+  test("AvailableNow + positive txn TTL is rejected at the seam, not coerced") {
+    val ex = intercept[IllegalArgumentException] {
+      IncrSync.startOplog(spark, "/nonexistent/feed", "/nonexistent/target",
+        "/nonexistent/ckpt", txnTtlMs = 60000) // default AvailableNow trigger
+    }
+    assert(ex.getMessage.contains("requires a ProcessingTime trigger"))
+  }
+
   test("rebucket: layout moves, content is a semantic no-op, wrong `from` rejected, crash recovers") {
     import graft.streaming.Rebucket
     val work = Files.createTempDirectory("graft_rebucket").toFile.getAbsolutePath

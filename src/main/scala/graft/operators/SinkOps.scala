@@ -160,6 +160,71 @@ object SinkOps {
           col("ts_packed"), col("op"), col("ns"), col("doc_key"), col("g"))
     }),
 
+    // Entry point C at its production shape: a CONTINUOUS receiver tail
+    // (`receiver/replayer.go:54-146` runs forever on the tunnel; the
+    // drain-style e2e/resume entries above never exercise that mode).
+    // The REAL `Receiver.startFrom` runs under ProcessingTime with
+    // maxFilesPerTrigger = 1: two frame files pre-staged in pinned
+    // mod-time order, two more landing WHILE the query runs, each its own
+    // micro-batch. Frames are split by routing shard, so batch
+    // attribution is closed-form: shard k decodes in batch k — a resume
+    // that re-reads an old file, a listing that merges arrivals into one
+    // batch, or a decode loss all hash-diverge. Progress is polled off
+    // the decoded table itself (the sanctioned closed-form-count pattern
+    // from cdc_soak_live — processAllAvailable cannot drive a
+    // ProcessingTime tail), and a stalled stream throws at the poll site
+    // instead of surfacing later as an opaque oracle divergence.
+    "sink_receiver_live" -> ((s, dir) => {
+      import graft.streaming.{ParquetDirSource, Receiver}
+      import org.apache.spark.sql.streaming.Trigger
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_receiver_live_q"
+      graft.streaming.IncrSync.deletePath(s, work)
+      val enc = Envelope.encode(filtered(s, dir), nShards).localCheckpoint()
+      val framed = Envelope.compressFrames(Envelope.messages(enc))
+        .selectExpr(Envelope.frameColumns: _*).localCheckpoint()
+      val perShard = enc.groupBy(col("shard")).count().collect()
+        .map(r => r.getAs[Number]("shard").intValue -> r.getAs[Long]("count")).toMap
+      def cum(k: Int): Long = (0 to k).map(perShard.getOrElse(_, 0L)).sum
+
+      val decodedPath = new org.apache.hadoop.fs.Path(s"$work/target/decoded")
+      val fs = decodedPath.getFileSystem(s.sessionState.newHadoopConf())
+      def decodedTotal(): Long =
+        try {
+          if (!fs.exists(decodedPath)) 0L
+          else s.read.parquet(decodedPath.toString).count()
+        } catch { case _: Throwable => 0L }
+      def awaitTotal(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 120000L
+        while (decodedTotal() < n) {
+          if (System.currentTimeMillis() >= deadline)
+            throw new IllegalStateException(
+              s"receiver soak stalled: ${decodedTotal()} of $n rows decoded " +
+                "within 120s — stream made no progress")
+          Thread.sleep(100)
+        }
+      }
+
+      val feedDir = s"$work/frames"
+      StreamOps.stageOrdered(s, feedDir, Seq(
+        framed.filter(col("shard") === 0), framed.filter(col("shard") === 1)))
+      val q = Receiver.startFrom(s,
+        ParquetDirSource(feedDir, Receiver.framesSchema, maxFilesPerTrigger = 1),
+        s"$work/target", s"$work/ckpt",
+        trigger = Trigger.ProcessingTime("250 milliseconds"))
+      try {
+        awaitTotal(cum(1))
+        framed.filter(col("shard") === 2).coalesce(1)
+          .write.mode("append").parquet(feedDir)
+        awaitTotal(cum(2))
+        framed.filter(col("shard") === 3).coalesce(1)
+          .write.mode("append").parquet(feedDir)
+        awaitTotal(cum(3))
+      } finally q.stop()
+      s.read.parquet(s"$work/target/decoded")
+        .select(col("batch").cast("bigint").as("batch_id"),
+          col("ts_packed"), col("op"), col("ns"), col("doc_key"), col("g"))
+    }),
+
     // K5 at its production shape: one tunnel file PER SHARD, written AND
     // read executor-side (`FileSink.writeSharded` / `readSharded` — no
     // driver funnel on either side), every block's shard id validated
@@ -343,6 +408,10 @@ object SinkOps {
     "sink_receiver_resume" -> withOplog(
       s"""SELECT CAST(CASE WHEN $shardSql < 2 THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
           ts_packed, op, ns, doc_key, g
+          FROM oplog WHERE $chainSql"""),
+
+    "sink_receiver_live" -> withOplog(
+      s"""SELECT CAST($shardSql AS BIGINT) AS batch_id, ts_packed, op, ns, doc_key, g
           FROM oplog WHERE $chainSql"""),
 
     "sink_socket_roundtrip" -> withOplog(

@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "cdc_resume_restart", // two sequential streaming queries (stop + resume)
     "cdc_full_incr_handoff", // snapshot apply + full streaming query
     "cdc_metrics", // streaming query + listener-fed metrics table
-    "cdc_soak_live" // continuous-trigger soak: live TTL sleep + 4 polled phases
+    "cdc_soak_live", // continuous-trigger soak: live TTL sleep + 4 polled phases
+    "sink_receiver_live" // continuous-trigger receiver soak: 4 polled phases
   )
 
   /** Broadcast nested-loop joins that ARE the operator's semantics: a

@@ -1,10 +1,11 @@
 #!/usr/bin/env python3
 """Diff two graft.Bench JSON captures (dev tool, engine-independent).
 
-Usage: python3 scripts/bench_compare.py PREV.json CUR.json [--reg-factor 2.0]
+Usage: python3 scripts/bench_compare.py PREV.json CUR.json
+         [--reg-factor 2.0] [--clean-floor SECONDS]
 
 Prints totals, each capture's calibration probes and load average, the
-probe SPREAD (max/min over the pre/interleaved/post probe series — a
+probe SPREAD (max/median over the pre/interleaved/post probe series — a
 contended capture inflates the probes that bracket the contention
 window, so spread > ~2x marks the timing run itself as untrustworthy;
 see Bench.scala), per-query regressions beyond max(reg_factor x, +1s),
@@ -16,17 +17,22 @@ problem, not a regression), else 0.
 """
 import argparse
 import json
+import os
 
 # Two independent contamination signals over the probe series:
 #  - spread (max/median > limit): a contention WINDOW inside the run
 #    inflates the probes bracketing it (r7's mid-run artifact);
 #  - absolute floor (min > floor): contention spanning the WHOLE run
 #    inflates every probe about equally, so the spread stays flat but
-#    even the quietest probe is far off the known-clean ~0.10-0.15s this
-#    container measures for the fixed 100M-row probe plan (r7's driver
-#    capture: probes 0.29/0.40, spread 1.4x — floor catches it).
+#    even the quietest probe is far off the known-clean probe time for
+#    the fixed 100M-row probe plan (r7's driver capture: probes
+#    0.29/0.40, spread 1.4x — floor catches it).
 SPREAD_LIMIT = 2.0
-CLEAN_FLOOR = 0.25  # seconds; calibrated to this container, see Bench.scala
+# Machine-specific: ~0.10-0.15s on the round container. On a slower box
+# every capture would trip a hardcoded floor — and since regressions on
+# a "contended" capture exit 0, that would silently disable the gate —
+# so the floor is tunable per machine (flag wins over env over default).
+DEFAULT_CLEAN_FLOOR = float(os.environ.get("GRAFT_CLEAN_FLOOR", "0.25"))
 
 
 def probe_series(d):
@@ -38,14 +44,14 @@ def probe_series(d):
     return [p for p in ps if p and p > 0]
 
 
-def describe(tag, d):
+def describe(tag, d, clean_floor):
     ps = probe_series(d)
     if not ps:
         print("%s total %.1fs (no probes)" % (tag, d["value"]))
         return False
     med = sorted(ps)[len(ps) // 2]
     spread = max(ps) / med
-    contended = spread > SPREAD_LIMIT or min(ps) > CLEAN_FLOOR
+    contended = spread > SPREAD_LIMIT or min(ps) > clean_floor
     flag = "  << CONTENDED CAPTURE" if contended else ""
     print("%s total %.1fs (probes n=%d min %.2f med %.2f max %.2f spread %.2fx load %.2f)%s"
           % (tag, d["value"], len(ps), min(ps), med, max(ps), spread,
@@ -61,6 +67,10 @@ def main():
     ap.add_argument("cur", help="current Bench JSON capture")
     ap.add_argument("--reg-factor", type=float, default=2.0,
                     help="per-query slowdown factor counted as a regression")
+    ap.add_argument("--clean-floor", type=float, default=DEFAULT_CLEAN_FLOOR,
+                    help="probe seconds above which even a flat-spread capture "
+                         "counts as contended (machine-specific; also settable "
+                         "via GRAFT_CLEAN_FLOOR)")
     args = ap.parse_args()
 
     prev = json.load(open(args.prev))
@@ -78,8 +88,8 @@ def main():
                 f"bench_latest.json instead)")
     pq, cq = prev["queries"], cur["queries"]
 
-    contended_prev = describe("prev", prev)
-    contended_cur = describe("cur ", cur)
+    contended_prev = describe("prev", prev, args.clean_floor)
+    contended_cur = describe("cur ", cur, args.clean_floor)
 
     new = {k: round(v, 2) for k, v in cq.items() if k not in pq}
     gone = sorted(k for k in pq if k not in cq)

@@ -190,7 +190,10 @@ object Relational {
       val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed" +
         dir.replace('/', '_')
       def bucketed(table: String, key: String): String = {
-        val name = s"g_${table}_b"
+        // dataset-scoped NAME, not just path: a fixed name would keep
+        // pointing at the last dir it was built for, silently serving
+        // dir B's data to a dir A run that passes the path/_SUCCESS check
+        val name = s"g_${table}_b" + dir.replaceAll("[^a-zA-Z0-9]", "_")
         val path = s"$wh/$table"
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(s.sessionState.newHadoopConf())

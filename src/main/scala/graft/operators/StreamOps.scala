@@ -431,7 +431,15 @@ object StreamOps {
     * reference's in-order DirectWriter replay.
     */
   private[graft] def runSoak(s: SparkSession, dir: String,
-      ttlMs: Long = 10000L): DataFrame = {
+      ttlMs: Long = 15000L): DataFrame = {
+    // TTL margin: the cross-chain window is batch-1 processing alone (see
+    // the staging note below), normally < 2 s — but on a contended host
+    // query init + the first file can take several seconds, and a TTL the
+    // window overruns purges cross chains before their commit (a flaked
+    // oracle, not a flaked assertion). 15 s default keeps the orphan
+    // phase bounded while sitting well above observed worst-case batch-1
+    // latency; StreamingSpec's faster 6 s variant was raised for the same
+    // reason.
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_soak_live_q"
     IncrSync.deletePath(s, work)
     val keep = OplogFilters.chain(gids, white, black)
@@ -493,8 +501,14 @@ object StreamOps {
       } catch { case _: Throwable => 0L }
     def awaitTotal(n: Long): Unit = {
       val deadline = System.currentTimeMillis() + 120000L
-      while (ckptTotal() < n && System.currentTimeMillis() < deadline)
+      while (ckptTotal() < n) {
+        // throw AT the stall, not three phases later as an opaque oracle
+        // hash divergence
+        if (System.currentTimeMillis() >= deadline)
+          throw new IllegalStateException(
+            s"soak stalled: ${ckptTotal()} of $n rows delivered within 120s")
         Thread.sleep(100)
+      }
     }
 
     val feedDir = s"$work/feed"

@@ -605,7 +605,9 @@ class StreamingSpec extends AnyFunSuite {
     import graft.filters.OplogFilters
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.001"
-    val out = graft.operators.StreamOps.runSoak(spark, dir, ttlMs = 6000L).collect()
+    // 12 s: far above worst-case batch-1 latency on a contended host (the
+    // cross-chain purge window — see the runSoak TTL note), still fast
+    val out = graft.operators.StreamOps.runSoak(spark, dir, ttlMs = 12000L).collect()
 
     // four micro-batches, one per landed file (idle TTL triggers skipped)
     val ckN = out.find(_.getAs[String]("section") == "ckpt_n").get

@@ -225,7 +225,7 @@ object Replay {
     * recursive-CTE fold):
     *   i → replace document with {v: cents, m: k, arr: [k%5, (k+1)%5]}
     *   d → delete
-    *   u → by event_id % 9 (applied as an upsert; isInsert = doc absent):
+    *   u → by event_id % 12 (applied as an upsert; isInsert = doc absent):
     *     0: {$mul:{v:-1}}            (sign flip — bounded, exercises $mul)
     *     1: {$min:{v:cents}}         2: {$max:{v:cents}}
     *     3: {$rename:{m:"m2"}}       (no-op when m is absent)
@@ -236,6 +236,11 @@ object Replay {
     *        ($setOnInsert contributes ONLY on the upsert-insert path)
     *     8: {$inc:{"arr.$[lo]":10}} arrayFilters [{lo:{$lt:3}}]
     *        (filtered positional — only elements < 3 incremented)
+    *     9: {$bit:{v:{xor:k}}}       (int64 bitwise; missing v starts at 0)
+    *    10: {$push:{arr:{$each:[k%5], $position:0, $slice:3}}}
+    *        (prepend, then keep the first 3)
+    *    11: {$push:{arr:{$each:[k%5,(k+2)%7], $sort:-1, $slice:-4}}}
+    *        (append 2, sort descending, keep the last 4)
     * Same physical shape as [[applyOps]]: one shuffle on the key,
     * secondary sort, contiguous-key fold holding one document of state.
     */
@@ -267,7 +272,7 @@ object Replay {
               "arr" -> JArray(List(JLong(k % 5), JLong((k + 1) % 5))))))
             case "u" =>
               val doc = state.getOrElse(JObject(Nil))
-              val spec = (eventId % 9) match {
+              val spec = (eventId % 12) match {
                 case 0 => JObject(List("$mul" -> JObject(List("v" -> JInt(-1)))))
                 case 1 => JObject(List("$min" -> JObject(List("v" -> JLong(cents)))))
                 case 2 => JObject(List("$max" -> JObject(List("v" -> JLong(cents)))))
@@ -280,7 +285,15 @@ object Replay {
                   "$setOnInsert" -> JObject(List(
                     "v" -> JLong(cents * 2),
                     "arr" -> JArray(List(JLong(k % 5)))))))
-                case _ => JObject(List("$inc" -> JObject(List("arr.$[lo]" -> JInt(10)))))
+                case 8 => JObject(List("$inc" -> JObject(List("arr.$[lo]" -> JInt(10)))))
+                case 9 => JObject(List("$bit" -> JObject(List("v" ->
+                  JObject(List("xor" -> JLong(k)))))))
+                case 10 => JObject(List("$push" -> JObject(List("arr" -> JObject(List(
+                  "$each" -> JArray(List(JLong(k % 5))),
+                  "$position" -> JInt(0), "$slice" -> JInt(3)))))))
+                case _ => JObject(List("$push" -> JObject(List("arr" -> JObject(List(
+                  "$each" -> JArray(List(JLong(k % 5), JLong((k + 2) % 7))),
+                  "$sort" -> JInt(-1), "$slice" -> JInt(-4)))))))
               }
               Some(UpdateSpec.applySpec(doc, spec, loFilter, isInsert = state.isEmpty))
             case _ => None

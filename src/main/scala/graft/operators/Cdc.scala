@@ -676,20 +676,21 @@ object Cdc {
               SELECT x.doc_key, x.rn,
                 x.op <> 'd' AS present,
                 CASE WHEN x.op = 'i' THEN x.c WHEN x.op = 'd' THEN NULL
-                  ELSE CASE x.e % 9
+                  ELSE CASE x.e % 12
                     WHEN 0 THEN COALESCE(f.v, 0) * -1
                     WHEN 1 THEN CASE WHEN f.v IS NULL OR x.c < f.v THEN x.c ELSE f.v END
                     WHEN 2 THEN CASE WHEN f.v IS NULL OR x.c > f.v THEN x.c ELSE f.v END
                     WHEN 7 THEN CASE WHEN NOT f.present THEN x.c * 2 ELSE f.v END
+                    WHEN 9 THEN xor(COALESCE(f.v, 0), x.k)
                     ELSE f.v END END AS v,
                 CASE WHEN x.op = 'i' THEN x.k WHEN x.op = 'd' THEN NULL
-                  WHEN x.e % 9 = 3 THEN NULL
-                  WHEN x.e % 9 = 7 THEN x.k ELSE f.m END AS m,
+                  WHEN x.e % 12 = 3 THEN NULL
+                  WHEN x.e % 12 = 7 THEN x.k ELSE f.m END AS m,
                 CASE WHEN x.op IN ('i','d') THEN NULL
-                  WHEN x.e % 9 = 3 AND f.m IS NOT NULL THEN f.m ELSE f.m2 END AS m2,
+                  WHEN x.e % 12 = 3 AND f.m IS NOT NULL THEN f.m ELSE f.m2 END AS m2,
                 CASE WHEN x.op = 'i' THEN [x.k % 5, (x.k + 1) % 5]
                   WHEN x.op = 'd' THEN NULL
-                  ELSE CASE x.e % 9
+                  ELSE CASE x.e % 12
                     WHEN 4 THEN CASE WHEN f.arr IS NULL THEN [x.k % 5]
                       WHEN list_contains(f.arr, x.k % 5) THEN f.arr
                       ELSE list_append(f.arr, x.k % 5) END
@@ -700,6 +701,12 @@ object Cdc {
                     WHEN 7 THEN CASE WHEN NOT f.present THEN [x.k % 5] ELSE f.arr END
                     WHEN 8 THEN CASE WHEN f.arr IS NULL THEN f.arr
                       ELSE list_transform(f.arr, y -> CASE WHEN y < 3 THEN y + 10 ELSE y END) END
+                    WHEN 10 THEN list_slice(
+                      list_prepend(x.k % 5, COALESCE(f.arr, [])), 1, 3)
+                    WHEN 11 THEN list_slice(
+                      list_sort(list_concat(COALESCE(f.arr, []),
+                        [x.k % 5, (x.k + 2) % 7]), 'DESC'),
+                      greatest(1, len(COALESCE(f.arr, [])) - 1), len(COALESCE(f.arr, [])) + 2)
                     ELSE f.arr END END AS arr
               FROM fold f JOIN eff2 x ON x.doc_key = f.doc_key AND x.rn = f.rn + 1)
             SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_key ORDER BY rn DESC) AS rk

@@ -359,19 +359,51 @@ object UpdateSpec {
     else List(segs)
   }
 
-  /** `$push` argument: plain value, or `{$each:[…]}` with optional `$slice`
-    * modifier (negative keeps the last |n| elements, MongoDB semantics).
+  /** Parsed `$push` argument: plain value, or `{$each:[…]}` with the
+    * modifier set — `$slice` (negative keeps the last |n| elements),
+    * `$position` (insert index; negative counts from the end), `$sort`
+    * (1/-1 whole-element, or a `{field: dir}` document sort). Applied in
+    * MongoDB's documented order: insert at position → sort → slice.
     */
-  private def pushValues(arg: JValue): (List[JValue], Option[Long]) = arg match {
+  private final case class PushArg(each: List[JValue], slice: Option[Long],
+      position: Option[Int], sortSpec: Option[JValue])
+
+  private def pushArg(arg: JValue): PushArg = arg match {
     case o: JObject if (o \ "$each") != JNothing =>
       val each = (o \ "$each") match { case JArray(xs) => xs; case v => List(v) }
-      val slice = (o \ "$slice") match {
+      def mod(k: String): Option[JValue] = (o \ k) match {
         case JNothing | JNull => None
-        case v => Some(asDouble(v).toLong)
+        case v => Some(v)
       }
-      (each, slice)
-    case v => (List(v), None)
+      PushArg(each, mod("$slice").map(asDouble(_).toLong),
+        mod("$position").map(asDouble(_).toInt), mod("$sort"))
+    case v => PushArg(List(v), None, None, None)
   }
+
+  /** `$sort` modifier semantics: a document spec orders elements by its
+    * keyed subfields (first key most significant, each ±1); a bare ±1
+    * orders whole elements. Stable (List.sortWith is TimSort), matching
+    * the server.
+    */
+  private def applySortSpec(items: List[JValue], spec: JValue): List[JValue] =
+    spec match {
+      case o: JObject if o.obj.nonEmpty =>
+        val keys = o.obj.map { case (k, dir) => (k.split('.').toList, asDouble(dir) >= 0) }
+        items.sortWith { (a, b) =>
+          var i = 0
+          var res = 0
+          while (i < keys.length && res == 0) {
+            val (p, asc) = keys(i)
+            val c = jCompare(subPath(a, p), subPath(b, p))
+            res = if (asc) c else -c
+            i += 1
+          }
+          res < 0
+        }
+      case v =>
+        val asc = asDouble(v) >= 0
+        items.sortWith((a, b) => if (asc) jCompare(a, b) < 0 else jCompare(a, b) > 0)
+    }
 
   private def applySlice(items: List[JValue], n: Long): List[JValue] =
     if (n >= 0) items.take(n.toInt) else items.takeRight((-n).toInt)
@@ -386,8 +418,9 @@ object UpdateSpec {
   }
 
   /** Apply a classic update spec ({$set, $unset, $setOnInsert, $inc, $mul,
-    * $min, $max, $rename, $push, $addToSet, $pull, $pop}, positional
-    * `$`/`$[]`/`$[ident]` paths) to a document. Unknown top-level keys
+    * $min, $max, $rename, $push (with $each/$slice/$position/$sort),
+    * $addToSet, $pull, $pop, $bit}, positional `$`/`$[]`/`$[ident]`
+    * paths) to a document. Unknown top-level keys
     * without a $ prefix mean "replace document" (MongoDB replace-update
     * semantics, W3's replace dispatch — reference
     * `executor/db_writer_bulk.go:118-232`; the operator vocabulary beyond
@@ -478,20 +511,46 @@ object UpdateSpec {
       case (d, ("$push", JObject(fields))) =>
         fields.foldLeft(d) { (acc, kv) =>
           targetPaths(acc, kv._1).foldLeft(acc) { (a, path) =>
-            val (vals, slice) = pushValues(kv._2)
-            val next = curArray(a, path) ++ vals
-            setPath(a, path, JArray(slice.fold(next)(applySlice(next, _))))
+            val pa = pushArg(kv._2)
+            val cur = curArray(a, path)
+            val pos = pa.position
+              .map(p => if (p < 0) math.max(0, cur.length + p) else math.min(p, cur.length))
+              .getOrElse(cur.length)
+            val inserted = cur.take(pos) ++ pa.each ++ cur.drop(pos)
+            val sorted = pa.sortSpec.fold(inserted)(applySortSpec(inserted, _))
+            setPath(a, path, JArray(pa.slice.fold(sorted)(applySlice(sorted, _))))
           }
         }
       case (d, ("$addToSet", JObject(fields))) =>
         fields.foldLeft(d) { (acc, kv) =>
           targetPaths(acc, kv._1).foldLeft(acc) { (a, path) =>
-            val (vals, _) = pushValues(kv._2)
+            val vals = pushArg(kv._2).each
             val cur = curArray(a, path)
             val added = vals.foldLeft(List.empty[JValue]) { (out, v) =>
               if (cur.exists(jEq(_, v)) || out.exists(jEq(_, v))) out else out :+ v
             }
             setPath(a, path, JArray(cur ++ added))
+          }
+        }
+      case (d, ("$bit", JObject(fields))) =>
+        // int64 bitwise and/or/xor; a missing field starts at 0 (MongoDB
+        // creates it with the op applied to zero)
+        fields.foldLeft(d) { (acc, kv) =>
+          targetPaths(acc, kv._1).foldLeft(acc) { (a, path) =>
+            val cur = getPath(a, path) match {
+              case JNothing | JNull => 0L
+              case v => asBig(v).map(_.toLong).getOrElse(0L)
+            }
+            val result = kv._2 match {
+              case o: JObject => o.obj.foldLeft(cur) {
+                case (x, ("and", v)) => x & asDouble(v).toLong
+                case (x, ("or", v)) => x | asDouble(v).toLong
+                case (x, ("xor", v)) => x ^ asDouble(v).toLong
+                case (x, _) => x
+              }
+              case _ => cur
+            }
+            setPath(a, path, JLong(result))
           }
         }
       case (d, ("$pull", JObject(fields))) =>

@@ -291,6 +291,56 @@ class UpdateSpecSpec extends AnyFunSuite {
     assert(j(g4) == j("""{"a":[{"v":20},{"v":30}]}"""))
   }
 
+  test("$push modifiers: $position inserts, $sort orders, $slice trims — in that order") {
+    // $position 0 prepends; positive $slice keeps the head
+    val g1 = UpdateSpec.applySpecJson("""{"a":[1,2]}""",
+      """{"$push":{"a":{"$each":[9],"$position":0,"$slice":3}}}""")
+    assert(j(g1) == j("""{"a":[9,1,2]}"""))
+    // negative $position counts from the end (-1 → before the last)
+    val g2 = UpdateSpec.applySpecJson("""{"a":[1,2,3]}""",
+      """{"$push":{"a":{"$each":[9],"$position":-1}}}""")
+    assert(j(g2) == j("""{"a":[1,2,9,3]}"""))
+    // out-of-range positions clamp (past-end appends, past-start prepends)
+    val g3 = UpdateSpec.applySpecJson("""{"a":[1]}""",
+      """{"$push":{"a":{"$each":[9],"$position":50}}}""")
+    assert(j(g3) == j("""{"a":[1,9]}"""))
+    val g4 = UpdateSpec.applySpecJson("""{"a":[1]}""",
+      """{"$push":{"a":{"$each":[9],"$position":-50}}}""")
+    assert(j(g4) == j("""{"a":[9,1]}"""))
+    // whole-element $sort ascending and descending
+    val g5 = UpdateSpec.applySpecJson("""{"a":[3,1]}""",
+      """{"$push":{"a":{"$each":[2],"$sort":1}}}""")
+    assert(j(g5) == j("""{"a":[1,2,3]}"""))
+    // document $sort orders elements by the keyed subfield
+    val g6 = UpdateSpec.applySpecJson(
+      """{"a":[{"s":3,"t":"x"},{"s":1,"t":"y"}]}""",
+      """{"$push":{"a":{"$each":[{"s":2,"t":"z"}],"$sort":{"s":-1}}}}""")
+    assert(j(g6) == j("""{"a":[{"s":3,"t":"x"},{"s":2,"t":"z"},{"s":1,"t":"y"}]}"""))
+    // full pipeline: insert at 0, sort desc, keep last 2 (slice AFTER sort)
+    val g7 = UpdateSpec.applySpecJson("""{"a":[5,1]}""",
+      """{"$push":{"a":{"$each":[3],"$position":0,"$sort":-1,"$slice":-2}}}""")
+    assert(j(g7) == j("""{"a":[3,1]}"""))
+    // $push on a missing field creates it through the same pipeline
+    val g8 = UpdateSpec.applySpecJson("""{}""",
+      """{"$push":{"a":{"$each":[2,1],"$sort":1}}}""")
+    assert(j(g8) == j("""{"a":[1,2]}"""))
+  }
+
+  test("$bit: int64 and/or/xor, missing field starts at zero") {
+    val g1 = UpdateSpec.applySpecJson("""{"v":13}""", """{"$bit":{"v":{"and":10}}}""")
+    assert(j(g1) == j("""{"v":8}"""))
+    val g2 = UpdateSpec.applySpecJson("""{"v":3}""", """{"$bit":{"v":{"or":5}}}""")
+    assert(j(g2) == j("""{"v":7}"""))
+    val g3 = UpdateSpec.applySpecJson("""{"v":5}""", """{"$bit":{"v":{"xor":3}}}""")
+    assert(j(g3) == j("""{"v":6}"""))
+    // missing → 0 op arg; chained ops apply in spec order
+    val g4 = UpdateSpec.applySpecJson("""{}""", """{"$bit":{"v":{"xor":9}}}""")
+    assert(j(g4) == j("""{"v":9}"""))
+    val g5 = UpdateSpec.applySpecJson("""{"v":12}""",
+      """{"$bit":{"v":{"and":10,"or":1}}}""")
+    assert(j(g5) == j("""{"v":9}""")) // (12 & 10) = 8, then | 1 = 9
+  }
+
   test("$setOnInsert applies only on the upsert-insert path") {
     val spec = """{"$set":{"m":7},"$setOnInsert":{"v":42,"arr":[1]}}"""
     // insert path: both $set and $setOnInsert land

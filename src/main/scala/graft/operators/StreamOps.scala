@@ -48,7 +48,8 @@ object StreamOps {
     "cdc_full_incr_handoff" -> ((s, dir) => runHandoff(s, dir)),
     "cdc_soak_live" -> ((s, dir) => runSoak(s, dir)),
     "cdc_rebucket" -> ((s, dir) => runRebucket(s, dir)),
-    "stream_window_late" -> ((s, dir) => runWindowed(s, dir)))
+    "stream_window_late" -> ((s, dir) => runWindowed(s, dir)),
+    "stream_join" -> ((s, dir) => runStreamJoin(s, dir)))
 
   /** Stage a multi-file feed whose files must be consumed IN ORDER by a
     * `maxFilesPerTrigger = 1` file source: write each part, then pin
@@ -617,6 +618,57 @@ object StreamOps {
     s.read.parquet(s"$work/out")
   }
 
+  /** Watermarked stream-stream INNER join — `StreamingSymmetricHashJoin`,
+    * the one Structured Streaming operator family no other query
+    * exercises: the events corpus split into two LIVE sides by event_id
+    * parity ("view" rows even, "buy" rows odd), joined per user with an
+    * event-time range bound (a buy within the hour after a view — the
+    * clickstream-attribution shape). Both sides carry 1-hour watermarks
+    * and the join condition carries the time bound, so each side's state
+    * store retains only the watermark horizon: state is O(window), not
+    * O(stream) — the property that makes the operator usable at 100 TB.
+    *
+    * AvailableNow drain over one staged file per side: a drained inner
+    * join emits exactly the batch-join pair set, closed-form in the
+    * oracle. Output: one row per qualifying (view, buy) pair with the µs
+    * lag — integer-exact.
+    */
+  private def runStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_q"
+    IncrSync.deletePath(s, work)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      .localCheckpoint()
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$work/views")
+    ev.filter(col("event_id") % 2 === 1).write.parquet(s"$work/buys")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    def sideStream(path: String, prefix: String): DataFrame =
+      s.readStream.schema(schema).parquet(s"$work/$path")
+        .select(col("event_id").as(s"${prefix}_event"),
+          col("user_id").as(s"${prefix}_user"),
+          timestamp_micros(col("ts_us")).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val q = sideStream("views", "v").join(sideStream("buys", "b"),
+        expr("v_user = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"))
+      .select(col("v_event").as("view_event"), col("b_event").as("buy_event"),
+        col("v_user").as("user_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
   /** G7's queryable metrics surface (`common/metric.go:43-52,87-200`): run
     * the real `IncrSync.startOplog` over the UNFILTERED corpus feed with a
     * [[graft.metrics.MetricsRecorder]] attached; the listener writes one
@@ -672,6 +724,16 @@ object StreamOps {
           FROM up, tt
           WHERE w_start + 86400000000 <= wm
           GROUP BY w_start""",
+
+    // Drained inner stream-stream join ≡ the batch join, closed form.
+    "stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us FROM events),
+          a AS (SELECT * FROM e WHERE event_id % 2 = 0),
+          b AS (SELECT * FROM e WHERE event_id % 2 = 1)
+          SELECT a.event_id AS view_event, b.event_id AS buy_event,
+            a.user_id, b.ts_us - a.ts_us AS lag_us
+          FROM a JOIN b ON a.user_id = b.user_id
+            AND b.ts_us >= a.ts_us AND b.ts_us <= a.ts_us + 3600000000""",
 
     "cdc_soak_live" -> Oplog.withOracleCte(
       s""", eff AS (

@@ -87,7 +87,10 @@ object UpdateSpec {
     * that, order-dependence included — locked by a golden test.
     */
   def normalizeV2Spec(specJson: String): String = {
-    val spec = parse(specJson)
+    val spec = JsonMethods.parse(specJson) match {
+      case o: JObject => o
+      case _ => return specJson // already a pipeline (array) — no v2 wrapping
+    }
     (spec \ "diff") match {
       case d: JObject =>
         val (sets, unsets, resize) = normalizeV2(d)
@@ -580,26 +583,51 @@ object UpdateSpec {
     }
   }
 
-  /** Apply the reference's array-resize pipeline form
-    * (`[{$set:{path:{$slice:["$path",n]}}}]`) to a document.
+  /** Apply an aggregation-pipeline update (MongoDB 4.2+ `u: [stage, …]`)
+    * to a document. Stage vocabulary:
+    *   - `{$set:{path:{$slice:["$path",n]}}}` — the reference's
+    *     array-resize form (`oplog/oplog.go:354-369`), truncate in place;
+    *   - `{$set:{path: constant}}` — constant assignment (a leading-`$`
+    *     string is a field-path expression this engine does not evaluate
+    *     beyond the self-referential $slice form above — rejected rather
+    *     than stored as a misleading literal);
+    *   - `{$unset: "f"}` / `{$unset: ["a","b"]}` — dotted-path removal;
+    *   - `{$replaceWith: doc}` / `{$replaceRoot:{newRoot: doc}}` —
+    *     wholesale replacement.
     */
   def applyPipeline(doc: JObject, stages: JArray): JObject =
     stages.arr.foldLeft(doc) {
       case (d, stage: JObject) =>
-        (stage \ "$set") match {
-          case JObject(fields) =>
-            fields.foldLeft(d) {
-              case (acc, (pathStr, o: JObject)) =>
+        stage.obj.foldLeft(d) {
+          case (acc, ("$set", JObject(fields))) =>
+            fields.foldLeft(acc) {
+              case (a, (pathStr, o: JObject)) if (o \ "$slice") != JNothing =>
                 (o \ "$slice") match {
                   case JArray(List(_, n)) =>
                     val path = pathStr.split('.').toList
-                    setPath(acc, path,
-                      JArray(applySlice(curArray(acc, path), asDouble(n).toLong)))
-                  case _ => acc
+                    setPath(a, path,
+                      JArray(applySlice(curArray(a, path), asDouble(n).toLong)))
+                  case _ => a
                 }
-              case (acc, _) => acc
+              case (a, (pathStr, v)) =>
+                v match {
+                  case JString(s) if s.startsWith("$") =>
+                    throw new IllegalArgumentException(
+                      s"pipeline $$set: unsupported field-path expression '$s'")
+                  case _ => setPath(a, pathStr.split('.').toList, v)
+                }
             }
-          case _ => d
+          case (acc, ("$unset", JString(f))) =>
+            unsetPath(acc, f.split('.').toList)
+          case (acc, ("$unset", JArray(fs))) =>
+            fs.foldLeft(acc) {
+              case (a, JString(f)) => unsetPath(a, f.split('.').toList)
+              case (a, _) => a
+            }
+          case (acc, ("$replaceWith", o: JObject)) => o
+          case (acc, ("$replaceRoot", o: JObject)) =>
+            (o \ "newRoot") match { case r: JObject => r; case _ => acc }
+          case (acc, _) => acc
         }
       case (d, _) => d
     }

@@ -326,6 +326,32 @@ class UpdateSpecSpec extends AnyFunSuite {
     assert(j(g8) == j("""{"a":[1,2]}"""))
   }
 
+  test("pipeline updates: $set constants, $unset, $replaceWith stages") {
+    // constant $set alongside the $slice resize form
+    val g1 = UpdateSpec.applySpecJson("""{"a":1}""",
+      """[{"$set":{"b":2,"c.d":"x"}}]""")
+    assert(j(g1) == j("""{"a":1,"b":2,"c":{"d":"x"}}"""))
+    // $unset: single field and list form, dotted paths
+    val g2 = UpdateSpec.applySpecJson("""{"a":1,"b":{"c":2,"d":3}}""",
+      """[{"$unset":"b.c"},{"$unset":["a"]}]""")
+    assert(j(g2) == j("""{"b":{"d":3}}"""))
+    // $replaceWith swaps the document wholesale; later stages see the new root
+    val g3 = UpdateSpec.applySpecJson("""{"old":1}""",
+      """[{"$replaceWith":{"fresh":true}},{"$set":{"n":1}}]""")
+    assert(j(g3) == j("""{"fresh":true,"n":1}"""))
+    val g4 = UpdateSpec.applySpecJson("""{"old":1}""",
+      """[{"$replaceRoot":{"newRoot":{"r":9}}}]""")
+    assert(j(g4) == j("""{"r":9}"""))
+    // the reference's resize form still applies unchanged
+    val g5 = UpdateSpec.applySpecJson("""{"arr":[1,2,3]}""",
+      """[{"$set":{"arr":{"$slice":["$arr",2]}}}]""")
+    assert(j(g5) == j("""{"arr":[1,2]}"""))
+    // an unevaluated field-path expression is an error, not a silent literal
+    intercept[IllegalArgumentException] {
+      UpdateSpec.applySpecJson("""{"a":1}""", """[{"$set":{"b":"$a"}}]""")
+    }
+  }
+
   test("$bit: int64 and/or/xor, missing field starts at zero") {
     val g1 = UpdateSpec.applySpecJson("""{"v":13}""", """{"$bit":{"v":{"and":10}}}""")
     assert(j(g1) == j("""{"v":8}"""))

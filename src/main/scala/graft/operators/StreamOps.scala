@@ -49,7 +49,8 @@ object StreamOps {
     "cdc_soak_live" -> ((s, dir) => runSoak(s, dir)),
     "cdc_rebucket" -> ((s, dir) => runRebucket(s, dir)),
     "stream_window_late" -> ((s, dir) => runWindowed(s, dir)),
-    "stream_join" -> ((s, dir) => runStreamJoin(s, dir)))
+    "stream_join" -> ((s, dir) => runStreamJoin(s, dir)),
+    "stream_join_outer" -> ((s, dir) => runStreamJoinOuter(s, dir)))
 
   /** Stage a multi-file feed whose files must be consumed IN ORDER by a
     * `maxFilesPerTrigger = 1` file source: write each part, then pin
@@ -669,6 +670,57 @@ object StreamOps {
     s.read.parquet(s"$work/out")
   }
 
+  /** LEFT OUTER watermarked stream-stream join: the unmatched-view arm.
+    * Same sides/condition as [[runStreamJoin]], `leftOuter` type — a view
+    * with no buy in its following hour emits null-joined ONCE the
+    * watermark passes its state-eviction bound (the engine cannot know
+    * "no buy arrived" until the buy-side watermark clears the window).
+    * Under an AvailableNow drain Spark runs the post-data no-data batch
+    * that flushes evicted state, so the emitted set is deterministic:
+    * matched pairs exactly as the inner join, plus one null row per view
+    * whose window closed under the final watermark (global max − 1 h);
+    * views whose window is still open at drain end emit nothing. The
+    * oracle computes both arms closed-form — an engine that emitted
+    * open-state views (premature nulls), dropped evicted ones, or
+    * double-emitted a matched view hash-diverges.
+    */
+  private def runStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_outer_q"
+    IncrSync.deletePath(s, work)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      .localCheckpoint()
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$work/views")
+    ev.filter(col("event_id") % 2 === 1).write.parquet(s"$work/buys")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    def sideStream(path: String, prefix: String): DataFrame =
+      s.readStream.schema(schema).parquet(s"$work/$path")
+        .select(col("event_id").as(s"${prefix}_event"),
+          col("user_id").as(s"${prefix}_user"),
+          timestamp_micros(col("ts_us")).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val q = sideStream("views", "v").join(sideStream("buys", "b"),
+        expr("v_user = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"),
+        "leftOuter")
+      .select(col("v_event").as("view_event"), col("b_event").as("buy_event"),
+        col("v_user").as("user_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
   /** G7's queryable metrics surface (`common/metric.go:43-52,87-200`): run
     * the real `IncrSync.startOplog` over the UNFILTERED corpus feed with a
     * [[graft.metrics.MetricsRecorder]] attached; the listener writes one
@@ -734,6 +786,28 @@ object StreamOps {
             a.user_id, b.ts_us - a.ts_us AS lag_us
           FROM a JOIN b ON a.user_id = b.user_id
             AND b.ts_us >= a.ts_us AND b.ts_us <= a.ts_us + 3600000000""",
+
+    // Matched pairs ≡ the inner join; plus one null row per view whose
+    // state-eviction bound (v_ts + 1h) fell below the final global
+    // watermark (min of both sides' max event time, − 1h). Open-window
+    // views emit nothing.
+    "stream_join_outer" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us FROM events),
+          a AS (SELECT * FROM e WHERE event_id % 2 = 0),
+          b AS (SELECT * FROM e WHERE event_id % 2 = 1),
+          wm AS (SELECT LEAST((SELECT MAX(ts_us) FROM a),
+                              (SELECT MAX(ts_us) FROM b)) - 3600000000 AS w),
+          matched AS (
+            SELECT a.event_id AS view_event, b.event_id AS buy_event,
+              a.user_id, a.ts_us, b.ts_us - a.ts_us AS lag_us
+            FROM a JOIN b ON a.user_id = b.user_id
+              AND b.ts_us >= a.ts_us AND b.ts_us <= a.ts_us + 3600000000)
+          SELECT view_event, buy_event, user_id, lag_us FROM matched
+          UNION ALL
+          SELECT a.event_id, CAST(NULL AS BIGINT), a.user_id, CAST(NULL AS BIGINT)
+          FROM a, wm
+          WHERE a.ts_us + 3600000000 < wm.w
+            AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.view_event = a.event_id)""",
 
     "cdc_soak_live" -> Oplog.withOracleCte(
       s""", eff AS (

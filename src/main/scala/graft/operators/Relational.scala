@@ -180,6 +180,64 @@ object Relational {
           max(when(col("rn") === ceil(col("n") * 0.99), col("l_quantity"))).as("p99"))
     }),
 
+    // Skew-safe two-phase top-k — the SALTING pattern for skewed window
+    // partitions at 100 TB: a plain `row_number over (partition by
+    // l_returnflag)` would sort each flag's entire row set on ONE task
+    // (3 keys × millions of rows — the straggler that kills the stage).
+    // Phase 1 ranks within (key, salt) — salt = hash(l_orderkey) mod 16,
+    // deterministic — so 16 tasks share each hot key and each keeps only
+    // its local top-k; phase 2 ranks the surviving k·salts rows per key.
+    // Identical result to the one-window plan, bounded per-task sort.
+    "q13_salted_topk" -> ((s, dir) =>
+      saltedTopK(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            dec2(col("l_extendedprice")).cast("double").as("price")),
+        keyCol = "l_returnflag", k = 3, salts = 16)),
+
+    // As-of join (the operator Spark lacks natively): each purchase is
+    // matched to the latest click at-or-before it by the same user,
+    // within a 1 h tolerance. NOT a join at all in the plan — the
+    // union+window rewrite shuffles ONCE on user_id and resolves every
+    // match in a single running-`last` pass, which is the 100 TB shape:
+    // a per-key sorted merge with no pairwise candidate explosion (a
+    // naive t1.ts >= t2.ts join is quadratic per user).
+    "q14_asof_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts"),
+          col("event_type"))
+      asofJoin(
+        left = e.filter(col("event_type") === "purchase").drop("event_type"),
+        right = e.filter(col("event_type") === "click").drop("event_type")
+          .withColumn("click_id", col("event_id")),
+        key = "user_id", ts = "ts", id = "event_id",
+        payload = Seq("click_id"), tolUs = 3600000000L)
+    }),
+
+    // Keyless range join via binning — the pattern that keeps a pure
+    // interval join off BroadcastNestedLoop/Cartesian at 100 TB: bin
+    // width = the range radius, the probe side explodes to its 2-3
+    // candidate bins, the build side sits in its home bin, and the join
+    // is a plain equi-join on bin with the exact |Δt| predicate as a
+    // post-filter. Work is O(n · avg bin occupancy), not O(n²).
+    "q15_range_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), expr("ts DIV 1000").as("ts"),
+          col("event_type"), col("value"))
+      binnedRangeJoin(
+        left = e.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("ts").as("err_ts")),
+        right = e.filter(col("event_type") === "purchase")
+          .select(col("ts").as("p_ts"), col("value")),
+        leftTs = "err_ts", rightTs = "p_ts", radiusUs = 120000000L)
+        .groupBy(col("err_id"), col("err_ts"))
+        .agg(count(lit(1)).as("n_nearby"),
+          moneySum(col("value")).as("v_sum"),
+          min(abs(col("p_ts") - col("err_ts"))).as("min_gap_us"))
+    }),
+
     // Co-located join via bucketing — THE shuffle eliminator for a fact
     // join repeated at 100 TB: both tables are bucketed (and sorted) on
     // the join key, so the SortMergeJoin consumes the buckets directly
@@ -218,6 +276,81 @@ object Relational {
           count(lit(1)).as("n_items"))
     })
   )
+
+  /** Skew-safe top-k per key, two-phase (see `q13_salted_topk`): phase 1
+    * ranks within (key, salt) and keeps each salt's local top-k — every
+    * global top-k row ranks ≤ k inside its own salt bucket, so nothing
+    * the final phase needs is lost; phase 2 ranks the ≤ k·salts
+    * survivors per key. Ordering (price desc, l_orderkey, l_linenumber)
+    * is total, so the result is exactly the one-window plan's. The salt
+    * is a deterministic hash of the row key — NOT a random number, which
+    * would unpin retries and oracles.
+    */
+  def saltedTopK(df: DataFrame, keyCol: String, k: Int, salts: Int): DataFrame = {
+    val ord = Seq(col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val w1 = Window.partitionBy(col(keyCol), col("salt")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    df.withColumn("salt", pmod(phash64(col("l_orderkey").cast("string")), lit(salts)))
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(keyCol), col("l_orderkey"), col("l_linenumber"),
+        col("price"), col("rank"))
+  }
+
+  /** As-of join: for each left row, the single latest right row with
+    * `right.ts <= left.ts` on the same `key`, no further back than
+    * `tolUs`. Implemented as union+window instead of a join: tag sides,
+    * sort each key partition by (ts, side, id) — side 0 = right, so an
+    * equal-ts right row sorts BEFORE the left row it may serve — and a
+    * running `last(..., ignoreNulls)` carries the latest right payload
+    * forward to every left row. One exchange on `key`, per-task work
+    * linear in partition size; the tie-break on `id` makes the match
+    * deterministic when right rows share a timestamp (largest id wins).
+    * Payload columns must exist only on the right side; matches older
+    * than `tolUs` are nulled, left rows are never dropped (left-outer
+    * as-of, pandas `merge_asof` semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               id: String, payload: Seq[String], tolUs: Long): DataFrame = {
+    val u = left.withColumn("_side", lit(1))
+      .unionByName(right.withColumn("_side", lit(0)), allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_side"), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(
+      u.withColumn("_asof_ts",
+        last(when(col("_side") === 0, col(ts)), ignoreNulls = true).over(w))) {
+      (d, p) => d.withColumn(p,
+        last(when(col("_side") === 0, col(p)), ignoreNulls = true).over(w))
+    }
+    val ok = col(ts) - col("_asof_ts") <= tolUs // null-safe: no match => null => filtered by when()
+    val gated = payload.foldLeft(
+      carried.withColumn("asof_gap_us", when(ok, col(ts) - col("_asof_ts")))) {
+      (d, p) => d.withColumn(p, when(ok, col(p)))
+    }
+    gated.filter(col("_side") === 1).drop("_side", "_asof_ts")
+  }
+
+  /** Keyless interval join, |left.ts - right.ts| <= radiusUs, as a binned
+    * equi-join (see `q15_range_join`). Bin width = radius, so every
+    * qualifying right row lives in one of the probe's 2-3 candidate bins;
+    * the right side is never exploded, so no post-join dedup is needed.
+    * Returns the joined pairs (all left + right columns); callers
+    * aggregate. `DIV` truncation = floor for the non-negative epoch
+    * timestamps this operates on.
+    */
+  def binnedRangeJoin(left: DataFrame, right: DataFrame,
+                      leftTs: String, rightTs: String, radiusUs: Long): DataFrame = {
+    val l = left.withColumn("_bin", explode(sequence(
+      expr(s"($leftTs - ${radiusUs}L) DIV ${radiusUs}L"),
+      expr(s"($leftTs + ${radiusUs}L) DIV ${radiusUs}L"))))
+    val r = right.withColumn("_bin", expr(s"$rightTs DIV ${radiusUs}L"))
+    l.join(r, l("_bin") === r("_bin") &&
+        abs(col(rightTs) - col(leftTs)) <= radiusUs)
+      .drop("_bin")
+  }
 
   def oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -306,6 +439,49 @@ object Relational {
            MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN l_quantity END) AS p90,
            MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN l_quantity END) AS p99
          FROM r GROUP BY 1""",
+
+    // The oracle for the salted plan is the PLAIN one-window top-k: the
+    // two-phase rewrite must be result-identical, so the oracle IS the
+    // unsalted query — any divergence in the rewrite fails the hash gate.
+    "q13_salted_topk" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, price, rank
+         FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) DESC,
+                        l_orderkey, l_linenumber) AS rank
+           FROM lineitem)
+         WHERE rank <= 3""",
+
+    // Mirrors the union+window rewrite 1:1 (same sort key, same running
+    // LAST_VALUE IGNORE NULLS) so the tie-break and tolerance semantics
+    // are pinned, not just the row multiset.
+    "q14_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts,
+             CASE WHEN event_type='click' THEN 0 ELSE 1 END AS side
+           FROM events WHERE event_type IN ('click','purchase')),
+         w AS (SELECT *,
+             LAST_VALUE(CASE WHEN side=0 THEN ts END IGNORE NULLS) OVER ww AS click_ts,
+             LAST_VALUE(CASE WHEN side=0 THEN event_id END IGNORE NULLS) OVER ww AS cid
+           FROM e WINDOW ww AS (PARTITION BY user_id ORDER BY ts, side, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, ts,
+           CASE WHEN ts - click_ts <= 3600000000 THEN cid END AS click_id,
+           CASE WHEN ts - click_ts <= 3600000000 THEN ts - click_ts END AS asof_gap_us
+         FROM w WHERE side = 1""",
+
+    // The oracle is the PLAIN inequality join — DuckDB's IEJoin handles
+    // it at sf scale — so the binned rewrite must reproduce the exact
+    // pair set of the declarative range predicate.
+    "q15_range_join" ->
+      """SELECT e1.event_id AS err_id, epoch_ns(e1.ts)//1000 AS err_ts,
+           COUNT(*) AS n_nearby,
+           CAST(SUM(CAST(e2.value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+           MIN(ABS(epoch_ns(e2.ts)//1000 - epoch_ns(e1.ts)//1000)) AS min_gap_us
+         FROM events e1 JOIN events e2
+           ON e1.event_type = 'error' AND e2.event_type = 'purchase'
+          AND ABS(epoch_ns(e2.ts)//1000 - epoch_ns(e1.ts)//1000) <= 120000000
+         GROUP BY 1, 2""",
 
     "q12_bucketed_join" ->
       """SELECT o_orderpriority,

@@ -50,7 +50,8 @@ object StreamOps {
     "cdc_rebucket" -> ((s, dir) => runRebucket(s, dir)),
     "stream_window_late" -> ((s, dir) => runWindowed(s, dir)),
     "stream_join" -> ((s, dir) => runStreamJoin(s, dir)),
-    "stream_join_outer" -> ((s, dir) => runStreamJoinOuter(s, dir)))
+    "stream_join_outer" -> ((s, dir) => runStreamJoinOuter(s, dir)),
+    "stream_sessionize" -> ((s, dir) => runSessionize(s, dir)))
 
   /** Stage a multi-file feed whose files must be consumed IN ORDER by a
     * `maxFilesPerTrigger = 1` file source: write each part, then pin
@@ -721,6 +722,73 @@ object StreamOps {
     s.read.parquet(s"$work/out")
   }
 
+  /** Streaming gap sessionization via Spark's NATIVE `session_window`
+    * aggregate — the merging-window state operator no other query
+    * exercises (q10_sessionize is the batch rewrite of the same
+    * semantics; this runs the real `UpdatingSessionsExec` path in a
+    * StreamingQuery). State per key is one open session, merged /
+    * extended as events arrive and emitted in append mode once the
+    * watermark passes the session's close (last ts + gap) — O(open
+    * sessions), not O(stream), which is what makes gap sessionization
+    * viable on an unbounded 100 TB event feed.
+    *
+    * Drain shape: the whole corpus in one file, then two far-future
+    * sentinel rows (user_id = −1) staged as their OWN micro-batches —
+    * the first raises the watermark a decade past every real session's
+    * close, the second runs an emission pass after the raise (state
+    * eviction uses the PREVIOUS batch's watermark, SPARK-40925 — same
+    * reason runWindowed stages a filler). The sentinels' own session can
+    * never close, so exactly the real sessions emit, making the oracle
+    * the plain closed-form gap sessionization. Boundary pinned by a
+    * RelationalJoinSpec golden: a gap of exactly `gap` MERGES (Spark
+    * merges adjacent session windows), hence the STRICT `>` in the
+    * oracle's new-session predicate — same boundary as q10_sessionize.
+    */
+  private def runSessionize(s: SparkSession, dir: String): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sess_q"
+    IncrSync.deletePath(s, work)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+      .localCheckpoint()
+    val tmax = ev.agg(max(col("ts_us"))).head().getLong(0)
+    def sentinel(off: Long): DataFrame = s.range(1)
+      .select(lit(-1L).as("user_id"), lit(-1L - off).as("event_id"),
+        lit(tmax + 315360000000000L + off).as("ts_us"))
+    stageOrdered(s, s"$work/feed", Seq(ev, sentinel(0), sentinel(1)))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(min(col("ts_us")).as("ts_start"), max(col("ts_us")).as("ts_end"),
+        count(lit(1)).as("n_events"))
+      // exclude the sentinels via an AGGREGATE-derived column, never the
+      // grouping key: `filter(user_id >= 0)` is pushed through the agg
+      // AND the watermark node to the scan, so the sentinel rows would
+      // die before EventTimeWatermarkExec and the watermark would never
+      // raise (observed: checkpoint watermark pinned at realmax − 1 h,
+      // last-90-min sessions unemitted). `min(ts_us)` only exists above
+      // the agg, so this filter cannot sink. Defense-in-depth anyway:
+      // the sentinels' own session never closes under its own watermark.
+      .filter(col("ts_start") <= lit(tmax))
+      .select(col("user_id"), col("ts_start"), col("ts_end"), col("n_events"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
   /** G7's queryable metrics surface (`common/metric.go:43-52,87-200`): run
     * the real `IncrSync.startOplog` over the UNFILTERED corpus feed with a
     * [[graft.metrics.MetricsRecorder]] attached; the listener writes one
@@ -808,6 +876,26 @@ object StreamOps {
           FROM a, wm
           WHERE a.ts_us + 3600000000 < wm.w
             AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.view_event = a.event_id)""",
+
+    // Every real session closes under the sentinel-raised watermark, so
+    // the drained stream ≡ plain gap sessionization. STRICT `>` pins
+    // Spark's session_window boundary: a gap of exactly 30 min MERGES
+    // (windows [t, t+gap) and [t+gap, …) are adjacent and Spark merges
+    // adjacency — RelationalJoinSpec goldens this; `>=` here diverges on
+    // exact-boundary data even though random µs corpora never hit it).
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts FROM events),
+          m AS (SELECT *,
+              CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          sq AS (SELECT *,
+              SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess_seq
+            FROM m)
+          SELECT user_id, MIN(ts) AS ts_start, MAX(ts) AS ts_end,
+            COUNT(*) AS n_events
+          FROM sq GROUP BY user_id, sess_seq""",
 
     "cdc_soak_live" -> Oplog.withOracleCte(
       s""", eff AS (

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Edge-semantics goldens for the round-9 relational additions: the as-of
+  * join (`Relational.asofJoin`), the binned range join
+  * (`Relational.binnedRangeJoin`), the salted top-k rewrite, and the
+  * `session_window` gap boundary the stream_sessionize oracle pins.
+  * PlanAuditSpec guards the plan SHAPES; these tests guard the answers a
+  * driver-level oracle over random data would rarely reach (exact ties,
+  * exact tolerance/radius boundaries, empty sides).
+  */
+class RelationalJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def asof(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)],
+                   tolUs: Long = 100L) = {
+    val l = left.toDF("user_id", "event_id", "ts")
+    val r = right.toDF("user_id", "event_id", "ts")
+      .withColumn("click_id", col("event_id"))
+    Relational.asofJoin(l, r, key = "user_id", ts = "ts", id = "event_id",
+        payload = Seq("click_id"), tolUs = tolUs)
+      .select("event_id", "click_id", "asof_gap_us")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+  }
+
+  test("asofJoin: at-or-before — an equal-ts right row matches with gap 0") {
+    assert(asof(Seq((1L, 10L, 50L)), Seq((1L, 2L, 50L))) == Set((10L, 2L, 0L)))
+  }
+
+  test("asofJoin: two right rows at the same ts — the larger id wins deterministically") {
+    assert(asof(Seq((1L, 10L, 60L)), Seq((1L, 2L, 50L), (1L, 3L, 50L))) ==
+      Set((10L, 3L, 10L)))
+  }
+
+  test("asofJoin: tolerance boundary inclusive; one past it is null, row kept") {
+    assert(asof(Seq((1L, 10L, 150L)), Seq((1L, 2L, 50L))) == Set((10L, 2L, 100L)))
+    assert(asof(Seq((1L, 10L, 151L)), Seq((1L, 2L, 50L))) == Set((10L, -1L, -1L)))
+  }
+
+  test("asofJoin: later right rows never match; keys are isolated; empty right keeps lefts") {
+    // right row strictly after the left ts
+    assert(asof(Seq((1L, 10L, 40L)), Seq((1L, 2L, 50L))) == Set((10L, -1L, -1L)))
+    // a perfect match on another key is invisible
+    assert(asof(Seq((1L, 10L, 50L)), Seq((2L, 2L, 50L))) == Set((10L, -1L, -1L)))
+    // left-outer: no right side at all still yields every left row
+    assert(asof(Seq((1L, 10L, 50L), (2L, 11L, 9L)), Seq.empty) ==
+      Set((10L, -1L, -1L), (11L, -1L, -1L)))
+  }
+
+  test("asofJoin: the match is the LATEST qualifying right row, not the first") {
+    assert(asof(Seq((1L, 10L, 100L)),
+      Seq((1L, 2L, 10L), (1L, 3L, 60L), (1L, 4L, 90L), (1L, 5L, 101L))) ==
+      Set((10L, 4L, 10L)))
+  }
+
+  private def pairs(left: Seq[Long], right: Seq[Long], radius: Long) = {
+    val l = left.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("lid", "lts")
+    val r = right.zipWithIndex.map { case (t, i) => (i.toLong + 100L, t) }
+      .toDF("rid", "rts")
+    Relational.binnedRangeJoin(l, r, leftTs = "lts", rightTs = "rts",
+        radiusUs = radius)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("binnedRangeJoin: radius boundary inclusive both sides, beyond excluded") {
+    // left at 1000, radius 100: right at 900 and 1100 match, 899/1101 don't
+    assert(pairs(Seq(1000L), Seq(900L, 1100L, 899L, 1101L), 100L) ==
+      Set((0L, 100L), (0L, 101L)))
+  }
+
+  test("binnedRangeJoin: pairs that straddle a bin boundary are found, no duplicates") {
+    // radius 100 => bins of width 100. 195 and 205 sit in different bins
+    // but are 10 apart; the pair must appear exactly once.
+    val l = Seq((0L, 195L)).toDF("lid", "lts")
+    val r = Seq((100L, 205L)).toDF("rid", "rts")
+    val out = Relational.binnedRangeJoin(l, r, "lts", "rts", 100L)
+      .select("lid", "rid").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 100L)
+  }
+
+  test("binnedRangeJoin: empty right side yields no rows (inner semantics)") {
+    assert(pairs(Seq(1000L, 2000L), Seq.empty, 100L) == Set.empty)
+  }
+
+  test("binnedRangeJoin: matches the naive quadratic join on a dense cluster") {
+    val lts = (0L until 50L).map(_ * 37L)
+    val rts = (0L until 50L).map(_ * 53L + 11L)
+    val expected = (for {
+      (lt, li) <- lts.zipWithIndex
+      (rt, ri) <- rts.zipWithIndex
+      if math.abs(rt - lt) <= 100L
+    } yield (li.toLong, ri.toLong + 100L)).toSet
+    assert(pairs(lts, rts, 100L) == expected)
+  }
+
+  test("saltedTopK: equals the one-window top-k, including ties broken by (orderkey, linenumber)") {
+    val rows = (1 to 200).map { i =>
+      (if (i % 2 == 0) "A" else "B", i.toLong, (i % 4).toLong + 1L,
+        (i % 7).toDouble) // many duplicate prices to force tie-breaks
+    }.toDF("l_returnflag", "l_orderkey", "l_linenumber", "price")
+    val got = Relational.saltedTopK(rows, "l_returnflag", k = 3, salts = 4)
+      .orderBy("l_returnflag", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val want = rows.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3).orderBy("l_returnflag", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("session_window boundary: a gap of exactly the window size MERGES (strict > in the oracle)") {
+    // [t, t+gap) and [t+gap, …) are adjacent; Spark merges adjacency, so
+    // the new-session predicate in every oracle must be diff > gap — this
+    // golden is what pins stream_sessionize's (and q10's) boundary.
+    val df = Seq(
+      (1L, 0L), (1L, 1000000L),            // 1 s apart: same session
+      (1L, 1000000L + 1800000000L),        // exactly 30 min later: STILL merged
+      (1L, 1000000L + 1800000000L + 1800000001L), // 30 min + 1 µs: new session
+      (2L, 5L)
+    ).toDF("user_id", "ts_us").withColumn("ts", timestamp_micros(col("ts_us")))
+    val sess = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select("user_id", "n").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sess.toSet == Set((1L, 3L), (1L, 1L), (2L, 1L)) && sess.length == 3)
+  }
+}

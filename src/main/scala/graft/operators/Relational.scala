@@ -238,6 +238,34 @@ object Relational {
           min(abs(col("p_ts") - col("err_ts"))).as("min_gap_us"))
     }),
 
+    // Trailing time-range window (RANGE frame over µs epochs): each
+    // event's 1-hour look-back count/sum per user. One exchange on
+    // user_id; the range frame is a per-partition sorted sliding scan —
+    // at 100 TB the same shape as the sessionize/as-of family, no
+    // self-join (the naive rewrite is an O(events × window) range join).
+    // Decimal sum keeps the rolling aggregate order-independent.
+    "q16_rolling" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts"),
+          col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("v_1h", sum(dec2(col("value"))).over(w).cast("double"))
+        .select("user_id", "event_id", "ts", "n_1h", "v_1h")
+    }),
+
+    // Pivot with EXPLICIT value list — the scale-correct form: passing
+    // the values avoids the driver-side `distinct` collect Spark runs
+    // for an open pivot, so the plan is a plain one-shuffle conditional
+    // aggregation any engine can run at 100 TB.
+    "q17_pivot" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(moneySum(col("l_extendedprice")))),
+
     // Co-located join via bucketing — THE shuffle eliminator for a fact
     // join repeated at 100 TB: both tables are bucketed (and sorted) on
     // the join key, so the SortMergeJoin consumes the buckets directly
@@ -482,6 +510,22 @@ object Relational {
            ON e1.event_type = 'error' AND e2.event_type = 'purchase'
           AND ABS(epoch_ns(e2.ts)//1000 - epoch_ns(e1.ts)//1000) <= 120000000
          GROUP BY 1, 2""",
+
+    "q16_rolling" ->
+      """SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    "q17_pivot" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+         FROM lineitem GROUP BY 1""",
 
     "q12_bucketed_join" ->
       """SELECT o_orderpriority,

@@ -95,6 +95,37 @@ object TextOps {
     // may differ in the last ulp).
     "text_bm25" -> ((s, dir) => bm25Scores(s, dir)),
 
+    // Bigram language-model perplexity scoring (the CCNet-style LM
+    // quality filter): train add-one-smoothed bigram probabilities on
+    // the corpus itself, then score every document's total negative
+    // log-likelihood. Shape at scale: ONE tokenize pass materializes the
+    // thin (doc_id, w1, w2) base; bigram counts are one shuffle, context
+    // counts fold FROM the bigram table (no second corpus aggregation),
+    // V lands as a plan literal, and scoring is an equi-join back on the
+    // bigram key — every trained bigram exists by construction, so the
+    // join is inner with no miss path. The per-doc sum goes through
+    // detSum6 so ln's last-ulp engine variance cannot desync the hash.
+    "text_lm_score" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(t)-2),
+             i -> named_struct('w1', element_at(t, i+1),
+                               'w2', element_at(t, i+2)))""")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint()
+      val cB = base.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val cU = cB.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+      val v = cB.agg(countDistinct(col("w1"))).head().getLong(0)
+      base.join(cB, Seq("w1", "w2")).join(cU, Seq("w1"))
+        .withColumn("nlp", -log((col("cb") + lit(1L)).cast("double") /
+          (col("cu") + lit(v)).cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          graft.functions.Portable.detSum6(col("nlp")).as("nll"))
+    }),
+
     // Hybrid retrieval with reciprocal-rank fusion: the lexical arm
     // (BM25 top 50) and the vector arm (cosine vs a fixed query
     // embedding, top 50) fuse as 1/(60+rank) sums — the standard
@@ -487,6 +518,26 @@ object TextOps {
     // the identical parenthesization, and the per-doc sum is the
     // Portable.detSum6 decimal aggregate.
     "text_bm25" -> s"WITH $bm25Ctes SELECT * FROM lexall",
+
+    // Same smoothing arithmetic and parenthesization as the Spark plan;
+    // the per-doc aggregate is detSum6 (round 6dp → DECIMAL(28,6) sum).
+    "text_lm_score" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> [t[i], t[i + 1]])) AS b
+            FROM tk WHERE len(t) >= 2),
+          b AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg),
+          cb AS (SELECT w1, w2, COUNT(*) AS cb FROM b GROUP BY 1, 2),
+          cu AS (SELECT w1, SUM(cb) AS cu FROM cb GROUP BY 1),
+          vv AS (SELECT COUNT(DISTINCT w1) AS v FROM cb)
+          SELECT b.doc_id, COUNT(*) AS n_bigrams,
+            CAST(SUM(CAST(ROUND(-ln(CAST(cb.cb + 1 AS DOUBLE)
+              / CAST(cu.cu + vv.v AS DOUBLE)), 6) AS DECIMAL(28,6))) AS DOUBLE) AS nll
+          FROM b
+          JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+          JOIN cu ON b.w1 = cu.w1, vv
+          GROUP BY 1""",
 
     "pipe_hybrid_rrf" ->
       s"""WITH $bm25Ctes,

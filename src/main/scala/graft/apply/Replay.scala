@@ -272,7 +272,7 @@ object Replay {
               "arr" -> JArray(List(JLong(k % 5), JLong((k + 1) % 5))))))
             case "u" =>
               val doc = state.getOrElse(JObject(Nil))
-              val spec = (eventId % 12) match {
+              val spec = (eventId % 13) match {
                 case 0 => JObject(List("$mul" -> JObject(List("v" -> JInt(-1)))))
                 case 1 => JObject(List("$min" -> JObject(List("v" -> JLong(cents)))))
                 case 2 => JObject(List("$max" -> JObject(List("v" -> JLong(cents)))))
@@ -291,9 +291,11 @@ object Replay {
                 case 10 => JObject(List("$push" -> JObject(List("arr" -> JObject(List(
                   "$each" -> JArray(List(JLong(k % 5))),
                   "$position" -> JInt(0), "$slice" -> JInt(3)))))))
-                case _ => JObject(List("$push" -> JObject(List("arr" -> JObject(List(
+                case 11 => JObject(List("$push" -> JObject(List("arr" -> JObject(List(
                   "$each" -> JArray(List(JLong(k % 5), JLong((k + 2) % 7))),
                   "$sort" -> JInt(-1), "$slice" -> JInt(-4)))))))
+                case _ => JObject(List("$pullAll" -> JObject(List("arr" ->
+                  JArray(List(JLong(k % 5), JLong((k + 3) % 5)))))))
               }
               Some(UpdateSpec.applySpec(doc, spec, loFilter, isInsert = state.isEmpty))
             case _ => None

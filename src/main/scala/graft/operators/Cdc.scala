@@ -676,7 +676,7 @@ object Cdc {
               SELECT x.doc_key, x.rn,
                 x.op <> 'd' AS present,
                 CASE WHEN x.op = 'i' THEN x.c WHEN x.op = 'd' THEN NULL
-                  ELSE CASE x.e % 12
+                  ELSE CASE x.e % 13
                     WHEN 0 THEN COALESCE(f.v, 0) * -1
                     WHEN 1 THEN CASE WHEN f.v IS NULL OR x.c < f.v THEN x.c ELSE f.v END
                     WHEN 2 THEN CASE WHEN f.v IS NULL OR x.c > f.v THEN x.c ELSE f.v END
@@ -684,13 +684,13 @@ object Cdc {
                     WHEN 9 THEN xor(COALESCE(f.v, 0), x.k)
                     ELSE f.v END END AS v,
                 CASE WHEN x.op = 'i' THEN x.k WHEN x.op = 'd' THEN NULL
-                  WHEN x.e % 12 = 3 THEN NULL
-                  WHEN x.e % 12 = 7 THEN x.k ELSE f.m END AS m,
+                  WHEN x.e % 13 = 3 THEN NULL
+                  WHEN x.e % 13 = 7 THEN x.k ELSE f.m END AS m,
                 CASE WHEN x.op IN ('i','d') THEN NULL
-                  WHEN x.e % 12 = 3 AND f.m IS NOT NULL THEN f.m ELSE f.m2 END AS m2,
+                  WHEN x.e % 13 = 3 AND f.m IS NOT NULL THEN f.m ELSE f.m2 END AS m2,
                 CASE WHEN x.op = 'i' THEN [x.k % 5, (x.k + 1) % 5]
                   WHEN x.op = 'd' THEN NULL
-                  ELSE CASE x.e % 12
+                  ELSE CASE x.e % 13
                     WHEN 4 THEN CASE WHEN f.arr IS NULL THEN [x.k % 5]
                       WHEN list_contains(f.arr, x.k % 5) THEN f.arr
                       ELSE list_append(f.arr, x.k % 5) END
@@ -707,6 +707,9 @@ object Cdc {
                       list_sort(list_concat(COALESCE(f.arr, []),
                         [x.k % 5, (x.k + 2) % 7]), 'DESC'),
                       greatest(1, len(COALESCE(f.arr, [])) - 1), len(COALESCE(f.arr, [])) + 2)
+                    WHEN 12 THEN CASE WHEN f.arr IS NULL THEN f.arr
+                      ELSE list_filter(f.arr,
+                        y -> y <> x.k % 5 AND y <> (x.k + 3) % 5) END
                     ELSE f.arr END END AS arr
               FROM fold f JOIN eff2 x ON x.doc_key = f.doc_key AND x.rn = f.rn + 1)
             SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_key ORDER BY rn DESC) AS rk

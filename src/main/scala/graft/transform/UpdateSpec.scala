@@ -422,7 +422,7 @@ object UpdateSpec {
 
   /** Apply a classic update spec ({$set, $unset, $setOnInsert, $inc, $mul,
     * $min, $max, $rename, $push (with $each/$slice/$position/$sort),
-    * $addToSet, $pull, $pop, $bit}, positional `$`/`$[]`/`$[ident]`
+    * $addToSet, $pull, $pullAll, $pop, $bit}, positional `$`/`$[]`/`$[ident]`
     * paths) to a document. Unknown top-level keys
     * without a $ prefix mean "replace document" (MongoDB replace-update
     * semantics, W3's replace dispatch — reference
@@ -564,6 +564,20 @@ object UpdateSpec {
               // creates the array).
               case JArray(items) =>
                 setPath(a, path, JArray(items.filterNot(pullMatches(kv._2))))
+              case _ => a
+            }
+          }
+        }
+      case (d, ("$pullAll", JObject(fields))) =>
+        // exact-value batch removal: unlike $pull there is no condition
+        // form — each array element equal (jEq, numeric-type-insensitive)
+        // to ANY listed value is removed; missing field / non-array arg
+        // is a no-op (MongoDB never creates the array here either)
+        fields.foldLeft(d) { (acc, kv) =>
+          targetPaths(acc, kv._1).foldLeft(acc) { (a, path) =>
+            (getPath(a, path), kv._2) match {
+              case (JArray(items), JArray(vs)) =>
+                setPath(a, path, JArray(items.filterNot(x => vs.exists(jEq(_, x)))))
               case _ => a
             }
           }

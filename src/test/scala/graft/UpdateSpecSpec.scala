@@ -131,6 +131,21 @@ class UpdateSpecSpec extends AnyFunSuite {
     assert(j(g3) == j("""{"a":[1,2,3]}"""))
   }
 
+  test("$pullAll removes every listed value; numeric-type-insensitive; missing/non-array no-op") {
+    val g1 = UpdateSpec.applySpecJson(
+      """{"a":[1,2,1,3,4]}""", """{"$pullAll":{"a":[1,4]}}""")
+    assert(j(g1) == j("""{"a":[2,3]}"""))
+    // BSON numeric equality: 2.0 pulls 2
+    val g2 = UpdateSpec.applySpecJson(
+      """{"a":[1,2,3]}""", """{"$pullAll":{"a":[2.0]}}""")
+    assert(j(g2) == j("""{"a":[1,3]}"""))
+    // missing field: never created; non-array argument: no-op
+    val g3 = UpdateSpec.applySpecJson("""{"b":1}""", """{"$pullAll":{"a":[1]}}""")
+    assert(j(g3) == j("""{"b":1}"""))
+    val g4 = UpdateSpec.applySpecJson("""{"a":[1,2]}""", """{"$pullAll":{"a":1}}""")
+    assert(j(g4) == j("""{"a":[1,2]}"""))
+  }
+
   test("replace-update semantics: non-$ spec replaces the whole document") {
     val got = UpdateSpec.applySpecJson("""{"_id":1,"a":1}""", """{"_id":1,"b":2}""")
     assert(j(got) == j("""{"_id":1,"b":2}"""))

@@ -51,7 +51,8 @@ object StreamOps {
     "stream_window_late" -> ((s, dir) => runWindowed(s, dir)),
     "stream_join" -> ((s, dir) => runStreamJoin(s, dir)),
     "stream_join_outer" -> ((s, dir) => runStreamJoinOuter(s, dir)),
-    "stream_sessionize" -> ((s, dir) => runSessionize(s, dir)))
+    "stream_sessionize" -> ((s, dir) => runSessionize(s, dir)),
+    "stream_dedup_wm" -> ((s, dir) => runStreamDedup(s, dir)))
 
   /** Stage a multi-file feed whose files must be consumed IN ORDER by a
     * `maxFilesPerTrigger = 1` file source: write each part, then pin
@@ -789,6 +790,52 @@ object StreamOps {
     s.read.parquet(s"$work/out")
   }
 
+  /** Native `dropDuplicatesWithinWatermark` under a REAL duplicate
+    * re-delivery — the at-least-once-source dedup operator (the engine's
+    * K1 idempotent-replay guarantee, expressed as Spark's built-in
+    * bounded-state dedup; state is O(watermark horizon), not O(stream),
+    * the property that makes exactly-once-per-key viable on an unbounded
+    * feed). Batch 1 delivers the whole corpus; batch 2 re-delivers every
+    * event in the final 50 minutes — strictly INSIDE the 1 h watermark
+    * horizon, so their dedup state is still live by construction and the
+    * re-deliveries are provably suppressed (re-delivering below the
+    * horizon would instead race state eviction batch-by-batch — that
+    * boundary is deliberately not part of the oracle's closed form).
+    * A drained output ≡ the distinct corpus; a dedup that failed
+    * (duplicates emitted) or over-dropped diverges row-count and hash.
+    */
+  private def runStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dedup_q"
+    IncrSync.deletePath(s, work)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      .localCheckpoint()
+    val tmax = ev.agg(max(col("ts_us"))).head().getLong(0)
+    stageOrdered(s, s"$work/feed", Seq(
+      ev, ev.filter(col("ts_us") >= tmax - 3000000000L)))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("ts"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
   /** G7's queryable metrics surface (`common/metric.go:43-52,87-200`): run
     * the real `IncrSync.startOplog` over the UNFILTERED corpus feed with a
     * [[graft.metrics.MetricsRecorder]] attached; the listener writes one
@@ -896,6 +943,11 @@ object StreamOps {
           SELECT user_id, MIN(ts) AS ts_start, MAX(ts) AS ts_end,
             COUNT(*) AS n_events
           FROM sq GROUP BY user_id, sess_seq""",
+
+    // Suppressed in-horizon re-deliveries ⇒ the drained stream is the
+    // distinct corpus, verbatim.
+    "stream_dedup_wm" ->
+      """SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts FROM events""",
 
     "cdc_soak_live" -> Oplog.withOracleCte(
       s""", eff AS (

@@ -266,6 +266,40 @@ object Relational {
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(moneySum(col("l_extendedprice")))),
 
+    // Full cube: all 2^n grouping combinations in ONE pass — Catalyst
+    // expands the grouping sets before the aggregate, so the plan stays
+    // a single shuffle (same shape as q8's rollup, wider set list).
+    // The marginal-by-linestatus rows are the ones rollup cannot emit.
+    "q18_cube" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("gid"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Sketch-based distinct counting — the 100 TB replacement for q7's
+    // exact countDistinct: HyperLogLog++ partials merge map-side, so the
+    // shuffle carries |groups| fixed-size sketches instead of every
+    // distinct key. The sketch is approximate, so the oracle gate is an
+    // ERROR BOUND, not the estimate itself: the query emits the exact
+    // count plus a boolean attesting the sketch landed within 5% (2.5σ
+    // at rsd=0.02); DuckDB's oracle emits the same exact count with the
+    // boolean literally true. An HLL drift past the bound flips the
+    // boolean and hash-diverges — the estimate is gated without asking
+    // two engines' sketches to be bit-identical.
+    "q19_approx_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("_est"))
+        .select(col("l_returnflag"), col("n_parts_exact"),
+          (abs(col("_est") - col("n_parts_exact")).cast("double") /
+            col("n_parts_exact") <= 0.05).as("within_bound"))
+    }),
+
     // Co-located join via bucketing — THE shuffle eliminator for a fact
     // join repeated at 100 TB: both tables are bucketed (and sorted) on
     // the join key, so the SortMergeJoin consumes the buckets directly
@@ -526,6 +560,19 @@ object Relational {
            CAST(SUM(CASE WHEN l_linestatus = 'O'
              THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O
          FROM lineitem GROUP BY 1""",
+
+    "q18_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "q19_approx_distinct" ->
+      """SELECT l_returnflag,
+         COUNT(DISTINCT l_partkey) AS n_parts_exact,
+         TRUE AS within_bound
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q12_bucketed_join" ->
       """SELECT o_orderpriority,

@@ -52,7 +52,8 @@ object StreamOps {
     "stream_join" -> ((s, dir) => runStreamJoin(s, dir)),
     "stream_join_outer" -> ((s, dir) => runStreamJoinOuter(s, dir)),
     "stream_sessionize" -> ((s, dir) => runSessionize(s, dir)),
-    "stream_dedup_wm" -> ((s, dir) => runStreamDedup(s, dir)))
+    "stream_dedup_wm" -> ((s, dir) => runStreamDedup(s, dir)),
+    "stream_enrich" -> ((s, dir) => runStreamEnrich(s, dir)))
 
   /** Stage a multi-file feed whose files must be consumed IN ORDER by a
     * `maxFilesPerTrigger = 1` file source: write each part, then pin
@@ -836,6 +837,54 @@ object StreamOps {
     s.read.parquet(s"$work/out")
   }
 
+  /** Stream-STATIC broadcast enrichment — the stateless third member of
+    * the streaming-join family (inner stream-stream, outer stream-stream,
+    * and this): a live event feed dimension-joined to a batch table, the
+    * lookup shape of every CDC/event pipeline (enrich each change with
+    * its customer/tenant attributes before routing). Unlike the
+    * stream-stream joins this needs NO state store and NO watermark —
+    * each micro-batch plans an ordinary BroadcastHashJoin against the
+    * static side, so state is zero and the operator's scale ceiling is
+    * the dimension's broadcast size, not the stream's length. The static
+    * side is filtered BEFORE the join (segment gate), so the join also
+    * drops events — proving the per-batch join is really applied, not a
+    * pass-through. Two staged files under `maxFilesPerTrigger = 1` prove
+    * every micro-batch joins independently; the drained append output ≡
+    * the batch join, closed-form in the oracle.
+    */
+  private def runStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_enrich_q"
+    IncrSync.deletePath(s, work)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .localCheckpoint()
+    stageOrdered(s, s"$work/feed", Seq(
+      ev.filter(col("event_id") % 2 === 0), ev.filter(col("event_id") % 2 === 1)))
+    val dim = s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") =!= "BUILDING")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"), col("c_nationkey"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
   /** G7's queryable metrics surface (`common/metric.go:43-52,87-200`): run
     * the real `IncrSync.startOplog` over the UNFILTERED corpus feed with a
     * [[graft.metrics.MetricsRecorder]] attached; the listener writes one
@@ -948,6 +997,13 @@ object StreamOps {
     // distinct corpus, verbatim.
     "stream_dedup_wm" ->
       """SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts FROM events""",
+
+    // Stateless stream-static join: the drained append stream ≡ the
+    // batch join, verbatim.
+    "stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, c.c_nationkey
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         WHERE c.c_mktsegment <> 'BUILDING'""",
 
     "cdc_soak_live" -> Oplog.withOracleCte(
       s""", eff AS (

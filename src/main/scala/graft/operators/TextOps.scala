@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Dedup, Similarity, Text}
-import graft.functions.Portable.phash64Sql
+import graft.functions.Portable.{phash64, phash64Sql}
 
 /** Text-analysis and deduplication queries over `documents`
   * (the LLM-training-pipeline operator family), each with an exact
@@ -199,6 +199,27 @@ object TextOps {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    }),
+
+    // Deterministic shuffle-sharding for training output: every document
+    // lands in one of 16 shards by a CONTENT hash — stable under re-runs,
+    // input order, and partitioning, the reproducible "global shuffle" a
+    // pretraining pipeline applies before sequence packing (at cluster
+    // scale the same expression keys the writer's `repartition(16,
+    // shard)`, one file group per shard). The audit aggregate proves the
+    // assignment: per-shard count, char volume, and an order-independent
+    // membership fingerprint (sum of bounded content hashes) — a doc
+    // routed to the wrong shard moves its fingerprint term across rows
+    // and hash-diverges.
+    "pipe_shard" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("n_chars"), phash64(col("text")).as("_h"))
+        .select(col("n_chars"), (col("_h") % 16).as("shard"),
+          (col("_h") % 1000000007L).as("_fp"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("_fp")).as("fingerprint"))
     }),
 
     // Deterministic 80/10/10 hash split (train/val/test assignment): a
@@ -614,6 +635,14 @@ object TextOps {
                   FROM k))
           SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
           FROM s GROUP BY 1, 2""",
+
+    "pipe_shard" ->
+      s"""WITH h AS (
+            SELECT n_chars, ${phash64Sql("text")} AS hv FROM documents)
+          SELECT hv % 16 AS shard, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+            CAST(SUM(hv % 1000000007) AS BIGINT) AS fingerprint
+          FROM h GROUP BY 1""",
 
     "text_pack" ->
       s"""WITH tk AS (

@@ -300,6 +300,35 @@ object Relational {
             col("n_parts_exact") <= 0.05).as("within_bound"))
     }),
 
+    // The OTHER workhorse sketch: mergeable approximate quantiles
+    // (percentile_approx), gated like q19 by an error bound instead of
+    // sketch equality — but here the bound is on RANK, the quantity the
+    // sketch actually guarantees (±1/accuracy of rank, not of value):
+    // the 3-row-per-group sketch output is broadcast back against the
+    // fact table and the observed CDF at each reported value must sit
+    // within ±1% of its target quantile. Exact per-group quantiles
+    // (q11's plan) need a full sort per group; the sketch needs one
+    // map-side-mergeable pass — the difference between feasible and not
+    // at 100 TB.
+    "q20_approx_quantiles" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"))
+      def cdf(i: Int): org.apache.spark.sql.Column =
+        (sum(when(col("l_extendedprice") <= col("ap")(i), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)))
+      li.join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          cdf(0).as("_f50"), cdf(1).as("_f90"), cdf(2).as("_f99"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (abs(col("_f50") - 0.5) <= 0.01 &&
+            abs(col("_f90") - 0.9) <= 0.01 &&
+            abs(col("_f99") - 0.99) <= 0.01).as("within_bound"))
+    }),
+
     // Co-located join via bucketing — THE shuffle eliminator for a fact
     // join repeated at 100 TB: both tables are bucketed (and sorted) on
     // the join key, so the SortMergeJoin consumes the buckets directly
@@ -572,6 +601,10 @@ object Relational {
       """SELECT l_returnflag,
          COUNT(DISTINCT l_partkey) AS n_parts_exact,
          TRUE AS within_bound
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q20_approx_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS within_bound
          FROM lineitem GROUP BY l_returnflag""",
 
     "q12_bucketed_join" ->

@@ -211,6 +211,30 @@ object TextOps {
     // membership fingerprint (sum of bounded content hashes) — a doc
     // routed to the wrong shard moves its fingerprint term across rows
     // and hash-diverges.
+    // Incremental-ingest dedup: the "is this already in the corpus" gate
+    // every recurring crawl runs before appending. The corpus keeps a
+    // thin digest ledger (16-byte md5 per doc — at rest this is the
+    // bucketed side); an incoming batch — here the odd-id docs plus a
+    // deterministic RE-DELIVERY of every 10th even-id doc, the crawler
+    // re-fetching known pages — is LEFT ANTI joined on content digest,
+    // so only genuinely-new content survives. One shuffle on the digest;
+    // no full-text comparison ever crosses the wire. The re-delivered
+    // subset is dropped by construction, so a pass-through anti-join
+    // (or one that over-drops the odd side) hash-diverges.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("digest"))
+      val incoming = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 0))
+      incoming.join(corpus,
+          md5(incoming("text")) === corpus("digest"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_new"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     "pipe_shard" -> ((s, dir) => {
       docs(s, dir)
         .select(col("n_chars"), phash64(col("text")).as("_h"))
@@ -635,6 +659,20 @@ object TextOps {
                   FROM k))
           SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
           FROM s GROUP BY 1, 2""",
+
+    "dedup_incremental" ->
+      """WITH corpus AS (
+            SELECT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0),
+          incoming AS (
+            SELECT * FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT * FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0)
+          SELECT lang, COUNT(*) AS n_new,
+            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM incoming
+          WHERE md5(text) NOT IN (SELECT digest FROM corpus)
+          GROUP BY lang""",
 
     "pipe_shard" ->
       s"""WITH h AS (

@@ -225,8 +225,9 @@ object TextOps {
       val d = docs(s, dir)
       val corpus = d.filter(col("doc_id") % 2 === 0)
         .select(md5(col("text")).as("digest"))
-      val incoming = d.filter(col("doc_id") % 2 === 1)
-        .unionByName(d.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 0))
+      // odds ∪ (evens divisible by 10) are disjoint sets on one table —
+      // a single OR-filtered scan, not a self-union (one pass at 100 TB)
+      val incoming = d.filter(col("doc_id") % 2 === 1 || col("doc_id") % 10 === 0)
       incoming.join(corpus,
           md5(incoming("text")) === corpus("digest"), "left_anti")
         .groupBy(col("lang"))

@@ -316,17 +316,8 @@ object Relational {
       val sk = li.groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"),
           array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"))
-      def cdf(i: Int): org.apache.spark.sql.Column =
-        (sum(when(col("l_extendedprice") <= col("ap")(i), 1L).otherwise(0L))
-          .cast("double") / count(lit(1)))
-      li.join(broadcast(sk), Seq("l_returnflag"))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_rows"),
-          cdf(0).as("_f50"), cdf(1).as("_f90"), cdf(2).as("_f99"))
-        .select(col("l_returnflag"), col("n_rows"),
-          (abs(col("_f50") - 0.5) <= 0.01 &&
-            abs(col("_f90") - 0.9) <= 0.01 &&
-            abs(col("_f99") - 0.99) <= 0.01).as("within_bound"))
+      rankGate(li, sk, key = "l_returnflag", value = "l_extendedprice",
+        qs = Seq(0.5, 0.9, 0.99), tol = 0.01)
     }),
 
     // Co-located join via bucketing — THE shuffle eliminator for a fact
@@ -367,6 +358,28 @@ object Relational {
           count(lit(1)).as("n_items"))
     })
   )
+
+  /** Rank-accuracy attestation for a per-key quantile sketch (see
+    * `q20_approx_quantiles`): `sketch` carries one row per key with an
+    * `ap` array of claimed quantile values aligned with `qs`; the gate
+    * broadcasts it back against the fact table and checks the OBSERVED
+    * CDF at each claimed value sits within `tol` of its target quantile
+    * — the rank guarantee the sketch actually makes. Output per key:
+    * (key, n_rows, within_bound). A claimed value at the wrong rank
+    * flips `within_bound` (negative-control golden in
+    * RelationalJoinSpec).
+    */
+  def rankGate(fact: DataFrame, sketch: DataFrame, key: String, value: String,
+               qs: Seq[Double], tol: Double): DataFrame = {
+    val fracs = qs.indices.map(i =>
+      (sum(when(col(value) <= col("ap")(i), 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as(s"_f$i"))
+    val ok = qs.indices.map(i => abs(col(s"_f$i") - qs(i)) <= tol).reduce(_ && _)
+    fact.join(broadcast(sketch), Seq(key))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_rows"), fracs: _*)
+      .select(col(key), col("n_rows"), ok.as("within_bound"))
+  }
 
   /** Skew-safe top-k per key, two-phase (see `q13_salted_topk`): phase 1
     * ranks within (key, salt) and keeps each salt's local top-k — every

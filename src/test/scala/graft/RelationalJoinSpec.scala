@@ -133,4 +133,30 @@ class RelationalJoinSpec extends AnyFunSuite {
       .select("user_id", "n").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(sess.toSet == Set((1L, 3L), (1L, 1L), (2L, 1L)) && sess.length == 3)
   }
+
+  test("rankGate attests exact quantile values and trips on a value at the wrong rank") {
+    // v = 1..1000 on one key: the exact p50/p90/p99 values are 500/900/990
+    // (CDF at each is exactly its target quantile).
+    val fact = (1 to 1000).map(i => ("k", i.toDouble)).toDF("key", "v")
+    def gate(ap: Seq[Double]): Boolean = {
+      val sk = Seq(("k", ap)).toDF("key", "ap")
+      Relational.rankGate(fact, sk, key = "key", value = "v",
+          qs = Seq(0.5, 0.9, 0.99), tol = 0.01)
+        .head().getAs[Boolean]("within_bound")
+    }
+    assert(gate(Seq(500.0, 900.0, 990.0)))
+    // the p90 value claimed as p50: observed CDF 0.9 vs target 0.5 → trip
+    assert(!gate(Seq(900.0, 900.0, 990.0)))
+    // off by just past the ±1% rank tolerance (CDF 0.511 at p50) → trip
+    assert(!gate(Seq(511.0, 900.0, 990.0)))
+    // inside the tolerance (CDF 0.509) → attests
+    assert(gate(Seq(509.0, 900.0, 990.0)))
+  }
+
+  test("q19's HLL bound gate holds on real data at sf0.001") {
+    val out = graft.operators.Relational.queries("q19_approx_distinct")(
+      spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("within_bound")))
+  }
 }

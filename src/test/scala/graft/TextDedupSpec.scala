@@ -139,4 +139,18 @@ class TextDedupSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSet
     assert(got2 == got + (("D", 8L)))
   }
+
+  test("dedup_incremental keeps every odd doc and drops every re-delivered even") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.TextOps.queries("dedup_incremental")(spark, dir)
+    val nNew = out.agg(org.apache.spark.sql.functions.sum("n_new")).head().getLong(0)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the corpus has no cross-parity duplicate texts, so the survivors are
+    // exactly the odd half; every re-delivered even (id % 10 == 0) is in
+    // the corpus ledger by construction and must be anti-joined away
+    val nOdd = docs.filter(org.apache.spark.sql.functions.expr("doc_id % 2 = 1")).count()
+    assert(nNew == nOdd)
+    val minDocs = out.select("min_doc").as[Long].collect()
+    assert(minDocs.forall(_ % 2 == 1))
+  }
 }

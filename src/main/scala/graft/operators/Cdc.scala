@@ -98,6 +98,39 @@ object Cdc {
     // W1-W4 as idempotent MERGE: last-effective-write-wins materialization.
     "cdc_apply" -> ((s, dir) => Replay.materialize(filtered(s, dir))),
 
+    // SCD Type-2 history build — what a warehouse FED BY this engine does
+    // with the change stream: every effective write opens a version valid
+    // [ts, next-change ts); a delete closes the prior version (via the
+    // lead) and opens none. ONE window over the (ns, doc_key) exchange —
+    // version seq, validity interval, and currency flag all ride the same
+    // sort, so the whole history materializes in a single shuffle.
+    "cdc_scd2" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ns"), col("doc_key"))
+        .orderBy(col("ts_packed"), col("event_id"))
+      filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead(col("ts_packed"), 1).over(w))
+        .filter(col("op") =!= "d")
+        .select(col("ns"), col("doc_key"), col("version"),
+          col("ts_packed").as("valid_from"), col("valid_to"), col("value"),
+          col("valid_to").isNull.as("is_current"))
+    }),
+
+    // Point-in-time state reconstruction ("the database as of LSN T"):
+    // the replay fold truncated at a pinned mid-stream timestamp — the
+    // query the checkpoint/replay architecture exists to answer. The pin
+    // is the midpoint of the packed-LSN range (a deterministic two-long
+    // driver read, same sanctioned shape as BM25's corpus stats); the
+    // fold itself is cdc_apply's one-exchange materialization over the
+    // truncated feed — time travel costs nothing beyond the scan filter.
+    "cdc_time_travel" -> ((s, dir) => {
+      val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+      val b = eff.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
+      val t = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      Replay.materialize(eff.filter(col("ts_packed") <= t))
+    }),
+
     // P10 gid scrub: every record's gid blanks; n_foreign proves the scrub
     // actually hit the foreign-gid rows (not a vacuous pass-through).
     // Post-sync verification (scripts/comparison.py analogue): diff the
@@ -529,6 +562,34 @@ object Cdc {
               ROW_NUMBER() OVER (PARTITION BY ns, doc_key ORDER BY ts_packed DESC, event_id DESC) AS rn,
               COUNT(*) OVER (PARTITION BY ns, doc_key) AS n_ops
             FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
+          WHERE rn = 1 AND op <> 'd'"""),
+
+    "cdc_scd2" -> withOplog(
+      s"""SELECT ns, doc_key, version, valid_from, valid_to, value,
+            valid_to IS NULL AS is_current
+          FROM (
+            SELECT ns, doc_key, op, value,
+              ROW_NUMBER() OVER w AS version,
+              ts_packed AS valid_from,
+              LEAD(ts_packed) OVER w AS valid_to
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')
+            WINDOW w AS (PARTITION BY ns, doc_key ORDER BY ts_packed, event_id))
+          WHERE op <> 'd'"""),
+
+    "cdc_time_travel" -> withOplog(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          pin AS (
+            SELECT MIN(ts_packed) + (MAX(ts_packed) - MIN(ts_packed)) // 2 AS t
+            FROM eff)
+          SELECT ns, doc_key, value AS last_value, event_id AS last_event_id, n_ops
+          FROM (
+            SELECT ns, doc_key, value, event_id, op,
+              ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                ORDER BY ts_packed DESC, event_id DESC) AS rn,
+              COUNT(*) OVER (PARTITION BY ns, doc_key) AS n_ops
+            FROM eff WHERE ts_packed <= (SELECT t FROM pin))
           WHERE rn = 1 AND op <> 'd'"""),
 
     "cdc_gid_scrub" -> withOplog(

@@ -320,6 +320,51 @@ object Relational {
         qs = Seq(0.5, 0.9, 0.99), tol = 0.01)
     }),
 
+    // Sequential conversion funnel (view → click within 24 h → purchase
+    // within 24 h of the click): each stage is a per-user min-timestamp
+    // aggregate gated by the previous stage's time — aggregates and
+    // joins all key on user_id, so Catalyst reuses ONE hash
+    // partitioning across the whole cascade instead of re-shuffling per
+    // stage. Pure µs integer arithmetic; one summary row.
+    "q21_funnel" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dayUs = 86400000000L
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + dayUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + dayUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+      t1.join(t2, Seq("user_id"), "left_outer")
+        .join(t3, Seq("user_id"), "left_outer")
+        .agg(count(col("t1")).as("n_view"),
+          count(col("t2")).as("n_click_24h"),
+          count(col("t3")).as("n_purchase_24h"))
+    }),
+
+    // Weekly cohort retention: users grouped by first-active week, the
+    // classic retention triangle as (cohort_week, offset, n_users). The
+    // distinct (user, week) activity set and the per-user first week
+    // share the user_id partitioning; the final small aggregate is the
+    // only extra exchange.
+    "q22_retention" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val act = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("(ts DIV 1000) DIV 604800000000").as("wk")) // integer floor, µs → week
+        .distinct()
+      val first = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+      act.join(first, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Co-located join via bucketing — THE shuffle eliminator for a fact
     // join repeated at 100 TB: both tables are bucketed (and sorted) on
     // the join key, so the SortMergeJoin consumes the buckets directly
@@ -619,6 +664,31 @@ object Relational {
     "q20_approx_quantiles" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS within_bound
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q21_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS ts_us FROM events),
+          t1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+                 WHERE event_type = 'view' GROUP BY 1),
+          t2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2 FROM e JOIN t1 USING (user_id)
+                 WHERE e.event_type = 'click'
+                   AND e.ts_us > t1.t1 AND e.ts_us <= t1.t1 + 86400000000
+                 GROUP BY 1),
+          t3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3 FROM e JOIN t2 USING (user_id)
+                 WHERE e.event_type = 'purchase'
+                   AND e.ts_us > t2.t2 AND e.ts_us <= t2.t2 + 86400000000
+                 GROUP BY 1)
+          SELECT COUNT(t1.t1) AS n_view, COUNT(t2.t2) AS n_click_24h,
+            COUNT(t3.t3) AS n_purchase_24h
+          FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""",
+
+    "q22_retention" ->
+      """WITH act AS (
+            SELECT DISTINCT user_id, epoch_ns(ts)//1000 // 604800000000 AS wk
+            FROM events),
+          first AS (SELECT user_id, MIN(wk) AS cohort_week FROM act GROUP BY 1)
+          SELECT cohort_week, wk - cohort_week AS week_offset, COUNT(*) AS n_users
+          FROM act JOIN first USING (user_id)
+          GROUP BY 1, 2""",
 
     "q12_bucketed_join" ->
       """SELECT o_orderpriority,

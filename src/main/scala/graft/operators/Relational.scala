@@ -321,28 +321,41 @@ object Relational {
     }),
 
     // Sequential conversion funnel (view → click within 24 h → purchase
-    // within 24 h of the click): each stage is a per-user min-timestamp
-    // aggregate gated by the previous stage's time — aggregates and
-    // joins all key on user_id, so Catalyst reuses ONE hash
-    // partitioning across the whole cascade instead of re-shuffling per
-    // stage. Pure µs integer arithmetic; one summary row.
+    // within 24 h of the click) as a FORWARD CASCADE: each stage gated-
+    // left-joins the next event arm onto the accumulated per-user frame
+    // (the 24 h gate lives in the join condition, so non-converting
+    // users survive with a null stage time) and re-aggregates to one
+    // row per user. Nothing is referenced twice — the naive shape
+    // (separate t1/t2/t3 joined at the end) re-derives t1 three times
+    // and t2 twice, 6 scans / 7 exchanges; the cascade is 3 scans and
+    // 4 exchanges (one per event arm + the single-row summary), every
+    // join and re-aggregate running inside the user_id partitioning it
+    // inherits (PlanAuditSpec pins this with broadcasts off, the
+    // 100 TB shape). Pure µs integer arithmetic; one summary row.
     "q21_funnel" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val dayUs = 86400000000L
       val e = Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
-      val t1 = e.filter(col("event_type") === "view")
+      val f1 = e.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
-      val t2 = e.filter(col("event_type") === "click")
-        .join(t1, Seq("user_id"))
-        .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + dayUs)
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
-      val t3 = e.filter(col("event_type") === "purchase")
-        .join(t2, Seq("user_id"))
-        .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + dayUs)
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
-      t1.join(t2, Seq("user_id"), "left_outer")
-        .join(t3, Seq("user_id"), "left_outer")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts_us").as("c_ts"))
+      val f2 = f1.join(clicks,
+          col("user_id") === col("c_uid") &&
+            col("c_ts") > col("t1") && col("c_ts") <= col("t1") + dayUs,
+          "left_outer")
+        .groupBy(col("user_id"))
+        .agg(min(col("t1")).as("t1"), min(col("c_ts")).as("t2"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts_us").as("p_ts"))
+      f2.join(purchases,
+          col("user_id") === col("p_uid") &&
+            col("p_ts") > col("t2") && col("p_ts") <= col("t2") + dayUs,
+          "left_outer")
+        .groupBy(col("user_id"))
+        .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+          min(col("p_ts")).as("t3"))
         .agg(count(col("t1")).as("n_view"),
           count(col("t2")).as("n_click_24h"),
           count(col("t3")).as("n_purchase_24h"))

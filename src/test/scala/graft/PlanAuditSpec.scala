@@ -142,6 +142,23 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("plan audit: q21_funnel shuffles once per stage arm, never per stage") {
+    // With broadcasts off (the 100 TB shape — every arm too big to
+    // broadcast): three event-type arms each exchange once on user_id;
+    // every stage's gate join and re-aggregate then run INSIDE that
+    // partitioning (SMJ on aligned sides adds sorts, not exchanges), and
+    // the only extra exchange is the final single-row summary's.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = SparkEntry.queries("q21_funnel")(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 4,
+        s"q21_funnel re-shuffles a stage ($exchanges exchanges, expected ≤4):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("plan audit: text_bm25 scans the corpus once (stats, tf, and df share the base)") {
     val plan = SparkEntry.queries("text_bm25")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -30,10 +30,8 @@ object ChangeEvent {
     *  - updateDescription: updatedFields {} when event_id%7=0 (empty-diff
     *    coverage), removedFields ["k"] when event_id%5=0
     */
-  def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    project(spark.read.parquet(s"$sfDir/events.parquet"))
-  }
+  def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
+    project(graft.Tables.loadEventsNs(spark, sfDir))
 
   def project(events: DataFrame): DataFrame = {
     val tsUs = expr("ts DIV 1000")

@@ -31,11 +31,8 @@ object Oplog {
     *  - ts:   parquet TIMESTAMP(NANOS) read as long; all derived values use
     *          microseconds so the oracle (µs-precision timestamps) agrees.
     */
-  def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    // Spark 4 rejects TIMESTAMP(NANOS) parquet columns unless read as long.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    project(spark.read.parquet(s"$sfDir/events.parquet"))
-  }
+  def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
+    project(graft.Tables.loadEventsNs(spark, sfDir))
 
   /** The projection itself, applicable to a batch or streaming `events`
     * DataFrame whose `ts` column is already a nanosecond long.

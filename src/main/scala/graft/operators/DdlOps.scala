@@ -35,8 +35,7 @@ object DdlOps {
     corpusPlan(s, dir).localCheckpoint()
 
   private def corpusPlan(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$dir/events.parquet").filter(col("event_type") === "view")
+    val ev = graft.Tables.loadEventsNs(s, dir).filter(col("event_type") === "view")
     val db = when(col("user_id") % 50 === 0, "local").otherwise("app")
     val coll = concat(lit("users_"), (col("user_id") % 4).cast("string"))
     val nsFull = concat(db, lit("."), coll)

@@ -143,12 +143,12 @@ object Relational {
     // exchange, the two windows and the final group-by reuse its sort.
     // Pure integer (ns) arithmetic, so sessions are engine-identical.
     "q10_sessionize" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val gapUs = 1800000000L // 30 min (µs — the oracle's timestamp grain)
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Tables.load(s, dir, "events")
-        // µs precision: DuckDB reads TIMESTAMP(NANOS) parquet at µs, so
-        // the comparison grain is ts DIV 1000 (same as Oplog.project)
+      Tables.loadEventsNs(s, dir)
+        // µs precision: the oracle's epoch_ns(ts)//1000 grain — same as
+        // Oplog.project
+
         .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts"))
         .withColumn("new_sess",
           when(lag(col("ts"), 1).over(w).isNull ||
@@ -203,8 +203,7 @@ object Relational {
     // a per-key sorted merge with no pairwise candidate explosion (a
     // naive t1.ts >= t2.ts join is quadratic per user).
     "q14_asof_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = Tables.load(s, dir, "events")
+      val e = Tables.loadEventsNs(s, dir)
         .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts"),
           col("event_type"))
       asofJoin(
@@ -222,8 +221,7 @@ object Relational {
     // is a plain equi-join on bin with the exact |Δt| predicate as a
     // post-filter. Work is O(n · avg bin occupancy), not O(n²).
     "q15_range_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = Tables.load(s, dir, "events")
+      val e = Tables.loadEventsNs(s, dir)
         .select(col("event_id"), expr("ts DIV 1000").as("ts"),
           col("event_type"), col("value"))
       binnedRangeJoin(
@@ -245,10 +243,9 @@ object Relational {
     // self-join (the naive rewrite is an O(events × window) range join).
     // Decimal sum keeps the rolling aggregate order-independent.
     "q16_rolling" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
         .rangeBetween(-3600000000L, 0L)
-      Tables.load(s, dir, "events")
+      Tables.loadEventsNs(s, dir)
         .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts"),
           col("value"))
         .withColumn("n_1h", count(lit(1)).over(w))
@@ -333,9 +330,8 @@ object Relational {
     // inherits (PlanAuditSpec pins this with broadcasts off, the
     // 100 TB shape). Pure µs integer arithmetic; one summary row.
     "q21_funnel" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val dayUs = 86400000000L
-      val e = Tables.load(s, dir, "events")
+      val e = Tables.loadEventsNs(s, dir)
         .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
       val f1 = e.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
@@ -367,8 +363,7 @@ object Relational {
     // share the user_id partitioning; the final small aggregate is the
     // only extra exchange.
     "q22_retention" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val act = Tables.load(s, dir, "events")
+      val act = Tables.loadEventsNs(s, dir)
         .select(col("user_id"),
           expr("(ts DIV 1000) DIV 604800000000").as("wk")) // integer floor, µs → week
         .distinct()

@@ -587,8 +587,7 @@ object StreamOps {
   private def runWindowed(s: SparkSession, dir: String): DataFrame = {
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_wm_window_q"
     IncrSync.deletePath(s, work)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), expr("ts DIV 1000").as("ts_us")).localCheckpoint()
     val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
     val tmid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
@@ -640,8 +639,7 @@ object StreamOps {
   private def runStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_q"
     IncrSync.deletePath(s, work)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
       .localCheckpoint()
     ev.filter(col("event_id") % 2 === 0).write.parquet(s"$work/views")
@@ -690,8 +688,7 @@ object StreamOps {
   private def runStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_outer_q"
     IncrSync.deletePath(s, work)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
       .localCheckpoint()
     ev.filter(col("event_id") % 2 === 0).write.parquet(s"$work/views")
@@ -749,8 +746,7 @@ object StreamOps {
   private def runSessionize(s: SparkSession, dir: String): DataFrame = {
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sess_q"
     IncrSync.deletePath(s, work)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
       .localCheckpoint()
     val tmax = ev.agg(max(col("ts_us"))).head().getLong(0)
@@ -808,8 +804,7 @@ object StreamOps {
   private def runStreamDedup(s: SparkSession, dir: String): DataFrame = {
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dedup_q"
     IncrSync.deletePath(s, work)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
       .localCheckpoint()
     val tmax = ev.agg(max(col("ts_us"))).head().getLong(0)
@@ -855,8 +850,7 @@ object StreamOps {
   private def runStreamEnrich(s: SparkSession, dir: String): DataFrame = {
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_enrich_q"
     IncrSync.deletePath(s, work)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"))
       .localCheckpoint()
     stageOrdered(s, s"$work/feed", Seq(

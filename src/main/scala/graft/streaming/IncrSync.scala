@@ -81,9 +81,20 @@ object IncrSync {
       white: Seq[String] = Seq("^app\\..*$"),
       black: Seq[String] = Nil,
       startingTs: Long = Long.MinValue,
-      maxFilesPerTrigger: Int = 0): StreamingQuery =
-    startFrom(spark, ParquetDirSource(sourceDir, eventsSchema, maxFilesPerTrigger),
+      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    // The streaming file source needs a declared schema; probe the dir's
+    // footers so the declaration matches the physical ts layout (ns long
+    // vs µs timestamp — see Tables.normalizeTsNs), then startFrom
+    // re-normalizes the decoded column to the canonical ns long.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType =
+      try spark.read.parquet(sourceDir).schema("ts").dataType
+      catch { case _: Throwable => LongType }
+    val sch = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    startFrom(spark, ParquetDirSource(sourceDir, sch, maxFilesPerTrigger),
       targetDir, checkpointDir, gids, white, black, startingTs)
+  }
 
   /** [[start]] over any [[ChangeSource]] — the injection seam a live
     * change-stream connector implements (see [[ChangeSource]] for the
@@ -96,7 +107,7 @@ object IncrSync {
       black: Seq[String] = Nil,
       startingTs: Long = Long.MinValue): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = source.load(spark)
+    val stream = graft.Tables.normalizeTsNs(spark, source.load(spark))
     val oplog = Oplog.project(stream)
       .filter(col("ts_packed") > startingTs)
       .filter(OplogFilters.chain(gids, white, black) || col("op") === "c")

@@ -7,6 +7,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -16,7 +18,6 @@ object Bench {
     // the cold parquet footer/page reads as phantom regression.
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Tables.names.foreach { t =>
         try { Tables.load(spark, sfDir, t).count() } catch { case _: Throwable => () }
       }
@@ -56,8 +57,15 @@ object Bench {
                    else SparkEntry.queries
     val results = selected.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // A failing query is recorded as -1, never as its (suspiciously
+      // fast) wall-clock — a broken query must scream in the bench too,
+      // not only in the CORRECTNESS gate.
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+      }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // Untimed: drop cache entries and localCheckpoint blocks the query
       // left behind — accumulated block-manager pressure would otherwise
       // tax every LATER query's timing for state it never created.
@@ -84,7 +92,9 @@ object Bench {
     val loadPost = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Failures (-1 entries) are excluded from the total: a partial-failure
+    // capture must not report a *lower* total than a clean one.
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","probe_pre":${probes.head},"probe_post":${probes.last}""" +
       s""","probes":${probes.mkString("[", ",", "]")},"probe_every":$probeEvery""" +

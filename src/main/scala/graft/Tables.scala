@@ -33,7 +33,11 @@ object Tables {
     * not just the rendering.
     */
   def loadEventsNs(spark: SparkSession, sfDir: String): DataFrame = {
-    // TIMESTAMP(NANOS) layout: readable only as long (no-op for µs files)
+    // TIMESTAMP(NANOS) layout: readable only as long (no-op for µs files).
+    // This conf is a read-capability switch with a single workable value —
+    // without it Spark cannot decode the nanos layout at all — not a
+    // behavioral knob, so setting it here is safe for sessions built
+    // outside this library (the driver's smoke-check session included).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeTsNs(spark, load(spark, sfDir, "events"))
   }
@@ -46,11 +50,20 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType => df // already ns epoch
       case _ =>
-        // NTZ→LTZ cast resolves the naive wall-clock in the session zone;
-        // pin UTC so the epoch math is environment-independent
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df.withColumn("ts",
-          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+        // The NTZ→LTZ cast resolves the naive wall-clock in the session
+        // zone, and the analyzer stamps that zone into the Cast at build
+        // time (Dataset ops are eagerly analyzed; ResolveTimeZone runs
+        // then). Pin UTC only for the duration of this build — matching
+        // the DuckDB oracle's epoch_ns(ts), which treats naive timestamps
+        // as UTC — and restore the caller's zone so unrelated queries in
+        // the same session are untouched.
+        val zoneKey = "spark.sql.session.timeZone"
+        val prev = spark.conf.get(zoneKey)
+        try {
+          spark.conf.set(zoneKey, "UTC")
+          df.withColumn("ts",
+            unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+        } finally spark.conf.set(zoneKey, prev)
     }
 
   /** Dimension tables small enough to broadcast at any realistic scale

@@ -86,10 +86,24 @@ object IncrSync {
     // footers so the declaration matches the physical ts layout (ns long
     // vs µs timestamp — see Tables.normalizeTsNs), then startFrom
     // re-normalizes the decoded column to the canonical ns long.
+    //
+    // The probe is one-shot, so the whole dir must carry ONE physical ts
+    // layout (mixed ns/µs files in a single source dir are a corpus bug,
+    // not a supported shape). An empty or unreadable dir fails fast here:
+    // defaulting the declared type and letting later-arriving files
+    // contradict it would surface as an opaque parquet conversion error
+    // mid-stream — start the stream after the first file lands instead.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType =
       try spark.read.parquet(sourceDir).schema("ts").dataType
-      catch { case _: Throwable => LongType }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"cannot probe the ts layout of stream source dir '$sourceDir' " +
+              "(empty or unreadable?) — the file-source stream needs at " +
+              "least one parquet file before start, or use startFrom with " +
+              "an explicit schema", e)
+      }
     val sch = StructType(eventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     startFrom(spark, ParquetDirSource(sourceDir, sch, maxFilesPerTrigger),
@@ -341,9 +355,11 @@ object IncrSync {
     batch.persist()
     try {
       // Materialize the cache with one FULL pass before anything else: the
-      // G7 observe counters fire exactly once per delivery this way (a
-      // limit-style emptiness probe would run the plan a second, partial
-      // time and corrupt the counts). Idle triggers — under a continuous
+      // G7 observe counters fire exactly once per delivery this way (an
+      // `isEmpty`-style limit-1 probe would be cheaper for the emptiness
+      // test alone, but would run the observed plan a second, partial
+      // time and corrupt the counts — the full count IS the cache
+      // materialization pass, not a redundant job). Idle triggers — under a continuous
       // ProcessingTime trigger with a txn TTL the state operator schedules
       // a no-data batch EVERY interval; that is what fires processing-time
       // timeouts — deliver nothing, so nothing is ack'd: the checkpoint

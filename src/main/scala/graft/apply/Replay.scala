@@ -79,6 +79,24 @@ object Replay {
         sum((col("status") === "dst_only").cast("long")).as("n_dst_only"))
   }
 
+  /** The checker's count-only fast path (`scripts/comparison_3x.py:
+    * 120-126`: per-collection `estimated_document_count` equality, no
+    * document reads): per-namespace row counts from both sides, one
+    * full-outer join on ns — each state moves once and only its ns
+    * column crosses the wire, so at 100 TB this is a metadata-weight
+    * pass where [[diffStates]] is a data-weight one.
+    */
+  def diffCounts(src: DataFrame, dst: DataFrame): DataFrame = {
+    val sc = src.groupBy(col("ns")).agg(count(lit(1)).as("n_src"))
+    val dc = dst.groupBy(col("ns")).agg(count(lit(1)).as("n_dst"))
+    sc.join(dc, Seq("ns"), "full_outer")
+      .select(col("ns"),
+        coalesce(col("n_src"), lit(0L)).as("n_src"),
+        coalesce(col("n_dst"), lit(0L)).as("n_dst"),
+        (coalesce(col("n_src"), lit(0L)) === coalesce(col("n_dst"), lit(0L)))
+          .cast("long").as("equal"))
+  }
+
   /** Lazily fold a key-sorted row iterator: one live document of state,
     * one emitted row per key as the key closes — O(1 doc) memory, never a
     * partition-sized output buffer.

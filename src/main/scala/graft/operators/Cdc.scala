@@ -145,6 +145,20 @@ object Cdc {
       graft.apply.Replay.diffStates(src, dst)
     }),
 
+    // The checker's count-only fast path (comparison_3x.py's default
+    // mode): per-namespace count equality on the same defective feed —
+    // the cheap first-pass check a user runs before paying for the
+    // row-level diff. Note it CAN mask compensating defects (a lost
+    // insert + a lost delete in one ns), exactly as the reference's
+    // count mode does — cdc_compare is the authoritative check.
+    "cdc_compare_counts" -> ((s, dir) => {
+      val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+      val src = graft.apply.Replay.materialize(eff)
+      val dst = graft.apply.Replay.materialize(
+        eff.filter(col("event_id") % 101 =!= 0))
+      graft.apply.Replay.diffCounts(src, dst)
+    }),
+
     // The checker's "sample" mode, scale-correct: a deterministic hash
     // sample of the KEY space (1 in 10) on both sides — the reference
     // samples random documents and point-reads the target; a hash sample
@@ -596,6 +610,30 @@ object Cdc {
       """SELECT '' AS g, COUNT(*) AS n,
          CAST(SUM(CASE WHEN g = 'ext' THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign
          FROM oplog"""),
+
+    "cdc_compare_counts" -> withOplog(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          src AS (
+            SELECT ns, COUNT(*) AS n FROM (
+              SELECT ns, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff) WHERE rn = 1 AND op <> 'd' GROUP BY ns),
+          dst AS (
+            SELECT ns, COUNT(*) AS n FROM (
+              SELECT ns, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff WHERE event_id % 101 <> 0) WHERE rn = 1 AND op <> 'd'
+              GROUP BY ns)
+          SELECT COALESCE(s.ns, d.ns) AS ns,
+            CAST(COALESCE(s.n, 0) AS BIGINT) AS n_src,
+            CAST(COALESCE(d.n, 0) AS BIGINT) AS n_dst,
+            CAST(CASE WHEN COALESCE(s.n, 0) = COALESCE(d.n, 0) THEN 1 ELSE 0 END
+              AS BIGINT) AS equal
+          FROM src s FULL OUTER JOIN dst d ON s.ns = d.ns"""),
 
     "cdc_compare" -> withOplog(
       s""", eff AS (

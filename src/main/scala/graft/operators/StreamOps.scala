@@ -48,6 +48,8 @@ object StreamOps {
     "cdc_full_incr_handoff" -> ((s, dir) => runHandoff(s, dir)),
     "cdc_soak_live" -> ((s, dir) => runSoak(s, dir)),
     "cdc_rebucket" -> ((s, dir) => runRebucket(s, dir)),
+    "cdc_ckpt_api_store" -> ((s, dir) => runCkptStores(s, dir)),
+    "cdc_journal_sample" -> ((s, dir) => runJournal(s, dir)),
     "stream_window_late" -> ((s, dir) => runWindowed(s, dir)),
     "stream_join" -> ((s, dir) => runStreamJoin(s, dir)),
     "stream_join_outer" -> ((s, dir) => runStreamJoinOuter(s, dir)),
@@ -289,6 +291,148 @@ object StreamOps {
     *  - `state`: final state = the one-shot fold over BOTH phases — the
     *    64-bucket merge after migration routes/prunes correctly.
     */
+  /** Checkpoint-storage backends, oracle-gated end-to-end
+    * ([[graft.streaming.CkptStore]] ↔ `ckpt_operation.go:20-190`,
+    * manager `ckpt_manager.go:25-140`): phase 1 runs the REAL
+    * `IncrSync.startOplog` over the lower time-half with BOTH storage
+    * backends attached to the production checkpoint commit — the
+    * "database" table store and the "api" JSON-body store, selected
+    * through the sanitized config vocabulary exactly as the reference's
+    * manager switch. Then each manager's loaded position drives a fresh
+    * resume over the full feed via the S1 `startingTs` predicate (the
+    * reference's `{ts: {$gt: ckpt}}` cursor).
+    *
+    * Proof sections (all closed-form in the oracle):
+    *  - `ctx`: both managers load the SAME stored context — position =
+    *    the phase-1 batch's lsn_max, version = the current FCV stamp,
+    *    exist = true. A store that dropped/garbled the upsert diverges.
+    *  - `default`: a manager over an absent store regenerates (ts floored
+    *    to InitCheckpoint, not persisted) with exist = false.
+    *  - `fcv`: a stored context from a pre-FCV version is REJECTED with
+    *    the reference-shaped reason (`ckpt_manager.go:68-72`).
+    *  - `eq`: the two store-driven resumes produce row-identical states
+    *    (diff = 0 over the full-outer compare), count pinned closed-form.
+    *  - `state`: the api-driven resume equals the fold of exactly the
+    *    rows above the stored position — the resume skipped nothing and
+    *    re-read nothing.
+    */
+  private def runCkptStores(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{CkptContext, CkptManager, CkptStore, Fcv,
+      FileApiCkptStore, GraftConfig}
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_store_q"
+    IncrSync.deletePath(s, work)
+    val keep = OplogFilters.chain(gids, white, black)
+    val eff = Oplog.fromEvents(s, dir)
+      .filter(keep && col("op").isin("i", "u", "d"))
+      .localCheckpoint()
+    val bounds = eff.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
+    val t1 = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+
+    val feedDir = s"$work/feed"
+    feedify(eff.filter(col("ts_packed") <= t1)).coalesce(1).write.parquet(feedDir)
+
+    // Both backends through the config-driven factory — the reference's
+    // NewCheckpointManager storage switch, vocabulary-validated.
+    val cfg = GraftConfig(sourceUrls = Seq("mongodb://src"),
+      tunnelAddress = Seq("target"), checkpointStorage = "database",
+      checkpointStorageUrl = s"$work/ckpt_db").sanitize
+      .fold(r => sys.error(r), identity)
+    val stTable = CkptStore.forConfig(s, cfg, "graft")
+    val stApi = CkptStore.forConfig(s,
+      cfg.copy(checkpointStorage = "api",
+        checkpointStorageUrl = s"$work/ckpt_api.json"), "graft")
+
+    val q1 = IncrSync.startOplog(s, feedDir, s"$work/t1", s"$work/ck1",
+      gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 16,
+      ckptStores = Seq(stTable, stApi))
+    q1.awaitTermination()
+
+    val (ctxT, existT) = CkptManager(stTable, "graft", 1L).get()
+      .fold(r => sys.error(r), identity)
+    val (ctxA, existA) = CkptManager(stApi, "graft", 1L).get()
+      .fold(r => sys.error(r), identity)
+    val (ctxD, existD) = CkptManager(FileApiCkptStore(s"$work/absent.json"),
+      "graft", 1L).get().fold(r => sys.error(r), identity)
+
+    // FCV gate: a version-0 (pre-2.4) stored document must be rejected
+    // with the reference-shaped reason.
+    val badStore = FileApiCkptStore(s"$work/bad.json")
+    badStore.save(CkptContext("graft", 42L, version = 0))
+    val fcvReason = CkptManager(badStore, "graft", 1L).get()
+      .left.getOrElse(sys.error("version-0 checkpoint must be rejected"))
+
+    // Full feed lands; each stored position drives a fresh resume.
+    feedify(eff.filter(col("ts_packed") > t1)).coalesce(1)
+      .write.mode("append").parquet(feedDir)
+    val q2 = IncrSync.startOplog(s, feedDir, s"$work/tT", s"$work/ckT",
+      gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 16,
+      startingTs = ctxT.ckpt)
+    q2.awaitTermination()
+    val q3 = IncrSync.startOplog(s, feedDir, s"$work/tA", s"$work/ckA",
+      gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 16,
+      startingTs = ctxA.ckpt)
+    q3.awaitTermination()
+
+    val stateT = IncrSync.readOrEmpty(s, s"$work/tT/state")
+    val stateA = IncrSync.readOrEmpty(s, s"$work/tA/state")
+    val nDiff = graft.apply.Replay.diffStates(stateT, stateA)
+      .agg(coalesce(sum(col("n_mismatch") + col("n_src_only") + col("n_dst_only")),
+        lit(0L))).head().getLong(0)
+    val nRows = stateA.count()
+
+    import s.implicits._
+    val meta = Seq(
+      ("ctx", "database", "graft", ctxT.ckpt, ctxT.version.toLong,
+        if (existT) 1.0 else 0.0),
+      ("ctx", "api", "graft", ctxA.ckpt, ctxA.version.toLong,
+        if (existA) 1.0 else 0.0),
+      ("default", "api_absent", "graft", ctxD.ckpt, ctxD.version.toLong,
+        if (existD) 1.0 else 0.0),
+      ("fcv", fcvReason, "", 0L, 0L, 0.0),
+      ("eq", "", "", nDiff, nRows, 0.0)
+    ).toDF("section", "a", "b", "x", "y", "v")
+    val state = stateA.select(lit("state").as("section"), col("ns").as("a"),
+      col("doc_key").as("b"), col("last_event_id").as("x"), lit(0L).as("y"),
+      col("last_value").as("v"))
+    meta.unionByName(state)
+  }
+
+  /** Diagnostic-journal side output, oracle-gated (`common/journal.go:
+    * 17-67`; writer call sites `collector/syncer.go:637`,
+    * `executor/executor.go:228`): the REAL stream runs with
+    * `journal = sampling` (frequency 16 at corpus scale — a harness
+    * density choice like nBuckets, not a semantic), and the `_journal`
+    * side table must contain EXACTLY the ops whose portable key hash
+    * lands on 0 mod 16 — the reference's `DistributeOplogByMod == 0`
+    * primary-key sample — while the final state proves the journal left
+    * the apply path untouched.
+    */
+  private def runJournal(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.JournalConf
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_journal_q"
+    IncrSync.deletePath(s, work)
+    val keep = OplogFilters.chain(gids, white, black)
+    val eff = Oplog.fromEvents(s, dir)
+      .filter(keep && col("op").isin("i", "u", "d"))
+      .localCheckpoint()
+    val feedDir = s"$work/feed"
+    feedify(eff).coalesce(1).write.parquet(feedDir)
+    val q = IncrSync.startOplog(s, feedDir, s"$work/target", s"$work/ckpt",
+      gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 16,
+      journal = JournalConf("sampling", 16))
+    q.awaitTermination()
+
+    val journal = s.read.parquet(s"$work/target/_journal")
+      .select(lit("journal").as("section"), col("ns").as("a"),
+        col("doc_key").as("b"), col("event_id").as("x"),
+        col("ts_packed").as("y"), col("value").as("v"))
+    val state = IncrSync.readOrEmpty(s, s"$work/target/state")
+      .select(lit("state").as("section"), col("ns").as("a"),
+        col("doc_key").as("b"), col("last_event_id").as("x"), lit(0L).as("y"),
+        col("last_value").as("v"))
+    journal.unionByName(state)
+  }
+
   private def runRebucket(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.Rebucket
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_rebucket_q"
@@ -1152,6 +1296,63 @@ object StreamOps {
           UNION ALL
           SELECT 'mig', 'rows', '', (SELECT COUNT(*) FROM state1),
             CAST(0 AS BIGINT), 0.0"""),
+
+    // Closed form of the two-backend checkpoint-store run: the stored
+    // position is the phase-1 lsn_max (max lower-half ts), version is
+    // the current checkpoint FCV (2), and the resumed state is the fold
+    // of exactly the rows above that position. The fcv row pins the
+    // reference-shaped rejection reason for a version-0 document.
+    "cdc_ckpt_api_store" -> Oplog.withOracleCte(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          tt AS (
+            SELECT tmin + (tmax - tmin) // 2 AS t1
+            FROM (SELECT MIN(ts_packed) AS tmin, MAX(ts_packed) AS tmax FROM eff)),
+          low AS (
+            SELECT MAX(ts_packed) AS ck FROM eff, tt WHERE ts_packed <= t1),
+          state AS (
+            SELECT ns, doc_key, value, event_id FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff, low WHERE ts_packed > ck) WHERE rn = 1 AND op <> 'd')
+          SELECT 'ctx' AS section, 'database' AS a, 'graft' AS b,
+            ck AS x, CAST(2 AS BIGINT) AS y, 1.0 AS v FROM low
+          UNION ALL
+          SELECT 'ctx', 'api', 'graft', ck, CAST(2 AS BIGINT), 1.0 FROM low
+          UNION ALL
+          SELECT 'default', 'api_absent', 'graft', CAST(1 AS BIGINT),
+            CAST(2 AS BIGINT), 0.0
+          UNION ALL
+          SELECT 'fcv', 'current required checkpoint version[2] > input[0], ' ||
+            'please upgrade to version >= 2.4.6', '', CAST(0 AS BIGINT),
+            CAST(0 AS BIGINT), 0.0
+          UNION ALL
+          SELECT 'eq', '', '', CAST(0 AS BIGINT),
+            (SELECT COUNT(*) FROM state), 0.0
+          UNION ALL
+          SELECT 'state', ns, doc_key, event_id, CAST(0 AS BIGINT), value
+          FROM state"""),
+
+    // Closed form of the sampling journal: exactly the ops whose portable
+    // key hash lands on 0 mod 16, alongside the untouched state fold.
+    "cdc_journal_sample" -> Oplog.withOracleCte(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          state AS (
+            SELECT ns, doc_key, value, event_id FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff) WHERE rn = 1 AND op <> 'd')
+          SELECT 'journal' AS section, ns AS a, doc_key AS b,
+            event_id AS x, ts_packed AS y, value AS v
+          FROM eff WHERE ${graft.functions.Portable.phash64Sql("doc_key")} % 16 = 0
+          UNION ALL
+          SELECT 'state', ns, doc_key, event_id, CAST(0 AS BIGINT), value
+          FROM state"""),
 
     "cdc_stream_e2e" -> Oplog.withOracleCte(
       s""", eff AS (

@@ -54,7 +54,9 @@ final case class GraftConfig(
     masterQuorum: Boolean = false,
     nBuckets: Int = IncrSync.StateBuckets,
     trigger: String = "", // {available_now, processing_time}
-    txnTtlMs: Long = 0) {
+    txnTtlMs: Long = 0,
+    journal: String = "", // {none, sampling, all} — sentinel OplogDump 0/1/2
+    confVersion: Int = Fcv.Configuration.currentVersion) {
 
   /** Result of [[sanitize]]: `collisionEnable` is the one derived flag the
     * reference computes rather than validates (`sanitize.go:420`).
@@ -63,6 +65,15 @@ final case class GraftConfig(
 
   def sanitize: Either[String, GraftConfig] = {
     var c = this
+
+    // ---- FCV gate (`collector/configure/check.go:37-40`, run before
+    // any other check in `cmd/collector/collector.go:48`): a config
+    // below the feature-compatibility floor is rejected with the lowest
+    // release able to read it.
+    Fcv.checkConfigurationVersion(c.confVersion) match {
+      case Left(reason) => return Left(reason)
+      case Right(_) => ()
+    }
 
     // ---- checkDefaultValue (`sanitize.go:73-267`): fill, then gate ----
     if (c.id.isEmpty) c = c.copy(id = "graft")
@@ -167,6 +178,9 @@ final case class GraftConfig(
     if (c.trigger.isEmpty) c = c.copy(trigger = "available_now")
     if (!Set("available_now", "processing_time")(c.trigger))
       return Left("trigger should in {available_now, processing_time}")
+    if (c.journal.isEmpty) c = c.copy(journal = "none")
+    if (!Set("none", "sampling", "all")(c.journal))
+      return Left("incr_sync.oplog_dump should in {none, sampling, all}")
     if (c.txnTtlMs < 0) c = c.copy(txnTtlMs = 0)
     if (c.txnTtlMs > 0 && c.trigger == "available_now")
       return Left("txn_ttl_ms requires trigger == 'processing_time': an AvailableNow " +

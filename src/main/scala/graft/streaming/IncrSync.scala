@@ -184,10 +184,12 @@ object IncrSync {
       txnTtlMs: Long = 0L,
       trigger: Trigger = Trigger.AvailableNow(),
       nBuckets: Int = StateBuckets,
-      startingTs: Long = Long.MinValue): StreamingQuery =
+      startingTs: Long = Long.MinValue,
+      ckptStores: Seq[CkptStore] = Nil,
+      journal: JournalConf = JournalConf.Off): StreamingQuery =
     startOplogFrom(spark, ParquetDirSource(sourceDir, oplogSchema),
       targetDir, checkpointDir, gids, white, black, txnTtlMs, trigger, nBuckets,
-      startingTs)
+      startingTs, ckptStores, journal)
 
   /** [[startOplog]] over any [[ChangeSource]] — the oplog-tailing seam
     * (S1); a live connector plugs in here without touching the dataflow.
@@ -200,8 +202,11 @@ object IncrSync {
       txnTtlMs: Long = 0L,
       trigger: Trigger = Trigger.AvailableNow(),
       nBuckets: Int = StateBuckets,
-      startingTs: Long = Long.MinValue): StreamingQuery =
-    startOplogTo(spark, source, ParquetTarget(targetDir, nBuckets), checkpointDir,
+      startingTs: Long = Long.MinValue,
+      ckptStores: Seq[CkptStore] = Nil,
+      journal: JournalConf = JournalConf.Off): StreamingQuery =
+    startOplogTo(spark, source,
+      ParquetTarget(targetDir, nBuckets, ckptStores, journal), checkpointDir,
       gids, white, black, txnTtlMs, trigger, startingTs)
 
   /** [[startOplogFrom]] against any [[TargetWriter]] — the sink seam
@@ -367,6 +372,10 @@ object IncrSync {
       // ack'd traffic, `ckpt_manager.go:25-140`), and an idle tail must
       // not append one empty _ckpt row per trigger forever.
       if (batch.count() == 0L) return
+      // Diagnostic journal (off by default): the raw delivery, exactly
+      // what the reference's syncer/executor dump per op — before the
+      // last-effective-write reduction erases the sampled history.
+      target.journalOps(batch, batchId)
       val normal = batch.filter(col("op") =!= "c")
       val barrier = batch.filter(col("op") === "c")
 

@@ -75,6 +75,32 @@ trait TargetWriter extends Serializable {
     * overwrite, not duplicate.
     */
   def commitCheckpoint(ck: DataFrame, batchId: Long): Unit
+
+  /** Diagnostic journal hook (`common/journal.go:17-67`; call sites
+    * `collector/syncer.go:637`, `executor/executor.go:228`): the RAW op
+    * stream of the delivery, before last-effective-write reduction —
+    * exactly what the reference's writer sees per op. Default: no-op
+    * (journal off, `JournalNothingOnDefault`). A replayed batch must
+    * overwrite its own journal slice (at-least-once replay, observable
+    * exactly-once).
+    */
+  def journalOps(batch: DataFrame, batchId: Long): Unit = ()
+}
+
+/** Journal mode ∈ {none, sampling, all} — the reference sentinel's
+  * `OplogDump` 0/1/2 (`journal.go:17-29`). Sampling keeps every doc key
+  * whose portable hash lands on 0 mod `sampleFrequency` — the reference's
+  * `DistributeOplogByMod(oplog, SampleFrequency) == 0` primary-key sample
+  * — plus ALL DDL ops (a command has no primary key; the reference's
+  * hasher routes it to 0, so every DDL is journaled).
+  */
+final case class JournalConf(mode: String,
+    sampleFrequency: Long = JournalConf.SampleFrequency)
+
+object JournalConf {
+  /** `journal.go:13`: 1-in-1000 primary-key sample. */
+  val SampleFrequency = 1000L
+  val Off: JournalConf = JournalConf("none")
 }
 
 object TargetWriter {
@@ -104,7 +130,9 @@ object TargetWriter {
   * trigger; see the layout note on [[IncrSync]].
   */
 final case class ParquetTarget(targetDir: String,
-    nBuckets: Int = IncrSync.StateBuckets) extends TargetWriter {
+    nBuckets: Int = IncrSync.StateBuckets,
+    ckptStores: Seq[CkptStore] = Nil,
+    journal: JournalConf = JournalConf.Off) extends TargetWriter {
 
   def applyDml(last0: DataFrame): Unit = {
     val spark = last0.sparkSession
@@ -190,11 +218,40 @@ final case class ParquetTarget(targetDir: String,
       .parquet(s"$targetDir/ddl_log/batch=$batchId/seq=$seq")
   }
 
-  def commitCheckpoint(ck: DataFrame, batchId: Long): Unit =
+  def commitCheckpoint(ck: DataFrame, batchId: Long): Unit = {
     // per-batch directory + overwrite = the reference's ckpt upsert; a
     // replayed batch rewrites its row, never duplicating the history
     ck.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$targetDir/_ckpt/batch=$batchId")
+    // Attached context stores (`ckpt_manager.go:84-110` Update): the
+    // LATEST ack'd position, upserted through whichever storage backends
+    // the config selected — one tiny driver-side read of the (single-row,
+    // already-aggregated) checkpoint frame.
+    if (ckptStores.nonEmpty) {
+      val lsnMax = ck.collect().head.getAs[Long]("lsn_max")
+      ckptStores.foreach(st => CkptManager(st, "graft", 1L).update(lsnMax))
+    }
+  }
+
+  /** Journal side-output: the delivery's raw ops (filtered per mode) to
+    * `_journal/batch=<id>` — keyed-by-batch overwrite, so a replayed
+    * batch rewrites its slice instead of appending duplicates. The
+    * sample predicate is a codegen'd filter on the already-cached batch:
+    * one cheap extra pass when enabled, zero when off.
+    */
+  override def journalOps(batch: DataFrame, batchId: Long): Unit = {
+    if (journal.mode == "none") return
+    val keep =
+      if (journal.mode == "all") lit(true)
+      else col("op") === "c" ||
+        pmod(graft.functions.Portable.phash64(col("doc_key")),
+          lit(journal.sampleFrequency)) === 0
+    batch.filter(keep)
+      .select(col("event_id"), col("ts_packed"), col("op"), col("ns"),
+        col("doc_key"), col("value"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$targetDir/_journal/batch=$batchId")
+  }
 
   /** Full-state rewrite through a temp dir + atomic-ish swap (barrier-only
     * path; DML never does this).

@@ -299,4 +299,77 @@ class CoordinatorSpec extends AnyFunSuite {
     // negative TTL coerces to 0 (reference's negative-delay handling style)
     assert(baseCfg.copy(txnTtlMs = -5).sanitize.toOption.get.txnTtlMs == 0)
   }
+
+  test("FCV gates: checkpoint window, configuration floor, sanitize wiring (fcv.go:1-63)") {
+    import graft.streaming.Fcv
+    // checkpoint matrix (current 2, feature-compatible 1): window check
+    assert(!Fcv.Checkpoint.isCompatible(0)) // pre-2.4 document
+    assert(Fcv.Checkpoint.isCompatible(1))
+    assert(Fcv.Checkpoint.isCompatible(2))
+    assert(!Fcv.Checkpoint.isCompatible(3)) // from a future release
+    assert(Fcv.checkCheckpointVersion(0) == Left(
+      "current required checkpoint version[2] > input[0], " +
+        "please upgrade to version >= 2.4.6"))
+    assert(Fcv.checkCheckpointVersion(2).isRight)
+    // configuration gate (check.go:37-40): LOWER bound only — a config
+    // from a newer release reads fine, one below the floor rejects
+    assert(Fcv.checkConfigurationVersion(10).isRight)
+    assert(Fcv.checkConfigurationVersion(11).isRight)
+    assert(Fcv.checkConfigurationVersion(9) == Left(
+      "current required configuration version[10] > input[9], " +
+        "please upgrade to version >= 2.6.4"))
+    // wired into sanitize, ahead of every other check
+    assert(reason(baseCfg.copy(confVersion = 9)).startsWith(
+      "current required configuration version"))
+    assert(baseCfg.copy(confVersion = 10).sanitize.isRight)
+    // version ledgers stay total over the gradeable range
+    assert(Fcv.LowestCheckpointVersion.keySet == (0 to 2).toSet)
+    assert(Fcv.LowestConfigurationVersion.keySet == (0 to 10).toSet)
+  }
+
+  test("sanitize gates the journal mode (sentinel OplogDump vocabulary)") {
+    assert(baseCfg.sanitize.toOption.get.journal == "none") // off by default
+    assert(baseCfg.copy(journal = "sampling").sanitize.toOption.get.journal == "sampling")
+    assert(baseCfg.copy(journal = "all").sanitize.isRight)
+    assert(reason(baseCfg.copy(journal = "full")) ==
+      "incr_sync.oplog_dump should in {none, sampling, all}")
+  }
+
+  test("CkptStore backends: round-trip, default regeneration, FCV reject (ckpt_operation.go:20-190)") {
+    import graft.streaming.{CkptContext, CkptManager, CkptStore, FileApiCkptStore, TableCkptStore}
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_ckptstore_spec"
+    graft.streaming.IncrSync.deletePath(spark, work)
+    val stores = Seq(
+      "database" -> TableCkptStore(spark, s"$work/db", "spec"),
+      "api" -> FileApiCkptStore(s"$work/api.json"))
+    for ((kind, st) <- stores) {
+      // absent → regenerated default at the floored start position, NOT
+      // persisted (a second get must still see an absent store)
+      val mgr = CkptManager(st, "spec", startPosition = 0L)
+      assert(mgr.get() == Right((CkptContext("spec", CkptStore.InitCheckpoint,
+        graft.streaming.Fcv.Checkpoint.currentVersion), false)), kind)
+      assert(st.load().isEmpty, s"$kind: default must not persist")
+      // update → load round-trips the exact context, version-stamped
+      mgr.update(12345L)
+      assert(mgr.get() == Right((CkptContext("spec", 12345L, 2), true)), kind)
+      // upsert, not append: a replayed commit overwrites
+      mgr.update(23456L)
+      assert(st.load().map(_.ckpt).contains(23456L), kind)
+      // a stored document from an incompatible version is rejected with
+      // the reference-shaped reason (ckpt_manager.go:68-72)
+      st.save(CkptContext("spec", 999L, version = 0))
+      assert(mgr.get() == Left("current required checkpoint version[2] > " +
+        "input[0], please upgrade to version >= 2.4.6"), kind)
+    }
+    // the api body is wire-identical to the reference's JSON marshal
+    val ctx = CkptContext("spec", 7L, 2, "oplog", "queue", 9L)
+    assert(ctx.toJson == """{"name":"spec","ckpt":7,"version":2,""" +
+      """"fetch_method":"oplog","oplog_disk_queue":"queue",""" +
+      """"oplog_disk_queue_apply_finish_ts":9}""")
+    assert(CkptContext.fromJson(ctx.toJson).contains(ctx))
+    // a stored ckpt of 0 reads as empty (the reference's Timestamp==0 arm)
+    val st0 = FileApiCkptStore(s"$work/zero.json")
+    st0.save(CkptContext("spec", 0L, 2))
+    assert(st0.load().isEmpty)
+  }
 }

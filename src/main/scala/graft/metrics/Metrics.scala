@@ -44,6 +44,69 @@ object Metrics {
     */
   def observedStream(oplog: DataFrame): DataFrame =
     oplog.observe(MetricsName, count(lit(1)).as("n_total"), counters: _*)
+
+  /** The reference's `/repl` REST snapshot (`collector/syncer.go:640-700`
+    * `RestAPI`, fields from `common/metric.go:43-75`), rendered from the
+    * queryable `_metrics` table instead of live atomics — same JSON
+    * vocabulary, so a monitor written against the reference parses this
+    * unchanged. An HTTP server would return exactly this body for GET
+    * `/repl`; serving is a deployment concern (the table is the engine
+    * surface, as the survey maps the REST monitor).
+    *
+    * Counter mapping (counts, not rates — the table stores per-batch
+    * deltas): `logs_get` = rows ingested (`numInputRows` sum, the
+    * reference's OplogGet), `logs_repl` = op rows applied (i/u/d/c sums,
+    * OplogApply), `logs_success` = rows surviving the chain (n_kept sum,
+    * OplogSuccess — apply implies ack here), `tps` = the LAST batch's
+    * n_kept (the per-second delta analogue at trigger granularity).
+    * `lsn`/`lsn_ack` ride the newest applied packed LSN (applied == acked
+    * in the idempotent-merge model); `lsn_ckpt` the newest committed
+    * `_ckpt` lsn_max when a checkpoint table is given.
+    *
+    * `nowMs` is injected (never sampled here) so snapshots are
+    * deterministic and testable.
+    */
+  def replSnapshot(spark: SparkSession, metricsPath: String,
+      ckptPath: Option[String], who: String, replset: String,
+      nowMs: Long): String = {
+    val m = spark.read.parquet(metricsPath)
+    val agg = m.agg(
+      coalesce(sum(col("n_raw")), lit(0L)).as("logs_get"),
+      coalesce(sum(col("n_insert") + col("n_update") + col("n_delete") +
+        col("n_command")), lit(0L)).as("logs_repl"),
+      coalesce(sum(col("n_kept")), lit(0L)).as("logs_success"),
+      coalesce(max(col("lsn_newest")), lit(0L)).as("lsn"),
+      coalesce(sum(col("traffic_bytes")), lit(0L)).as("traffic"),
+      coalesce(max(col("traffic_bytes")), lit(0L)).as("traffic_max")).head()
+    val tps = m.orderBy(col("batch_id").desc).select(col("n_kept"))
+      .limit(1).collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    val lsnCkpt = ckptPath.map { p =>
+      spark.read.parquet(p).agg(coalesce(max(col("lsn_max")), lit(0L)))
+        .head().getLong(0)
+    }.getOrElse(agg.getAs[Long]("lsn"))
+
+    def timeStr(sec: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(sec))
+    // packed LSN → MongoTime {ts, unix, time}: unix is the seconds word
+    // (the reference's ExtractMongoTimestamp = ts >> 32)
+    def mongoTime(packed: Long): String = {
+      val unix = packed >>> 32
+      s"""{"ts":"$packed","unix":$unix,"time":"${timeStr(unix)}"}"""
+    }
+    val logsSuccess = agg.getAs[Long]("logs_success")
+    val avg = if (logsSuccess == 0) 0L else agg.getAs[Long]("traffic") / logsSuccess
+    val lsn = agg.getAs[Long]("lsn")
+    s"""{"who":"$who","tag":"graft","replset":"$replset",""" +
+      s""""logs_get":${agg.getAs[Long]("logs_get")},""" +
+      s""""logs_repl":${agg.getAs[Long]("logs_repl")},""" +
+      s""""logs_success":$logsSuccess,"tps":$tps,""" +
+      s""""lsn":${mongoTime(lsn)},"lsn_ack":${mongoTime(lsn)},""" +
+      s""""lsn_ckpt":${mongoTime(lsnCkpt)},""" +
+      s""""now":{"unix":${nowMs / 1000},"time":"${timeStr(nowMs / 1000)}"},""" +
+      s""""log_size_avg":"$avg","log_size_max":"${agg.getAs[Long]("traffic_max")}"}"""
+  }
 }
 
 /** One `_metrics` row per micro-batch (the queryable snapshot the

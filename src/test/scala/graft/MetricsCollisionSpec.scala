@@ -29,6 +29,41 @@ class MetricsCollisionSpec extends AnyFunSuite {
     assert(m("lsn_newest") == 60L)
   }
 
+  test("G7: replSnapshot serves the reference /repl JSON vocabulary (syncer.go:640-700)") {
+    import graft.metrics.MetricsSnapshot
+    import org.json4s._
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_replsnap_spec"
+    graft.streaming.IncrSync.deletePath(spark, work)
+    // two batches of a run, as MetricsRecorder writes them
+    Seq(
+      MetricsSnapshot("r1", 0L, 100L, 90L, 40L, 30L, 10L, 2L, 8L, Some(900L), Some(7L << 32)),
+      MetricsSnapshot("r1", 1L, 50L, 45L, 20L, 15L, 5L, 1L, 4L, Some(450L), Some(9L << 32)))
+      .toDF().write.parquet(s"$work/metrics")
+    Seq((5L, (8L << 32), 135L, 1L)).toDF("lsn_min", "lsn_max", "n_logs", "batch_id")
+      .write.parquet(s"$work/ckpt")
+    val body = Metrics.replSnapshot(spark, s"$work/metrics",
+      Some(s"$work/ckpt"), who = "graft", replset = "rs0",
+      nowMs = 1700000000000L)
+    val j = org.json4s.jackson.JsonMethods.parse(body).asInstanceOf[JObject]
+    // exact field vocabulary of the reference's Info struct
+    assert(j.obj.map(_._1) == List("who", "tag", "replset", "logs_get",
+      "logs_repl", "logs_success", "tps", "lsn", "lsn_ack", "lsn_ckpt",
+      "now", "log_size_avg", "log_size_max"))
+    def lng(k: String) = (j \ k).asInstanceOf[JInt].num.toLong
+    assert((j \ "who") == JString("graft") && (j \ "replset") == JString("rs0"))
+    assert(lng("logs_get") == 150L && lng("logs_repl") == 123L &&
+      lng("logs_success") == 135L)
+    assert(lng("tps") == 45L) // the LAST batch's kept count
+    // MongoTime triple: packed string, seconds word, rendered UTC time
+    assert((j \ "lsn") == org.json4s.jackson.JsonMethods.parse(
+      s"""{"ts":"${9L << 32}","unix":9,"time":"1970-01-01 00:00:09"}"""))
+    assert((j \ "lsn" \ "unix") == (j \ "lsn_ack" \ "unix"))
+    assert((j \ "lsn_ckpt" \ "unix") == JInt(8)) // from the _ckpt table
+    assert((j \ "now" \ "unix") == JInt(1700000000L))
+    assert((j \ "log_size_avg") == JString((1350L / 135L).toString))
+    assert((j \ "log_size_max") == JString("900"))
+  }
+
   test("W12: no segment contains two ops on the same unique-key value; per-key order across segments") {
     val rows = (1 to 40).map { i =>
       (i.toLong, (100 + i).toLong, "i", s"k${i % 5}", i % 3)

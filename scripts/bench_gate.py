@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Self-gating bench capture (dev tool, engine-independent).
+
+Runs graft.Bench, then judges the capture's own calibration probes
+(spread + absolute floor, same rules as bench_compare.py). A CONTENDED
+capture is never promoted: the suite re-runs (up to --runs attempts)
+and the FIRST CLEAN capture wins. Only a clean capture overwrites
+--out (default bench_latest.json); if every attempt is contended the
+best (lowest-spread) candidate is left in /tmp, --out is untouched,
+and the exit status is nonzero — so a "clean probes" claim can only
+ever be made of a capture this gate passed.
+
+Usage: python3 scripts/bench_gate.py [--sf DIR] [--runs N]
+         [--out bench_latest.json] [--prev BENCH_r09.json]
+
+After promoting a clean capture, prints the bench_compare diff against
+--prev (if given) so the regression check rides the same gate.
+"""
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import bench_compare  # noqa: E402  (probe rules live in one place)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+OPENS = [
+    "--add-opens=java.base/%s=ALL-UNNAMED" % p for p in (
+        "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+        "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar")]
+
+
+def run_bench(sf, out_path, cpus):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf, SPARK_GRAFT_BENCH_OUT=out_path,
+               SPARK_GRAFT_CPUS=str(cpus))
+    cmd = ["java", "-Xmx8g", *OPENS, "-Dspark.ui.enabled=false",
+           "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
+           "graft.Bench"]
+    subprocess.run(cmd, env=env, check=True, stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL)
+    return json.load(open(out_path))
+
+
+def verdict(cap, clean_floor):
+    ps = bench_compare.probe_series(cap)
+    med = sorted(ps)[len(ps) // 2]
+    spread = max(ps) / med
+    contended = spread > bench_compare.SPREAD_LIMIT or min(ps) > clean_floor
+    return contended, spread, min(ps)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    ap.add_argument("--out", default=f"{REPO}/bench_latest.json")
+    ap.add_argument("--prev", default=None,
+                    help="previous capture to bench_compare against after promotion")
+    ap.add_argument("--clean-floor", type=float,
+                    default=bench_compare.DEFAULT_CLEAN_FLOOR)
+    args = ap.parse_args()
+
+    best = None  # (spread, path)
+    for i in range(1, args.runs + 1):
+        cand_path = f"/tmp/bench_candidate_{i}.json"
+        print(f"[gate] run {i}/{args.runs} (sf={args.sf}) ...", flush=True)
+        cap = run_bench(args.sf, cand_path, args.cpus)
+        failed = sorted(k for k, v in cap.get("queries", {}).items() if v < 0)
+        contended, spread, floor = verdict(cap, args.clean_floor)
+        print(f"[gate]   total {cap['value']:.1f}s spread {spread:.2f}x "
+              f"min-probe {floor:.2f}s load {cap.get('load_avg', -1):.2f}"
+              + (" << CONTENDED" if contended else " — clean"), flush=True)
+        if failed:
+            print(f"[gate]   FAILED QUERIES (timed as -1): {failed}")
+            return 2  # a broken query is never a capture problem — fix it
+        if not contended:
+            shutil.copyfile(cand_path, args.out)
+            print(f"[gate] promoted clean capture -> {args.out}")
+            if args.prev and os.path.exists(args.prev):
+                print(f"[gate] bench_compare vs {args.prev}:")
+                sys.argv = ["bench_compare.py", args.prev, args.out,
+                            "--clean-floor", str(args.clean_floor)]
+                bench_compare.main()
+            return 0
+        if best is None or spread < best[0]:
+            best = (spread, cand_path)
+
+    print(f"[gate] NO CLEAN CAPTURE in {args.runs} runs; best candidate "
+          f"(spread {best[0]:.2f}x) left at {best[1]}; {args.out} untouched. "
+          "Re-run on a quieter box — do NOT commit a contended capture as clean.")
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -276,6 +276,28 @@ object Relational {
           count(lit(1)).as("n_rows"))
     }),
 
+    // The general GROUPING SETS form (rollup and cube are its two fixed
+    // instances): detail + one subtotal + grand total — the exact set
+    // list a reporting layer asks for, WITHOUT paying for the cube's
+    // unwanted fourth set ((priority) alone) at 100 TB. Catalyst expands
+    // the sets before the aggregate: still ONE shuffle, rows replicated
+    // only |sets| times map-side; nation broadcasts into the join.
+    "q23_grouping_sets" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name"), col("o_orderpriority")),
+            Seq(col("n_name")), Seq()),
+          col("n_name"), col("o_orderpriority"))
+        .agg(
+          grouping_id().as("gid"),
+          moneySum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("n_orders"))
+    }),
+
     // Sketch-based distinct counting — the 100 TB replacement for q7's
     // exact countDistinct: HyperLogLog++ partials merge map-side, so the
     // shuffle carries |groups| fixed-size sketches instead of every
@@ -662,6 +684,15 @@ object Relational {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          COUNT(*) AS n_rows
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "q23_grouping_sets" ->
+      """SELECT n_name, o_orderpriority,
+         CAST(GROUPING(n_name) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())""",
 
     "q19_approx_distinct" ->
       """SELECT l_returnflag,

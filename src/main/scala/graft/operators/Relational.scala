@@ -298,6 +298,38 @@ object Relational {
           count(lit(1)).as("n_orders"))
     }),
 
+    // Skew-safe SALTED equi-join (the join-side companion to
+    // q13_salted_topk's agg-side salting): when one fact key is hot
+    // enough that its shuffle partition exceeds an executor, AQE's skew
+    // split only helps the sort — a single hot HASH partition still
+    // lands on one task. The manual cure: the fact side salts each row
+    // into one of `salts` deterministic sub-keys, the dimension side
+    // replicates ×salts (a |dim|·salts explode — cheap when dim ≪
+    // fact, the only regime where salting is ever needed), and the join
+    // key becomes (key, salt), spreading every hot key over `salts`
+    // tasks. hint("merge") pins the shuffle join so the demo cannot
+    // degrade to a broadcast that hides the shape at test scale. The
+    // oracle is the PLAIN unsalted join — salting must be invisible in
+    // the result.
+    "q24_salted_join" -> ((s, dir) => {
+      val salts = 8
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
+        .withColumn("_salt", pmod(phash64(
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))), lit(salts.toLong)))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("_salt", explode(
+          sequence(lit(0L), lit(salts.toLong - 1))))
+      li.join(o.hint("merge"),
+          li("l_orderkey") === o("o_orderkey") && li("_salt") === o("_salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Sketch-based distinct counting — the 100 TB replacement for q7's
     // exact countDistinct: HyperLogLog++ partials merge map-side, so the
     // shuffle carries |groups| fixed-size sketches instead of every
@@ -693,6 +725,14 @@ object Relational {
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())""",
+
+    // The plain unsalted join: salting must not change the result.
+    "q24_salted_join" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
 
     "q19_approx_distinct" ->
       """SELECT l_returnflag,

@@ -61,6 +61,31 @@ object TextOps {
       docs(s, dir).select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
         .filter(col("quality") >= 0.5)),
 
+    // Gopher-style document quality gate (Rae et al. 2021 §A.1.1): word
+    // count bounds, mean-word-length bounds, ≥2 distinct stop words, and
+    // a minimum fraction of alphabetic words, each emitted per-doc next
+    // to the combined keep verdict. ONE codegen'd projection, no shuffle,
+    // no UDF — the 100 TB shape is a straight scan where every rule rides
+    // the same tokenize. All ratio arithmetic divides exact integers, so
+    // the doubles are bit-identical across engines.
+    "text_gopher_quality" -> ((s, dir) => {
+      val t = Text.tokens(col("text"))
+      val nW = size(t).cast("double")
+      docs(s, dir).select(
+          col("doc_id"),
+          size(t).cast("long").as("n_words"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") / nW)
+            .as("mean_word_len"),
+          size(array_intersect(array_distinct(t),
+            array(Text.gopherStops.map(lit): _*))).cast("long").as("n_stops"),
+          (size(filter(t, w => w.rlike("[a-z]"))).cast("double") / nW)
+            .as("alpha_frac"))
+        .withColumn("keep",
+          col("n_words").between(50L, 100000L) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            (col("n_stops") >= 2L) && (col("alpha_frac") > 0.8))
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
 
@@ -235,6 +260,27 @@ object TextOps {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
           sum(col("n_chars")).as("sum_chars"))
     }),
+
+    // Dataset-card summary: the per-(source, lang) release manifest a
+    // curated corpus ships with — document count, token and char budgets,
+    // distinct-content count (fingerprint cardinality ⇒ exact-dup rate),
+    // and the id range. ONE scan + ONE shuffle on the tiny (source, lang)
+    // key; tokenize and fingerprint both ride the scan projection. The
+    // mean divides two exactly-summed integers, so it is bit-identical
+    // across engines and partitionings.
+    "pipe_dataset_card" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), col("lang"), col("doc_id"), col("n_chars"),
+          Text.tokenCount(col("text")).cast("long").as("n_tok"),
+          Text.fingerprint(col("text")).as("fp"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok_sum"),
+          sum(col("n_chars")).as("char_sum"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean_chars"),
+          countDistinct(col("fp")).as("n_uniq"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
 
     "pipe_shard" -> ((s, dir) => {
       docs(s, dir)
@@ -582,6 +628,23 @@ object TextOps {
             FROM documents)
           WHERE quality >= 0.5""",
 
+    "text_gopher_quality" -> {
+      val stops = Text.gopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, n_words, mean_word_len, n_stops, alpha_frac,
+            (n_words BETWEEN 50 AND 100000)
+              AND (mean_word_len BETWEEN 3 AND 10)
+              AND (n_stops >= 2) AND (alpha_frac > 0.8) AS keep
+          FROM (
+            SELECT doc_id,
+              CAST(len($toks) AS BIGINT) AS n_words,
+              CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                / CAST(len($toks) AS DOUBLE) AS mean_word_len,
+              CAST(len(list_intersect(list_distinct($toks), $stops)) AS BIGINT) AS n_stops,
+              CAST(len(list_filter($toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                / CAST(len($toks) AS DOUBLE) AS alpha_frac
+            FROM documents)"""
+    },
+
     "text_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents",
 
@@ -761,6 +824,15 @@ object TextOps {
                 ORDER BY ${phash64Sql("CAST(doc_id AS VARCHAR) || ':q'")}, doc_id) AS rk
             FROM documents)
           WHERE rk <= 25""",
+
+    "pipe_dataset_card" ->
+      s"""SELECT source, lang, COUNT(*) AS n_docs,
+            CAST(SUM(len($toks)) AS BIGINT) AS tok_sum,
+            CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+            CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+            COUNT(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_uniq,
+            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+          FROM documents GROUP BY 1, 2""",
 
     "pipe_mix_temperature" ->
       s"""WITH c AS (

@@ -178,6 +178,33 @@ object Text {
   val gopherStops: Seq[String] =
     Seq("a", "the", "of", "to", "and", "in", "is", "it", "that", "with")
 
+  /** Gopher-style per-document quality stats + combined keep verdict
+    * (Rae et al. 2021 §A.1.1): word-count bounds [50, 100000], mean word
+    * length in [3, 10], ≥2 distinct stop words, alphabetic-word fraction
+    * strictly above 0.8. One codegen'd projection per document — no
+    * shuffle, no UDF; every rule rides the same tokenize. Ratio
+    * arithmetic divides exact integers so the doubles are bit-identical
+    * across engines.
+    */
+  def gopherStats(docs: org.apache.spark.sql.DataFrame,
+      id: Column, text: Column): org.apache.spark.sql.DataFrame = {
+    val t = tokens(text)
+    val nW = size(t).cast("double")
+    docs.select(
+        id.as("doc_id"),
+        size(t).cast("long").as("n_words"),
+        (length(regexp_replace(text, " ", "")).cast("double") / nW)
+          .as("mean_word_len"),
+        size(array_intersect(array_distinct(t),
+          array(gopherStops.map(lit): _*))).cast("long").as("n_stops"),
+        (size(filter(t, w => w.rlike("[a-z]"))).cast("double") / nW)
+          .as("alpha_frac"))
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          (col("n_stops") >= 2L) && (col("alpha_frac") > 0.8))
+  }
+
   /** Quality signals: mean word length, type-token ratio, length score.
     * quality = 0.4·cap(avg_word_len/8) + 0.3·distinct_ratio + 0.3·cap(n_tokens/100)
     * — all double arithmetic with an identical evaluation shape in the

@@ -262,9 +262,7 @@ object Cdc {
     // buckets plus a |ns|-row delta aggregate — the view costs O(batch),
     // not O(state), which is the entire point of maintenance.
     "cdc_incr_agg" -> ((s, dir) => {
-      import graft.streaming.IncrSync
       val work = s"${System.getProperty("java.io.tmpdir")}/graft_incr_agg_q"
-      IncrSync.deletePath(s, work)
       val ops = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
       ops.persist()
       val cuts = ops.agg(
@@ -275,39 +273,9 @@ object Cdc {
         if (cuts.isNullAt(0)) Seq(Long.MinValue, Long.MaxValue)
         else Seq(Long.MinValue, cuts.getLong(0), cuts.getLong(1),
           cuts.getLong(2), Long.MaxValue)
-      val d2 = "decimal(18,2)"
-      val deltas = bounds.sliding(2).zipWithIndex.map { case (Seq(lo, hi), k) =>
-        val batch = ops.filter(col("ts_packed") > lo && col("ts_packed") <= hi)
-        val bLast = graft.apply.Replay.lastPerKey(batch)
-        val state = IncrSync.readOrEmpty(s, s"$work/state")
-          .select(col("ns"), col("doc_key"),
-            col("last_value").cast(d2).as("_old"), lit(1).as("_present"))
-        // localCheckpoint (eager): the delta must be pinned BEFORE
-        // applyBatch rewrites the state buckets it was computed from.
-        val delta = bLast.join(state, Seq("ns", "doc_key"), "left_outer")
-          .select(col("ns"),
-            when(col("op") === "d",
-                when(col("_present") === 1, lit(-1L)).otherwise(lit(0L)))
-              .otherwise(
-                when(col("_present") === 1, lit(0L)).otherwise(lit(1L)))
-              .as("dn"),
-            when(col("op") === "d",
-                -coalesce(col("_old"), lit(0).cast(d2)))
-              .otherwise(col("last_value").cast(d2) -
-                coalesce(col("_old"), lit(0).cast(d2)))
-              .as("dv"))
-          .groupBy(col("ns"))
-          .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
-          .localCheckpoint()
-        IncrSync.applyBatch(batch, work, k.toLong, nBuckets = 16)
-        delta
-      }.toSeq
+      val out = incrementalAgg(ops, work, bounds)
       ops.unpersist()
-      deltas.reduce(_ unionByName _)
-        .groupBy(col("ns"))
-        .agg(sum(col("dn")).as("n_rows"),
-          sum(col("dv")).cast("double").as("v_sum"))
-        .filter(col("n_rows") > 0)
+      out
     }),
 
     // T1-T3: the real transaction assembler. Synthesizes applyOps chains
@@ -535,6 +503,53 @@ object Cdc {
     s"""CASE WHEN op = 'c' THEN 0
         WHEN coll IN ('users_1') THEN ${phash64Sql("doc_key")} % 8
         ELSE ${phash64Sql("ns")} % 8 END"""
+
+  /** Incremental aggregate-view maintenance over time-sliced batches (the
+    * engine core of `cdc_incr_agg`; edge cases golden-pinned in CdcSpec).
+    * Resets `work`, folds each (lo, hi] ts slice of `ops` through the
+    * bucketed state table, and accumulates per-ns (Δcount, Δsum) deltas —
+    * insert-of-absent +1/+v, update-of-present 0/(new−old), upsert-of-
+    * absent +1/+v, delete-of-present −1/−old, delete-of-absent no-op. All
+    * value math is DECIMAL(18,2) so contributions telescope exactly.
+    */
+  def incrementalAgg(ops: DataFrame, work: String, bounds: Seq[Long],
+      nBuckets: Int = 16): DataFrame = {
+    import graft.streaming.IncrSync
+    val s = ops.sparkSession
+    IncrSync.deletePath(s, work)
+    val d2 = "decimal(18,2)"
+    val deltas = bounds.sliding(2).zipWithIndex.map { case (Seq(lo, hi), k) =>
+      val batch = ops.filter(col("ts_packed") > lo && col("ts_packed") <= hi)
+      val bLast = graft.apply.Replay.lastPerKey(batch)
+      val state = IncrSync.readOrEmpty(s, s"$work/state")
+        .select(col("ns"), col("doc_key"),
+          col("last_value").cast(d2).as("_old"), lit(1).as("_present"))
+      // localCheckpoint (eager): the delta must be pinned BEFORE
+      // applyBatch rewrites the state buckets it was computed from.
+      val delta = bLast.join(state, Seq("ns", "doc_key"), "left_outer")
+        .select(col("ns"),
+          when(col("op") === "d",
+              when(col("_present") === 1, lit(-1L)).otherwise(lit(0L)))
+            .otherwise(
+              when(col("_present") === 1, lit(0L)).otherwise(lit(1L)))
+            .as("dn"),
+          when(col("op") === "d",
+              -coalesce(col("_old"), lit(0).cast(d2)))
+            .otherwise(col("last_value").cast(d2) -
+              coalesce(col("_old"), lit(0).cast(d2)))
+            .as("dv"))
+        .groupBy(col("ns"))
+        .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
+        .localCheckpoint()
+      IncrSync.applyBatch(batch, work, k.toLong, nBuckets = nBuckets)
+      delta
+    }.toSeq
+    deltas.reduce(_ unionByName _)
+      .groupBy(col("ns"))
+      .agg(sum(col("dn")).as("n_rows"),
+        sum(col("dv")).cast("double").as("v_sum"))
+      .filter(col("n_rows") > 0)
+  }
 
   private def withOplog(body: String): String = Oplog.withOracleCte(body)
 

@@ -64,27 +64,10 @@ object TextOps {
     // Gopher-style document quality gate (Rae et al. 2021 §A.1.1): word
     // count bounds, mean-word-length bounds, ≥2 distinct stop words, and
     // a minimum fraction of alphabetic words, each emitted per-doc next
-    // to the combined keep verdict. ONE codegen'd projection, no shuffle,
-    // no UDF — the 100 TB shape is a straight scan where every rule rides
-    // the same tokenize. All ratio arithmetic divides exact integers, so
-    // the doubles are bit-identical across engines.
-    "text_gopher_quality" -> ((s, dir) => {
-      val t = Text.tokens(col("text"))
-      val nW = size(t).cast("double")
-      docs(s, dir).select(
-          col("doc_id"),
-          size(t).cast("long").as("n_words"),
-          (length(regexp_replace(col("text"), " ", "")).cast("double") / nW)
-            .as("mean_word_len"),
-          size(array_intersect(array_distinct(t),
-            array(Text.gopherStops.map(lit): _*))).cast("long").as("n_stops"),
-          (size(filter(t, w => w.rlike("[a-z]"))).cast("double") / nW)
-            .as("alpha_frac"))
-        .withColumn("keep",
-          col("n_words").between(50L, 100000L) &&
-            col("mean_word_len").between(3.0, 10.0) &&
-            (col("n_stops") >= 2L) && (col("alpha_frac") > 0.8))
-    }),
+    // to the combined keep verdict — see [[Text.gopherStats]]; rule
+    // boundaries are golden-pinned in TextDedupSpec.
+    "text_gopher_quality" -> ((s, dir) =>
+      Text.gopherStats(docs(s, dir), col("doc_id"), col("text"))),
 
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),

@@ -115,4 +115,34 @@ class CdcSpec extends AnyFunSuite {
       ("app.a", 1L, 1L, 1L, 0L),
       ("app.b", 1L, 0L, 0L, 1L)))
   }
+
+  test("incrementalAgg: delta algebra across batches — upsert-of-absent, " +
+      "delete/reinsert, delete-of-absent no-op, fully-deleted ns dropped") {
+    val ops = Seq(
+      // batch 1 (ts ≤ 10)
+      (1L, 1L, "i", "app.t", "k1", 10.0),
+      (2L, 2L, "i", "app.t", "k2", 5.0),
+      (3L, 3L, "i", "app.t", "k6", 9.0),
+      (13L, 5L, "i", "app.u", "z", 2.0),
+      // batch 2 (10, 20]: update, upsert-of-absent, insert+delete folded
+      (4L, 11L, "u", "app.t", "k1", 3.5),
+      (5L, 12L, "u", "app.t", "k3", 2.0), // k3 never inserted → +1
+      (6L, 13L, "i", "app.t", "k5", 1.0),
+      (7L, 14L, "d", "app.t", "k5", 0.0), // same-batch i+d → delete-of-absent no-op
+      (8L, 15L, "d", "app.t", "k6", 0.0),
+      // batch 3 (20, 30]: delete present, delete absent
+      (9L, 21L, "d", "app.t", "k1", 0.0),
+      (10L, 22L, "d", "app.t", "k4", 0.0), // never present → no-op
+      (14L, 25L, "d", "app.u", "z", 0.0), // empties app.u entirely
+      // batch 4 (> 30): reinsert after delete, second update
+      (11L, 31L, "i", "app.t", "k1", 7.25),
+      (12L, 32L, "u", "app.t", "k3", 4.0)
+    ).toDF("event_id", "ts_packed", "op", "ns", "doc_key", "value")
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_incr_agg_spec"
+    val got = graft.operators.Cdc.incrementalAgg(ops, work,
+        Seq(Long.MinValue, 10L, 20L, 30L, Long.MaxValue), nBuckets = 4)
+      .as[(String, Long, Double)].collect().toSet
+    // final state: k1=7.25, k2=5.0, k3=4.0; app.u empty → no row
+    assert(got == Set(("app.t", 3L, 16.25)))
+  }
 }

@@ -118,6 +118,24 @@ class RelationalJoinSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q24_salted_join: result identical to the plain join; plan is a shuffle " +
+      "SortMergeJoin (salting is pointless under a broadcast)") {
+    val dir = "/root/testdata/sf0.001"
+    val salted = graft.operators.Relational.queries("q24_salted_join")(spark, dir)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"salted join lost its merge pin:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"dim side got broadcast:\n$plan")
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val o = graft.Tables.load(spark, dir, "orders")
+    val want = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.Portable.revenueSum(
+          col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted.as[(String, Double, Long)].collect().toSet == want)
+  }
+
   test("session_window boundary: a gap of exactly the window size MERGES (strict > in the oracle)") {
     // [t, t+gap) and [t+gap, …) are adjacent; Spark merges adjacency, so
     // the new-session predicate in every oracle must be diff > gap — this

@@ -26,6 +26,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == Seq("en", "es", "und"))
   }
 
+  test("gopherStats: every rule boundary — 50-word floor and mwl=3.0 inclusive, " +
+      "distinct (not total) stops, alpha_frac 0.8 strict") {
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val base = Seq.fill(48)("abc")
+    val rows = Seq(
+      (1L, doc(base ++ Seq("the", "and"))), // 50 words, mwl 3.0, 2 stops, alpha 1.0 → keep
+      (2L, doc(base.take(47) ++ Seq("the", "and"))), // 49 words → n_words floor fails
+      (3L, doc(base ++ Seq("the", "the"))), // 2 stop TOKENS but 1 distinct → fails
+      (4L, doc(Seq.fill(38)("abc") ++ Seq.fill(10)("123") ++ Seq("the", "and"))), // alpha 0.8 exactly → strict > fails
+      (5L, doc(Seq.fill(48)("abcdefghijk") ++ Seq("the", "and"))) // mwl 10.68 → ceiling fails
+    ).toDF("doc_id", "text")
+    val got = Text.gopherStats(rows, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+    assert(got(0) == ((1L, 50L, 3.0, 2L, 1.0, true)))
+    assert(got(1)._2 == 49L && !got(1)._6)
+    assert(got(2)._4 == 1L && !got(2)._6)
+    assert(got(3)._5 == 0.8 && !got(3)._6)
+    assert(got(4)._3 > 10.0 && !got(4)._6)
+  }
+
   test("repetitionStats: concentration and dup fractions; single-token doc has no bigrams") {
     val df = Seq(
       (1L, "a b a b a"),   // words: a×3,b×2 → top 3/5; bigrams: "a b"×2,"b a"×2 → top 2/4, dup 1-2/4

@@ -19,7 +19,29 @@ object MmOps {
     "mm_meta" -> ((s, dir) => Multimodal.meta(media(s, dir))),
     "mm_near_dup" -> ((s, dir) => Multimodal.nearDup(media(s, dir))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(media(s, dir))),
-    "mm_resize" -> ((s, dir) => Multimodal.resize(media(s, dir)))
+    "mm_resize" -> ((s, dir) => Multimodal.resize(media(s, dir))),
+
+    // Training-shard manifest for the media corpus (the WebDataset-style
+    // packing step): blobs pack per modality into shards under a byte
+    // budget — shard = floor(exclusive-prefix-bytes / budget), so a blob
+    // larger than the budget gets its own shard and order is the stable
+    // doc_id sequence. One window per kind over the 3-column
+    // (doc_id, kind, payload_len) projection — the bytes never move, only
+    // their sizes do; production would sub-partition the window key by a
+    // coarse ingest-time prefix exactly as text_pack notes.
+    "mm_manifest" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("kind")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Multimodal.meta(media(s, dir))
+        .select(col("doc_id"), col("kind"), col("payload_len"))
+        .withColumn("cum", sum(col("payload_len")).over(w))
+        .withColumn("shard", expr("(cum - payload_len) DIV 8192"))
+        .groupBy(col("kind"), col("shard"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("payload_len")).as("shard_bytes"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    })
   )
 
   /** Normalized payload — DuckDB mirror of [[Multimodal.normPayload]]
@@ -63,6 +85,21 @@ object MmOps {
             CAST(length(substring(norm, CAST(i AS INT) * 32 + 1, 32)) AS BIGINT) AS frame_len
           FROM d, LATERAL (SELECT unnest(range((length(norm) - 1) // 32 + 1)) AS i)
           WHERE i % 3 = 0""",
+
+    "mm_manifest" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+           FROM documents),
+         c AS (
+           SELECT *, SUM(payload_len) OVER (PARTITION BY kind ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+           FROM m)
+         SELECT kind, CAST((cum - payload_len) // 8192 AS BIGINT) AS shard,
+           COUNT(*) AS n_items, CAST(SUM(payload_len) AS BIGINT) AS shard_bytes,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         FROM c GROUP BY 1, 2""",
 
     "mm_resize" ->
       """SELECT doc_id,

@@ -364,13 +364,15 @@ object StreamOps {
     // Full feed lands; each stored position drives a fresh resume.
     feedify(eff.filter(col("ts_packed") > t1)).coalesce(1)
       .write.mode("append").parquet(feedDir)
+    // The two resumes are independent (separate targets/checkpoints) —
+    // run them concurrently; the harness pays one query's wall-clock.
     val q2 = IncrSync.startOplog(s, feedDir, s"$work/tT", s"$work/ckT",
       gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 16,
       startingTs = ctxT.ckpt)
-    q2.awaitTermination()
     val q3 = IncrSync.startOplog(s, feedDir, s"$work/tA", s"$work/ckA",
       gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 16,
       startingTs = ctxA.ckpt)
+    q2.awaitTermination()
     q3.awaitTermination()
 
     val stateT = IncrSync.readOrEmpty(s, s"$work/tT/state")

@@ -42,6 +42,30 @@ object TextOps {
       .agg(graft.functions.Portable.detSum6(col("contrib")).as("bm25"))
   }
 
+  /** Bigram-LM negative log-likelihood per document (see `text_lm_score`'s
+    * shape notes) — shared by the score query and the CCNet bucketing.
+    */
+  private def lmScores(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(t)-2),
+           i -> named_struct('w1', element_at(t, i+1),
+                             'w2', element_at(t, i+2)))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
+    val cB = base.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cU = cB.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val v = cB.agg(countDistinct(col("w1"))).head().getLong(0)
+    base.join(cB, Seq("w1", "w2")).join(cU, Seq("w1"))
+      .withColumn("nlp", -log((col("cb") + lit(1L)).cast("double") /
+        (col("cu") + lit(v)).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.Portable.detSum6(col("nlp")).as("nll"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, dir) =>
       docs(s, dir).select(
@@ -113,25 +137,24 @@ object TextOps {
     // bigram key — every trained bigram exists by construction, so the
     // join is inner with no miss path. The per-doc sum goes through
     // detSum6 so ln's last-ulp engine variance cannot desync the hash.
-    "text_lm_score" -> ((s, dir) => {
-      val base = docs(s, dir)
-        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, size(t)-2),
-             i -> named_struct('w1', element_at(t, i+1),
-                               'w2', element_at(t, i+2)))""")).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .localCheckpoint()
-      val cB = base.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      val cU = cB.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
-      val v = cB.agg(countDistinct(col("w1"))).head().getLong(0)
-      base.join(cB, Seq("w1", "w2")).join(cU, Seq("w1"))
-        .withColumn("nlp", -log((col("cb") + lit(1L)).cast("double") /
-          (col("cu") + lit(v)).cast("double")))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          graft.functions.Portable.detSum6(col("nlp")).as("nll"))
+    "text_lm_score" -> ((s, dir) => lmScores(s, dir)),
+
+    // CCNet's head/middle/tail split: per-language perplexity terciles
+    // over the bigram-LM scores — the bucketing that decides which slice
+    // of a crawl is "clean enough to train on". One window per lang on
+    // the 2-column (doc_id, ppl) projection; at 100 TB the per-lang
+    // tercile is a range-partitioned sort of id+score pairs, never of
+    // document text. Ties (identical ppl) break on doc_id so the cut is
+    // deterministic; ppl divides two identically-derived values (detSum6
+    // nll, exact count), so both engines order identically.
+    "text_ccnet_bucket" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id"))
+      lmScores(s, dir)
+        .withColumn("ppl", col("nll") / col("n_bigrams").cast("double"))
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
     }),
 
     // Hybrid retrieval with reciprocal-rank fusion: the lexical arm
@@ -512,6 +535,29 @@ object TextOps {
 
   private val toks = "string_split(text, ' ')"
 
+  /** Bigram-LM CTEs (mirror of [[lmScores]]): same smoothing arithmetic
+    * and parenthesization as the Spark plan; the per-doc aggregate is
+    * detSum6 (round 6dp → DECIMAL(28,6) sum).
+    */
+  private val lmCtes =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       bg AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+             i -> [t[i], t[i + 1]])) AS b
+         FROM tk WHERE len(t) >= 2),
+       b AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg),
+       cb AS (SELECT w1, w2, COUNT(*) AS cb FROM b GROUP BY 1, 2),
+       cu AS (SELECT w1, SUM(cb) AS cu FROM cb GROUP BY 1),
+       vv AS (SELECT COUNT(DISTINCT w1) AS v FROM cb),
+       lmscore AS (
+         SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(ROUND(-ln(CAST(cb.cb + 1 AS DOUBLE)
+             / CAST(cu.cu + vv.v AS DOUBLE)), 6) AS DECIMAL(28,6))) AS DOUBLE) AS nll
+         FROM b
+         JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+         JOIN cu ON b.w1 = cu.w1, vv
+         GROUP BY 1)"""
+
   /** BM25 CTE chain ending in `lexall(doc_id, bm25)` — shared by the
     * `text_bm25` oracle and the hybrid-RRF fusion oracle.
     */
@@ -673,22 +719,14 @@ object TextOps {
     // Same smoothing arithmetic and parenthesization as the Spark plan;
     // the per-doc aggregate is detSum6 (round 6dp → DECIMAL(28,6) sum).
     "text_lm_score" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-          bg AS (SELECT doc_id,
-              unnest(list_transform(generate_series(1, len(t) - 1),
-                i -> [t[i], t[i + 1]])) AS b
-            FROM tk WHERE len(t) >= 2),
-          b AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg),
-          cb AS (SELECT w1, w2, COUNT(*) AS cb FROM b GROUP BY 1, 2),
-          cu AS (SELECT w1, SUM(cb) AS cu FROM cb GROUP BY 1),
-          vv AS (SELECT COUNT(DISTINCT w1) AS v FROM cb)
-          SELECT b.doc_id, COUNT(*) AS n_bigrams,
-            CAST(SUM(CAST(ROUND(-ln(CAST(cb.cb + 1 AS DOUBLE)
-              / CAST(cu.cu + vv.v AS DOUBLE)), 6) AS DECIMAL(28,6))) AS DOUBLE) AS nll
-          FROM b
-          JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
-          JOIN cu ON b.w1 = cu.w1, vv
-          GROUP BY 1""",
+      s"WITH $lmCtes SELECT doc_id, n_bigrams, nll FROM lmscore",
+
+    "text_ccnet_bucket" ->
+      s"""WITH $lmCtes
+          SELECT s.doc_id, d.lang,
+            NTILE(3) OVER (PARTITION BY d.lang
+              ORDER BY s.nll / CAST(s.n_bigrams AS DOUBLE), s.doc_id) AS bucket
+          FROM lmscore s JOIN documents d ON s.doc_id = d.doc_id""",
 
     "pipe_hybrid_rrf" ->
       s"""WITH $bm25Ctes,

@@ -343,6 +343,53 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("adc"))
   }
 
+  /** The production ANN index layout — IVF coarse pruning composed with
+    * PQ asymmetric-distance ranking (IVF-PQ, the FAISS/SPANN default at
+    * billion scale): each query probes its nProbe nearest centroids, and
+    * only the vectors ASSIGNED to those lists are ranked, by ADC over
+    * their 4 PQ codes (never a full-dimension vector). Scale shape: the
+    * centroid table, the per-query probe set, and the |Q|·nSub·k LUT all
+    * broadcast; the corpus-side cost is one assignment pass + one
+    * equi-join on (centroid_id) to prune + one equi-join on (m, code) to
+    * rank, with the integer ADC sums collapsing map-side. Compared to
+    * [[pqAdcSearch]] the candidate set shrinks from the corpus to the
+    * probed lists (~nProbe/k of it); compared to [[ivfSearch]] the
+    * ranking reads 4 codes instead of 64 components.
+    */
+  def ivfPqSearch(embs: DataFrame, id: Column, emb: Column,
+      cents: DataFrame, codebook: DataFrame, queryPred: Column,
+      nProbe: Int = 2, k: Int = 3, nSub: Int = 4, subDim: Int = 16): DataFrame = {
+    val p = prepared(embs, id, emb)
+    val codes = pqAssign(pqSubvectors(p, nSub, subDim), codebook)
+      .select(col("vec_id"), col("m"), col("code"))
+    val assigned = assignTo(p, cents).select(col("vec_id"), col("centroid_id"))
+    val q = p.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", cosineQ(col("qv"), col("qn"), col("cv"), col("cn")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("centroid_id"))
+    val lut = pqSubvectors(p.filter(queryPred), nSub, subDim)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qsv"))
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("d", sqDistQ(col("qsv"), col("cw")))
+      .select(col("query_id"), col("m"), col("code"), col("d"))
+    val adc = codes.join(assigned, Seq("vec_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("adc"))
+  }
+
   /** Prepared rows in centroid form (centroid_id, cv, cn) — the ONE
     * definition of the centroid-table schema.
     */

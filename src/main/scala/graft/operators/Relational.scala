@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -330,6 +330,80 @@ object Relational {
           count(lit(1)).as("n_items"))
     }),
 
+    // Correlated scalar subqueries (TPC-H Q17's shape): lineitems under
+    // 20% of their part's average quantity, for one brand. Written as
+    // SQL so Catalyst's decorrelation does the heavy lifting — the two
+    // correlated aggregates over l2 rewrite into ONE per-part aggregate
+    // joined back on l_partkey (never a per-row re-scan; the naive
+    // nested-loop reading is quadratic and unrunnable at 100 TB). The
+    // avg comparison is cross-multiplied (5·cnt·qty < sum_qty) so both
+    // engines compare exact integers/decimals instead of each other's
+    // AVG rounding.
+    "q25_scalar_subquery" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      Tables.load(s, dir, "part").createOrReplaceTempView("g_part")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                 AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM g_lineitem l JOIN g_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND 5 * (SELECT COUNT(*) FROM g_lineitem l2
+                   WHERE l2.l_partkey = l.l_partkey)
+                * CAST(l.l_quantity AS DECIMAL(18,2))
+              < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                 FROM g_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      """)
+    }),
+
+    // Z-order (Morton) clustering — the write-side data-layout operator
+    // behind multi-column data skipping: interleaving the bits of
+    // (l_partkey, l_suppkey) makes fixed-width z-ranges ("files") tight
+    // in BOTH dimensions at once, so a 2-D box predicate prunes most of
+    // them from min/max stats alone (a single-column sort is tight in
+    // one dimension and useless in the other). The z-value is a pure
+    // codegen'd projection and the bucket id a shift — assignment needs
+    // NO sort and no shuffle at any scale (fixed-width cuts stand in
+    // for repartitionByRange's sampled cuts, which aren't reproducible
+    // across engines); the per-bucket stats are one partial aggregate.
+    // Output per z-bucket: the min/max skipping stats, whether the
+    // box query [64..127]×[4..7] overlaps them, and the true box
+    // row count — buckets the stats exclude provably hold zero rows.
+    "q26_zorder" -> ((s, dir) => {
+      val inBox = col("l_partkey").between(64, 127) &&
+        col("l_suppkey").between(4, 7)
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .withColumn("zbucket",
+          shiftright(zorderInterleave(col("l_partkey"), col("l_suppkey")), 12))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
+          sum(when(inBox, 1L).otherwise(0L)).as("n_box"))
+        .withColumn("box_overlaps",
+          col("max_pk") >= 64 && col("min_pk") <= 127 &&
+            col("max_sk") >= 4 && col("min_sk") <= 7)
+    }),
+
+    // Windowed DISTINCT count — Spark's window aggregates reject
+    // DISTINCT, so the engine supplies the standard rewrite: dense_rank
+    // over the value ordering, then max(dense_rank) over the bare
+    // partition (both windows share ONE shuffle + sort on the partition
+    // key — no join back, no second exchange). The oracle runs DuckDB's
+    // NATIVE `COUNT(DISTINCT …) OVER`, so the rewrite is cross-checked
+    // against a real distinct-window implementation, not against itself.
+    "q27_window_distinct" -> ((s, dir) => {
+      val byVal = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderpriority"))
+      val part = Window.partitionBy(col("o_custkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .withColumn("dr", dense_rank().over(byVal))
+        .withColumn("n_priorities", max(col("dr")).over(part).cast("long"))
+        .select(col("o_orderkey"), col("o_custkey"), col("n_priorities"))
+    }),
+
     // Sketch-based distinct counting — the 100 TB replacement for q7's
     // exact countDistinct: HyperLogLog++ partials merge map-side, so the
     // shuffle carries |groups| fixed-size sketches instead of every
@@ -563,6 +637,17 @@ object Relational {
       .drop("_bin")
   }
 
+  /** Morton-code bit interleave of two non-negative keys (16 bits each —
+    * x's bits land on even z positions, y's on odd): the pure-projection
+    * core of `q26_zorder`, expressed as disjoint-bit shift-adds so it
+    * stays inside whole-stage codegen.
+    */
+  private[graft] def zorderInterleave(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
   def oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -733,6 +818,40 @@ object Relational {
          COUNT(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+
+    "q25_scalar_subquery" ->
+      """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                  AS avg_yearly,
+                COUNT(*) AS n_small
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand = 'Brand#23'
+           AND 5 * (SELECT COUNT(*) FROM lineitem l2
+                    WHERE l2.l_partkey = l.l_partkey)
+                 * CAST(l.l_quantity AS DECIMAL(18,2))
+               < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""",
+
+    "q26_zorder" -> {
+      val zExpr = (0 until 16).map(i =>
+        s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH z AS (SELECT l_partkey, l_suppkey, ($zExpr) AS zv FROM lineitem)
+          SELECT zv >> 12 AS zbucket, COUNT(*) AS n_rows,
+            MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+            MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk,
+            CAST(SUM(CASE WHEN l_partkey BETWEEN 64 AND 127
+                           AND l_suppkey BETWEEN 4 AND 7
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_box,
+            (MAX(l_partkey) >= 64 AND MIN(l_partkey) <= 127
+             AND MAX(l_suppkey) >= 4 AND MIN(l_suppkey) <= 7) AS box_overlaps
+          FROM z GROUP BY 1"""
+    },
+
+    "q27_window_distinct" ->
+      """SELECT o_orderkey, o_custkey,
+           COUNT(DISTINCT o_orderpriority)
+             OVER (PARTITION BY o_custkey) AS n_priorities
+         FROM orders""",
 
     "q19_approx_distinct" ->
       """SELECT l_returnflag,

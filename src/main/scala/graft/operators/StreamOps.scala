@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.filters.OplogFilters
 import graft.model.Oplog
@@ -55,7 +55,9 @@ object StreamOps {
     "stream_join_outer" -> ((s, dir) => runStreamJoinOuter(s, dir)),
     "stream_sessionize" -> ((s, dir) => runSessionize(s, dir)),
     "stream_dedup_wm" -> ((s, dir) => runStreamDedup(s, dir)),
-    "stream_enrich" -> ((s, dir) => runStreamEnrich(s, dir)))
+    "stream_enrich" -> ((s, dir) => runStreamEnrich(s, dir)),
+    "stream_pattern" -> ((s, dir) => runPattern(s, dir)),
+    "stream_join_semi" -> ((s, dir) => runStreamJoinSemi(s, dir)))
 
   /** Stage a multi-file feed whose files must be consumed IN ORDER by a
     * `maxFilesPerTrigger = 1` file source: write each part, then pin
@@ -867,6 +869,53 @@ object StreamOps {
     s.read.parquet(s"$work/out")
   }
 
+  /** LEFT SEMI watermarked stream-stream join — the EXISTS arm of the
+    * streaming-join family (inner emits every matched pair; this emits
+    * each matched VIEW once, no buy-side payload): "views that converted
+    * within the hour", the dedup-friendly form when the consumer only
+    * routes the left entity. Same sides/condition/watermarks as
+    * [[runStreamJoin]]; the engine keeps the same two-sided state but
+    * drops a left row from state at its FIRST match (emitting once) and
+    * never emits the unmatched — so the drained output is the closed-form
+    * EXISTS, deterministic without any watermark-timing subtleties. A
+    * double emission (the failure the semi type exists to prevent)
+    * row-count-diverges immediately.
+    */
+  private def runStreamJoinSemi(s: SparkSession, dir: String): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_semi_q"
+    IncrSync.deletePath(s, work)
+    val ev = graft.Tables.loadEventsNs(s, dir)
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      .localCheckpoint()
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$work/views")
+    ev.filter(col("event_id") % 2 === 1).write.parquet(s"$work/buys")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    def sideStream(path: String, prefix: String): DataFrame =
+      s.readStream.schema(schema).parquet(s"$work/$path")
+        .select(col("event_id").as(s"${prefix}_event"),
+          col("user_id").as(s"${prefix}_user"),
+          timestamp_micros(col("ts_us")).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val q = sideStream("views", "v").join(sideStream("buys", "b"),
+        expr("v_user = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"),
+        "leftSemi")
+      .select(col("v_event").as("view_event"), col("v_user").as("user_id"),
+        unix_micros(col("v_ts")).as("ts_view"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
   /** Streaming gap sessionization via Spark's NATIVE `session_window`
     * aggregate — the merging-window state operator no other query
     * exercises (q10_sessionize is the batch rewrite of the same
@@ -1025,6 +1074,93 @@ object StreamOps {
     s.read.parquet(s"$work/out")
   }
 
+  /** CEP sequence state: stage ∈ {0 seeking view, 1 seeking click,
+    * 2 seeking purchase, 3 done}; the accepted stage events' (ts, id).
+    */
+  case class PatternState(stage: Int, tsV: Long, evV: Long, tsC: Long, evC: Long)
+  case class PatternEvent(event_id: Long, user_id: Long, event_type: String,
+    ts_us: Long)
+  case class PatternMatch(user_id: Long, view_event: Long, ts_view: Long,
+    click_event: Long, ts_click: Long, purchase_event: Long, ts_purchase: Long)
+
+  /** Complex-event-processing sequence detection — the custom-state
+    * operator Structured Streaming exists for: per user, detect the FIRST
+    * view → click → purchase sequence in event-time order, with the state
+    * machine persisted in `flatMapGroupsWithState` across micro-batches
+    * (a user's view can arrive triggers before their purchase; the staged
+    * two-batch feed splits event time at its first DECILE — early enough
+    * that many first views land in batch 1 while their purchases land in
+    * batch 2, so sequences provably straddle the trigger boundary at
+    * every scale factor). State is one 5-field record per ACTIVE
+    * user — not a buffer of events — the O(|users|) bound that keeps CEP
+    * viable on an unbounded stream. Within a batch the shuffle delivers a
+    * group's rows unordered, so the machine sorts the batch's per-user
+    * slice before folding (bounded by per-user-per-trigger volume; the
+    * cross-batch order is the feed's event-time split). A greedy
+    * first-match machine ≡ the oracle's closed form: first view, first
+    * click strictly after it, first purchase strictly after that.
+    */
+  private def runPattern(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_pattern_q"
+    IncrSync.deletePath(s, work)
+    val ev = graft.Tables.loadEventsNs(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"))
+      .localCheckpoint()
+    val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val tcut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 10
+    stageOrdered(s, s"$work/feed", Seq(
+      ev.filter(col("ts_us") <= tcut), ev.filter(col("ts_us") > tcut)))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .as[PatternEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        patternGroup)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
+  /** The per-user sequence machine (see [[runPattern]]). */
+  private def patternGroup(uid: Long, events: Iterator[PatternEvent],
+      state: GroupState[PatternState]): Iterator[PatternMatch] = {
+    var st = if (state.exists) state.get else PatternState(0, 0L, 0L, 0L, 0L)
+    val out = scala.collection.mutable.ListBuffer.empty[PatternMatch]
+    def after(e: PatternEvent, ts: Long, ev: Long): Boolean =
+      e.ts_us > ts || (e.ts_us == ts && e.event_id > ev)
+    for (e <- events.toSeq.sortBy(e => (e.ts_us, e.event_id)) if st.stage < 3) {
+      st.stage match {
+        case 0 if e.event_type == "view" =>
+          st = PatternState(1, e.ts_us, e.event_id, 0L, 0L)
+        case 1 if e.event_type == "click" && after(e, st.tsV, st.evV) =>
+          st = PatternState(2, st.tsV, st.evV, e.ts_us, e.event_id)
+        case 2 if e.event_type == "purchase" && after(e, st.tsC, st.evC) =>
+          out += PatternMatch(uid, st.evV, st.tsV, st.evC, st.tsC,
+            e.event_id, e.ts_us)
+          st = PatternState(3, st.tsV, st.evV, st.tsC, st.evC)
+        case _ => ()
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
   /** G7's queryable metrics surface (`common/metric.go:43-52,87-200`): run
     * the real `IncrSync.startOplog` over the UNFILTERED corpus feed with a
     * [[graft.metrics.MetricsRecorder]] attached; the listener writes one
@@ -1144,6 +1280,47 @@ object StreamOps {
       """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, c.c_nationkey
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          WHERE c.c_mktsegment <> 'BUILDING'""",
+
+    // Drained left-semi stream-stream join ≡ the batch EXISTS, closed form.
+    "stream_join_semi" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us FROM events),
+          v AS (SELECT * FROM e WHERE event_id % 2 = 0),
+          b AS (SELECT * FROM e WHERE event_id % 2 = 1)
+          SELECT v.event_id AS view_event, v.user_id, v.ts_us AS ts_view
+          FROM v
+          WHERE EXISTS (SELECT 1 FROM b
+            WHERE b.user_id = v.user_id
+              AND b.ts_us >= v.ts_us AND b.ts_us <= v.ts_us + 3600000000)""",
+
+    // Closed form of the greedy sequence machine: first view, first click
+    // strictly after it, first purchase strictly after that (row-value
+    // comparison breaks equal-timestamp ties on event_id, exactly the
+    // machine's `after` guard).
+    "stream_pattern" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+              epoch_ns(ts)//1000 AS ts_us FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')),
+          v AS (SELECT user_id, ts_us AS ts_view, event_id AS view_event FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id) AS rn
+              FROM e WHERE event_type = 'view') WHERE rn = 1),
+          c AS (SELECT user_id, ts_us AS ts_click, event_id AS click_event FROM (
+              SELECT e.*, ROW_NUMBER() OVER (PARTITION BY e.user_id
+                ORDER BY e.ts_us, e.event_id) AS rn
+              FROM e JOIN v USING (user_id)
+              WHERE e.event_type = 'click'
+                AND (e.ts_us, e.event_id) > (v.ts_view, v.view_event))
+            WHERE rn = 1),
+          p AS (SELECT user_id, ts_us AS ts_purchase, event_id AS purchase_event FROM (
+              SELECT e.*, ROW_NUMBER() OVER (PARTITION BY e.user_id
+                ORDER BY e.ts_us, e.event_id) AS rn
+              FROM e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase'
+                AND (e.ts_us, e.event_id) > (c.ts_click, c.click_event))
+            WHERE rn = 1)
+          SELECT user_id, view_event, ts_view, click_event, ts_click,
+            purchase_event, ts_purchase
+          FROM v JOIN c USING (user_id) JOIN p USING (user_id)""",
 
     "cdc_soak_live" -> Oplog.withOracleCte(
       s""", eff AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -453,6 +453,86 @@ object TextOps {
       Dedup.contamination(docs(s, dir), col("doc_id"), col("text"),
         benchPred = col("doc_id") % 50 === 0)),
 
+    // Bloom-filter decontamination — the fixed-memory form of
+    // text_contamination: the benchmark shingle set folds into an m-bit
+    // Bloom filter (k = 3 derived positions per 32-bit shingle hash) and
+    // corpus shingles test membership against the BITS, never the set.
+    // At 100 TB that is the point: the filter is a constant-size
+    // broadcast no matter how the benchmark suite grows, and the corpus
+    // pass is one scan + one broadcast join. The bit array is modeled
+    // relationally (the distinct set-position table IS the bitset — both
+    // engines derive identical bits), so Bloom FALSE POSITIVES are real
+    // and accounted per document: a shingle hits iff all k of its
+    // positions are set; n_false_pos = bloom hits that are not true
+    // benchmark shingles. m is sized small (2^14) so the FP path is
+    // actually exercised — the trade a production deployment tunes.
+    "text_bloom_contaminate" -> ((s, dir) => {
+      def positions(h: Column): Column =
+        array(BloomSalts.map { case (a, b) =>
+          pmod(h * lit(a) + lit(b), lit(BloomBits)) }: _*)
+      val sets = docs(s, dir).select(col("doc_id"),
+          (col("doc_id") % 50 === 0).as("is_bench"),
+          array_distinct(transform(Text.shingles(col("text"), 3),
+            x => phash64(x) % lit(4294967296L))).as("s"))
+        .localCheckpoint()
+      val bench = sets.filter(col("is_bench"))
+        .select(explode(col("s")).as("h")).distinct()
+      val bits = bench.select(explode(positions(col("h"))).as("pos")).distinct()
+      val corpus = sets.filter(!col("is_bench"))
+        .select(col("doc_id"), size(col("s")).cast("long").as("n_shingles"),
+          explode(col("s")).as("h"))
+      val bloomHits = corpus
+        .select(col("doc_id"), col("n_shingles"), col("h"),
+          explode(positions(col("h"))).as("pos"))
+        .join(broadcast(bits), Seq("pos"))
+        .groupBy(col("doc_id"), col("n_shingles"), col("h"))
+        .agg(count(lit(1)).as("n_set"))
+        .filter(col("n_set") === BloomSalts.length)
+      val trueHits = corpus.select(col("doc_id"), col("h"))
+        .join(broadcast(bench), Seq("h")).withColumn("t", lit(1L))
+      bloomHits.join(trueHits, Seq("doc_id", "h"), "left_outer")
+        .groupBy(col("doc_id"), col("n_shingles"))
+        .agg(count(lit(1)).as("n_bloom_hits"), count(col("t")).as("n_true_hits"))
+        .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+          col("n_true_hits"),
+          (col("n_bloom_hits") - col("n_true_hits")).as("n_false_pos"))
+    }),
+
+    // DSIR data selection (Xie et al. 2023, hashed-n-gram importance
+    // resampling): unigrams hash into 1024 buckets; the "target"
+    // distribution is the English slice, the "raw" distribution the
+    // whole corpus; a document's importance weight is its tokens' summed
+    // log-likelihood ratio under add-one-smoothed bucket models, and the
+    // top 100 by weight are selected. Shape at scale: both bucket models
+    // are 1024-row broadcasts, the corpus is ONE tokenize pass (the
+    // exploded base feeds doc scoring and both count tables), the totals
+    // land as plan literals, and the selection is a distributed
+    // TakeOrdered over per-doc aggregates — no global sort of the
+    // corpus, nothing quadratic anywhere.
+    "text_dsir_select" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("t"))
+        .withColumn("bkt", pmod(phash64(concat(col("t"), lit(":dsir"))), lit(1024L)))
+        .localCheckpoint()
+      val tot = base.agg(count(lit(1)),
+        sum(when(col("lang") === "en", 1L).otherwise(0L))).head()
+      val (nRaw, nTgt) = (tot.getLong(0), tot.getLong(1))
+      val raw = base.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+      val tgt = base.filter(col("lang") === "en")
+        .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+      base.join(broadcast(raw), Seq("bkt"))
+        .join(broadcast(tgt), Seq("bkt"), "left_outer")
+        .withColumn("llr", log(
+          ((coalesce(col("ct"), lit(0L)) + lit(1L)) * lit(nRaw + 1024L)).cast("double") /
+            ((col("cr") + lit(1L)) * lit(nTgt + 1024L)).cast("double")))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          graft.functions.Portable.detSum6(col("llr")).as("dsir_w"))
+        .orderBy(col("dsir_w").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -526,7 +606,22 @@ object TextOps {
     })
   )
 
+  /** Bloom-filter size in bits (2^14 — deliberately small so the sf0.01
+    * corpus exercises the false-positive path) and the k = 3 affine
+    * position derivations (odd multiplier, offset) applied to the 32-bit
+    * shingle hash. Products stay below 2^52 — exact in any engine's
+    * 64-bit integer arithmetic.
+    */
+  private[operators] val BloomBits = 16384L
+  private[operators] val BloomSalts: Seq[(Long, Long)] =
+    Seq((769L, 7L), (12289L, 99991L), (786433L, 524287L))
+
   // ---- oracle SQL builders -------------------------------------------------
+
+  /** DuckDB list of the k Bloom positions of hash expression `h`. */
+  private def bloomPosSql(h: String): String =
+    BloomSalts.map { case (a, b) => s"($h * $a + $b) % $BloomBits" }
+      .mkString("[", ", ", "]")
 
   /** DuckDB list of distinct word n-gram shingles of `text`. */
   private def shingleSql(n: Int): String =
@@ -959,6 +1054,43 @@ object TextOps {
             CAST(COUNT(*) AS DOUBLE) / n_shingles AS contamination
           FROM corpus JOIN bench USING (h)
           GROUP BY doc_id, n_shingles""",
+
+    "text_bloom_contaminate" ->
+      s"""WITH sh AS (SELECT doc_id, doc_id % 50 = 0 AS is_bench,
+              ${hashedShingleSql(3)} AS s
+            FROM (SELECT doc_id, $toks AS t, text FROM documents)),
+          bench AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE is_bench),
+          bits AS (SELECT DISTINCT unnest(${bloomPosSql("h")}) AS pos FROM bench),
+          corpus AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS h
+            FROM sh WHERE NOT is_bench),
+          cpos AS (SELECT doc_id, n_shingles, h, unnest(${bloomPosSql("h")}) AS pos
+            FROM corpus),
+          bh AS (SELECT doc_id, n_shingles, h FROM cpos JOIN bits USING (pos)
+            GROUP BY 1, 2, 3 HAVING COUNT(*) = ${BloomSalts.length}),
+          tr AS (SELECT c.doc_id, c.h FROM corpus c JOIN bench b USING (h))
+          SELECT bh.doc_id, bh.n_shingles, COUNT(*) AS n_bloom_hits,
+            COUNT(tr.h) AS n_true_hits,
+            COUNT(*) - COUNT(tr.h) AS n_false_pos
+          FROM bh LEFT JOIN tr ON tr.doc_id = bh.doc_id AND tr.h = bh.h
+          GROUP BY 1, 2""",
+
+    "text_dsir_select" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS t FROM documents),
+          hb AS (SELECT doc_id, lang,
+              ${phash64Sql("t || ':dsir'")} % 1024 AS bkt FROM tok),
+          tot AS (SELECT COUNT(*) AS nraw,
+              COUNT(*) FILTER (WHERE lang = 'en') AS ntgt FROM hb),
+          raw AS (SELECT bkt, COUNT(*) AS cr FROM hb GROUP BY 1),
+          tgt AS (SELECT bkt, COUNT(*) AS ct FROM hb WHERE lang = 'en' GROUP BY 1)
+          SELECT doc_id, lang, COUNT(*) AS n_tokens,
+            CAST(SUM(CAST(ROUND(ln(
+              CAST((COALESCE(ct, 0) + 1) * (nraw + 1024) AS DOUBLE)
+              / CAST((cr + 1) * (ntgt + 1024) AS DOUBLE)), 6)
+              AS DECIMAL(28,6))) AS DOUBLE) AS dsir_w
+          FROM hb JOIN raw USING (bkt) LEFT JOIN tgt USING (bkt), tot
+          GROUP BY doc_id, lang
+          ORDER BY dsir_w DESC, doc_id
+          LIMIT 100""",
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

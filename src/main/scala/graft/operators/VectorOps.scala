@@ -144,6 +144,23 @@ object VectorOps {
           coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
     }),
 
+    // IVF-PQ combined search — the billion-scale index layout (coarse
+    // quantizer prunes to nProbe inverted lists, ADC over 4-byte PQ
+    // codes ranks the survivors): see [[Similarity.ivfPqSearch]] for
+    // the shape argument. The oracle replays the identical pipeline —
+    // trained centroids, trained codebooks, probe selection, candidate
+    // pruning, integer ADC — so a drift anywhere in the composed index
+    // math hash-diverges.
+    "sim_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = KmeansIters)
+      val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8)
+      Similarity.ivfPqSearch(e, col("vec_id"), col("embedding"), cents, cb,
+        queryPred = col("vec_id") < 10)
+    }),
+
     // The production train-once shape: ONE k-means run and ONE PQ
     // codebook run, each materialized once (kmeansTrain/pqTrain end in a
     // lineage cut), then THREE consumers read the same trained tables —
@@ -437,6 +454,40 @@ object VectorOps {
           FROM exact e LEFT JOIN ivf i
             ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
           GROUP BY e.query_id""",
+
+    "sim_ivfpq" ->
+      s"""WITH $prepCte, ${kmeansCtes(2)}, ${pqCtes(2)}, ${pqEncCte(2)},
+          assigned AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents2 c)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS prn
+              FROM prep q, cents2 c WHERE q.vec_id < 10)
+            WHERE prn <= 2),
+          lut AS (
+            SELECT s.vec_id AS query_id, s.m, c.code, ${l2Sql("s.sv", "c.cw")} AS d
+            FROM subprep s JOIN cb2 c USING (m) WHERE s.vec_id < 10),
+          adcq AS (
+            SELECT l.query_id, a.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
+            FROM enc a
+            JOIN assigned g USING (vec_id)
+            JOIN probes pr ON pr.centroid_id = g.centroid_id
+            JOIN lut l ON l.query_id = pr.query_id AND l.m = a.m AND l.code = a.code
+            WHERE l.query_id <> a.vec_id
+            GROUP BY 1, 2)
+          SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, adc
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc, vec_id) AS rank
+            FROM adcq)
+          WHERE rank <= 3""",
 
     "pipe_ann" ->
       s"""WITH $prepCte, ${kmeansCtes(2)}, ${pqCtes(2)}, ${pqEncCte(2)},

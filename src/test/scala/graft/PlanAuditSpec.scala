@@ -52,6 +52,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljAllowed = Set(
     "sim_knn_brute", // broadcast query set × corpus (baseline brute kNN)
     "sim_ivf_assign", "sim_ivf_search", // broadcast k-means centroid table
+    "sim_ivfpq", // broadcast centroid table (coarse probe) + broadcast ADC LUT
     "sim_ivf_recall", // composes sim_knn_brute + sim_ivf_search (both above)
     "pipe_ann", // broadcast trained centroid table (train-once assign + ivf arms)
     "dedup_semantic", // broadcast k-means centroid table as the blocking key

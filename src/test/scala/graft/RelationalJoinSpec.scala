@@ -171,6 +171,27 @@ class RelationalJoinSpec extends AnyFunSuite {
     assert(gate(Seq(509.0, 900.0, 990.0)))
   }
 
+  test("zorderInterleave golden: x bits land on even z positions, y bits on odd") {
+    val z = Seq((3L, 5L), (1L, 1L), (0L, 0L), (65535L, 0L), (0L, 65535L))
+      .toDF("x", "y")
+      .select(Relational.zorderInterleave(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    // x=3 (bits 0,1) → z bits 0,2 = 5; y=5 (bits 0,2) → z bits 1,5 = 34
+    assert(z == Seq(39L, 3L, 0L,
+      (0 until 16).map(i => 1L << (2 * i)).sum,
+      (0 until 16).map(i => 1L << (2 * i + 1)).sum))
+  }
+
+  test("q26_zorder skipping stats are sound: a bucket the box stats exclude holds zero box rows") {
+    val out = Relational.queries("q26_zorder")(spark, "/root/testdata/sf0.001")
+      .select("box_overlaps", "n_box").as[(Boolean, Long)].collect()
+    assert(out.nonEmpty)
+    // soundness (no false pruning): every box row lives in an overlapping bucket
+    assert(out.filter(!_._1).forall(_._2 == 0L))
+    // the layout is useful: the box does NOT overlap every bucket
+    assert(out.exists(!_._1) && out.exists(_._2 > 0L))
+  }
+
   test("q19's HLL bound gate holds on real data at sf0.001") {
     val out = graft.operators.Relational.queries("q19_approx_distinct")(
       spark, "/root/testdata/sf0.001")

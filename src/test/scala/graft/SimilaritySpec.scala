@@ -108,6 +108,27 @@ class SimilaritySpec extends AnyFunSuite {
         rows.sortBy(_._3).map(_._4).sliding(2).forall(p => p.head <= p.last) })
   }
 
+  test("ivfPqSearch: coarse pruning is real — every neighbor lies in a probed inverted list") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+      col("vec_id") < 8, iters = 2)
+    val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"), col("vec_id") < 8)
+    val res = Similarity.ivfPqSearch(e, col("vec_id"), col("embedding"),
+      cents, cb, col("vec_id") < 10)
+    // ivfSearch with an unbounded k enumerates EXACTLY the probed-list
+    // candidate sets; ivf-pq must never rank a vector outside them
+    val candidates = Similarity.ivfSearch(e, col("vec_id"), col("embedding"),
+      cents, col("vec_id") < 10, nProbe = 2, k = Int.MaxValue)
+      .select("query_id", "neighbor_id")
+    assert(res.join(candidates, Seq("query_id", "neighbor_id"), "left_anti").count() == 0)
+    // ranks are a clean 1..3 per query with non-decreasing ADC
+    val rows = res.orderBy("query_id", "rank")
+      .select("query_id", "rank", "adc").as[(Long, Long, Long)].collect()
+    assert(rows.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).toSeq == Seq(1L, 2L, 3L) &&
+        rs.sortBy(_._2).map(_._3).sliding(2).forall(p => p.head <= p.last) })
+  }
+
   test("annLshTop1: bucketed candidates only, each result is the bucket argmax") {
     val corpus = (0 until 50).map { i =>
       (i.toLong, Seq.tabulate(64)(d => ((i * 37 + d * 13) % 17 - 8).toFloat / 8f), 0)

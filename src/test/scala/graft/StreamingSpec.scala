@@ -768,4 +768,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rec.count() == 4 &&
       rec.filter(col("bucket") =!= IncrSync.bucketOf(16)).count() == 0)
   }
+
+  test("stream_pattern: sequences straddle the staged batch boundary (CEP state carries)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.StreamOps.queries("stream_pattern")(spark, dir)
+      .select("user_id", "ts_view", "ts_click", "ts_purchase")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // one first-match per user; stage times strictly ordered
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.forall(m => m._2 <= m._3 && m._3 <= m._4))
+    // the feed splits event time at its first decile — a match whose view
+    // is in batch 1 and purchase in batch 2 proves the machine survived
+    // the trigger boundary in the state store
+    val ev = graft.Tables.loadEventsNs(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(expr("ts DIV 1000").as("ts_us"))
+    val b = ev.agg(org.apache.spark.sql.functions.min("ts_us"),
+      org.apache.spark.sql.functions.max("ts_us")).head()
+    val tcut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 10
+    assert(out.exists(m => m._2 <= tcut && m._4 > tcut))
+  }
 }

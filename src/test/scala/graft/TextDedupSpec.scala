@@ -175,4 +175,20 @@ class TextDedupSpec extends AnyFunSuite {
     val minDocs = out.select("min_doc").as[Long].collect()
     assert(minDocs.forall(_ % 2 == 1))
   }
+
+  test("text_bloom_contaminate: no false negatives, and FP accounting is exact") {
+    val dir = "/root/testdata/sf0.001"
+    val bloom = graft.operators.TextOps.queries("text_bloom_contaminate")(spark, dir)
+      .select("doc_id", "n_bloom_hits", "n_true_hits", "n_false_pos")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(bloom.nonEmpty)
+    assert(bloom.forall { case (_, b, t, f) => b == t + f && f >= 0 && t >= 0 })
+    // the Bloom guarantee: a true benchmark shingle can NEVER be missed —
+    // every doc text_contamination flags appears here with the SAME
+    // distinct-overlap count
+    val trueHits = graft.operators.TextOps.queries("text_contamination")(spark, dir)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    val byDoc = bloom.map { case (d, _, t, _) => d -> t }.toMap
+    assert(trueHits.forall { case (d, n) => byDoc.get(d).contains(n) })
+  }
 }

@@ -114,6 +114,50 @@ object TextOps {
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term")).limit(20)),
 
+    // Count-Min-Sketch heavy hitters — the FIXED-memory form of
+    // text_top_terms (the exact count table is the vocabulary; a CMS is
+    // d×w counters regardless of vocabulary growth, and the counter
+    // table is partial-aggregatable, so at 100 TB it merges map-side
+    // like any sum). d = 3 hash rows × w = 64 buckets, deliberately
+    // small so collisions are real: the output carries est (the min
+    // over the term's 3 counters), the true count, and the overestimate
+    // — CMS's one-sided error (est ≥ true always; a golden pins it).
+    // Heavy hitters are ranked BY THE SKETCH, the way a consumer that
+    // only kept the sketch would rank them.
+    "text_cms_heavy" -> ((s, dir) => {
+      val tok = docs(s, dir).select(explode(Text.tokens(col("text"))).as("term"))
+      val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val hashed = counts.select(col("term"), col("n"),
+        explode(array((0 until CmsDepth).map(j => struct(lit(j).as("j"),
+          pmod(phash64(concat(col("term"), lit(s":cms$j"))),
+            lit(CmsWidth)).as("pos"))): _*)).as("h"))
+        .select(col("term"), col("n"), col("h.j").as("j"), col("h.pos").as("pos"))
+      val cms = hashed.groupBy(col("j"), col("pos")).agg(sum(col("n")).as("c"))
+      hashed.join(broadcast(cms), Seq("j", "pos"))
+        .groupBy(col("term"), col("n")).agg(min(col("c")).as("est"))
+        .orderBy(col("est").desc, col("term")).limit(20)
+        .select(col("term"), col("est"), col("n").as("true_n"),
+          (col("est") - col("n")).as("overestimate"))
+    }),
+
+    // Distributed weighted sampling without replacement (Efraimidis-
+    // Spirakis A-ES): each doc draws a deterministic hash-uniform
+    // u ∈ (0,1] and keys on ln(u)/weight (weight = token count — longer
+    // docs proportionally likelier); the top-k keys ARE the weighted
+    // sample. One projection + a distributed TakeOrdered: no sampling
+    // state, no second pass, stable under any partitioning or re-run —
+    // the only way to draw a weighted sample from a 100 TB corpus in
+    // one scan.
+    "text_weighted_sample" -> ((s, dir) => {
+      val u = (pmod(phash64(concat(col("doc_id").cast("string"), lit(":es"))),
+        lit(1000000L)) + lit(1L)).cast("double") / lit(1000001.0)
+      docs(s, dir)
+        .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("wkey", round(log(u) / col("n_tokens").cast("double"), 6))
+        .orderBy(col("wkey").desc, col("doc_id")).limit(20)
+    }),
+
     // Okapi BM25 retrieval scoring against a fixed query-term set (the
     // lexical-search half of a retrieval/dedup stack; k1=1.2, b=0.75).
     // Shape at scale: ONE corpus scan projects a thin checkpointed base
@@ -616,6 +660,15 @@ object TextOps {
   private[operators] val BloomSalts: Seq[(Long, Long)] =
     Seq((769L, 7L), (12289L, 99991L), (786433L, 524287L))
 
+  /** Count-Min dimensions. The synthetic corpus draws from a ~31-term
+    * vocabulary, so the width is set BELOW the collision-free point
+    * (w = 64 would be collision-free only if all 3 rows separated all 31
+    * terms — they don't) to make the sketch's one-sided error actually
+    * appear in the output; production sizing is w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+    */
+  private[operators] val CmsDepth = 3
+  private[operators] val CmsWidth = 64L
+
   // ---- oracle SQL builders -------------------------------------------------
 
   /** DuckDB list of the k Bloom positions of hash expression `h`. */
@@ -1054,6 +1107,29 @@ object TextOps {
             CAST(COUNT(*) AS DOUBLE) / n_shingles AS contamination
           FROM corpus JOIN bench USING (h)
           GROUP BY doc_id, n_shingles""",
+
+    "text_cms_heavy" -> {
+      val posSql = s"${phash64Sql("term || ':cms' || j")} % $CmsWidth"
+      s"""WITH tok AS (SELECT unnest($toks) AS term FROM documents),
+          counts AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1),
+          hashed AS (SELECT term, n, j, $posSql AS pos
+            FROM counts, (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j)),
+          cms AS (SELECT j, pos, CAST(SUM(n) AS BIGINT) AS c
+            FROM hashed GROUP BY 1, 2),
+          est AS (SELECT term, n, MIN(c) AS est
+            FROM hashed JOIN cms USING (j, pos) GROUP BY 1, 2)
+          SELECT term, est, n AS true_n, est - n AS overestimate
+          FROM est ORDER BY est DESC, term LIMIT 20"""
+    },
+
+    "text_weighted_sample" ->
+      s"""WITH base AS (SELECT doc_id,
+              CAST(len($toks) AS BIGINT) AS n_tokens FROM documents)
+          SELECT doc_id, n_tokens,
+            ROUND(ln(CAST((${phash64Sql("CAST(doc_id AS VARCHAR) || ':es'")}
+                % 1000000) + 1 AS DOUBLE) / 1000001.0)
+              / CAST(n_tokens AS DOUBLE), 6) AS wkey
+          FROM base ORDER BY wkey DESC, doc_id LIMIT 20""",
 
     "text_bloom_contaminate" ->
       s"""WITH sh AS (SELECT doc_id, doc_id % 50 = 0 AS is_bench,

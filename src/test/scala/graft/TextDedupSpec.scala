@@ -191,4 +191,45 @@ class TextDedupSpec extends AnyFunSuite {
     val byDoc = bloom.map { case (d, _, t, _) => d -> t }.toMap
     assert(trueHits.forall { case (d, n) => byDoc.get(d).contains(n) })
   }
+
+  test("text_cms_heavy: the sketch error is one-sided and collisions are exercised") {
+    val out = graft.operators.TextOps.queries("text_cms_heavy")(
+      spark, "/root/testdata/sf0.001")
+      .select("est", "true_n", "overestimate").as[(Long, Long, Long)].collect()
+    assert(out.length == 20)
+    // CMS can only OVER-count (est = min over d counters, each a
+    // superset sum); an under-count anywhere is a broken sketch
+    assert(out.forall { case (e, t, o) => e >= t && o == e - t })
+    assert(out.exists(_._3 > 0), "width chosen to collide, yet no overestimate")
+  }
+
+  test("text_weighted_sample: the A-ES key law — for a fixed draw, more weight wins") {
+    // key = ln(u)/w is strictly increasing in w for u in (0,1); the
+    // sample must therefore prefer the heavier doc whenever hashes tie
+    val u = 0.37
+    val keys = Seq(1L, 10L, 1000L).map(w => math.log(u) / w)
+    assert(keys == keys.sorted)
+    // and on the corpus: every selected key is >= every unselected key
+    // (top-k really is the global top-k of the one-pass projection)
+    val dir = "/root/testdata/sf0.001"
+    val sel = graft.operators.TextOps.queries("text_weighted_sample")(spark, dir)
+      .select("doc_id", "wkey").as[(Long, Double)].collect()
+    assert(sel.length == 20)
+    val minSel = sel.map(_._2).min
+    val selIds = sel.map(_._1).toSet
+    // recompute the keyed projection for the UNSELECTED remainder with
+    // the oracle-mirrored formula: no remainder key may beat the
+    // selected minimum (the head really is the global top-k)
+    val rest = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(!col("doc_id").isin(selIds.toSeq: _*))
+      .select(col("doc_id"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("u",
+        (pmod(graft.functions.Portable.phash64(
+          concat(col("doc_id").cast("string"), lit(":es"))), lit(1000000L)) +
+          lit(1L)).cast("double") / lit(1000001.0))
+      .withColumn("wkey", round(log(col("u")) / col("n").cast("double"), 6))
+      .select("wkey").as[Double].collect()
+    assert(rest.forall(_ <= minSel))
+  }
 }

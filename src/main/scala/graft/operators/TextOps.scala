@@ -141,6 +141,25 @@ object TextOps {
           (col("est") - col("n")).as("overestimate"))
     }),
 
+    // The first BPE merge iteration (tokenizer training's inner loop):
+    // adjacent character-pair frequencies across the corpus, weighted by
+    // word frequency — the statistic that picks the next merge rule.
+    // Shape at scale: the corpus collapses to its VOCABULARY first (one
+    // token shuffle, map-side combined), pairs explode from the tiny
+    // word table, and the final count is an agg over |vocab|·avg_len
+    // rows — the corpus text is scanned exactly once however many merge
+    // iterations run downstream.
+    "text_bpe_merges" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      words.filter(length(col("w")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("pair")).limit(20)
+    }),
+
     // Distributed weighted sampling without replacement (Efraimidis-
     // Spirakis A-ES): each doc draws a deterministic hash-uniform
     // u ∈ (0,1] and keys on ln(u)/weight (weight = token count — longer
@@ -1121,6 +1140,18 @@ object TextOps {
           SELECT term, est, n AS true_n, est - n AS overestimate
           FROM est ORDER BY est DESC, term LIMIT 20"""
     },
+
+    "text_bpe_merges" ->
+      s"""WITH words AS (
+            SELECT w, COUNT(*) AS n
+            FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY 1),
+          pairs AS (
+            SELECT n, unnest([w[i:i+1]
+              for i in generate_series(1, length(w) - 1)]) AS pair
+            FROM words WHERE length(w) >= 2)
+          SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pairs
+          FROM pairs GROUP BY 1
+          ORDER BY n_pairs DESC, pair LIMIT 20""",
 
     "text_weighted_sample" ->
       s"""WITH base AS (SELECT doc_id,

@@ -128,12 +128,8 @@ object TextOps {
       val tok = docs(s, dir).select(explode(Text.tokens(col("text"))).as("term"))
       val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
         .localCheckpoint()
-      val hashed = counts.select(col("term"), col("n"),
-        explode(array((0 until CmsDepth).map(j => struct(lit(j).as("j"),
-          pmod(phash64(concat(col("term"), lit(s":cms$j"))),
-            lit(CmsWidth)).as("pos"))): _*)).as("h"))
-        .select(col("term"), col("n"), col("h.j").as("j"), col("h.pos").as("pos"))
-      val cms = hashed.groupBy(col("j"), col("pos")).agg(sum(col("n")).as("c"))
+      val hashed = cmsHashed(counts)
+      val cms = cmsCounters(hashed)
       hashed.join(broadcast(cms), Seq("j", "pos"))
         .groupBy(col("term"), col("n")).agg(min(col("c")).as("est"))
         .orderBy(col("est").desc, col("term")).limit(20)
@@ -687,6 +683,23 @@ object TextOps {
     */
   private[operators] val CmsDepth = 3
   private[operators] val CmsWidth = 64L
+
+  /** (term, n) → the term's d Count-Min cells: (term, n, j, pos). */
+  private[graft] def cmsHashed(counts: DataFrame): DataFrame =
+    counts.select(col("term"), col("n"),
+      explode(array((0 until CmsDepth).map(j => struct(lit(j).as("j"),
+        pmod(phash64(concat(col("term"), lit(s":cms$j"))),
+          lit(CmsWidth)).as("pos"))): _*)).as("h"))
+      .select(col("term"), col("n"), col("h.j").as("j"), col("h.pos").as("pos"))
+
+  /** The counter table (j, pos, c) — a plain SUM aggregate, which is the
+    * point: CMS counters merge like any partial aggregate (CMS(A ∪ B) =
+    * CMS(A) + CMS(B) cell-wise), so the sketch builds map-side at any
+    * scale and unions across corpora without a rescan. Mergeability is
+    * golden-pinned in TextDedupSpec.
+    */
+  private[graft] def cmsCounters(hashed: DataFrame): DataFrame =
+    hashed.groupBy(col("j"), col("pos")).agg(sum(col("n")).as("c"))
 
   // ---- oracle SQL builders -------------------------------------------------
 

@@ -203,6 +203,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.exists(_._3 > 0), "width chosen to collide, yet no overestimate")
   }
 
+  test("CMS counters are mergeable: CMS(even docs) + CMS(odd docs) == CMS(corpus)") {
+    // the property that lets the sketch build map-side and union across
+    // corpora at 100 TB — counter tables are plain sums, so splitting the
+    // corpus any way and adding cell-wise must reproduce the whole
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    def counters(part: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.cmsCounters(graft.operators.TextOps.cmsHashed(
+        part.select(explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("n"))))
+        .as[(Int, Long, Long)].collect().map { case (j, p, c) => (j, p) -> c }.toMap
+    val whole = counters(d)
+    val even = counters(d.filter(col("doc_id") % 2 === 0))
+    val odd = counters(d.filter(col("doc_id") % 2 === 1))
+    val merged = (even.keySet ++ odd.keySet).map(k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
   test("text_weighted_sample: the A-ES key law — for a fixed draw, more weight wins") {
     // key = ln(u)/w is strictly increasing in w for u in (0,1); the
     // sample must therefore prefer the heavier doc whenever hashes tie

@@ -204,7 +204,17 @@ object Dedup {
     * n_members, keep_id = cluster) — documents outside any pair are
     * implicitly their own singleton cluster and need no row.
     */
-  def nearDupComponents(pairs: DataFrame): DataFrame = {
+  def nearDupComponents(pairs: DataFrame): DataFrame =
+    componentLabels(pairs).groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keep_id"))
+
+  /** Member-level cluster labels (doc_id, label = the cluster's min id)
+    * for every vertex of the pair graph — the loop behind
+    * [[nearDupComponents]], exposed so survivorship consolidation can
+    * merge per-member provenance (`pipe_golden_record`) instead of only
+    * counting members.
+    */
+  def componentLabels(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -244,8 +254,7 @@ object Dedup {
       persisted = nextPersisted
       labels = spark.createDataFrame(nextPersisted.rdd, nextPersisted.schema)
     }
-    labels.groupBy(col("label").as("cluster"))
-      .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keep_id"))
+    labels
   }
 
   // --- SimHash -------------------------------------------------------------

@@ -404,6 +404,26 @@ object Relational {
         .select(col("o_orderkey"), col("o_custkey"), col("n_priorities"))
     }),
 
+    // Key-skew diagnostics — the operational pre-query behind every
+    // salting decision (q13/q24 are the cure; this is the diagnosis):
+    // per-key cardinalities in one map-side-combined aggregate, then the
+    // top-5 heavy keys with their share of all rows and the global
+    // key/row totals as plan literals. At 100 TB this is the ONLY safe
+    // way to look at a join key before shuffling on it — the probe's
+    // own shuffle carries |keys| rows, and the head is a TakeOrdered.
+    "q28_skew_probe" -> ((s, dir) => {
+      val counts = Tables.load(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tot = counts.agg(sum(col("n")), count(lit(1))).head()
+      val (nRows, nKeys) = (tot.getLong(0), tot.getLong(1))
+      counts.orderBy(col("n").desc, col("user_id")).limit(5)
+        .select(col("user_id"), col("n"),
+          round(col("n").cast("double") * lit(100.0) / lit(nRows.toDouble), 4)
+            .as("share_pct"),
+          lit(nKeys).as("n_keys"), lit(nRows).as("total_rows"))
+    }),
+
     // Sketch-based distinct counting — the 100 TB replacement for q7's
     // exact countDistinct: HyperLogLog++ partials merge map-side, so the
     // shuffle carries |groups| fixed-size sketches instead of every
@@ -852,6 +872,16 @@ object Relational {
            COUNT(DISTINCT o_orderpriority)
              OVER (PARTITION BY o_custkey) AS n_priorities
          FROM orders""",
+
+    "q28_skew_probe" ->
+      """WITH counts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+          tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+                         COUNT(*) AS n_keys FROM counts)
+         SELECT user_id, n,
+           ROUND(CAST(n AS DOUBLE) * 100.0 / CAST(total_rows AS DOUBLE), 4)
+             AS share_pct,
+           n_keys, total_rows
+         FROM counts, tot ORDER BY n DESC, user_id LIMIT 5""",
 
     "q19_approx_distinct" ->
       """SELECT l_returnflag,

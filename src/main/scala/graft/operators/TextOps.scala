@@ -595,6 +595,28 @@ object TextOps {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Survivorship / golden-record consolidation — what a curation
+    // pipeline does AFTER dedup decides the clusters: keep the earliest
+    // member of each MinHash near-dup cluster but MERGE the provenance
+    // of all of them (member count, distinct sources as a sorted csv,
+    // language spread), so dropping duplicates loses no lineage. The
+    // member-level labels come from the same min-label fixpoint as
+    // dedup_components ([[Dedup.componentLabels]]); the merge is one
+    // groupBy on the label; collect_set stays bounded by the 20-source
+    // universe (a production run caps or sketches it).
+    "pipe_golden_record" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.componentLabels(
+          Dedup.minhashLsh(d, col("doc_id"), col("text")))
+        .join(d.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+        .groupBy(col("label").as("cluster"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_members"),
+          countDistinct(col("source")).as("n_sources"),
+          array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
+
     // Streaming incremental exact dedup: the corpus arrives as TWO files
     // (even doc_ids, then odd), each its own micro-batch
     // (maxFilesPerTrigger=1, mod-time order); the per-digest state ledger
@@ -1215,6 +1237,27 @@ object TextOps {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",
+
+    "pipe_golden_record" ->
+      s"""WITH $minhashPairCtes,
+          good AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM good
+            UNION SELECT doc_b, doc_a FROM good),
+          verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+          lab AS (
+            WITH RECURSIVE cc AS (
+              SELECT doc_id, doc_id AS label FROM verts
+              UNION
+              SELECT e.dst AS doc_id, cc.label FROM cc JOIN edges e ON e.src = cc.doc_id)
+            SELECT doc_id, MIN(label) AS label FROM cc GROUP BY 1)
+          SELECT label AS cluster, MIN(d.doc_id) AS keep_id,
+            COUNT(*) AS n_members,
+            COUNT(DISTINCT d.source) AS n_sources,
+            string_agg(DISTINCT d.source, ',' ORDER BY d.source) AS sources,
+            COUNT(DISTINCT d.lang) AS n_langs
+          FROM lab JOIN documents d USING (doc_id)
+          GROUP BY 1""",
 
     // per-digest winner under phased delivery: even batch first
     "dedup_stream_exact" ->

@@ -784,8 +784,25 @@ object StreamOps {
     * oracle. Output: one row per qualifying (view, buy) pair with the µs
     * lag — integer-exact.
     */
-  private def runStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_q"
+  private def runStreamJoin(s: SparkSession, dir: String): DataFrame =
+    streamJoinRunner(s, dir, tag = "inner", joinType = "inner", pairProjection)
+
+  /** The matched-pair projection shared by the inner and outer arms. */
+  private def pairProjection(j: DataFrame): DataFrame =
+    j.select(col("v_event").as("view_event"), col("b_event").as("buy_event"),
+      col("v_user").as("user_id"),
+      (unix_micros(col("b_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+
+  /** Shared harness for the watermarked stream-stream join family: the
+    * events corpus split into two LIVE sides by event_id parity ("view"
+    * rows even, "buy" rows odd), each side watermarked 1 hour, joined
+    * per user with the buy-within-the-hour event-time bound, drained
+    * under AvailableNow. The three query entries differ only in join
+    * type and output projection — semantics notes live on each runner.
+    */
+  private def streamJoinRunner(s: SparkSession, dir: String, tag: String,
+      joinType: String, out: DataFrame => DataFrame): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_${tag}_q"
     IncrSync.deletePath(s, work)
     val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
@@ -806,11 +823,10 @@ object StreamOps {
           col("user_id").as(s"${prefix}_user"),
           timestamp_micros(col("ts_us")).as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", "1 hour")
-    val q = sideStream("views", "v").join(sideStream("buys", "b"),
-        expr("v_user = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"))
-      .select(col("v_event").as("view_event"), col("b_event").as("buy_event"),
-        col("v_user").as("user_id"),
-        (unix_micros(col("b_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+    val joined = sideStream("views", "v").join(sideStream("buys", "b"),
+      expr("v_user = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"),
+      joinType)
+    val q = out(joined)
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$work/ckpt")
       .option("path", s"$work/out")
@@ -833,41 +849,8 @@ object StreamOps {
     * open-state views (premature nulls), dropped evicted ones, or
     * double-emitted a matched view hash-diverges.
     */
-  private def runStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_outer_q"
-    IncrSync.deletePath(s, work)
-    val ev = graft.Tables.loadEventsNs(s, dir)
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
-      .localCheckpoint()
-    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$work/views")
-    ev.filter(col("event_id") % 2 === 1).write.parquet(s"$work/buys")
-
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts_us",
-        org.apache.spark.sql.types.LongType)))
-    def sideStream(path: String, prefix: String): DataFrame =
-      s.readStream.schema(schema).parquet(s"$work/$path")
-        .select(col("event_id").as(s"${prefix}_event"),
-          col("user_id").as(s"${prefix}_user"),
-          timestamp_micros(col("ts_us")).as(s"${prefix}_ts"))
-        .withWatermark(s"${prefix}_ts", "1 hour")
-    val q = sideStream("views", "v").join(sideStream("buys", "b"),
-        expr("v_user = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"),
-        "leftOuter")
-      .select(col("v_event").as("view_event"), col("b_event").as("buy_event"),
-        col("v_user").as("user_id"),
-        (unix_micros(col("b_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$work/ckpt")
-      .option("path", s"$work/out")
-      .trigger(Trigger.AvailableNow()).format("parquet").start()
-    q.awaitTermination()
-    s.read.parquet(s"$work/out")
-  }
+  private def runStreamJoinOuter(s: SparkSession, dir: String): DataFrame =
+    streamJoinRunner(s, dir, tag = "outer", joinType = "leftOuter", pairProjection)
 
   /** LEFT SEMI watermarked stream-stream join — the EXISTS arm of the
     * streaming-join family (inner emits every matched pair; this emits
@@ -881,40 +864,10 @@ object StreamOps {
     * double emission (the failure the semi type exists to prevent)
     * row-count-diverges immediately.
     */
-  private def runStreamJoinSemi(s: SparkSession, dir: String): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_semi_q"
-    IncrSync.deletePath(s, work)
-    val ev = graft.Tables.loadEventsNs(s, dir)
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
-      .localCheckpoint()
-    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$work/views")
-    ev.filter(col("event_id") % 2 === 1).write.parquet(s"$work/buys")
-
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts_us",
-        org.apache.spark.sql.types.LongType)))
-    def sideStream(path: String, prefix: String): DataFrame =
-      s.readStream.schema(schema).parquet(s"$work/$path")
-        .select(col("event_id").as(s"${prefix}_event"),
-          col("user_id").as(s"${prefix}_user"),
-          timestamp_micros(col("ts_us")).as(s"${prefix}_ts"))
-        .withWatermark(s"${prefix}_ts", "1 hour")
-    val q = sideStream("views", "v").join(sideStream("buys", "b"),
-        expr("v_user = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"),
-        "leftSemi")
-      .select(col("v_event").as("view_event"), col("v_user").as("user_id"),
-        unix_micros(col("v_ts")).as("ts_view"))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$work/ckpt")
-      .option("path", s"$work/out")
-      .trigger(Trigger.AvailableNow()).format("parquet").start()
-    q.awaitTermination()
-    s.read.parquet(s"$work/out")
-  }
+  private def runStreamJoinSemi(s: SparkSession, dir: String): DataFrame =
+    streamJoinRunner(s, dir, tag = "semi", joinType = "leftSemi",
+      _.select(col("v_event").as("view_event"), col("v_user").as("user_id"),
+        unix_micros(col("v_ts")).as("ts_view")))
 
   /** Streaming gap sessionization via Spark's NATIVE `session_window`
     * aggregate — the merging-window state operator no other query

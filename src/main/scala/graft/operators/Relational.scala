@@ -404,6 +404,39 @@ object Relational {
         .select(col("o_orderkey"), col("o_custkey"), col("n_priorities"))
     }),
 
+    // Two-phase zone-map scan — the read side of q26's write-side
+    // layout, i.e. how a lakehouse actually answers a 2-D box query:
+    // phase 1 consults the per-bucket min/max INDEX (tiny — bounded by
+    // the fixed z-bucket universe, collected exactly like any index
+    // lookup) to find buckets the box can overlap; phase 2 scans ONLY
+    // those buckets and applies the exact predicate. The output carries
+    // the box aggregate plus scanned/total bucket counts — the pruning
+    // ratio IS the result a layout engineer reads. Zone-map soundness
+    // (no box row lives outside an overlapping bucket, so the two-phase
+    // answer ≡ the direct scan) is the q26 golden.
+    "q29_zonemap_scan" -> ((s, dir) => {
+      val withZ = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .withColumn("zbucket",
+          shiftright(zorderInterleave(col("l_partkey"), col("l_suppkey")), 12))
+        .localCheckpoint()
+      val zm = withZ.groupBy(col("zbucket"))
+        .agg(min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+        .localCheckpoint()
+      val nTotal = zm.count()
+      val hit = zm.filter(col("max_pk") >= 64 && col("min_pk") <= 127 &&
+          col("max_sk") >= 4 && col("min_sk") <= 7)
+        .select(col("zbucket")).collect().map(_.getLong(0)).sorted
+      withZ.filter(col("zbucket").isin(hit: _*))
+        .filter(col("l_partkey").between(64, 127) && col("l_suppkey").between(4, 7))
+        .agg(count(lit(1)).as("n_rows_in_box"),
+          moneySum(col("l_extendedprice")).as("box_revenue"))
+        .select(col("n_rows_in_box"), col("box_revenue"),
+          lit(hit.length.toLong).as("n_buckets_scanned"),
+          lit(nTotal).as("n_buckets_total"))
+    }),
+
     // Key-skew diagnostics — the operational pre-query behind every
     // salting decision (q13/q24 are the cure; this is the diagnosis):
     // per-key cardinalities in one map-side-combined aggregate, then the
@@ -872,6 +905,28 @@ object Relational {
            COUNT(DISTINCT o_orderpriority)
              OVER (PARTITION BY o_custkey) AS n_priorities
          FROM orders""",
+
+    "q29_zonemap_scan" -> {
+      val zExpr = (0 until 16).map(i =>
+        s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH z AS (SELECT l_partkey, l_suppkey, l_extendedprice,
+              ($zExpr) >> 12 AS zbucket FROM lineitem),
+          zm AS (SELECT zbucket,
+              MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+              MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+            FROM z GROUP BY 1),
+          hit AS (SELECT zbucket FROM zm
+            WHERE max_pk >= 64 AND min_pk <= 127
+              AND max_sk >= 4 AND min_sk <= 7)
+          SELECT COUNT(*) AS n_rows_in_box,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS box_revenue,
+            (SELECT COUNT(*) FROM hit) AS n_buckets_scanned,
+            (SELECT COUNT(*) FROM zm) AS n_buckets_total
+          FROM z JOIN hit USING (zbucket)
+          WHERE l_partkey BETWEEN 64 AND 127 AND l_suppkey BETWEEN 4 AND 7"""
+    },
 
     "q28_skew_probe" ->
       """WITH counts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),

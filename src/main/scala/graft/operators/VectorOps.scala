@@ -144,6 +144,43 @@ object VectorOps {
           coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
     }),
 
+    // Quantization-error report — the metric that picks the codec: total
+    // and per-vector squared reconstruction error of SQ8 (per-vector
+    // affine, 64 bytes) vs PQ (trained codebooks, 4 bytes), on the same
+    // integer grid the cosine pipeline uses. The PQ error is exactly the
+    // assignment distance pqAssign already computes; the SQ8 error
+    // decodes each byte back through the affine map. Both collapse
+    // map-side to two integer sums — an eval pass costs one corpus scan
+    // per codec at any scale.
+    "sim_quant_error" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val p = Similarity.prepared(e, col("vec_id"), col("embedding"))
+      val nVec = e.count()
+      // SQ8: vhat_int = round((qmin + q*(qmax-qmin)/255)*1000) on the
+      // same milli-integer grid as prepared's v
+      val sq8 = e.select(col("vec_id"),
+          array_min(col("embedding")).cast("double").as("qmin"),
+          array_max(col("embedding")).cast("double").as("qmax"),
+          Similarity.sq8Encode(col("embedding")).as("q"))
+        .join(p.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .select(aggregate(zip_with(col("v"),
+          transform(col("q"), q =>
+            round((col("qmin") + q.cast("double") *
+              (col("qmax") - col("qmin")) / lit(255.0)) * lit(1000.0))
+              .cast("long")),
+          (x, xhat) => (x - xhat) * (x - xhat)), lit(0L), (a, x) => a + x).as("err"))
+        .agg(sum(col("err")).as("total_sqerr"))
+        .select(lit("sq8").as("method"), col("total_sqerr"))
+      val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8)
+      val pq = Similarity.pqAssign(Similarity.pqSubvectors(p), cb)
+        .agg(sum(col("d")).as("total_sqerr"))
+        .select(lit("pq").as("method"), col("total_sqerr"))
+      sq8.unionByName(pq)
+        .withColumn("mean_sqerr",
+          round(col("total_sqerr").cast("double") / lit(nVec.toDouble), 4))
+    }),
+
     // IVF-PQ combined search — the billion-scale index layout (coarse
     // quantizer prunes to nProbe inverted lists, ADC over 4-byte PQ
     // codes ranks the survivors): see [[Similarity.ivfPqSearch]] for
@@ -454,6 +491,36 @@ object VectorOps {
           FROM exact e LEFT JOIN ivf i
             ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
           GROUP BY e.query_id""",
+
+    "sim_quant_error" -> {
+      val dec = "CAST(round((sc.qmin + CAST(sc.q[i] AS DOUBLE) * (sc.qmax - sc.qmin) / 255.0) * 1000.0) AS BIGINT)"
+      s"""WITH $prepCte, ${pqCtes(2)}, ${pqEncCte(2)},
+          senc AS (SELECT vec_id,
+              CAST(list_min(embedding) AS DOUBLE) AS qmin,
+              CAST(list_max(embedding) AS DOUBLE) AS qmax,
+              embedding AS e
+            FROM embeddings),
+          sc AS (SELECT vec_id, qmin, qmax,
+              CASE WHEN qmax > qmin
+                THEN [CAST(round((CAST(x AS DOUBLE) - qmin) * 255.0 / (qmax - qmin)) AS INT)
+                      for x in e]
+                ELSE [0 for x in e] END AS q
+            FROM senc),
+          sqerr AS (
+            SELECT CAST(SUM(list_sum(list_transform(generate_series(1, len(p.v)),
+              i -> (p.v[i] - $dec) * (p.v[i] - $dec)))) AS BIGINT) AS total_sqerr
+            FROM prep p JOIN sc ON sc.vec_id = p.vec_id),
+          pqerr AS (
+            SELECT CAST(SUM(${l2Sql("s.sv", "c.cw")}) AS BIGINT) AS total_sqerr
+            FROM enc a
+            JOIN subprep s ON s.vec_id = a.vec_id AND s.m = a.m
+            JOIN cb2 c ON c.m = a.m AND c.code = a.code),
+          nv AS (SELECT COUNT(*) AS n FROM embeddings)
+          SELECT method, total_sqerr,
+            ROUND(CAST(total_sqerr AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_sqerr
+          FROM (SELECT 'sq8' AS method, total_sqerr FROM sqerr
+                UNION ALL SELECT 'pq', total_sqerr FROM pqerr), nv"""
+    },
 
     "sim_ivfpq" ->
       s"""WITH $prepCte, ${kmeansCtes(2)}, ${pqCtes(2)}, ${pqEncCte(2)},

@@ -110,6 +110,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sim_sq8 reads the unused label column:\n$plan")
   }
 
+  test("plan audit: q26/q28 scans prune to the referenced columns") {
+    // the z-order projection touches 2 of lineitem's 16 columns; the
+    // skew probe touches 1 of events' 6 — at 100 TB these diagnostics
+    // must not pay for the fact table's width
+    val p26 = SparkEntry.queries("q26_zorder")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val rs26 = p26.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs26.contains("l_extendedprice") && !rs26.contains("l_shipdate"),
+      s"q26_zorder widens the lineitem scan:\n$p26")
+    val p28 = SparkEntry.queries("q28_skew_probe")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val rs28 = p28.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs28.contains("props") && !rs28.contains("event_type"),
+      s"q28_skew_probe widens the events scan:\n$p28")
+  }
+
   test("plan audit: q10/q11 scans prune to the referenced columns") {
     // sessionize touches 3 of events' 6 columns; quantiles 2 of
     // lineitem's 16 — at 100 TB the scan width IS the query cost

@@ -129,6 +129,16 @@ class SimilaritySpec extends AnyFunSuite {
         rs.sortBy(_._2).map(_._3).sliding(2).forall(p => p.head <= p.last) })
   }
 
+  test("sim_quant_error: the codec trade is visible — 64-byte SQ8 beats 4-byte PQ on fidelity") {
+    val out = graft.operators.VectorOps.queries("sim_quant_error")(
+      spark, "/root/testdata/sf0.001")
+      .select("method", "total_sqerr").as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("sq8", "pq"))
+    assert(out.values.forall(_ >= 0L))
+    // 16x more bytes must buy strictly less reconstruction error
+    assert(out("sq8") < out("pq"))
+  }
+
   test("annLshTop1: bucketed candidates only, each result is the bucket argmax") {
     val corpus = (0 until 50).map { i =>
       (i.toLong, Seq.tabulate(64)(d => ((i * 37 + d * 13) % 17 - 8).toFloat / 8f), 0)

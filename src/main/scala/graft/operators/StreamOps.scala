@@ -44,6 +44,7 @@ object StreamOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_e2e" -> ((s, dir) => run(s, dir)),
     "cdc_resume_restart" -> ((s, dir) => runResume(s, dir)),
+    "cdc_supervisor_restart" -> ((s, dir) => runSupervisor(s, dir)),
     "cdc_metrics" -> ((s, dir) => runMetrics(s, dir)),
     "cdc_full_incr_handoff" -> ((s, dir) => runHandoff(s, dir)),
     "cdc_soak_live" -> ((s, dir) => runSoak(s, dir)),
@@ -219,6 +220,74 @@ object StreamOps {
     val ckN = ck.select(lit("ckpt_n").as("section"), lit("").as("a"), lit("").as("b"),
       col("n_logs").as("x"), col("batch_id").as("y"), lit(0.0).as("v"))
     state.unionByName(ddl).unionByName(ckRange).unionByName(ckN)
+  }
+
+  /** Harness fault injector: delegates to the real target but fails the
+    * FIRST DML delivery (driver-side flag — foreachBatch targets run on
+    * the driver, and the instance is shared across supervised restarts,
+    * so exactly one run crashes).
+    */
+  private final class FaultOnceTarget(inner: graft.streaming.TargetWriter)
+      extends graft.streaming.TargetWriter {
+    @volatile private var tripped = false
+    def applyDml(last: DataFrame): Unit = {
+      if (!tripped) {
+        tripped = true
+        throw new RuntimeException("injected fault: first DML delivery dies")
+      }
+      inner.applyDml(last)
+    }
+    def applyCommand(spark: SparkSession, row: Row, batchId: Long, seq: Int): Unit =
+      inner.applyCommand(spark, row, batchId, seq)
+    def commitCheckpoint(ck: DataFrame, batchId: Long): Unit =
+      inner.commitCheckpoint(ck, batchId)
+    override def journalOps(batch: DataFrame, batchId: Long): Unit =
+      inner.journalOps(batch, batchId)
+  }
+
+  /** The hypervisor restart loop end-to-end (`scripts/hypervisor.c` ↔
+    * [[graft.streaming.Supervisor]]): the REAL `IncrSync.startOplogTo`
+    * query dies on its FIRST DML delivery — an injected fault at the sink
+    * seam, mid-batch, BEFORE the engine checkpoint commits: exactly the
+    * dangerous window the at-least-once × idempotence contract exists
+    * for. The supervisor restarts from the same checkpointLocation and
+    * the replayed batch converges through the idempotent merge.
+    * Output = the resume harness's exact sections
+    * (final state + per-batch `_ckpt` rows: a re-read, a skip, or a
+    * duplicated batch all hash-diverge) plus a `sup` section pinning
+    * restarts = 1 and a clean (not given-up) exit. The oracle is the
+    * CLEAN run's closed form — supervised crash-recovery must be
+    * observationally identical to never having crashed.
+    */
+  private def runSupervisor(s: SparkSession, dir: String): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_supervisor_q"
+    IncrSync.deletePath(s, work)
+    val keep = OplogFilters.chain(gids, white, black)
+    val eff = Oplog.fromEvents(s, dir)
+      .filter(keep && col("op").isin("i", "u", "d"))
+    feedify(eff).coalesce(1).write.parquet(s"$work/feed")
+
+    val target = new FaultOnceTarget(
+      graft.streaming.ParquetTarget(s"$work/target", nBuckets = 16))
+    val report = graft.streaming.Supervisor.supervise(
+      () => IncrSync.startOplogTo(s,
+        graft.streaming.ParquetDirSource(s"$work/feed", IncrSync.oplogSchema),
+        target, s"$work/ckpt", gids = gids, white = white, black = black),
+      maxRestarts = 3, backoffUnitMs = 10L)
+    require(!report.gaveUp, s"supervisor gave up: ${report.lastError}")
+
+    val state = IncrSync.readOrEmpty(s, s"$work/target/state")
+      .select(lit("state").as("section"), col("ns").as("a"), col("doc_key").as("b"),
+        col("last_event_id").as("x"), lit(0L).as("y"), col("last_value").as("v"))
+    val ck = s.read.parquet(s"$work/target/_ckpt")
+      .select(lit("ckpt").as("section"), col("batch_id").cast("string").as("a"),
+        lit("").as("b"), col("lsn_min").as("x"), col("lsn_max").as("y"),
+        col("n_logs").cast("double").as("v"))
+    val sup = s.range(1).select(lit("sup").as("section"),
+      lit(report.restarts.toString).as("a"),
+      lit(report.gaveUp.toString).as("b"), lit(0L).as("x"), lit(0L).as("y"),
+      lit(0.0).as("v"))
+    state.unionByName(ck).unionByName(sup)
   }
 
   /** Crash/resume e2e with post-restart data (the reference's checkpoint
@@ -1391,6 +1460,29 @@ object StreamOps {
           FROM state
           UNION ALL
           SELECT 'ckpt', bid, '', lsn_min, lsn_max, CAST(n AS DOUBLE) FROM ck"""),
+
+    // The supervised crash-recovery run must be observationally identical
+    // to a clean single-batch run: one _ckpt row over the whole feed, the
+    // global last-effective-write state, and exactly one restart.
+    "cdc_supervisor_restart" -> Oplog.withOracleCte(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          state AS (
+            SELECT ns, doc_key, value, event_id FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff) WHERE rn = 1 AND op <> 'd')
+          SELECT 'state' AS section, ns AS a, doc_key AS b,
+            event_id AS x, CAST(0 AS BIGINT) AS y, value AS v
+          FROM state
+          UNION ALL
+          SELECT 'ckpt', '0', '', MIN(ts_packed), MAX(ts_packed),
+            CAST(COUNT(*) AS DOUBLE)
+          FROM eff
+          UNION ALL
+          SELECT 'sup', '1', 'false', CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0"""),
 
     "cdc_rebucket" -> Oplog.withOracleCte(
       s""", eff AS (

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryException}
+
+/** The reference's process babysitter (`scripts/hypervisor.c:161-246`) as
+  * an engine concern: restart a streaming query that DIES, resuming from
+  * its own checkpoint, with the hypervisor's doubling backoff ladder
+  * (`ssec = min(ssec << 1, MAXINTERVAL)`, reset to the base interval
+  * after a run that survived long enough to be called healthy; base 5 s,
+  * cap 180 s in the reference — both scaled by `backoffUnitMs` here so
+  * harnesses don't sleep wall-clock minutes).
+  *
+  * Safe by construction, which is why this is a LOOP and not a saga:
+  * every write path is an idempotent MERGE (K1) and the engine checkpoint
+  * commits only after the batch's segments acked (T8), so the crashed
+  * batch replays on restart and converges — the same at-least-once ×
+  * idempotence contract the reference relies on when the hypervisor
+  * revives a dead collector mid-batch.
+  *
+  * A query that terminates CLEANLY ends supervision (the hypervisor's
+  * normal-exit path); `maxRestarts` consecutive failures exhaust the
+  * ladder and supervision gives up with the last error recorded —
+  * reported, never silently swallowed.
+  */
+object Supervisor {
+
+  /** @param restarts  restarts consumed (0 = first run terminated cleanly)
+    * @param gaveUp    true when maxRestarts was exhausted
+    * @param lastError message of the final failure (gave-up runs), if any
+    */
+  case class Report(restarts: Int, gaveUp: Boolean, lastError: Option[String])
+
+  def supervise(start: () => StreamingQuery, maxRestarts: Int = 10,
+      backoffUnitMs: Long = 5000L, maxBackoffMs: Long = 180000L): Report = {
+    var restarts = 0
+    var backoff = backoffUnitMs
+    var last: Option[String] = None
+    while (true) {
+      val q = start()
+      try {
+        q.awaitTermination()
+        return Report(restarts, gaveUp = false, last)
+      } catch {
+        case e: StreamingQueryException =>
+          last = Some(Option(e.getMessage).getOrElse(e.toString))
+          if (restarts >= maxRestarts) return Report(restarts, gaveUp = true, last)
+          restarts += 1
+          Thread.sleep(backoff)
+          backoff = math.min(backoff << 1, maxBackoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -38,6 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sink_receiver_resume", // stop + resume receiver streaming queries
     "cdc_stream_e2e", // full streaming query with stateful txn assembly
     "cdc_resume_restart", // two sequential streaming queries (stop + resume)
+    "cdc_supervisor_restart", // crashed + supervised-restart streaming queries
     "cdc_full_incr_handoff", // snapshot apply + full streaming query
     "cdc_metrics", // streaming query + listener-fed metrics table
     "cdc_soak_live", // continuous-trigger soak: live TTL sleep + 4 polled phases

@@ -769,6 +769,31 @@ class StreamingSpec extends AnyFunSuite {
       rec.filter(col("bucket") =!= IncrSync.bucketOf(16)).count() == 0)
   }
 
+  test("Supervisor: exhausts maxRestarts on a query that always dies, reports the error") {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_supervisor_spec"
+    graft.streaming.IncrSync.deletePath(spark, work)
+    spark.range(5).write.parquet(s"$work/feed")
+    var attempts = 0
+    def start() = {
+      attempts += 1
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(s"$work/feed")
+        .writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .foreachBatch((_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => throw new RuntimeException("always fails"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    val r = graft.streaming.Supervisor.supervise(() => start(),
+      maxRestarts = 2, backoffUnitMs = 1L)
+    assert(r.gaveUp && r.restarts == 2)
+    assert(attempts == 3) // initial run + 2 restarts
+    assert(r.lastError.exists(_.contains("always fails")))
+  }
+
   test("stream_pattern: sequences straddle the staged batch boundary (CEP state carries)") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.operators.StreamOps.queries("stream_pattern")(spark, dir)

@@ -179,6 +179,27 @@ object Cdc {
         .agg(count(lit(1)).as("n"),
           sum((col("g_pre") === "ext").cast("long")).as("n_foreign"))),
 
+    // ObjectId timestamp/field extraction (`tools/mongo_id.go:21-60`): a
+    // 24-hex ObjectId is [4B epoch-seconds | 5B machine+pid | 3B counter];
+    // decoding the leading seconds is how operators turn a document id
+    // into a resume position. Synthesize each event's ObjectId from its
+    // own fields (time = ts seconds, machine = user hash, counter =
+    // event_id mod 2^24), then decode it back with the portable hex
+    // arithmetic — a field misalignment or radix slip hash-diverges.
+    // Pure projection, codegen'd end to end.
+    "cdc_objectid_decode" -> ((s, dir) => {
+      val e = graft.Tables.loadEventsNs(s, dir)
+      val oid = concat(
+        lpad(lower(hex(expr("ts DIV 1000000000"))), 8, "0"),
+        lpad(lower(hex(pmod(col("user_id"), lit(1099511627776L)))), 10, "0"),
+        lpad(lower(hex(pmod(col("event_id"), lit(16777216L)))), 6, "0"))
+      e.select(col("event_id"), oid.as("oid"))
+        .select(col("event_id"), col("oid"),
+          conv(substring(col("oid"), 1, 8), 16, 10).cast("long").as("oid_ts_sec"),
+          conv(substring(col("oid"), 9, 10), 16, 10).cast("long").as("oid_machine"),
+          conv(substring(col("oid"), 19, 6), 16, 10).cast("long").as("oid_counter"))
+    }),
+
     // X1-X3: routing distribution (worker → volume, distinct namespaces).
     "cdc_route_stats" -> ((s, dir) =>
       filtered(s, dir)
@@ -687,6 +708,19 @@ object Cdc {
       """SELECT '' AS g, COUNT(*) AS n,
          CAST(SUM(CASE WHEN g = 'ext' THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign
          FROM oplog"""),
+
+    "cdc_objectid_decode" ->
+      """WITH oids AS (
+           SELECT event_id,
+             lpad(lower(hex(epoch_ns(ts) // 1000000000)), 8, '0')
+               || lpad(lower(hex(user_id % 1099511627776)), 10, '0')
+               || lpad(lower(hex(event_id % 16777216)), 6, '0') AS oid
+           FROM events)
+         SELECT event_id, oid,
+           CAST(('0x' || substr(oid, 1, 8)) AS BIGINT) AS oid_ts_sec,
+           CAST(('0x' || substr(oid, 9, 10)) AS BIGINT) AS oid_machine,
+           CAST(('0x' || substr(oid, 19, 6)) AS BIGINT) AS oid_counter
+         FROM oids""",
 
     "cdc_compare_counts" -> withOplog(
       s""", eff AS (

@@ -232,6 +232,24 @@ object SinkOps {
     // projection plus the routing shard — a frame written to the wrong
     // shard file, a lost shard, or a driver-side fallback (the in-task
     // require) all fail.
+    // The dump inspector (`scripts/filestat` ↔ [[FileSink.stat]]): write
+    // the full 4-shard feed to ONE append log, then report its header
+    // fields and per-shard message counts from the BYTES — a parse of
+    // the real framing, not a replay of the writer's bookkeeping. The
+    // oracle computes the same report from the logical feed (shard = the
+    // routing hash, counts = group-by), so a frame that dropped or
+    // double-wrote payloads, a wrong shard id in a block header, or a
+    // codec id drift all hash-diverge.
+    "sink_filestat" -> ((s, dir) => {
+      import graft.sinks.FileSink
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_filestat_q"
+      graft.streaming.IncrSync.deletePath(s, work)
+      val framed = Envelope.compressFrames(
+        Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))
+      FileSink.write(s, framed, s"$work/tunnel.bin")
+      FileSink.stat(s, s"$work/tunnel.bin")
+    }),
+
     "sink_file_tunnel_sharded" -> ((s, dir) => {
       import graft.sinks.FileSink
       val work = s"${System.getProperty("java.io.tmpdir")}/graft_file_tunnel_sharded_q"
@@ -394,6 +412,20 @@ object SinkOps {
     "sink_file_tunnel_sharded" -> withOplog(
       s"""SELECT CAST($shardSql AS BIGINT) AS shard, ts_packed, op, ns, doc_key, g
           FROM oplog WHERE $chainSql"""),
+
+    "sink_filestat" -> withOplog(
+      s"""SELECT section, k, n, s FROM (
+            SELECT 'header' AS section, 'magic' AS k, CAST(0 AS BIGINT) AS n,
+              'eeeeeeeeee201314' AS s
+            UNION ALL SELECT 'header', 'protocol', 1, ''
+            UNION ALL SELECT 'header', 'compress',
+              ${graft.sinks.Envelope.CompressZlib}, ''
+            UNION ALL
+            SELECT 'shard', CAST(CAST($shardSql AS BIGINT) AS VARCHAR),
+              COUNT(*), ''
+            FROM oplog WHERE $chainSql GROUP BY 2
+            UNION ALL
+            SELECT 'total', '', COUNT(*), '' FROM oplog WHERE $chainSql)"""),
 
     "sink_mock_count" -> withOplog(
       s"SELECT COUNT(*) AS n_delivered FROM oplog WHERE $chainSql"),

@@ -207,6 +207,34 @@ object FileSink {
   def read(spark: SparkSession, path: String): Iterator[Block] with AutoCloseable =
     readWith(spark.sparkContext.hadoopConfiguration, path)
 
+  /** `scripts/filestat` as an engine surface: header fields plus
+    * per-shard message counts of a tunnel dump. One sequential pass —
+    * the format is variable-length framed and cannot split, and the
+    * reference tool is the same sequential scan; resident memory is one
+    * block. Output rows (section, k, n, s): `header` carries magic
+    * (hex string), protocol, and the observed compress codec; `shard`
+    * rows the payload count per shard; `total` the overall count.
+    */
+  def stat(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val it = read(spark, path)
+    var total = 0L
+    var compress = 0
+    val perShard = scala.collection.mutable.SortedMap.empty[Int, Long]
+    try it.foreach { b =>
+      perShard(b.shard) = perShard.getOrElse(b.shard, 0L) + b.payloads.length
+      total += b.payloads.length
+      compress = b.compress
+    } finally it.close()
+    val rows = Seq(
+      ("header", "magic", 0L, f"$FileMagic%x"),
+      ("header", "protocol", FileProtocol.toLong, ""),
+      ("header", "compress", compress.toLong, "")) ++
+      perShard.toSeq.map { case (sh, n) => ("shard", sh.toString, n, "") } ++
+      Seq(("total", "", total, ""))
+    rows.toDF("section", "k", "n", "s")
+  }
+
   /** [[read]] against an explicit Hadoop configuration — the task-side
     * entry [[readSharded]] uses (a task has no SparkSession).
     */

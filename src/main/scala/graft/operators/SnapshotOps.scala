@@ -30,6 +30,54 @@ object SnapshotOps {
       graft.sources.Catalog.collStats(s, dir, "tpch",
         white = Seq("^tpch\\..*$"), black = Seq("^tpch\\.embeddings$"))),
 
+    // The schema sampler (`tools/mongodb-schema.py`): infer each
+    // namespace's field inventory — name, JSON value type, presence
+    // fraction — from a DETERMINISTIC sample of its documents (the tool
+    // samples too; full scans are the one thing a schema probe must not
+    // do). Documents are synthesized with genuinely varying shape
+    // (optional number/array/string fields keyed off event_id) so the
+    // sampler's presence fractions do real work. One regex pass extracts
+    // (key, first-value-char) pairs — the char classifies the JSON type
+    // without parsing — then a per-ns aggregate; the per-ns totals
+    // broadcast back. Everything is codegen'd projection + two small
+    // aggregates; nothing touches unsampled rows.
+    "snap_schema_infer" -> ((s, dir) => {
+      val e = Tables.loadEventsNs(s, dir).filter(col("event_id") % 10 === 0)
+      val uid = col("user_id").cast("string")
+      val cents = round(col("value") * 100).cast("long").cast("string")
+      val ns = concat(
+        when(col("user_id") % 50 === 0, "local").otherwise("app"),
+        lit(".users_"), (col("user_id") % 4).cast("string"))
+      val doc = concat(lit("{\"_id\":"), uid, lit(",\"cents\":"), cents,
+        when(col("event_id") % 5 =!= 0,
+          concat(lit(",\"k\":"), get_json_object(col("props"), "$.k")))
+          .otherwise(lit("")),
+        when(col("event_id") % 3 === 0, lit(",\"tags\":[\"a\",\"b\"]"))
+          .otherwise(lit("")),
+        when(col("event_id") % 4 === 0, concat(lit(",\"note\":\"u"), uid, lit("\"")))
+          .otherwise(lit("")),
+        lit("}"))
+      val docs = e.select(ns.as("ns"), doc.as("doc")).localCheckpoint()
+      val tot = docs.groupBy(col("ns")).agg(count(lit(1)).as("n_sampled"))
+      val pat = "\"(\\w+)\":(.)"
+      val kv = docs.select(col("ns"),
+          explode(arrays_zip(
+            regexp_extract_all(col("doc"), lit(pat), lit(1)),
+            regexp_extract_all(col("doc"), lit(pat), lit(2)))).as("p"))
+        .select(col("ns"), col("p.0").as("field"), col("p.1").as("c"))
+      kv.withColumn("ftype",
+          when(col("c").rlike("[0-9-]"), "number")
+            .when(col("c") === "\"", "string")
+            .when(col("c") === "[", "array")
+            .when(col("c") === "{", "object")
+            .otherwise("other"))
+        .groupBy(col("ns"), col("field"), col("ftype"))
+        .agg(count(lit(1)).as("n_present"))
+        .join(broadcast(tot), Seq("ns"))
+        .withColumn("frac", round(col("n_present").cast("double") /
+          col("n_sampled").cast("double"), 4))
+    }),
+
     // F8: orphan filter on a ranged shard — keep only rows in chunks owned
     // by this replica set (chunk = 1000 keys, 3 shards, we own shard 0).
     "snap_orphan_filter" -> ((s, dir) => {
@@ -148,6 +196,37 @@ object SnapshotOps {
     "snap_orphan_filter" ->
       """SELECT l_orderkey // 1000 AS chunk_id, COUNT(*) AS n_rows
          FROM lineitem WHERE (l_orderkey // 1000) % 3 = 0 GROUP BY 1""",
+
+    "snap_schema_infer" ->
+      """WITH docs AS (
+           SELECT (CASE WHEN user_id % 50 = 0 THEN 'local' ELSE 'app' END)
+               || '.users_' || CAST(user_id % 4 AS VARCHAR) AS ns,
+             '{"_id":' || CAST(user_id AS VARCHAR)
+               || ',"cents":' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+               || CASE WHEN event_id % 5 <> 0
+                    THEN ',"k":' || json_extract_string(props, '$.k') ELSE '' END
+               || CASE WHEN event_id % 3 = 0
+                    THEN ',"tags":["a","b"]' ELSE '' END
+               || CASE WHEN event_id % 4 = 0
+                    THEN ',"note":"u' || CAST(user_id AS VARCHAR) || '"' ELSE '' END
+               || '}' AS doc
+           FROM events WHERE event_id % 10 = 0),
+         tot AS (SELECT ns, COUNT(*) AS n_sampled FROM docs GROUP BY 1),
+         kv AS (SELECT ns,
+             unnest(regexp_extract_all(doc, '"(\w+)":(.)', 1)) AS field,
+             unnest(regexp_extract_all(doc, '"(\w+)":(.)', 2)) AS c
+           FROM docs),
+         typed AS (SELECT ns, field,
+             CASE WHEN regexp_matches(c, '[0-9-]') THEN 'number'
+                  WHEN c = '"' THEN 'string'
+                  WHEN c = '[' THEN 'array'
+                  WHEN c = '{' THEN 'object'
+                  ELSE 'other' END AS ftype
+           FROM kv)
+         SELECT ns, field, ftype, COUNT(*) AS n_present, n_sampled,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n_sampled AS DOUBLE), 4) AS frac
+         FROM typed JOIN tot USING (ns)
+         GROUP BY ns, field, ftype, n_sampled""",
 
     "snap_index_sync" ->
       """SELECT * FROM (VALUES

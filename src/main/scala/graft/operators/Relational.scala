@@ -370,20 +370,20 @@ object Relational {
     // box query [64..127]×[4..7] overlaps them, and the true box
     // row count — buckets the stats exclude provably hold zero rows.
     "q26_zorder" -> ((s, dir) => {
-      val inBox = col("l_partkey").between(64, 127) &&
-        col("l_suppkey").between(4, 7)
+      val inBox = col("l_partkey").between(boxPkLo, boxPkHi) &&
+        col("l_suppkey").between(boxSkLo, boxSkHi)
       Tables.load(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"))
         .withColumn("zbucket",
-          shiftright(zorderInterleave(col("l_partkey"), col("l_suppkey")), 12))
+          shiftright(zorderInterleave(col("l_partkey"), col("l_suppkey")), ZShift))
         .groupBy(col("zbucket"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
           min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
           sum(when(inBox, 1L).otherwise(0L)).as("n_box"))
         .withColumn("box_overlaps",
-          col("max_pk") >= 64 && col("min_pk") <= 127 &&
-            col("max_sk") >= 4 && col("min_sk") <= 7)
+          col("max_pk") >= boxPkLo && col("min_pk") <= boxPkHi &&
+            col("max_sk") >= boxSkLo && col("min_sk") <= boxSkHi)
     }),
 
     // Windowed DISTINCT count — Spark's window aggregates reject
@@ -418,18 +418,19 @@ object Relational {
       val withZ = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
         .withColumn("zbucket",
-          shiftright(zorderInterleave(col("l_partkey"), col("l_suppkey")), 12))
+          shiftright(zorderInterleave(col("l_partkey"), col("l_suppkey")), ZShift))
         .localCheckpoint()
       val zm = withZ.groupBy(col("zbucket"))
         .agg(min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
           min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
         .localCheckpoint()
       val nTotal = zm.count()
-      val hit = zm.filter(col("max_pk") >= 64 && col("min_pk") <= 127 &&
-          col("max_sk") >= 4 && col("min_sk") <= 7)
+      val hit = zm.filter(col("max_pk") >= boxPkLo && col("min_pk") <= boxPkHi &&
+          col("max_sk") >= boxSkLo && col("min_sk") <= boxSkHi)
         .select(col("zbucket")).collect().map(_.getLong(0)).sorted
       withZ.filter(col("zbucket").isin(hit: _*))
-        .filter(col("l_partkey").between(64, 127) && col("l_suppkey").between(4, 7))
+        .filter(col("l_partkey").between(boxPkLo, boxPkHi) &&
+          col("l_suppkey").between(boxSkLo, boxSkHi))
         .agg(count(lit(1)).as("n_rows_in_box"),
           moneySum(col("l_extendedprice")).as("box_revenue"))
         .select(col("n_rows_in_box"), col("box_revenue"),
@@ -445,9 +446,7 @@ object Relational {
     // way to look at a join key before shuffling on it — the probe's
     // own shuffle carries |keys| rows, and the head is a TakeOrdered.
     "q28_skew_probe" -> ((s, dir) => {
-      val counts = Tables.load(s, dir, "events")
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+      val counts = skewCounts(s, dir).localCheckpoint()
       val tot = counts.agg(sum(col("n")), count(lit(1))).head()
       val (nRows, nKeys) = (tot.getLong(0), tot.getLong(1))
       counts.orderBy(col("n").desc, col("user_id")).limit(5)
@@ -690,6 +689,29 @@ object Relational {
       .drop("_bin")
   }
 
+  /** The z-order layout's shared constants: bucket shift and the golden
+    * 2-D box — ONE definition feeds both Spark builders (q26 write side,
+    * q29 read side) and both oracles, so the write/read pairing cannot
+    * drift apart.
+    */
+  private val ZShift = 12
+  private val (boxPkLo, boxPkHi) = (64, 127)
+  private val (boxSkLo, boxSkHi) = (4, 7)
+
+  /** DuckDB mirror of [[zorderInterleave]] (parenthesized sum). */
+  private def zorderSql: String =
+    (0 until 16).map(i =>
+      s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " + ", ")")
+
+  /** The skew probe's per-key aggregation BEFORE its lineage cut —
+    * exposed so PlanAuditSpec can audit the scan's column pruning (the
+    * query's own plan starts at the localCheckpoint and hides the scan).
+    */
+  private[graft] def skewCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+
   /** Morton-code bit interleave of two non-negative keys (16 bits each —
     * x's bits land on even z positions, y's on odd): the pure-projection
     * core of `q26_zorder`, expressed as disjoint-bit shift-adds so it
@@ -884,21 +906,17 @@ object Relational {
                < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
                   FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""",
 
-    "q26_zorder" -> {
-      val zExpr = (0 until 16).map(i =>
-        s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})")
-        .mkString(" + ")
-      s"""WITH z AS (SELECT l_partkey, l_suppkey, ($zExpr) AS zv FROM lineitem)
-          SELECT zv >> 12 AS zbucket, COUNT(*) AS n_rows,
+    "q26_zorder" ->
+      s"""WITH z AS (SELECT l_partkey, l_suppkey, $zorderSql AS zv FROM lineitem)
+          SELECT zv >> $ZShift AS zbucket, COUNT(*) AS n_rows,
             MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
             MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk,
-            CAST(SUM(CASE WHEN l_partkey BETWEEN 64 AND 127
-                           AND l_suppkey BETWEEN 4 AND 7
+            CAST(SUM(CASE WHEN l_partkey BETWEEN $boxPkLo AND $boxPkHi
+                           AND l_suppkey BETWEEN $boxSkLo AND $boxSkHi
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_box,
-            (MAX(l_partkey) >= 64 AND MIN(l_partkey) <= 127
-             AND MAX(l_suppkey) >= 4 AND MIN(l_suppkey) <= 7) AS box_overlaps
-          FROM z GROUP BY 1"""
-    },
+            (MAX(l_partkey) >= $boxPkLo AND MIN(l_partkey) <= $boxPkHi
+             AND MAX(l_suppkey) >= $boxSkLo AND MIN(l_suppkey) <= $boxSkHi) AS box_overlaps
+          FROM z GROUP BY 1""",
 
     "q27_window_distinct" ->
       """SELECT o_orderkey, o_custkey,
@@ -906,27 +924,24 @@ object Relational {
              OVER (PARTITION BY o_custkey) AS n_priorities
          FROM orders""",
 
-    "q29_zonemap_scan" -> {
-      val zExpr = (0 until 16).map(i =>
-        s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})")
-        .mkString(" + ")
+    "q29_zonemap_scan" ->
       s"""WITH z AS (SELECT l_partkey, l_suppkey, l_extendedprice,
-              ($zExpr) >> 12 AS zbucket FROM lineitem),
+              $zorderSql >> $ZShift AS zbucket FROM lineitem),
           zm AS (SELECT zbucket,
               MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
               MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
             FROM z GROUP BY 1),
           hit AS (SELECT zbucket FROM zm
-            WHERE max_pk >= 64 AND min_pk <= 127
-              AND max_sk >= 4 AND min_sk <= 7)
+            WHERE max_pk >= $boxPkLo AND min_pk <= $boxPkHi
+              AND max_sk >= $boxSkLo AND min_sk <= $boxSkHi)
           SELECT COUNT(*) AS n_rows_in_box,
             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
               AS box_revenue,
             (SELECT COUNT(*) FROM hit) AS n_buckets_scanned,
             (SELECT COUNT(*) FROM zm) AS n_buckets_total
           FROM z JOIN hit USING (zbucket)
-          WHERE l_partkey BETWEEN 64 AND 127 AND l_suppkey BETWEEN 4 AND 7"""
-    },
+          WHERE l_partkey BETWEEN $boxPkLo AND $boxPkHi
+            AND l_suppkey BETWEEN $boxSkLo AND $boxSkHi""",
 
     "q28_skew_probe" ->
       """WITH counts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),

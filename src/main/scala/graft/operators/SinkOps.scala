@@ -418,8 +418,13 @@ object SinkOps {
             SELECT 'header' AS section, 'magic' AS k, CAST(0 AS BIGINT) AS n,
               'eeeeeeeeee201314' AS s
             UNION ALL SELECT 'header', 'protocol', 1, ''
-            UNION ALL SELECT 'header', 'compress',
-              ${graft.sinks.Envelope.CompressZlib}, ''
+            UNION ALL
+            -- one codec row per distinct compress id: the whole feed is
+            -- zlib, so one row whose count = Σ_shard ceil(n/1024) blocks
+            SELECT 'codec', '${graft.sinks.Envelope.CompressZlib}',
+              CAST(SUM(nb) AS BIGINT), ''
+            FROM (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 1024) AS BIGINT) AS nb
+                  FROM oplog WHERE $chainSql GROUP BY $shardSql)
             UNION ALL
             SELECT 'shard', CAST(CAST($shardSql AS BIGINT) AS VARCHAR),
               COUNT(*), ''

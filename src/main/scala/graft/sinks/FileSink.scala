@@ -211,25 +211,28 @@ object FileSink {
     * per-shard message counts of a tunnel dump. One sequential pass —
     * the format is variable-length framed and cannot split, and the
     * reference tool is the same sequential scan; resident memory is one
-    * block. Output rows (section, k, n, s): `header` carries magic
-    * (hex string), protocol, and the observed compress codec; `shard`
-    * rows the payload count per shard; `total` the overall count.
+    * block. Output rows (section, k, n, s): `header` carries the magic
+    * (hex string) and protocol; `codec` one row PER DISTINCT compress id
+    * observed with its block count (compress is a per-block field — a
+    * mid-file codec drift is exactly what an inspector must surface, so
+    * no single id can summarize it); `shard` rows the payload count per
+    * shard; `total` the overall count.
     */
   def stat(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val it = read(spark, path)
     var total = 0L
-    var compress = 0
     val perShard = scala.collection.mutable.SortedMap.empty[Int, Long]
+    val perCodec = scala.collection.mutable.SortedMap.empty[Int, Long]
     try it.foreach { b =>
       perShard(b.shard) = perShard.getOrElse(b.shard, 0L) + b.payloads.length
+      perCodec(b.compress) = perCodec.getOrElse(b.compress, 0L) + 1L
       total += b.payloads.length
-      compress = b.compress
     } finally it.close()
     val rows = Seq(
       ("header", "magic", 0L, f"$FileMagic%x"),
-      ("header", "protocol", FileProtocol.toLong, ""),
-      ("header", "compress", compress.toLong, "")) ++
+      ("header", "protocol", FileProtocol.toLong, "")) ++
+      perCodec.toSeq.map { case (c, n) => ("codec", c.toString, n, "") } ++
       perShard.toSeq.map { case (sh, n) => ("shard", sh.toString, n, "") } ++
       Seq(("total", "", total, ""))
     rows.toDF("section", "k", "n", "s")

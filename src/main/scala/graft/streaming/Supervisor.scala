@@ -24,18 +24,30 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryException}
   */
 object Supervisor {
 
-  /** @param restarts  restarts consumed (0 = first run terminated cleanly)
-    * @param gaveUp    true when maxRestarts was exhausted
+  /** @param restarts  total restarts consumed (0 = first run terminated cleanly)
+    * @param gaveUp    true when maxRestarts CONSECUTIVE failures exhausted
+    *                  the ladder
     * @param lastError message of the final failure (gave-up runs), if any
     */
   case class Report(restarts: Int, gaveUp: Boolean, lastError: Option[String])
 
+  /** @param healthyAfterMs a run that survives at least this long before
+    *   failing counts as recovered: the consecutive-failure counter and
+    *   the backoff ladder reset to base (hypervisor.c's `ssec = INTERVAL`
+    *   reset arm) — an isolated daily crash never exhausts maxRestarts.
+    *   Defaults to 12 backoff units (5 s base → 60 s), scaling with the
+    *   harness clock like the ladder itself.
+    */
   def supervise(start: () => StreamingQuery, maxRestarts: Int = 10,
-      backoffUnitMs: Long = 5000L, maxBackoffMs: Long = 180000L): Report = {
+      backoffUnitMs: Long = 5000L, maxBackoffMs: Long = 180000L,
+      healthyAfterMs: Long = -1L): Report = {
+    val healthyMs = if (healthyAfterMs >= 0) healthyAfterMs else backoffUnitMs * 12
     var restarts = 0
+    var consecutive = 0
     var backoff = backoffUnitMs
     var last: Option[String] = None
     while (true) {
+      val t0 = System.nanoTime()
       val q = start()
       try {
         q.awaitTermination()
@@ -43,8 +55,11 @@ object Supervisor {
       } catch {
         case e: StreamingQueryException =>
           last = Some(Option(e.getMessage).getOrElse(e.toString))
-          if (restarts >= maxRestarts) return Report(restarts, gaveUp = true, last)
+          val ranMs = (System.nanoTime() - t0) / 1000000L
+          if (ranMs >= healthyMs) { consecutive = 0; backoff = backoffUnitMs }
+          if (consecutive >= maxRestarts) return Report(restarts, gaveUp = true, last)
           restarts += 1
+          consecutive += 1
           Thread.sleep(backoff)
           backoff = math.min(backoff << 1, maxBackoffMs)
       }

@@ -120,9 +120,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val rs26 = p26.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!rs26.contains("l_extendedprice") && !rs26.contains("l_shipdate"),
       s"q26_zorder widens the lineitem scan:\n$p26")
-    val p28 = SparkEntry.queries("q28_skew_probe")(spark, dir)
+    // the query's own plan starts at a localCheckpoint (no scan to read);
+    // audit the pre-cut aggregation, where the parquet scan lives
+    val p28 = graft.operators.Relational.skewCounts(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     val rs28 = p28.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs28.nonEmpty && rs28.contains("user_id"),
+      s"q28 audit lost the scan:\n$p28")
     assert(!rs28.contains("props") && !rs28.contains("event_type"),
       s"q28_skew_probe widens the events scan:\n$p28")
   }

@@ -787,8 +787,12 @@ class StreamingSpec extends AnyFunSuite {
             _: Long) => throw new RuntimeException("always fails"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     }
+    // healthyAfterMs pinned above any run's wall-clock: every failure is
+    // CONSECUTIVE, so the ladder must exhaust (the recovered-run reset
+    // path is exercised by cdc_supervisor_restart, whose crashed first
+    // run precedes a clean one)
     val r = graft.streaming.Supervisor.supervise(() => start(),
-      maxRestarts = 2, backoffUnitMs = 1L)
+      maxRestarts = 2, backoffUnitMs = 1L, healthyAfterMs = 3600000L)
     assert(r.gaveUp && r.restarts == 2)
     assert(attempts == 3) // initial run + 2 restarts
     assert(r.lastError.exists(_.contains("always fails")))

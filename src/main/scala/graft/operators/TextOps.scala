@@ -274,6 +274,41 @@ object TextOps {
           min(col("doc_id")).as("min_doc"))
     }),
 
+    // The END-TO-END corpus build — five pillars composed as ONE Catalyst
+    // plan: benchmark holdout (eval docs never train) → quality gate →
+    // exact dedup (earliest copy per content hash) → EXACT
+    // decontamination (any 3-gram overlap with the benchmark drops the
+    // doc — the conservative production default; the Bloom variant is the
+    // fixed-memory drop-in) → deterministic hash split → token-budget
+    // packing, summarized per (split, lang) with the bin count a
+    // 2048-token packer would produce. The value over pipe_curation is
+    // the DAG: stages keyed on content hash, broadcast shingle set,
+    // split hash, and the pack window compose without materialization
+    // barriers — Catalyst pipelines the whole chain, proving the stage
+    // contracts line up end to end.
+    "pipe_corpus_build" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val contaminated = Dedup.contamination(d, col("doc_id"), col("text"),
+        benchPred = col("doc_id") % 50 === 0).select(col("doc_id"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("split"), col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      d.filter(col("doc_id") % 50 =!= 0)
+        .filter(Text.qualityScore(col("text")) >= 0.5)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("split", Text.splitAssign(col("doc_id")))
+        .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(wp))
+        .withColumn("bin", expr("(cum - n_tokens) DIV 2048"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          (max(col("bin")) + 1).as("n_bins"))
+    }),
+
     // The pillars composed as ONE pipeline (the point of building on a
     // relational engine): quality gate → exact dedup (keep lowest id per
     // content hash) → hash split, summarized per (lang, split). Catalyst
@@ -984,6 +1019,41 @@ object TextOps {
             MAX(CASE WHEN kind = 'b' THEN CAST(top_c AS DOUBLE) / total END) AS top_bigram_frac,
             MAX(CASE WHEN kind = 'b' THEN 1.0 - CAST(n_distinct AS DOUBLE) / total END) AS dup_bigram_frac
           FROM stats GROUP BY 1""",
+
+    "pipe_corpus_build" ->
+      s"""WITH sh AS (SELECT doc_id, ${hashedShingleSql(3)} AS s
+            FROM (SELECT doc_id, $toks AS t, text FROM documents)),
+          bench AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 50 = 0),
+          contaminated AS (
+            SELECT DISTINCT doc_id FROM (
+              SELECT doc_id, unnest(s) AS h FROM sh WHERE doc_id % 50 <> 0)
+            JOIN bench USING (h)),
+          q AS (
+            SELECT doc_id, lang, text,
+              0.4 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) / 8.0, 1.0)
+            + 0.3 * (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE))
+            + 0.3 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) AS quality
+            FROM documents WHERE doc_id % 50 <> 0),
+          f AS (SELECT * FROM q WHERE quality >= 0.5),
+          dd AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM f),
+          k AS (SELECT * FROM dd WHERE rn = 1
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          sp AS (
+            SELECT doc_id, lang,
+              CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+              CAST(len($toks) AS BIGINT) AS n
+            FROM (SELECT *, ${phash64Sql("CAST(doc_id AS VARCHAR) || ':split'")} % 100 AS h
+                  FROM k)),
+          packed AS (
+            SELECT split, lang, n,
+              SUM(n) OVER (PARTITION BY split, lang ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM sp)
+          SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+            CAST(MAX((cum - n) // 2048) + 1 AS BIGINT) AS n_bins
+          FROM packed GROUP BY 1, 2""",
 
     "pipe_curation" ->
       s"""WITH q AS (

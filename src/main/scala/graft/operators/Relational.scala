@@ -700,7 +700,7 @@ object Relational {
 
   /** DuckDB mirror of [[zorderInterleave]] (parenthesized sum). */
   private def zorderSql: String =
-    (0 until 16).map(i =>
+    (0 until 32).map(i =>
       s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})")
       .mkString("(", " + ", ")")
 
@@ -712,13 +712,17 @@ object Relational {
     Tables.load(s, dir, "events")
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
 
-  /** Morton-code bit interleave of two non-negative keys (16 bits each —
-    * x's bits land on even z positions, y's on odd): the pure-projection
-    * core of `q26_zorder`, expressed as disjoint-bit shift-adds so it
-    * stays inside whole-stage codegen.
+  /** Morton-code bit interleave of two non-negative keys (32 bits each,
+    * filling the 64-bit z-value — x's bits land on even z positions, y's
+    * on odd): the pure-projection core of `q26_zorder`, expressed as
+    * disjoint-bit shift-adds so it stays inside whole-stage codegen.
+    * 32 bits covers int-range keys (l_partkey reaches 2^31 only past
+    * SF ~10,000); a narrower interleave would silently alias distant
+    * keys into the same z-positions and widen bucket min/max stats,
+    * defeating the skipping this layout exists for.
     */
   private[graft] def zorderInterleave(x: Column, y: Column): Column =
-    (0 until 16).map { i =>
+    (0 until 32).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)

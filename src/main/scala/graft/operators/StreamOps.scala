@@ -273,7 +273,7 @@ object StreamOps {
       () => IncrSync.startOplogTo(s,
         graft.streaming.ParquetDirSource(s"$work/feed", IncrSync.oplogSchema),
         target, s"$work/ckpt", gids = gids, white = white, black = black),
-      maxRestarts = 3, backoffUnitMs = 10L)
+      maxRestarts = 3, backoffUnitMs = 10L, healthyAfterMs = 3600000L)
     require(!report.gaveUp, s"supervisor gave up: ${report.lastError}")
 
     val state = IncrSync.readOrEmpty(s, s"$work/target/state")

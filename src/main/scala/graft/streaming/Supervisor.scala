@@ -35,13 +35,23 @@ object Supervisor {
     *   failing counts as recovered: the consecutive-failure counter and
     *   the backoff ladder reset to base (hypervisor.c's `ssec = INTERVAL`
     *   reset arm) — an isolated daily crash never exhausts maxRestarts.
-    *   Defaults to 12 backoff units (5 s base → 60 s), scaling with the
-    *   harness clock like the ladder itself.
+    *   Defaults to a FIXED 60 s, deliberately NOT scaled by
+    *   `backoffUnitMs`: a harness that shrinks the sleep ladder to
+    *   milliseconds must not also shrink the health bar below real
+    *   streaming wall-clock, or every crash would count as "recovered"
+    *   and a persistently-failing query would restart forever.
+    * @param maxTotalRestarts absolute backstop independent of the
+    *   consecutive counter (default 20× maxRestarts): even a query whose
+    *   attempts each outlive healthyAfterMs before dying cannot loop
+    *   unboundedly — supervision gives up once the lifetime budget is
+    *   spent, mirroring an operator eventually paging out a flapping
+    *   process the hypervisor alone would revive forever.
     */
   def supervise(start: () => StreamingQuery, maxRestarts: Int = 10,
       backoffUnitMs: Long = 5000L, maxBackoffMs: Long = 180000L,
-      healthyAfterMs: Long = -1L): Report = {
-    val healthyMs = if (healthyAfterMs >= 0) healthyAfterMs else backoffUnitMs * 12
+      healthyAfterMs: Long = -1L, maxTotalRestarts: Int = -1): Report = {
+    val healthyMs = if (healthyAfterMs >= 0) healthyAfterMs else 60000L
+    val totalCap = if (maxTotalRestarts >= 0) maxTotalRestarts else maxRestarts * 20
     var restarts = 0
     var consecutive = 0
     var backoff = backoffUnitMs
@@ -57,7 +67,8 @@ object Supervisor {
           last = Some(Option(e.getMessage).getOrElse(e.toString))
           val ranMs = (System.nanoTime() - t0) / 1000000L
           if (ranMs >= healthyMs) { consecutive = 0; backoff = backoffUnitMs }
-          if (consecutive >= maxRestarts) return Report(restarts, gaveUp = true, last)
+          if (consecutive >= maxRestarts || restarts >= totalCap)
+            return Report(restarts, gaveUp = true, last)
           restarts += 1
           consecutive += 1
           Thread.sleep(backoff)

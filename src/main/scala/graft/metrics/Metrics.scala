@@ -49,9 +49,9 @@ object Metrics {
     * `RestAPI`, fields from `common/metric.go:43-75`), rendered from the
     * queryable `_metrics` table instead of live atomics — same JSON
     * vocabulary, so a monitor written against the reference parses this
-    * unchanged. An HTTP server would return exactly this body for GET
-    * `/repl`; serving is a deployment concern (the table is the engine
-    * surface, as the survey maps the REST monitor).
+    * unchanged. [[MonitorServer]] serves exactly this body for GET
+    * `/repl` (the table stays the engine surface; the listener is the
+    * dev-flagged serving shell).
     *
     * Counter mapping (counts, not rates — the table stores per-batch
     * deltas): `logs_get` = rows ingested (`numInputRows` sum, the

@@ -56,6 +56,7 @@ final case class GraftConfig(
     trigger: String = "", // {available_now, processing_time}
     txnTtlMs: Long = 0,
     journal: String = "", // {none, sampling, all} — sentinel OplogDump 0/1/2
+    httpPort: Int = -1, // incr_sync.http_port; −1 = monitor disabled (dev flag)
     confVersion: Int = Fcv.Configuration.currentVersion) {
 
   /** Result of [[sanitize]]: `collisionEnable` is the one derived flag the
@@ -181,6 +182,10 @@ final case class GraftConfig(
     if (c.journal.isEmpty) c = c.copy(journal = "none")
     if (!Set("none", "sampling", "all")(c.journal))
       return Left("incr_sync.oplog_dump should in {none, sampling, all}")
+    // incr_sync.http_port: −1 keeps the REST monitor unbound (the dev
+    // flag); 0 = ephemeral bind (tests); otherwise a real port
+    if (c.httpPort > 65535)
+      return Left(s"incr_sync.http_port[${c.httpPort}] should be <= 65535")
     if (c.txnTtlMs < 0) c = c.copy(txnTtlMs = 0)
     if (c.txnTtlMs > 0 && c.trigger == "available_now")
       return Left("txn_ttl_ms requires trigger == 'processing_time': an AvailableNow " +

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TxnAssembler
+import graft.streaming.TxnAssembler.TxnEntry
+
+/** Streaming-state scale guards — the stateful analogue of
+  * `ScaleGuardSpec`'s batch quadratic caps. Each case drives a REAL
+  * streaming query with an adversarial many-distinct-keys feed and
+  * asserts the state-store row counts the progress events report:
+  * state must be bounded by ACTIVE keys (buffering collapses per key,
+  * closed keys leave), and the TTL/watermark eviction arms must
+  * actually shrink it. Drop `state.remove()` on commit, the timeout
+  * purge in `assembleGroup`, or a `withWatermark` on a join side, and
+  * one of these fails — the way `ScaleGuardSpec` fails if a quadratic
+  * cap is dropped.
+  *
+  * At 100 TB these bounds are the difference between O(open work) and
+  * O(history) state: a transaction buffer that kept committed chains, or
+  * a join that never evicted closed windows, would grow without bound on
+  * an unbounded tail.
+  */
+class StreamingStateScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def work(tag: String): String = {
+    val w = s"${System.getProperty("java.io.tmpdir")}/graft_state_scale_$tag"
+    graft.streaming.IncrSync.deletePath(spark, w)
+    w
+  }
+
+  /** Max state rows any progress of `q` reported, and the final total. */
+  private def stateTotals(q: StreamingQuery): Seq[Long] =
+    q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsTotal))
+
+  /** 300 chains × 3 partials; keys with i % 3 == 0 (100) never commit. */
+  private val NKeys = 300
+  private val NOrphans = 100
+
+  private def txnFeed: Seq[TxnEntry] =
+    (0 until NKeys).flatMap { i =>
+      val partials = (0 until 3).map(sq =>
+        TxnEntry(s"k$i", 1L, sq.toLong, "partial", Seq(s"""{"i":$i,"s":$sq}"""), 1000L + sq))
+      if (i % 3 == 0) partials
+      else partials :+ TxnEntry(s"k$i", 1L, 3L, "commit", Seq(s"""{"i":$i,"s":3}"""), 1003L)
+    }
+
+  private def startAssemble(w: String, ttlMs: Long, trigger: Trigger): StreamingQuery = {
+    txnFeed.toDF().coalesce(1).write.parquet(s"$w/feed")
+    val entries = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[TxnEntry]].schema)
+      .parquet(s"$w/feed").as[TxnEntry]
+    TxnAssembler.assemble(entries, ttlMs = ttlMs)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$w/ckpt").option("path", s"$w/out")
+      .trigger(trigger).format("parquet").start()
+  }
+
+  test("TxnAssembler state is one row per OPEN chain — commits evict, partials collapse") {
+    val w = work("txn_bound")
+    val q = startAssemble(w, ttlMs = 0L, Trigger.AvailableNow())
+    q.awaitTermination()
+    val totals = stateTotals(q)
+    // 900 partial entries across 300 keys, 200 committed in-batch: state
+    // ends at the 100 orphaned chains — one row per open key, NOT per
+    // buffered entry (and NOT retaining the committed 200)
+    assert(totals.nonEmpty && totals.max == NOrphans.toLong,
+      s"state rows $totals; expected max == $NOrphans (open chains only)")
+    // every committed chain delivered its 4 inner ops exactly once
+    assert(spark.read.parquet(s"$w/out").count() == (NKeys - NOrphans) * 4L)
+  }
+
+  test("TxnAssembler TTL purges orphaned chains — state drains to zero") {
+    val w = work("txn_ttl")
+    val q = startAssemble(w, ttlMs = 2000L, Trigger.ProcessingTime("250 milliseconds"))
+    try {
+      val deadline = System.currentTimeMillis() + 60000L
+      var totals = Seq.empty[Long]
+      // live tail: poll until the no-data batches run the timeout pass
+      while (System.currentTimeMillis() < deadline &&
+          !(totals.contains(NOrphans.toLong) && totals.lastOption.contains(0L))) {
+        Thread.sleep(200)
+        totals = stateTotals(q)
+      }
+      assert(totals.contains(NOrphans.toLong),
+        s"state never held the $NOrphans orphaned chains: $totals")
+      assert(totals.lastOption.contains(0L),
+        s"TTL did not purge orphan state within 60s: $totals")
+    } finally q.stop()
+  }
+
+  test("stream-stream join: watermark evicts closed windows — state is active rows, then drains") {
+    val w = work("join_wm")
+    val users = 200
+    def side(idOff: Int, tsUs: Long, n: Int): DataFrame =
+      (0 until n).map(u => (u.toLong * 10 + idOff, u.toLong, tsUs)).toDF("event_id", "user_id", "ts_us")
+    // one watermark-raising sentinel per side, on DISJOINT users so the
+    // sentinels can't join each other
+    def sentinel(idOff: Int, user: Long, tsUs: Long): DataFrame =
+      Seq((idOff.toLong, user, tsUs)).toDF("event_id", "user_id", "ts_us")
+    val base = 1700000000000000L // µs
+    val farFuture = base + 10L * 86400 * 1000000 // +10 days: watermark sails past every window
+    graft.operators.StreamOps.stageOrdered(spark, s"$w/views",
+      Seq(side(0, base, users), sentinel(1, -1L, farFuture)))
+    graft.operators.StreamOps.stageOrdered(spark, s"$w/buys",
+      Seq(side(2, base + 1000000, users), sentinel(3, -2L, farFuture)))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType)))
+    def stream(path: String, prefix: String): DataFrame =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+        .select(col("event_id").as(s"${prefix}_event"), col("user_id").as(s"${prefix}_user"),
+          timestamp_micros(col("ts_us")).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = stream(s"$w/views", "v").join(stream(s"$w/buys", "b"),
+      expr("v_user = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"), "inner")
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$w/ckpt").option("path", s"$w/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+
+    val totals = stateTotals(q)
+    val removed = q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsRemoved))
+    // peak state = the two live sides (400 rows) + at most the 2 future
+    // sentinels — NEVER more than active rows inside the watermark
+    assert(totals.nonEmpty && totals.max <= (2L * users + 2),
+      s"join state exceeded active rows: $totals")
+    assert(totals.max >= 2L * users, s"feed did not populate both sides: $totals")
+    // the future batch raises the watermark; the drain's trailing no-data
+    // batch must EVICT every closed window — only the sentinels may stay
+    assert(totals.last <= 2L, s"watermark did not evict closed windows: $totals")
+    assert(removed.sum >= 2L * users, s"eviction never removed the closed rows: $removed")
+    // and the join itself matched every user exactly once
+    assert(spark.read.parquet(s"$w/out").count() == users.toLong)
+  }
+}

@@ -369,9 +369,9 @@ object StreamOps {
     * backends attached to the production checkpoint commit — the
     * "database" table store and the "api" JSON-body store, selected
     * through the sanitized config vocabulary exactly as the reference's
-    * manager switch. Then each manager's loaded position drives a fresh
-    * resume over the full feed via the S1 `startingTs` predicate (the
-    * reference's `{ts: {$gt: ckpt}}` cursor).
+    * manager switch. The api manager's loaded position then drives ONE
+    * fresh resume over the full feed via the S1 `startingTs` predicate
+    * (the reference's `{ts: {$gt: ckpt}}` cursor).
     *
     * Proof sections (all closed-form in the oracle):
     *  - `ctx`: both managers load the SAME stored context — position =
@@ -381,8 +381,13 @@ object StreamOps {
     *    to InitCheckpoint, not persisted) with exist = false.
     *  - `fcv`: a stored context from a pre-FCV version is REJECTED with
     *    the reference-shaped reason (`ckpt_manager.go:68-72`).
-    *  - `eq`: the two store-driven resumes produce row-identical states
-    *    (diff = 0 over the full-outer compare), count pinned closed-form.
+    *  - `eq`: the two stores' loaded contexts agree FIELD-FOR-FIELD
+    *    (diff = 0 over every CkptContext field), count pinned
+    *    closed-form. The resume pipeline is a deterministic function of
+    *    the starting context, so one resume stands for both backends —
+    *    a second, identically-seeded query would re-prove what equal
+    *    contexts already establish (and used to cost a third full
+    *    streaming run per capture).
     *  - `state`: the api-driven resume equals the fold of exactly the
     *    rows above the stored position — the resume skipped nothing and
     *    re-read nothing.
@@ -432,25 +437,22 @@ object StreamOps {
     val fcvReason = CkptManager(badStore, "graft", 1L).get()
       .left.getOrElse(sys.error("version-0 checkpoint must be rejected"))
 
-    // Full feed lands; each stored position drives a fresh resume.
+    // Full feed lands; the api store's position drives ONE fresh resume.
     feedify(eff.filter(col("ts_packed") > t1)).coalesce(1)
       .write.mode("append").parquet(feedDir)
-    // The two resumes are independent (separate targets/checkpoints) —
-    // run them concurrently; the harness pays one query's wall-clock.
-    val q2 = IncrSync.startOplog(s, feedDir, s"$work/tT", s"$work/ckT",
-      gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 16,
-      startingTs = ctxT.ckpt)
-    val q3 = IncrSync.startOplog(s, feedDir, s"$work/tA", s"$work/ckA",
+    // eq: the contexts loaded from the two backends, field-for-field.
+    // With nCtxDiff = 0 the resume below is the same query either store
+    // would seed — running it twice proved nothing extra and cost a
+    // third full streaming run.
+    val nCtxDiff = ctxT.productIterator.zip(ctxA.productIterator)
+      .count { case (a, b) => a != b }.toLong
+    val q2 = IncrSync.startOplog(s, feedDir, s"$work/tA", s"$work/ckA",
       gids = gids, white = white, black = black, txnTtlMs = 0, nBuckets = 16,
       startingTs = ctxA.ckpt)
     q2.awaitTermination()
-    q3.awaitTermination()
 
-    val stateT = IncrSync.readOrEmpty(s, s"$work/tT/state")
     val stateA = IncrSync.readOrEmpty(s, s"$work/tA/state")
-    val nDiff = graft.apply.Replay.diffStates(stateT, stateA)
-      .agg(coalesce(sum(col("n_mismatch") + col("n_src_only") + col("n_dst_only")),
-        lit(0L))).head().getLong(0)
+    val nDiff = nCtxDiff
     val nRows = stateA.count()
 
     import s.implicits._

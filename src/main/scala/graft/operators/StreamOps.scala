@@ -870,7 +870,23 @@ object StreamOps {
     * per user with the buy-within-the-hour event-time bound, drained
     * under AvailableNow. The three query entries differ only in join
     * type and output projection — semantics notes live on each runner.
+    *
+    * State partitioning: a stream-stream join keeps FOUR state stores
+    * per shuffle partition, and each store pays a fixed per-batch commit
+    * (delta-file create + fsync + rename) regardless of rows held —
+    * measured at 32 partitions: ~76 s of cumulative commit time per
+    * batch across the 128 stores, 2.5 s wall on 32 threads, dominating
+    * the drain; at 8 partitions the same feed commits in ~3 s cumulative
+    * and the drain halves (PROFILE_r11.md). So the harness sizes the
+    * join's state partitioning to its volume (~12k rows/side/partition)
+    * the way a production deployment sizes `spark.sql.shuffle.partitions`
+    * before first start — the count is pinned into the checkpoint at
+    * query birth, and at 100 TB the SAME knob scales it up. Scoped
+    * save/restore: streaming partitioning is captured at query start, so
+    * the session conf is restored right after `start()` returns.
     */
+  private val StreamJoinStatePartitions = 8
+
   private def streamJoinRunner(s: SparkSession, dir: String, tag: String,
       joinType: String, out: DataFrame => DataFrame): DataFrame = {
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_${tag}_q"
@@ -897,12 +913,19 @@ object StreamOps {
     val joined = sideStream("views", "v").join(sideStream("buys", "b"),
       expr("v_user = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"),
       joinType)
-    val q = out(joined)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$work/ckpt")
-      .option("path", s"$work/out")
-      .trigger(Trigger.AvailableNow()).format("parquet").start()
-    q.awaitTermination()
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = s.conf.get(spKey)
+    try {
+      s.conf.set(spKey, StreamJoinStatePartitions)
+      val q = out(joined)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .option("path", s"$work/out")
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      // restore only after the drain: the stream clones the session conf
+      // on its own execution thread, which may run after start() returns
+      q.awaitTermination()
+    } finally s.conf.set(spKey, prevSp)
     s.read.parquet(s"$work/out")
   }
 

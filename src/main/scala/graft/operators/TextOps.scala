@@ -114,6 +114,75 @@ object TextOps {
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term")).limit(20)),
 
+    // Corpus-wide duplicated-SPAN coverage — the measurement behind
+    // suffix-array substring dedup ("how much of the corpus is verbatim
+    // repeated text", Lee et al. 2022): a token position is covered when
+    // its 8-gram occurs more than once corpus-wide (within OR across
+    // docs). A suffix array doesn't distribute; positional n-gram
+    // counting does — the gram stream collapses map-side to
+    // (gram, count) partials, and the coverage join shuffles on the
+    // gram key, both linear in corpus size with no all-pairs step.
+    // Per-doc output: total spans, duplicated spans, and the distinct
+    // duplicated grams the doc contributes — the triage report that
+    // decides whether substring-level dedup is worth running.
+    "text_dup_spans" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 7),
+            i => array_join(slice(col("t"), i, lit(8)), " "))).as("gram"))
+      val counts = g.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      g.join(counts, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("c") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_spans"),
+          countDistinct(when(col("c") > 1, col("gram"))).as("n_dup_grams"))
+    }),
+
+    // Sequence-length histogram — the planning input for context-window
+    // packing and truncation policy: doc counts and token budgets per
+    // fixed-width 16-token bucket, with the running token budget up to
+    // each bucket. One scan collapses map-side to ~|max_len/16| rows;
+    // the cumulative window runs over that tiny aggregated set (never
+    // the corpus), so the single-partition window is free at any scale.
+    "text_len_histogram" -> ((s, dir) => {
+      val h = docs(s, dir)
+        .select(size(Text.tokens(col("text"))).cast("long").as("n"))
+        .select(floor(col("n") / 16.0).cast("long").as("bucket"), col("n"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
+          min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      h.withColumn("cum_tokens", sum(col("total_tokens")).over(w))
+    }),
+
+    // TF-IDF-style keyword extraction, integer-exact: per-doc top-3
+    // terms ranked by (tf desc, df asc, term) — within a document,
+    // idf = ln(N/df) is strictly decreasing in df, so for equal tf the
+    // (tf, df) rank IS the tf·idf rank, without trusting two engines'
+    // ln() to round identically. Terms in more than half the corpus are
+    // stoplisted by document frequency (the data-driven stop list).
+    // Scale shape: tf collapses map-side per (doc, term); df aggregates
+    // the tf table (vocabulary-sized); the rank window partitions by
+    // doc_id — even key distribution, no corpus-wide sort.
+    "text_keywords" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nDocs = d.count()
+      val tf = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(dfreq.filter(col("df") * 2 <= nDocs), Seq("term"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+    }),
+
     // Count-Min-Sketch heavy hitters — the FIXED-memory form of
     // text_top_terms (the exact count table is the vocabulary; a CMS is
     // d×w counters regardless of vocabulary growth, and the counter
@@ -918,6 +987,46 @@ object TextOps {
       s"""SELECT term, COUNT(*) AS n
           FROM (SELECT unnest($toks) AS term FROM documents)
           GROUP BY 1 ORDER BY n DESC, term LIMIT 20""",
+
+    "text_dup_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+          g AS (
+            SELECT doc_id,
+              unnest([array_to_string(t[i:i+7], ' ')
+                      for i in generate_series(1, len(t) - 7)]) AS gram
+            FROM tk WHERE len(t) >= 8),
+          counts AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY 1)
+          SELECT doc_id, COUNT(*) AS n_spans,
+            CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+            COUNT(DISTINCT CASE WHEN c > 1 THEN gram END) AS n_dup_grams
+          FROM g JOIN counts USING (gram)
+          GROUP BY doc_id""",
+
+    "text_len_histogram" ->
+      s"""WITH h AS (
+            SELECT CAST(floor(n / 16.0) AS BIGINT) AS bucket,
+              COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
+              MIN(n) AS min_tokens, MAX(n) AS max_tokens
+            FROM (SELECT CAST(len($toks) AS BIGINT) AS n FROM documents)
+            GROUP BY 1)
+          SELECT bucket, n_docs, total_tokens, min_tokens, max_tokens,
+            CAST(SUM(total_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens
+          FROM h""",
+
+    "text_keywords" ->
+      s"""WITH tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+            GROUP BY 1, 2),
+          dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents)
+          SELECT doc_id, rank, term, tf, df FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+              ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS rank
+            FROM tf JOIN dfreq USING (term), n
+            WHERE dfreq.df * 2 <= n.n_docs)
+          WHERE rank <= 3""",
 
     "pipe_enrich" ->
       s"""WITH ${VectorOps.prepCte}, ${VectorOps.kmeansCtes(2)},

@@ -144,6 +144,29 @@ object VectorOps {
           coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
     }),
 
+    // Clustering-quality report — the diagnostic that decides whether an
+    // IVF index needs retraining or more centroids: per-cluster member
+    // count and inertia (summed squared L2 distance to the assigned
+    // centroid on the integer grid: ‖v‖² + ‖c‖² − 2·v·c, all BIGINT so
+    // the gate is engine-exact). Unbalanced lists or high inertia mean
+    // the coarse quantizer is mis-sized. Scale shape: the assignment is
+    // the same broadcast map-side argmax the IVF path uses; the report
+    // collapses to k rows via partial aggregation — one corpus scan.
+    "sim_kmeans_quality" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val p = Similarity.prepared(e, col("vec_id"), col("embedding")).localCheckpoint()
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = KmeansIters)
+      Similarity.assignTo(p, cents).select(col("vec_id"), col("centroid_id"))
+        .join(p, Seq("vec_id"))
+        .join(broadcast(cents), Seq("centroid_id"))
+        .withColumn("dist2",
+          col("nrm") + col("cn") - lit(2L) * Similarity.dotQ(col("v"), col("cv")))
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_members"), sum(col("dist2")).as("inertia"),
+          min(col("vec_id")).as("min_member"), max(col("vec_id")).as("max_member"))
+    }),
+
     // Quantization-error report — the metric that picks the codec: total
     // and per-vector squared reconstruction error of SQ8 (per-vector
     // affine, 64 bytes) vs PQ (trained codebooks, 4 bytes), on the same
@@ -491,6 +514,24 @@ object VectorOps {
           FROM exact e LEFT JOIN ivf i
             ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
           GROUP BY e.query_id""",
+
+    "sim_kmeans_quality" ->
+      s"""WITH $prepCte, ${kmeansCtes(2)},
+          asg AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents2 c)
+            WHERE rn = 1)
+          SELECT a.centroid_id, COUNT(*) AS n_members,
+            CAST(SUM(p.nrm + c.cn
+              - 2 * list_sum([p.v[i] * c.cv[i]
+                              for i in generate_series(1, len(p.v))])) AS BIGINT) AS inertia,
+            MIN(p.vec_id) AS min_member, MAX(p.vec_id) AS max_member
+          FROM asg a JOIN prep p USING (vec_id)
+          JOIN cents2 c ON c.centroid_id = a.centroid_id
+          GROUP BY 1""",
 
     "sim_quant_error" -> {
       val dec = "CAST(round((sc.qmin + CAST(sc.q[i] AS DOUBLE) * (sc.qmax - sc.qmin) / 255.0) * 1000.0) AS BIGINT)"

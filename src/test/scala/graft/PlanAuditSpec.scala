@@ -55,6 +55,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_assign", "sim_ivf_search", // broadcast k-means centroid table
     "sim_ivfpq", // broadcast centroid table (coarse probe) + broadcast ADC LUT
     "sim_ivf_recall", // composes sim_knn_brute + sim_ivf_search (both above)
+    "sim_kmeans_quality", // broadcast k-means centroid table (assignment pass)
     "pipe_ann", // broadcast trained centroid table (train-once assign + ivf arms)
     "dedup_semantic", // broadcast k-means centroid table as the blocking key
     "pipe_enrich", // broadcast k-means centroid table (cluster assignment arm)

@@ -589,6 +589,37 @@ object Relational {
         .groupBy(col("o_orderpriority"))
         .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // Dynamic partition pruning — THE scan-cost lever for a partitioned
+    // 100 TB fact table: the fact (lineitem staged partitioned by ship
+    // month) joins a month dimension filtered on year, and Catalyst
+    // injects the dim's qualifying partition keys as a runtime IN-subquery
+    // on the fact's PARTITION column, so only ~12 of ~84 month partitions
+    // are read — the scan never touches the other years' files. The plan
+    // gate (PlanAuditSpec) asserts `dynamicpruning` reached the fact scan;
+    // the oracle pins the joined aggregate. Same dataset-scoped staging
+    // discipline as q12's bucketed warehouse (built once per dir, reused).
+    "q30_dpp" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_dpp" +
+        dir.replace('/', '_')
+      val path = s"$wh/lineitem_bymonth"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        Tables.load(s, dir, "lineitem")
+          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+          .repartition(col("ship_month")) // one writer per month, not 84 files per task
+          .write.partitionBy("ship_month").parquet(path)
+      }
+      val fact = s.read.parquet(path)
+      val months = fact.select(col("ship_month")).distinct()
+        .withColumn("year", substring(col("ship_month"), 1, 4))
+      fact.join(months.filter(col("year") === "1995"), Seq("ship_month"))
+        .groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n_items"), moneySum(col("l_quantity")).as("sum_qty"))
     })
   )
 
@@ -998,6 +1029,13 @@ object Relational {
          COUNT(*) AS n_items
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+         GROUP BY 1""",
+    "q30_dpp" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         COUNT(*) AS n_items,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE strftime(l_shipdate, '%Y') = '1995'
          GROUP BY 1"""
   )
 }

@@ -44,6 +44,7 @@ object StreamOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_e2e" -> ((s, dir) => run(s, dir)),
     "cdc_resume_restart" -> ((s, dir) => runResume(s, dir)),
+    "cdc_tail_live" -> ((s, dir) => runTailLive(s, dir)),
     "cdc_supervisor_restart" -> ((s, dir) => runSupervisor(s, dir)),
     "cdc_metrics" -> ((s, dir) => runMetrics(s, dir)),
     "cdc_full_incr_handoff" -> ((s, dir) => runHandoff(s, dir)),
@@ -52,6 +53,7 @@ object StreamOps {
     "cdc_ckpt_api_store" -> ((s, dir) => runCkptStores(s, dir)),
     "cdc_journal_sample" -> ((s, dir) => runJournal(s, dir)),
     "stream_window_late" -> ((s, dir) => runWindowed(s, dir)),
+    "stream_topk" -> ((s, dir) => runStreamTopk(s, dir)),
     "stream_join" -> ((s, dir) => runStreamJoin(s, dir)),
     "stream_join_outer" -> ((s, dir) => runStreamJoinOuter(s, dir)),
     "stream_sessionize" -> ((s, dir) => runSessionize(s, dir)),
@@ -341,6 +343,108 @@ object StreamOps {
         lit("").as("b"), col("lsn_min").as("x"), col("lsn_max").as("y"),
         col("n_logs").cast("double").as("v"))
     state.unionByName(ck)
+  }
+
+  /** S1 LIVE tailing end-to-end over the DSv2 ts-offset cursor source
+    * ([[graft.streaming.OplogTailSource]] ↔ the reference's tailable
+    * oplog cursor, `collector/reader/oplog_reader.go:100-241`): phase A
+    * is in the cursor buffer before the query starts, phase B arrives
+    * WHILE the query runs (tailing — mid-run appends become the next
+    * micro-batch off the same cursor), the query then stops and a new
+    * incarnation resumes from the checkpointed ts offset (`{ts: {$gt:
+    * ckpt}}`, the cursor contract — not the file-source contract the
+    * other restart harnesses exercise) before draining phase C.
+    *
+    * Proof sections (closed-form in the oracle):
+    *  - `state`: the last-effective-write fold over all three phases —
+    *    tailed and resumed delivery is complete and idempotent.
+    *  - `ckpt`: ONE aggregate row (delivered-row total + global lsn
+    *    bounds). Per-batch rows are timing-dependent under a live
+    *    ProcessingTime trigger (an append can straddle a trigger edge);
+    *    the totals are not — `_ckpt/batch=<id>` dirs are overwritten on
+    *    replay, so the sum is replay-safe.
+    *  - `cursor`: the ack purge held — after the drain the buffer
+    *    retains at most the final (not-yet-acked) batch, never history
+    *    (the reference worker's purge-on-ack, O(unacked) memory).
+    */
+  private def runTailLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{OplogTail, OplogTailSource}
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_tail_live_q"
+    IncrSync.deletePath(s, work)
+    val keep = OplogFilters.chain(gids, white, black)
+    val eff = Oplog.fromEvents(s, dir)
+      .filter(keep && col("op").isin("i", "u", "d"))
+      .localCheckpoint()
+    val bounds = eff.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
+    val (tmin, tmax) = (bounds.getLong(0), bounds.getLong(1))
+    val t1 = tmin + (tmax - tmin) / 3
+    val t2 = tmin + 2 * ((tmax - tmin) / 3)
+
+    // Harness-side cursor staging: the collect IS the fake — the buffer
+    // stands in for the mongod cursor, which a real deployment reads
+    // over the wire (one cursor per shard), never through the driver.
+    val all = eff
+      .select(col("event_id"), col("ts_packed"), col("op"), col("ns"),
+        col("doc_key"), col("value"), col("props"), col("g"), col("from_migrate"))
+      .collect().toSeq.map(r => OplogTail.Entry(r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3), r.getString(4), r.getDouble(5),
+        Option(r.getString(6)).getOrElse("{}"), Option(r.getString(7)).getOrElse(""),
+        r.getBoolean(8)))
+    val (ea, rest) = all.partition(_.ts <= t1)
+    val (eb, ec) = rest.partition(_.ts <= t2)
+
+    val bufName = "cdc_tail_live_q"
+    OplogTail.drop(bufName)
+    val buf = OplogTail.buffer(bufName)
+
+    val ckptPath = new org.apache.hadoop.fs.Path(s"$work/target/_ckpt")
+    val ckptFs = ckptPath.getFileSystem(s.sessionState.newHadoopConf())
+    def ckptTotal(): Long =
+      try {
+        if (!ckptFs.exists(ckptPath)) 0L
+        else s.read.parquet(s"$work/target/_ckpt")
+          .agg(coalesce(sum(col("n_logs")), lit(0L))).head().getLong(0)
+      } catch { case _: Throwable => 0L }
+    def awaitTotal(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (ckptTotal() < n) {
+        if (System.currentTimeMillis() >= deadline)
+          throw new IllegalStateException(
+            s"tail stalled: ${ckptTotal()} of $n rows delivered within 120s")
+        Thread.sleep(100)
+      }
+    }
+
+    buf.append(ea)
+    val q1 = IncrSync.startOplogFrom(s, OplogTailSource(bufName),
+      s"$work/target", s"$work/ckpt", gids = gids, white = white, black = black,
+      nBuckets = 16, trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      awaitTotal(ea.size.toLong)
+      buf.append(eb) // LIVE: the running query tails these off the cursor
+      awaitTotal((ea.size + eb.size).toLong)
+    } finally q1.stop()
+
+    buf.append(ec) // lands while no query runs; the resume must pick it up
+    val q2 = IncrSync.startOplogFrom(s, OplogTailSource(bufName),
+      s"$work/target", s"$work/ckpt", gids = gids, white = white, black = black,
+      nBuckets = 16, trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try awaitTotal(all.size.toLong) finally q2.stop()
+    val bounded = buf.size <= ec.size
+    OplogTail.drop(bufName)
+
+    val state = IncrSync.readOrEmpty(s, s"$work/target/state")
+      .select(lit("state").as("section"), col("ns").as("a"), col("doc_key").as("b"),
+        col("last_event_id").as("x"), lit(0L).as("y"), col("last_value").as("v"))
+    val ck = s.read.parquet(s"$work/target/_ckpt")
+      .agg(min(col("lsn_min")).as("x"), max(col("lsn_max")).as("y"),
+        sum(col("n_logs")).cast("double").as("v"))
+      .select(lit("ckpt").as("section"), lit("total").as("a"), lit("").as("b"),
+        col("x"), col("y"), col("v"))
+    val cursor = s.range(1).select(lit("cursor").as("section"), lit("bounded").as("a"),
+      lit(if (bounded) "true" else "false").as("b"), lit(0L).as("x"), lit(0L).as("y"),
+      lit(0.0).as("v"))
+    state.unionByName(ck).unionByName(cursor)
   }
 
   /** State re-bucketing migration, oracle-gated end-to-end
@@ -840,6 +944,57 @@ object StreamOps {
     s.read.parquet(s"$work/out")
   }
 
+  /** Continuous top-k — the streaming materialized-view pattern for a
+    * leaderboard: rank is not supported inside an append-mode streaming
+    * aggregate, so the production shape is two-tier — the streaming
+    * windowed count emits CLOSED (window, event_type) rows at watermark
+    * passage, and a downstream batch rank runs over the emitted table.
+    * The rank input is already aggregated (|windows|×|types| rows, never
+    * the event stream), so the per-window row_number costs nothing at
+    * any scale; the streaming tier's state is O(open windows × types).
+    * Same staged feed discipline as `stream_window_late` (upper half,
+    * watermark-advancing filler, dropped-late lower half).
+    */
+  private def runStreamTopk(s: SparkSession, dir: String): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_topk_q"
+    IncrSync.deletePath(s, work)
+    val ev = graft.Tables.loadEventsNs(s, dir)
+      .select(col("event_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+      .localCheckpoint()
+    val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val tmid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    stageOrdered(s, s"$work/feed", Seq(
+      ev.filter(col("ts_us") > tmid),
+      ev.filter(col("ts_us") === b.getLong(1)),
+      ev.filter(col("ts_us") <= tmid)))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("w_start"), col("event_type"), col("n"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    val rankW = Window.partitionBy(col("w_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    s.read.parquet(s"$work/out")
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("w_start"), col("rank"), col("event_type"), col("n"))
+  }
+
   /** Watermarked stream-stream INNER join — `StreamingSymmetricHashJoin`,
     * the one Structured Streaming operator family no other query
     * exercises: the events corpus split into two LIVE sides by event_id
@@ -1264,6 +1419,27 @@ object StreamOps {
           WHERE w_start + 86400000000 <= wm
           GROUP BY w_start""",
 
+    // Emitted windows ≡ stream_window_late's closed form; the rank tier
+    // is a plain batch window over the (w_start, event_type) counts.
+    "stream_topk" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_ns(ts)//1000 AS ts_us FROM events),
+          tt AS (SELECT tmin + (tmax - tmin) // 2 AS tmid,
+                        tmax - 3600000000 AS wm
+                 FROM (SELECT MIN(ts_us) AS tmin, MAX(ts_us) AS tmax FROM e)),
+          up AS (SELECT event_type, ts_us,
+                   ts_us - ts_us % 86400000000 AS w_start
+                 FROM e, tt WHERE ts_us > tmid),
+          counts AS (
+            SELECT w_start, event_type, COUNT(*) AS n
+            FROM up, tt WHERE w_start + 86400000000 <= wm
+            GROUP BY 1, 2)
+          SELECT w_start, rank, event_type, n FROM (
+            SELECT w_start, event_type, n,
+              ROW_NUMBER() OVER (PARTITION BY w_start
+                ORDER BY n DESC, event_type) AS rank
+            FROM counts)
+          WHERE rank <= 3""",
+
     // Drained inner stream-stream join ≡ the batch join, closed form.
     "stream_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us FROM events),
@@ -1485,6 +1661,31 @@ object StreamOps {
           FROM state
           UNION ALL
           SELECT 'ckpt', bid, '', lsn_min, lsn_max, CAST(n AS DOUBLE) FROM ck"""),
+
+    // Tailed + resumed delivery over the ts-offset cursor source must
+    // land the same last-effective-write state as a one-shot fold; the
+    // ckpt row pins the delivered-row total + global lsn bounds, and the
+    // cursor row pins the O(unacked) purge proof.
+    "cdc_tail_live" -> Oplog.withOracleCte(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          state AS (
+            SELECT ns, doc_key, value, event_id FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff) WHERE rn = 1 AND op <> 'd')
+          SELECT 'state' AS section, ns AS a, doc_key AS b,
+            event_id AS x, CAST(0 AS BIGINT) AS y, value AS v
+          FROM state
+          UNION ALL
+          SELECT 'ckpt', 'total', '', MIN(ts_packed), MAX(ts_packed),
+            CAST(COUNT(*) AS DOUBLE)
+          FROM eff
+          UNION ALL
+          SELECT 'cursor', 'bounded', 'true', CAST(0 AS BIGINT),
+            CAST(0 AS BIGINT), 0.0"""),
 
     // The supervised crash-recovery run must be observationally identical
     // to a clean single-batch run: one _ckpt row over the whole feed, the

@@ -761,6 +761,41 @@ object TextOps {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Dedup-quality evaluation — the recall measurement a banding config
+    // is tuned by (bands × rows trade candidate volume for recall, the
+    // S-curve): exact 3-shingle Jaccard ≥ 0.5 over a bounded PROBE set
+    // (doc_id < 50, probe = smaller pair id) is the ground truth; the
+    // production MinHash-LSH pair stream restricted to the probes is the
+    // candidate set. Output: three integer counters (true pairs, LSH
+    // hits, LSH candidates) — recall and precision are the consumer's
+    // quotients, the gate stays engine-exact. Scale shape: the truth is
+    // one broadcast probe×corpus pass (the eval runs on a sampled probe
+    // set, never all pairs), mirroring sim_ivf_recall's design.
+    "dedup_lsh_recall" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = Dedup.minhashSignatures(d, col("doc_id"), col("text"), 3, 16)
+        .select(col("doc_id"), col("s")).localCheckpoint()
+      val probes = sh.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      val corpus = sh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+      val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+      val truth = broadcast(probes).join(corpus, col("doc_a") < col("doc_b"))
+        .filter(inter / uni >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val lshPairs = Dedup.minhashLsh(d, col("doc_id"), col("text"))
+        .filter(col("doc_a") < 50).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val t2 = truth.join(lshPairs.withColumn("h", lit(1L)),
+        Seq("doc_a", "doc_b"), "left_outer")
+      t2.agg(count(lit(1)).as("v")).select(lit("n_true").as("metric"), col("v"))
+        .unionByName(t2.agg(coalesce(sum(col("h")), lit(0L)).as("v"))
+          .select(lit("n_hit").as("metric"), col("v")))
+        .unionByName(lshPairs.agg(count(lit(1)).as("v"))
+          .select(lit("n_cand").as("metric"), col("v")))
+    }),
+
     // Cluster dedup: connected components over the MinHash-LSH pair graph
     // (a~b and b~c collapse to ONE survivor) — iterative min-label
     // propagation to fixpoint; oracle = recursive-CTE closure.
@@ -1449,6 +1484,22 @@ object TextOps {
 
     "dedup_minhash_lsh" ->
       s"WITH $minhashPairCtes SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5",
+
+    "dedup_lsh_recall" ->
+      s"""WITH $minhashPairCtes,
+          lsh AS (
+            SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5 AND doc_a < 50),
+          truth AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b ON a.doc_id < 50 AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              (CAST(len(a.s) + len(b.s) AS DOUBLE)
+                - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.5)
+          SELECT 'n_true' AS metric, COUNT(*) AS v FROM truth
+          UNION ALL
+          SELECT 'n_hit', COUNT(*) FROM truth JOIN lsh USING (doc_a, doc_b)
+          UNION ALL
+          SELECT 'n_cand', COUNT(*) FROM lsh""",
 
     "dedup_components" ->
       s"""WITH $minhashPairCtes,

@@ -38,6 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sink_receiver_resume", // stop + resume receiver streaming queries
     "cdc_stream_e2e", // full streaming query with stateful txn assembly
     "cdc_resume_restart", // two sequential streaming queries (stop + resume)
+    "cdc_tail_live", // live tail-source queries (ProcessingTime, stop + resume)
     "cdc_supervisor_restart", // crashed + supervised-restart streaming queries
     "cdc_full_incr_handoff", // snapshot apply + full streaming query
     "cdc_metrics", // streaming query + listener-fed metrics table
@@ -58,6 +59,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_kmeans_quality", // broadcast k-means centroid table (assignment pass)
     "pipe_ann", // broadcast trained centroid table (train-once assign + ivf arms)
     "dedup_semantic", // broadcast k-means centroid table as the blocking key
+    "dedup_lsh_recall", // broadcast probe set × corpus (eval ground truth)
     "pipe_enrich", // broadcast k-means centroid table (cluster assignment arm)
     "snap_orphan_compound", // broadcast chunk bounds, BSON-order range semi-join
     "snap_range_pieces", // broadcast piece bounds × table rows
@@ -84,6 +86,16 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(exchanges <= maxExchanges,
         s"$name plans $exchanges exchanges (cap $maxExchanges):\n$plan")
     }
+  }
+
+  test("plan audit: q30_dpp prunes fact partitions at runtime") {
+    // the whole point of the query: the month-dim filter must reach the
+    // partitioned fact scan as a dynamic partition-pruning subquery, so
+    // a 100 TB fact pays for ~12 month partitions, not all of them
+    val plan = SparkEntry.queries("q30_dpp")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"q30_dpp lost dynamic partition pruning on the fact scan:\n$plan")
   }
 
   test("plan audit: q6_filter pushes its scan predicates into parquet") {

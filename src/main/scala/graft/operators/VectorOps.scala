@@ -144,6 +144,34 @@ object VectorOps {
           coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
     }),
 
+    // Recall@3 of the combined IVF-PQ path against the exact brute-force
+    // ground truth — the end-of-pipeline eval that closes the ANN eval
+    // triangle (sim_ivf_recall grades the coarse index alone,
+    // sim_quant_error grades the codec alone; this grades their
+    // composition, where coarse-probe misses AND 4-byte ADC ranking
+    // errors both cost recall). Same bounded shape: ground truth is one
+    // brute pass over the 10-probe set, the comparison one left join of
+    // two k-row heads.
+    "sim_ivfpq_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = KmeansIters)
+      val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8)
+      val adc = Similarity.ivfPqSearch(e, col("vec_id"), col("embedding"),
+        cents, cb, queryPred = col("vec_id") < 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Similarity.knnBrute(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 10, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(adc.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+    }),
+
     // Clustering-quality report — the diagnostic that decides whether an
     // IVF index needs retraining or more centroids: per-cluster member
     // count and inertia (summed squared L2 distance to the assigned
@@ -512,6 +540,53 @@ object VectorOps {
             CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS n_hit
           FROM exact e LEFT JOIN ivf i
+            ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+          GROUP BY e.query_id""",
+
+    "sim_ivfpq_recall" ->
+      s"""WITH $prepCte, ${kmeansCtes(2)}, ${pqCtes(2)}, ${pqEncCte(2)},
+          assigned AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents2 c)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS prn
+              FROM prep q, cents2 c WHERE q.vec_id < 10)
+            WHERE prn <= 2),
+          lut AS (
+            SELECT s.vec_id AS query_id, s.m, c.code, ${l2Sql("s.sv", "c.cw")} AS d
+            FROM subprep s JOIN cb2 c USING (m) WHERE s.vec_id < 10),
+          adcq AS (
+            SELECT l.query_id, a.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
+            FROM enc a
+            JOIN assigned g USING (vec_id)
+            JOIN probes pr ON pr.centroid_id = g.centroid_id
+            JOIN lut l ON l.query_id = pr.query_id AND l.m = a.m AND l.code = a.code
+            WHERE l.query_id <> a.vec_id
+            GROUP BY 1, 2),
+          ivfpq AS (
+            SELECT query_id, vec_id AS neighbor_id FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc, vec_id) AS rank
+              FROM adcq)
+            WHERE rank <= 3),
+          exact AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, p.vec_id) AS rank
+              FROM prep q JOIN prep p ON q.vec_id < 10 AND q.vec_id <> p.vec_id)
+            WHERE rank <= 3)
+          SELECT e.query_id, COUNT(*) AS n_exact,
+            CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+          FROM exact e LEFT JOIN ivfpq i
             ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
           GROUP BY e.query_id""",
 

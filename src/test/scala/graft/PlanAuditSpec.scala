@@ -57,6 +57,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivfpq", // broadcast centroid table (coarse probe) + broadcast ADC LUT
     "sim_ivf_recall", // composes sim_knn_brute + sim_ivf_search (both above)
     "sim_kmeans_quality", // broadcast k-means centroid table (assignment pass)
+    "sim_ivfpq_recall", // composes sim_knn_brute + sim_ivfpq (both broadcast)
     "pipe_ann", // broadcast trained centroid table (train-once assign + ivf arms)
     "dedup_semantic", // broadcast k-means centroid table as the blocking key
     "dedup_lsh_recall", // broadcast probe set × corpus (eval ground truth)

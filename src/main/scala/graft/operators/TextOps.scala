@@ -225,6 +225,63 @@ object TextOps {
         .orderBy(col("n_pairs").desc, col("pair")).limit(20)
     }),
 
+    // The tokenizer-training loop made WHOLE — text_bpe_merges is one
+    // round of pair stats; this trains 5 sequential merges (argmax pair
+    // → apply → recount, counts genuinely shifting between rounds) and
+    // then ENCODES the corpus with them, reporting the unit budget the
+    // merges bought. Unit representation: each unit is its characters
+    // plus a '|' terminator, units joined by single spaces with one
+    // leading space — the replace pattern ' l r' → ' lr' is then
+    // boundary-anchored (the space anchors unit start, the '|' anchors
+    // unit end) and left-to-right non-overlapping literal replace IS the
+    // BPE merge step, bit-identically in both engines. Scale shape: the
+    // corpus collapses to the vocabulary ONCE; every round touches
+    // |vocab| rows with a 1-row TakeOrdered argmax and a broadcast-
+    // literal replace — no shuffle beyond the initial vocab aggregation,
+    // regardless of rounds.
+    "text_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = docs(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      var seqs = vocab.withColumn("seq", expr(
+        """concat(' ', array_join(transform(sequence(1, length(w)),
+             i -> concat(substring(w, i, 1), '|')), ' '))"""))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      for (r <- 1 to 5) {
+        val top = seqs.select(col("n"), split(trim(col("seq")), " ").as("u"))
+          .filter(size(col("u")) >= 2)
+          .select(col("n"), explode(expr(
+            """transform(sequence(1, size(u) - 1),
+                 i -> named_struct('l', element_at(u, i), 'r', element_at(u, i + 1)))""")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("n")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+        if (top.nonEmpty) { // a tiny corpus can exhaust its pairs early
+          val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r.toLong, l, rr, c))
+          val merged = l.dropRight(1) + rr
+          seqs = seqs.withColumn("seq", regexp_replace(col("seq"),
+            lit(java.util.regex.Pattern.quote(s" $l $rr")), lit(s" $merged")))
+            .localCheckpoint()
+        }
+      }
+      val mdf = merges.toSeq.map { case (r, l, rr, c) => ("merge", r, l, rr, c) }
+        .toDF("section", "rank", "l", "r", "n")
+      val enc = seqs
+        .select(col("n"), size(split(trim(col("seq")), " ")).cast("long").as("units"))
+        .agg(sum(col("n") * col("units")).as("n"))
+        .select(lit("tokens").as("section"), lit(0L).as("rank"),
+          lit("").as("l"), lit("").as("r"), col("n"))
+      val chars = vocab
+        .agg(sum(col("n") * length(col("w")).cast("long")).as("n"))
+        .select(lit("chars").as("section"), lit(0L).as("rank"),
+          lit("").as("l"), lit("").as("r"), col("n"))
+      mdf.unionByName(enc).unionByName(chars)
+    }),
+
     // Distributed weighted sampling without replacement (Efraimidis-
     // Spirakis A-ES): each doc draws a deterministic hash-uniform
     // u ∈ (0,1] and keys on ln(u)/weight (weight = token count — longer
@@ -969,6 +1026,39 @@ object TextOps {
               (CAST(len(sa.s) + len(sb.s) AS DOUBLE) - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)) AS jaccard
           FROM pairs JOIN sig sa ON sa.doc_id = pairs.doc_a JOIN sig sb ON sb.doc_id = pairs.doc_b)"""
 
+  /** BPE train-loop CTE chain mirroring `text_bpe_apply`: v0 = the
+    * vocabulary in unit form (chars + '|' terminators, space-joined,
+    * leading space), then per round the weighted pair counts (p), the
+    * 1-row argmax merge (m), and the merged vocabulary (v) — the same
+    * staged-iteration idiom as [[VectorOps.kmeansCtes]].
+    */
+  private def bpeCtes(iters: Int): String = {
+    val v0 =
+      s"""v0 AS (
+            SELECT w, n,
+              ' ' || array_to_string([substring(w, i, 1) || '|'
+                for i in generate_series(1, length(w))], ' ') AS seq
+            FROM (SELECT w, COUNT(*) AS n
+                  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY 1))"""
+    val steps = (1 to iters).map { t =>
+      s"""p$t AS (
+            SELECT pr.l AS l, pr.r AS r, CAST(SUM(n) AS BIGINT) AS c FROM (
+              SELECT n, unnest([{'l': u[i], 'r': u[i+1]}
+                for i in generate_series(1, len(u) - 1)]) AS pr
+              FROM (SELECT n, string_split(trim(seq), ' ') AS u FROM v${t - 1}))
+            GROUP BY 1, 2),
+          m$t AS (SELECT l, r, c FROM p$t ORDER BY c DESC, l, r LIMIT 1),
+          v$t AS (
+            -- LEFT JOIN ON TRUE + coalesce: an exhausted pair table must
+            -- pass the vocabulary through, not empty it (Spark mirrors
+            -- with its top.nonEmpty guard)
+            SELECT w, n, coalesce(replace(seq, ' ' || m.l || ' ' || m.r,
+              ' ' || left(m.l, length(m.l) - 1) || m.r), seq) AS seq
+            FROM v${t - 1} LEFT JOIN m$t m ON TRUE)"""
+    }
+    (v0 +: steps).mkString(", ")
+  }
+
   def oracles: Map[String, String] = Map(
     "text_stats" ->
       s"""SELECT doc_id,
@@ -1401,6 +1491,19 @@ object TextOps {
           SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pairs
           FROM pairs GROUP BY 1
           ORDER BY n_pairs DESC, pair LIMIT 20""",
+
+    "text_bpe_apply" -> {
+      val mergeSel = (1 to 5).map(t =>
+        s"SELECT 'merge' AS section, CAST($t AS BIGINT) AS rank, l, r, c AS n FROM m$t")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${bpeCtes(5)}
+          $mergeSel
+          UNION ALL
+          SELECT 'tokens', 0, '', '',
+            CAST(SUM(n * len(string_split(trim(seq), ' '))) AS BIGINT) FROM v5
+          UNION ALL
+          SELECT 'chars', 0, '', '', CAST(SUM(n * length(w)) AS BIGINT) FROM v0"""
+    },
 
     "text_weighted_sample" ->
       s"""WITH base AS (SELECT doc_id,

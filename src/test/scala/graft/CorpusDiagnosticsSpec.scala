@@ -107,6 +107,22 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_bpe_apply: hand-computable merges, tie-break, early exhaustion") {
+    // vocab: ab x3, cd x3 — round 1 ties (a|,b|)=3 vs (c|,d|)=3, the
+    // l-then-r tie-break picks (a|,b|); round 2 merges (c|,d|); rounds
+    // 3-5 find no pairs and must pass the vocabulary through unchanged
+    val dir = stageDocs(Seq((1L, "ab ab cd"), (2L, "ab cd cd")))
+    val out = graft.operators.TextOps.queries("text_bpe_apply")(spark, dir)
+      .as[(String, Long, String, String, Long)].collect()
+    val merges = out.filter(_._1 == "merge").sortBy(_._2).toSeq
+    assert(merges == Seq(
+      ("merge", 1L, "a|", "b|", 3L),
+      ("merge", 2L, "c|", "d|", 3L)))
+    val m = out.filter(_._1 != "merge").map(r => r._1 -> r._5).toMap
+    assert(m("chars") == 12L) // 6 words x 2 chars
+    assert(m("tokens") == 6L) // every word fully merged to one unit
+  }
+
   test("sim_kmeans_quality at sf0.001: members partition the corpus, inertia >= 0") {
     val out = graft.operators.VectorOps.queries("sim_kmeans_quality")(spark, sf)
       .select("centroid_id", "n_members", "inertia")

@@ -200,6 +200,61 @@ object Cdc {
           conv(substring(col("oid"), 19, 6), 16, 10).cast("long").as("oid_counter"))
     }),
 
+    // Schema-DRIFT detection over the change stream — the ops report that
+    // catches an application deploy changing its document shape (the
+    // follow-on to snap_schema_infer's point-in-time inventory): the
+    // sampled doc stream is split at its ts midpoint and each (ns, field)
+    // is classified added / removed / type_changed / stable from presence
+    // counts and the distinct regex-classified value types on each side.
+    // The synthesized doc stream models the deploy: `cents` flips number →
+    // string at the midpoint, `legacy` exists only before, `v2` only
+    // after. Scale shape: one sampled scan, the kv explode collapses
+    // map-side per (ns, field, type, half); the report is
+    // |namespaces×fields| rows — no second pass, no driver loop.
+    "cdc_schema_drift" -> ((s, dir) => {
+      val e = graft.Tables.loadEventsNs(s, dir).filter(col("event_id") % 10 === 0)
+        .localCheckpoint()
+      val b = e.agg(min(col("ts")), max(col("ts"))).head()
+      val tmid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val uid = col("user_id").cast("string")
+      val cents = round(col("value") * 100).cast("long").cast("string")
+      val ns = concat(
+        when(col("user_id") % 50 === 0, "local").otherwise("app"),
+        lit(".users_"), (col("user_id") % 4).cast("string"))
+      val after = col("ts") > tmid
+      val doc = concat(lit("{\"_id\":"), uid,
+        when(!after, concat(lit(",\"cents\":"), cents))
+          .otherwise(concat(lit(",\"cents\":\""), cents, lit("\""))),
+        when(!after, lit(",\"legacy\":1")).otherwise(lit("")),
+        when(after, concat(lit(",\"v2\":\"u"), uid, lit("\""))).otherwise(lit("")),
+        lit("}"))
+      val pat = "\"(\\w+)\":(.)"
+      val kv = e.select(ns.as("ns"), after.as("after"), doc.as("doc"))
+        .select(col("ns"), col("after"),
+          explode(arrays_zip(
+            regexp_extract_all(col("doc"), lit(pat), lit(1)),
+            regexp_extract_all(col("doc"), lit(pat), lit(2)))).as("p"))
+        .select(col("ns"), col("after"), col("p.0").as("field"),
+          when(col("p.1").rlike("[0-9-]"), "number")
+            .when(col("p.1") === "\"", "string")
+            .when(col("p.1") === "[", "array")
+            .when(col("p.1") === "{", "object")
+            .otherwise("other").as("ftype"))
+      kv.groupBy(col("ns"), col("field"))
+        .agg(
+          sum(when(!col("after"), 1L).otherwise(0L)).as("n_before"),
+          sum(when(col("after"), 1L).otherwise(0L)).as("n_after"),
+          array_join(sort_array(collect_set(when(!col("after"), col("ftype")))), ",")
+            .as("types_before"),
+          array_join(sort_array(collect_set(when(col("after"), col("ftype")))), ",")
+            .as("types_after"))
+        .withColumn("status",
+          when(col("n_before") === 0, "added")
+            .when(col("n_after") === 0, "removed")
+            .when(col("types_before") =!= col("types_after"), "type_changed")
+            .otherwise("stable"))
+    }),
+
     // X1-X3: routing distribution (worker → volume, distinct namespaces).
     "cdc_route_stats" -> ((s, dir) =>
       filtered(s, dir)
@@ -651,6 +706,58 @@ object Cdc {
 
     "cdc_filter_chain" -> withOplog(
       s"SELECT op, ns, COUNT(*) AS n FROM oplog WHERE $chainSql GROUP BY op, ns"),
+
+    "cdc_schema_drift" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, epoch_ns(ts) AS ts FROM events
+           WHERE event_id % 10 = 0),
+         tt AS (SELECT tmin + (tmax - tmin) // 2 AS tmid
+                FROM (SELECT MIN(ts) AS tmin, MAX(ts) AS tmax FROM e)),
+         docs AS (
+           SELECT (CASE WHEN user_id % 50 = 0 THEN 'local' ELSE 'app' END)
+               || '.users_' || CAST(user_id % 4 AS VARCHAR) AS ns,
+             ts > tmid AS after,
+             '{"_id":' || CAST(user_id AS VARCHAR)
+               || CASE WHEN ts > tmid
+                    THEN ',"cents":"' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || '"'
+                    ELSE ',"cents":' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) END
+               || CASE WHEN ts > tmid THEN '' ELSE ',"legacy":1' END
+               || CASE WHEN ts > tmid
+                    THEN ',"v2":"u' || CAST(user_id AS VARCHAR) || '"' ELSE '' END
+               || '}' AS doc
+           FROM e, tt),
+         kv AS (
+           SELECT ns, after, field,
+             CASE WHEN regexp_matches(c, '[0-9-]') THEN 'number'
+                  WHEN c = '"' THEN 'string'
+                  WHEN c = '[' THEN 'array'
+                  WHEN c = '{' THEN 'object'
+                  ELSE 'other' END AS ftype
+           FROM (SELECT ns, after,
+                   unnest(regexp_extract_all(doc, '"(\w+)":(.)', 1)) AS field,
+                   unnest(regexp_extract_all(doc, '"(\w+)":(.)', 2)) AS c
+                 FROM docs)),
+         agg1 AS (
+           SELECT ns, field,
+             CAST(SUM(CASE WHEN after THEN 0 ELSE 1 END) AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN after THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+           FROM kv GROUP BY 1, 2),
+         t0 AS (SELECT DISTINCT ns, field, after, ftype FROM kv),
+         tb AS (SELECT ns, field, string_agg(ftype, ',' ORDER BY ftype) AS types_before
+                FROM t0 WHERE NOT after GROUP BY 1, 2),
+         ta AS (SELECT ns, field, string_agg(ftype, ',' ORDER BY ftype) AS types_after
+                FROM t0 WHERE after GROUP BY 1, 2)
+         SELECT a.ns, a.field, n_before, n_after,
+           COALESCE(types_before, '') AS types_before,
+           COALESCE(types_after, '') AS types_after,
+           CASE WHEN n_before = 0 THEN 'added'
+                WHEN n_after = 0 THEN 'removed'
+                WHEN COALESCE(types_before, '') <> COALESCE(types_after, '')
+                  THEN 'type_changed'
+                ELSE 'stable' END AS status
+         FROM agg1 a
+         LEFT JOIN tb USING (ns, field)
+         LEFT JOIN ta USING (ns, field)""",
 
     "cdc_ns_transform" -> withOplog(
       """SELECT ns,

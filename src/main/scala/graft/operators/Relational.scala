@@ -620,6 +620,56 @@ object Relational {
       fact.join(months.filter(col("year") === "1995"), Seq("ship_month"))
         .groupBy(col("ship_month"))
         .agg(count(lit(1)).as("n_items"), moneySum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Runtime-filter join reduction, the algebra made explicit: a Bloom
+    // filter built from the SELECTIVE side's join keys (urgent orders)
+    // prunes the probe side BEFORE the join — at 100 TB the win is that
+    // only might-match fact rows reach the join exchange (Spark's own
+    // `runtime.bloomFilter` injects exactly this shape when thresholds
+    // warrant; building it relationally keeps the bit array engine-
+    // portable and the FP accounting observable). The filter is key-
+    // level: distinct probe keys bloom-test once (3 salted positions,
+    // all-set = might-contain) and a semi-join carries the verdict back
+    // to the fact rows; the small 8192-bit array broadcasts. Sections:
+    // the exact join aggregate (correctness unaffected by the lossy
+    // pre-filter — Bloom has no false negatives) and the reduction
+    // counters (probe rows, bloom-passed rows, truly matching rows —
+    // passed − matched = the false-pass cost of the 8 K bits).
+    "q31_bloom_join" -> ((s, dir) => {
+      val bloomBits = 8192L
+      val salts = Seq((40503L, 31161L), (34283L, 51831L), (49842L, 44605L))
+      def h(k: Column): Column = pmod(phash64(k.cast("string")), lit(4294967296L))
+      def positions(hc: Column): Column = array(salts.map { case (a, b) =>
+        pmod(hc * lit(a) + lit(b), lit(bloomBits)) }: _*)
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bitsSet = o.select(explode(positions(h(col("o_orderkey")))).as("pos")).distinct()
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_discount"))
+      val passed = li.select(col("l_orderkey")).distinct()
+        .select(col("l_orderkey"), explode(positions(h(col("l_orderkey")))).as("pos"))
+        .join(broadcast(bitsSet), Seq("pos"))
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_set"))
+        .filter(col("n_set") === salts.length)
+        .select(col("l_orderkey"))
+      val reduced = li.join(passed, Seq("l_orderkey"), "left_semi").localCheckpoint()
+      val joined = reduced.join(o, col("l_orderkey") === col("o_orderkey"))
+        .localCheckpoint()
+      val agg = joined.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          revenueSum(col("l_extendedprice"), col("l_discount")).as("v"))
+        .select(lit("agg").as("section"), col("l_returnflag").as("k"),
+          col("n"), col("v"))
+      def stat(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit("stats").as("section"), lit(name).as("k"), col("n"),
+            lit(0.0).as("v"))
+      agg.unionByName(stat("probe_rows", li))
+        .unionByName(stat("passed_bloom", reduced))
+        .unionByName(stat("matched", joined))
     })
   )
 
@@ -1036,6 +1086,35 @@ object Relational {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem
          WHERE strftime(l_shipdate, '%Y') = '1995'
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q31_bloom_join" ->
+      s"""WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         ho AS (SELECT o_orderkey,
+                  ${phash64Sql("CAST(o_orderkey AS VARCHAR)")} % 4294967296 AS h FROM o),
+         bits AS (SELECT DISTINCT pos FROM (
+           SELECT (h * 40503 + 31161) % 8192 AS pos FROM ho
+           UNION ALL SELECT (h * 34283 + 51831) % 8192 FROM ho
+           UNION ALL SELECT (h * 49842 + 44605) % 8192 FROM ho)),
+         li AS (SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount
+                FROM lineitem),
+         hk AS (SELECT l_orderkey,
+                  ${phash64Sql("CAST(l_orderkey AS VARCHAR)")} % 4294967296 AS h
+                FROM (SELECT DISTINCT l_orderkey FROM li)),
+         kp AS (
+           SELECT l_orderkey, (h * 40503 + 31161) % 8192 AS pos FROM hk
+           UNION ALL SELECT l_orderkey, (h * 34283 + 51831) % 8192 FROM hk
+           UNION ALL SELECT l_orderkey, (h * 49842 + 44605) % 8192 FROM hk),
+         passed AS (
+           SELECT l_orderkey FROM kp JOIN bits USING (pos)
+           GROUP BY 1 HAVING COUNT(*) = 3),
+         reduced AS (SELECT li.* FROM li JOIN passed USING (l_orderkey)),
+         joined AS (SELECT reduced.* FROM reduced JOIN o ON l_orderkey = o_orderkey)
+         SELECT 'agg' AS section, l_returnflag AS k, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS v
+         FROM joined GROUP BY 2
+         UNION ALL SELECT 'stats', 'probe_rows', COUNT(*), 0.0 FROM li
+         UNION ALL SELECT 'stats', 'passed_bloom', COUNT(*), 0.0 FROM reduced
+         UNION ALL SELECT 'stats', 'matched', COUNT(*), 0.0 FROM joined"""
   )
 }

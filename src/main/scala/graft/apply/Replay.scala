@@ -79,6 +79,45 @@ object Replay {
         sum((col("status") === "dst_only").cast("long")).as("n_dst_only"))
   }
 
+  /** Post-sync REPAIR planning — the step after [[diffStates]] reports
+    * drift. The reference ships the checker (`scripts/comparison.py`) and
+    * leaves the fix to the operator; at warehouse scale the fix is itself
+    * a batch: the SAME one full-outer key join as the diff, classified
+    * into executable ops — a src-only document becomes an insert ('i'), a
+    * value/lsn mismatch an overwrite-update ('u'), a dst-only leftover
+    * (e.g. a lost delete) a delete ('d') — each row carrying the source
+    * truth so the repair batch is self-contained. One exchange total;
+    * the plan IS the diff pass, never a second scan of either state.
+    */
+  def repairPlan(src: DataFrame, dst: DataFrame): DataFrame = {
+    val s = src.select(col("ns"), col("doc_key"),
+      col("last_value").as("v_src"), col("last_event_id").as("e_src"))
+    val d = dst.select(col("ns"), col("doc_key"),
+      col("last_value").as("v_dst"), col("last_event_id").as("e_dst"))
+    s.join(d, Seq("ns", "doc_key"), "full_outer")
+      .withColumn("action",
+        when(col("e_src").isNull, "d")
+          .when(col("e_dst").isNull, "i")
+          .when(col("v_src") === col("v_dst") && col("e_src") === col("e_dst"),
+            lit(null))
+          .otherwise("u"))
+      .filter(col("action").isNotNull)
+      .select(col("ns"), col("doc_key"), col("action"),
+        col("v_src").as("last_value"), col("e_src").as("last_event_id"))
+  }
+
+  /** Execute a [[repairPlan]] against the target state: one left-anti
+    * join clears every touched key, one union re-inserts the source truth
+    * for the non-delete actions — the same idempotent last-write-wins
+    * MERGE the direct writer uses, restated over repair ops. Applying the
+    * same plan twice is a no-op (the repaired keys then compare equal).
+    */
+  def applyRepairs(dst: DataFrame, plan: DataFrame): DataFrame =
+    dst.select(col("ns"), col("doc_key"), col("last_value"), col("last_event_id"))
+      .join(plan.select(col("ns"), col("doc_key")), Seq("ns", "doc_key"), "left_anti")
+      .unionByName(plan.filter(col("action") =!= "d")
+        .select(col("ns"), col("doc_key"), col("last_value"), col("last_event_id")))
+
   /** The checker's count-only fast path (`scripts/comparison_3x.py:
     * 120-126`: per-collection `estimated_document_count` equality, no
     * document reads): per-namespace row counts from both sides, one

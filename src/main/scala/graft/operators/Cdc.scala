@@ -145,6 +145,41 @@ object Cdc {
       graft.apply.Replay.diffStates(src, dst)
     }),
 
+    // The checker-to-repair loop CLOSED (the workflow comparison.py only
+    // begins — find drift, then fix it): a defective target (cdc_compare's
+    // lossy feed, harshened: every 13th event lost PLUS every 5th delete
+    // lost, so all three repair classes — insert, update, AND the
+    // lost-delete leftover — occur at every scale factor) is diffed, the diff classified
+    // into an executable repair batch (src_only→insert, mismatch→update,
+    // dst_only→delete, each carrying the source truth), the batch APPLIED
+    // with the idempotent merge, and the result re-verified. Output: per-
+    // ns repair-op counts next to the post-repair diff — the oracle pins
+    // n_mismatch/n_src_only/n_dst_only to 0 and n_equal to the full doc
+    // count, so a repair that misses or corrupts a class hash-diverges.
+    "cdc_repair" -> ((s, dir) => {
+      val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+      val src = Replay.materialize(eff)
+      val dst = Replay.materialize(eff.filter(
+        col("event_id") % 13 =!= 0 &&
+          !(col("op") === "d" && col("event_id") % 5 === 0)))
+      // reused by the count summary AND the apply — pin it once
+      val plan = Replay.repairPlan(src, dst).localCheckpoint()
+      val post = Replay.diffStates(src, Replay.applyRepairs(dst, plan))
+      val counts = plan.groupBy(col("ns")).agg(
+        sum((col("action") === "i").cast("long")).as("n_repair_insert"),
+        sum((col("action") === "u").cast("long")).as("n_repair_update"),
+        sum((col("action") === "d").cast("long")).as("n_repair_delete"))
+      post.join(counts, Seq("ns"), "full_outer")
+        .select(col("ns"),
+          coalesce(col("n_repair_insert"), lit(0L)).as("n_repair_insert"),
+          coalesce(col("n_repair_update"), lit(0L)).as("n_repair_update"),
+          coalesce(col("n_repair_delete"), lit(0L)).as("n_repair_delete"),
+          coalesce(col("n_equal"), lit(0L)).as("n_equal"),
+          coalesce(col("n_mismatch"), lit(0L)).as("n_mismatch"),
+          coalesce(col("n_src_only"), lit(0L)).as("n_src_only"),
+          coalesce(col("n_dst_only"), lit(0L)).as("n_dst_only"))
+    }),
+
     // The checker's count-only fast path (comparison_3x.py's default
     // mode): per-namespace count equality on the same defective feed —
     // the cheap first-pass check a user runs before paying for the
@@ -883,6 +918,73 @@ object Cdc {
             CAST(SUM(CASE WHEN status = 'src_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_src_only,
             CAST(SUM(CASE WHEN status = 'dst_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_dst_only
           FROM f GROUP BY ns"""),
+
+    "cdc_repair" -> withOplog(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          src AS (
+            SELECT ns, doc_key, value AS v, event_id AS e FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff) WHERE rn = 1 AND op <> 'd'),
+          dst AS (
+            SELECT ns, doc_key, value AS v, event_id AS e FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff WHERE event_id % 13 <> 0
+                AND NOT (op = 'd' AND event_id % 5 = 0))
+              WHERE rn = 1 AND op <> 'd'),
+          plan AS (
+            SELECT COALESCE(s.ns, d.ns) AS ns,
+              COALESCE(s.doc_key, d.doc_key) AS doc_key,
+              CASE WHEN s.e IS NULL THEN 'd'
+                   WHEN d.e IS NULL THEN 'i'
+                   ELSE 'u' END AS action,
+              s.v AS last_value, s.e AS last_event_id
+            FROM src s FULL OUTER JOIN dst d
+              ON s.ns = d.ns AND s.doc_key = d.doc_key
+            WHERE s.e IS NULL OR d.e IS NULL
+              OR NOT (s.v = d.v AND s.e = d.e)),
+          repaired AS (
+            SELECT ns, doc_key, v, e FROM dst
+            WHERE NOT EXISTS (SELECT 1 FROM plan p
+              WHERE p.ns = dst.ns AND p.doc_key = dst.doc_key)
+            UNION ALL
+            SELECT ns, doc_key, last_value AS v, last_event_id AS e
+            FROM plan WHERE action <> 'd'),
+          post AS (
+            SELECT COALESCE(s.ns, r.ns) AS ns,
+              CASE WHEN s.e IS NULL THEN 'dst_only'
+                   WHEN r.e IS NULL THEN 'src_only'
+                   WHEN s.v = r.v AND s.e = r.e THEN 'equal'
+                   ELSE 'mismatch' END AS status
+            FROM src s FULL OUTER JOIN repaired r
+              ON s.ns = r.ns AND s.doc_key = r.doc_key),
+          postagg AS (
+            SELECT ns,
+              CAST(SUM(CASE WHEN status = 'equal' THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+              CAST(SUM(CASE WHEN status = 'mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+              CAST(SUM(CASE WHEN status = 'src_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_src_only,
+              CAST(SUM(CASE WHEN status = 'dst_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_dst_only
+            FROM post GROUP BY ns),
+          counts AS (
+            SELECT ns,
+              CAST(SUM(CASE WHEN action = 'i' THEN 1 ELSE 0 END) AS BIGINT) AS n_repair_insert,
+              CAST(SUM(CASE WHEN action = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_repair_update,
+              CAST(SUM(CASE WHEN action = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_repair_delete
+            FROM plan GROUP BY ns)
+          SELECT COALESCE(p.ns, c.ns) AS ns,
+            COALESCE(c.n_repair_insert, 0) AS n_repair_insert,
+            COALESCE(c.n_repair_update, 0) AS n_repair_update,
+            COALESCE(c.n_repair_delete, 0) AS n_repair_delete,
+            COALESCE(p.n_equal, 0) AS n_equal,
+            COALESCE(p.n_mismatch, 0) AS n_mismatch,
+            COALESCE(p.n_src_only, 0) AS n_src_only,
+            COALESCE(p.n_dst_only, 0) AS n_dst_only
+          FROM postagg p FULL OUTER JOIN counts c ON p.ns = c.ns"""),
 
     "cdc_compare_sample" -> withOplog(
       s""", eff AS (

@@ -116,6 +116,36 @@ class CdcSpec extends AnyFunSuite {
       ("app.b", 1L, 0L, 0L, 1L)))
   }
 
+  test("repairPlan/applyRepairs: classifies the three classes, converges, " +
+      "is idempotent, and plans nothing on equal states") {
+    def state(rows: Seq[(String, String, Double, Long)]) =
+      rows.toDF("ns", "doc_key", "last_value", "last_event_id")
+    val src = state(Seq(
+      ("app.a", "k1", 1.0, 10L), // equal — must NOT be planned
+      ("app.a", "k2", 2.0, 20L), // mismatch → update
+      ("app.a", "k3", 3.0, 30L))) // src_only → insert
+    val dst = state(Seq(
+      ("app.a", "k1", 1.0, 10L),
+      ("app.a", "k2", 2.5, 20L),
+      ("app.b", "k9", 9.0, 90L))) // dst_only → delete
+    val plan = graft.apply.Replay.repairPlan(src, dst)
+    val actions = plan.select("ns", "doc_key", "action")
+      .as[(String, String, String)].collect().toSet
+    assert(actions == Set(
+      ("app.a", "k2", "u"), ("app.a", "k3", "i"), ("app.b", "k9", "d")))
+    // applying the plan converges the target onto the source…
+    val once = graft.apply.Replay.applyRepairs(dst, plan)
+    val diffAfter = graft.apply.Replay.diffStates(src, once)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(diffAfter == Set(("app.a", 3L, 0L, 0L, 0L)))
+    // …a second application is a no-op, and equal states plan nothing
+    val twice = graft.apply.Replay.applyRepairs(once, plan)
+    assert(graft.apply.Replay.diffStates(once, twice)
+      .agg(org.apache.spark.sql.functions.sum(col("n_mismatch") +
+        col("n_src_only") + col("n_dst_only"))).head().getLong(0) == 0L)
+    assert(graft.apply.Replay.repairPlan(src, once).count() == 0L)
+  }
+
   test("incrementalAgg: delta algebra across batches — upsert-of-absent, " +
       "delete/reinsert, delete-of-absent no-op, fully-deleted ns dropped") {
     val ops = Seq(

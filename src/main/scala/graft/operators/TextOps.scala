@@ -140,6 +140,44 @@ object TextOps {
           countDistinct(when(col("c") > 1, col("gram"))).as("n_dup_grams"))
     }),
 
+    // Corpus-wide block-level exact dedup WITH reconstruction — the
+    // removal pass text_dup_spans only measures (C4 removes repeated
+    // three-sentence spans; over this single-line corpus the unit is the
+    // non-overlapping 16-token block). A block survives when it is
+    // corpus-unique OR it is the canonical first occurrence (argmin of
+    // doc_id·1e5+pos over the block's occurrences — every later verbatim
+    // copy is dropped); each document is then reassembled from its
+    // surviving blocks in order. Scale shape: the block stream collapses
+    // map-side to (block, count, argmin) partials — an aggregation, NOT a
+    // per-block sort window — the survivor join shuffles on the block
+    // key, and reassembly groups by doc_id (even keys). All linear, no
+    // all-pairs step; the per-doc output (counts + md5 of the rebuilt
+    // text) hash-pins both the removal decisions and the re-stitch order.
+    "text_block_dedup" -> ((s, dir) => {
+      val b = docs(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), ceil(size(col("t")) / lit(16.0)).cast("int")),
+            i => struct(i.cast("long").as("pos"),
+              slice(col("t"), (i - 1) * 16 + 1, lit(16)).as("blk")))).as("u"))
+        .select(col("doc_id"), col("u.pos").as("pos"),
+          array_join(col("u.blk"), " ").as("blk"),
+          size(col("u.blk")).cast("long").as("blk_len"))
+      val counts = b.groupBy(col("blk")).agg(count(lit(1)).as("c"),
+        min(col("doc_id") * 100000 + col("pos")).as("mk"))
+      b.join(counts, Seq("blk"))
+        .withColumn("keep",
+          col("c") === 1 || (col("doc_id") * 100000 + col("pos")) === col("mk"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum((!col("keep")).cast("long")).as("n_removed"),
+          sum(when(col("keep"), col("blk_len")).otherwise(lit(0L))).as("n_kept_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("blk"))))),
+            x => x.getField("blk")), " ")).as("kept_fp"))
+    }),
+
     // Sequence-length histogram — the planning input for context-window
     // packing and truncation policy: doc counts and token budgets per
     // fixed-width 16-token bucket, with the running token budget up to
@@ -1126,6 +1164,33 @@ object TextOps {
             COUNT(DISTINCT CASE WHEN c > 1 THEN gram END) AS n_dup_grams
           FROM g JOIN counts USING (gram)
           GROUP BY doc_id""",
+
+    "text_block_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+          b AS (
+            SELECT doc_id, u.pos AS pos,
+              array_to_string(u.blk, ' ') AS blk,
+              CAST(len(u.blk) AS BIGINT) AS blk_len
+            FROM (
+              SELECT doc_id,
+                unnest([{'pos': CAST(i AS BIGINT),
+                         'blk': t[(i-1)*16+1 : i*16]}
+                        for i in generate_series(1,
+                          CAST(ceil(len(t) / 16.0) AS BIGINT))]) AS u
+              FROM tk)),
+          counts AS (
+            SELECT blk, COUNT(*) AS c,
+              MIN(doc_id * 100000 + pos) AS mk
+            FROM b GROUP BY 1),
+          k AS (
+            SELECT b.*, (c = 1 OR doc_id * 100000 + pos = mk) AS keep
+            FROM b JOIN counts USING (blk))
+          SELECT doc_id, COUNT(*) AS n_blocks,
+            CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+            CAST(SUM(CASE WHEN keep THEN blk_len ELSE 0 END) AS BIGINT) AS n_kept_tokens,
+            md5(COALESCE(string_agg(CASE WHEN keep THEN blk END, ' '
+              ORDER BY pos), '')) AS kept_fp
+          FROM k GROUP BY doc_id""",
 
     "text_len_histogram" ->
       s"""WITH h AS (

@@ -176,6 +176,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(minDocs.forall(_ % 2 == 1))
   }
 
+  test("text_block_dedup: canonical first copy survives, later copies drop, " +
+      "unique docs reassemble byte-identical") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.TextOps.queries("text_block_dedup")(spark, dir)
+      .select("doc_id", "n_blocks", "n_removed", "n_kept_tokens", "kept_fp")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.length == docs.size)
+    // removal happens (the corpus repeats 16-token blocks across docs)…
+    assert(out.map(_._3).sum > 0)
+    // …and an untouched document reassembles to EXACTLY its original text
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val untouched = out.filter(_._3 == 0L)
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, _, _, nKept, fp) =>
+      val orig = docs(id)
+      assert(fp == md5hex(orig), s"doc $id reassembly drifted")
+      assert(nKept == orig.split(" ").length)
+    }
+    // token conservation: kept tokens never exceed the original count
+    out.foreach { case (id, _, _, nKept, _) =>
+      assert(nKept <= docs(id).split(" ").length)
+    }
+  }
+
   test("text_bloom_contaminate: no false negatives, and FP accounting is exact") {
     val dir = "/root/testdata/sf0.001"
     val bloom = graft.operators.TextOps.queries("text_bloom_contaminate")(spark, dir)

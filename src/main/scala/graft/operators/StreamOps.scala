@@ -60,7 +60,8 @@ object StreamOps {
     "stream_dedup_wm" -> ((s, dir) => runStreamDedup(s, dir)),
     "stream_enrich" -> ((s, dir) => runStreamEnrich(s, dir)),
     "stream_pattern" -> ((s, dir) => runPattern(s, dir)),
-    "stream_join_semi" -> ((s, dir) => runStreamJoinSemi(s, dir)))
+    "stream_join_semi" -> ((s, dir) => runStreamJoinSemi(s, dir)),
+    "stream_anomaly" -> ((s, dir) => runAnomaly(s, dir)))
 
   /** Stage a multi-file feed whose files must be consumed IN ORDER by a
     * `maxFilesPerTrigger = 1` file source: write each part, then pin
@@ -1363,6 +1364,81 @@ object StreamOps {
     out.iterator
   }
 
+  case class AnomEvent(event_id: Long, event_type: String, ts_us: Long,
+    cents: Long)
+  case class AnomState(n: Long, sumCents: Long)
+  case class AnomHit(event_id: Long, event_type: String, ts_us: Long,
+    cents: Long, n_prev: Long, sum_prev: Long)
+
+  /** Streaming anomaly detection against a RUNNING baseline — the monitor
+    * a live change-feed deployment runs beside the sync (the reference
+    * surfaces raw rates via `/repl` and leaves thresholding to the
+    * operator; here the threshold learns online): per event_type, flag an
+    * event whose value exceeds 3× the running mean of everything BEFORE
+    * it. State is two longs per key — (count, sum of cents) — O(1)
+    * regardless of stream length, and the comparison is cross-multiplied
+    * integer math (`cents·n > 3·sum`, no division, no float drift), so
+    * the flag matches the oracle's closed-form prefix window exactly.
+    * The feed splits at the ts midpoint so the baseline provably carries
+    * across a trigger boundary; within a batch the fold sorts its per-key
+    * slice (bounded by per-key-per-trigger volume). At deployment scale
+    * the key would be (entity, metric) — a wide key space — and the
+    * state bound stays two longs per live key.
+    */
+  private def runAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_anomaly_q"
+    IncrSync.deletePath(s, work)
+    val ev = graft.Tables.loadEventsNs(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .localCheckpoint()
+    val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val tcut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    stageOrdered(s, s"$work/feed", Seq(
+      ev.filter(col("ts_us") <= tcut), ev.filter(col("ts_us") > tcut)))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .as[AnomEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        anomalyGroup)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
+  /** The per-key baseline fold (see [[runAnomaly]]): warmup of 20
+    * observations before any flag, strict prefix semantics (the flagged
+    * event does not count toward its own baseline — it joins AFTER).
+    */
+  private[graft] def anomalyGroup(key: String, events: Iterator[AnomEvent],
+      state: GroupState[AnomState]): Iterator[AnomHit] = {
+    var st = if (state.exists) state.get else AnomState(0L, 0L)
+    val out = scala.collection.mutable.ListBuffer.empty[AnomHit]
+    for (e <- events.toSeq.sortBy(e => (e.ts_us, e.event_id))) {
+      if (st.n >= 20 && e.cents * st.n > 3L * st.sumCents)
+        out += AnomHit(e.event_id, key, e.ts_us, e.cents, st.n, st.sumCents)
+      st = AnomState(st.n + 1, st.sumCents + e.cents)
+    }
+    state.update(st)
+    out.iterator
+  }
+
   /** G7's queryable metrics surface (`common/metric.go:43-52,87-200`): run
     * the real `IncrSync.startOplog` over the UNFILTERED corpus feed with a
     * [[graft.metrics.MetricsRecorder]] attached; the listener writes one
@@ -1519,6 +1595,21 @@ object StreamOps {
     // strictly after it, first purchase strictly after that (row-value
     // comparison breaks equal-timestamp ties on event_id, exactly the
     // machine's `after` guard).
+    // Closed form of the running-baseline flag: a strict-prefix window
+    // per event_type, the same integer cross-multiplied comparison.
+    "stream_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type,
+              epoch_ns(ts)//1000 AS ts_us,
+              CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+          p AS (SELECT event_id, event_type, ts_us, cents,
+              COUNT(*) OVER w AS n_prev,
+              CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT) AS sum_prev
+            FROM e WINDOW w AS (PARTITION BY event_type
+              ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+          SELECT event_id, event_type, ts_us, cents, n_prev, sum_prev
+          FROM p WHERE n_prev >= 20 AND cents * n_prev > 3 * sum_prev""",
+
     "stream_pattern" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
               epoch_ns(ts)//1000 AS ts_us FROM events

@@ -818,4 +818,49 @@ class StreamingSpec extends AnyFunSuite {
     val tcut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 10
     assert(out.exists(m => m._2 <= tcut && m._4 > tcut))
   }
+
+  test("stream_anomaly: baseline carries across invocations; warmup and " +
+      "strict-prefix semantics hold") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.operators.StreamOps.{AnomEvent, AnomState}
+    // batch 1: 25 calm observations (100 cents) — warmup, no flags
+    val st1 = TestGroupState.create[AnomState](
+      optionalState = org.apache.spark.api.java.Optional.empty[AnomState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val b1 = (1L to 25L).map(i => AnomEvent(i, "click", i * 10, 100L))
+    val hits1 = graft.operators.StreamOps.anomalyGroup(
+      "click", b1.iterator, st1).toSeq
+    assert(hits1.isEmpty) // warmup: nothing flags before 20 observations
+    assert(st1.get == AnomState(25L, 2500L))
+    // batch 2 (a later trigger): a 400-cent spike against the CARRIED
+    // baseline — 400·25 > 3·2500 flags with batch-1's exact counters
+    val st2 = TestGroupState.create[AnomState](
+      optionalState = org.apache.spark.api.java.Optional.of(st1.get),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val b2 = Seq(AnomEvent(26L, "click", 300L, 400L),
+      AnomEvent(27L, "click", 310L, 100L))
+    val hits2 = graft.operators.StreamOps.anomalyGroup(
+      "click", b2.iterator, st2).toSeq
+    assert(hits2.map(h => (h.event_id, h.n_prev, h.sum_prev)) ==
+      Seq((26L, 25L, 2500L)))
+    // strict prefix: the spike itself joins the baseline AFTER its flag
+    assert(st2.get == AnomState(27L, 3000L))
+    // and the staged end-to-end run flags in BOTH halves of the feed
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.StreamOps.queries("stream_anomaly")(spark, dir)
+      .select("ts_us").as[Long].collect()
+    assert(out.nonEmpty)
+    val ev = graft.Tables.loadEventsNs(spark, dir)
+      .select(expr("ts DIV 1000").as("ts_us"))
+    val b = ev.agg(org.apache.spark.sql.functions.min("ts_us"),
+      org.apache.spark.sql.functions.max("ts_us")).head()
+    val tcut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    assert(out.exists(_ <= tcut) && out.exists(_ > tcut))
+  }
 }

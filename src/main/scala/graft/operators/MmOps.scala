@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Multimodal
+import graft.functions.{Multimodal, Similarity}
 
 /** Multimodal binary-column queries over the documents corpus (the LLM
   * pipeline's media pillar): header metadata extraction, chunk-digest
@@ -41,6 +41,35 @@ object MmOps {
         .agg(count(lit(1)).as("n_items"),
           sum(col("payload_len")).as("shard_bytes"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    }),
+
+    // CLIP-score-style pair curation — the assembly gate a LAION-style
+    // image/text corpus build runs: keep an (image, caption) pair only
+    // when the two sides' embeddings agree. The corpus models pairs as
+    // adjacent embedding rows (even vec_id = image side, odd = caption
+    // side); the real decode/embed step is the declared codec stub, the
+    // curation dataflow is real. ONE equi-join on the derived pair key —
+    // shuffle on pair_id, no candidate explosion, broadcast-free — then
+    // the deterministic integer-quantized cosine and the keep verdict at
+    // the corpus-calibrated 0.1 bar (the analogue of CLIP's 0.28 on real
+    // logits). At 100 TB the two sides arrive as separate tables and the
+    // plan is unchanged: co-partitioned equi-join on the pair id.
+    "mm_clip_filter" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("label"),
+          Similarity.quantize(col("embedding")).as("v"))
+        .withColumn("nrm", Similarity.sqNorm(col("v")))
+      val img = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("pair_id"), col("label").as("label_img"),
+          col("v").as("va"), col("nrm").as("na"))
+      val txt = e.filter(col("vec_id") % 2 === 1)
+        .select((col("vec_id") - 1).as("pair_id"), col("label").as("label_txt"),
+          col("v").as("vb"), col("nrm").as("nb"))
+      img.join(txt, Seq("pair_id"))
+        .select(col("pair_id"), col("label_img"), col("label_txt"),
+          Similarity.cosineQ(col("va"), col("na"), col("vb"), col("nb"))
+            .as("clip_sim"))
+        .withColumn("keep", col("clip_sim") >= 0.1)
     })
   )
 
@@ -50,6 +79,18 @@ object MmOps {
   private val normSql = "lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))"
 
   def oracles: Map[String, String] = Map(
+    "mm_clip_filter" -> {
+      val sim = VectorOps.simSql("va", "na", "vb", "nb")
+      s"""WITH ${VectorOps.prepCte},
+          img AS (SELECT vec_id AS pair_id, label AS label_img,
+                    v AS va, nrm AS na FROM prep WHERE vec_id % 2 = 0),
+          txt AS (SELECT vec_id - 1 AS pair_id, label AS label_txt,
+                    v AS vb, nrm AS nb FROM prep WHERE vec_id % 2 = 1)
+          SELECT pair_id, label_img, label_txt,
+            $sim AS clip_sim, $sim >= 0.1 AS keep
+          FROM img JOIN txt USING (pair_id)"""
+    },
+
     "mm_meta" ->
       """SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS kind,

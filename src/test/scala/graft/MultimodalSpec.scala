@@ -85,4 +85,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.contains((2L, 3L, 10L)))
     assert(!got.exists(t => t._1 == 4L || t._2 == 4L))
   }
+
+  test("mm_clip_filter: every embedding pairs exactly once, the keep verdict " +
+      "is the threshold, and the gate separates the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.MmOps.queries("mm_clip_filter")(spark, dir)
+      .select("pair_id", "label_img", "label_txt", "clip_sim", "keep")
+      .as[(Long, Int, Int, Double, Boolean)].collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.length == nVecs / 2) // every (even, odd) adjacency pairs once
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.forall(p => p._1 % 2 == 0))
+    assert(out.forall { case (_, _, _, sim, keep) => keep == (sim >= 0.1) })
+    // the gate is live: it keeps some pairs and drops some pairs (a
+    // threshold that passes or rejects everything gates nothing)
+    assert(out.exists(_._5) && out.exists(!_._5))
+    // cosine is a similarity: bounded
+    assert(out.forall(p => p._4 >= -1.0 - 1e-9 && p._4 <= 1.0 + 1e-9))
+  }
 }

@@ -816,6 +816,34 @@ object TextOps {
           countDistinct(col("lang")).as("n_langs"))
     }),
 
+    // Leak-free train/val/test split — the assignment rule a pretraining
+    // pipeline must use AFTER dedup finds near-dup clusters: hash the
+    // CLUSTER label, not the document id, so every member of a near-dup
+    // family lands in the same split (a doc-keyed split leaks train text
+    // into eval through its near-duplicates — the contamination the split
+    // exists to prevent). Clusters come from the same MinHash-LSH min-
+    // label fixpoint as dedup_components; singletons keep their own id.
+    // Per split: cluster/doc counts plus how many of its clusters the
+    // naive doc-keyed rule WOULD have split across sets — the measured
+    // leak the cluster keying closes. One extra groupBy over the label
+    // join; the split hash itself is a codegen'd projection.
+    "text_split_leakfree" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+        .withColumn("naive_split", Text.splitAssign(col("doc_id")))
+      val labels = Dedup.componentLabels(
+        Dedup.minhashLsh(docs(s, dir), col("doc_id"), col("text")))
+      d.join(labels, Seq("doc_id"), "left_outer")
+        .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("naive_split")).as("n_naive"))
+        .withColumn("split", Text.splitAssign(col("cluster")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n_docs")).as("n_docs"),
+          sum((col("n_naive") > 1).cast("long")).as("n_clusters_naive_leaky"))
+    }),
+
     // Streaming incremental exact dedup: the corpus arrives as TWO files
     // (even doc_ids, then odd), each its own micro-batch
     // (maxFilesPerTrigger=1, mod-time order); the per-digest state ledger
@@ -1467,6 +1495,41 @@ object TextOps {
           SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
             CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_sum
           FROM wn""",
+
+    "text_split_leakfree" -> {
+      def splitCase(key: String) = {
+        val h = s"${phash64Sql(key)} % 100"
+        s"CASE WHEN $h < 80 THEN 'train' WHEN $h < 90 THEN 'val' ELSE 'test' END"
+      }
+      s"""WITH $minhashPairCtes,
+          good AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM good
+            UNION SELECT doc_b, doc_a FROM good),
+          verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+          lab AS (
+            WITH RECURSIVE cc AS (
+              SELECT doc_id, doc_id AS label FROM verts
+              UNION
+              SELECT e.dst AS doc_id, cc.label FROM cc JOIN edges e ON e.src = cc.doc_id)
+            SELECT doc_id, MIN(label) AS label FROM cc GROUP BY 1),
+          d AS (
+            SELECT doc_id,
+              ${splitCase("CAST(doc_id AS VARCHAR) || ':split'")} AS naive_split
+            FROM documents),
+          cl AS (
+            SELECT d.doc_id, COALESCE(lab.label, d.doc_id) AS cluster, naive_split
+            FROM d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+          g AS (
+            SELECT cluster, COUNT(*) AS n_docs,
+              COUNT(DISTINCT naive_split) AS n_naive
+            FROM cl GROUP BY 1)
+          SELECT ${splitCase("CAST(cluster AS VARCHAR) || ':split'")} AS split,
+            COUNT(*) AS n_clusters, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_clusters_naive_leaky
+          FROM g GROUP BY 1"""
+    },
 
     "text_split_assign" ->
       s"""SELECT doc_id,

@@ -204,6 +204,30 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("text_split_leakfree: cluster keying never splits a near-dup family; " +
+      "doc keying measurably does") {
+    import org.apache.spark.sql.functions.{countDistinct, sum => fsum}
+    val dir = "/root/testdata/sf0.01"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val labels = graft.functions.Dedup.componentLabels(
+      graft.functions.Dedup.minhashLsh(d, col("doc_id"), col("text")))
+    val members = d.select(col("doc_id")).join(labels, Seq("doc_id"))
+      .withColumn("naive", graft.functions.Text.splitAssign(col("doc_id")))
+      .withColumn("leakfree", graft.functions.Text.splitAssign(col("label")))
+    // cluster keying: every family lands whole in ONE split
+    assert(members.groupBy("label").agg(countDistinct("leakfree").as("n"))
+      .filter(col("n") > 1).count() == 0)
+    // doc keying: real families straddle sets — the leak being closed
+    val naiveSpans = members.groupBy("label").agg(countDistinct("naive").as("n"))
+      .filter(col("n") > 1).count()
+    assert(naiveSpans > 0)
+    // the query's summary agrees with the member-level count, and the
+    // split is total (every document lands somewhere, exactly once)
+    val q = graft.operators.TextOps.queries("text_split_leakfree")(spark, dir)
+    assert(q.agg(fsum("n_clusters_naive_leaky")).head().getLong(0) == naiveSpans)
+    assert(q.agg(fsum("n_docs")).head().getLong(0) == d.count())
+  }
+
   test("text_bloom_contaminate: no false negatives, and FP accounting is exact") {
     val dir = "/root/testdata/sf0.001"
     val bloom = graft.operators.TextOps.queries("text_bloom_contaminate")(spark, dir)

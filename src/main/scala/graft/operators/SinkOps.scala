@@ -266,6 +266,60 @@ object SinkOps {
           get_json_object(col("payload_json"), "$.ns").as("ns"),
           get_json_object(col("payload_json"), "$.key").as("doc_key"),
           get_json_object(col("payload_json"), "$.meta.g").as("g"))
+    }),
+
+    // Small-file compaction — the maintenance pass every 100 TB landing
+    // zone runs continuously (the lakehouse OPTIMIZE shape): a
+    // hash-partitioned layout with ONE hot partition (bucket 16 holds
+    // ~75% of rows; 0-15 are slivers) is rewritten toward a uniform
+    // target size by SPLITTING the hot partition into ≤256-row pieces
+    // (row_number window per bucket — the split IS the compaction
+    // shuffle) and COALESCING sliver pieces via the running-sum bin
+    // packer over the piece stats (a piece-count-sized aggregate; the
+    // plan costs nothing at scale — production swaps row counts for FS
+    // byte sizes). The rewrite lands one file per bin; the query output
+    // is read BACK from the compacted files — per bin, its piece/bucket
+    // span and exact content totals — so loss, duplication, or
+    // corruption in the rewrite hash-diverges against the source-side
+    // oracle.
+    "sink_compact" -> ((s, dir) => {
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_compact_q"
+      graft.streaming.IncrSync.deletePath(s, work)
+      val target = 256
+      val e = graft.Tables.loadEventsNs(s, dir)
+        .select(col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("bucket", least(pmod(col("event_id"), lit(64L)), lit(16L)))
+      // the skewed landing zone: one file per hash bucket
+      e.repartition(col("bucket")).write.partitionBy("bucket")
+        .parquet(s"$work/landing")
+      val landed = s.read.parquet(s"$work/landing")
+        .withColumn("bucket", col("bucket").cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("event_id"))
+      val pieces = landed
+        .withColumn("rn", row_number().over(w).cast("long") - 1)
+        .withColumn("piece", col("bucket") * 1000 + expr(s"rn DIV $target"))
+        .drop("rn")
+      val stats = pieces.groupBy(col("piece")).agg(count(lit(1)).as("n"))
+      val pw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("piece"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val plan = stats
+        .withColumn("cumx", coalesce(sum(col("n")).over(pw), lit(0L)))
+        .withColumn("bin", expr(s"cumx DIV $target"))
+      pieces.join(broadcast(plan.select(col("piece"), col("bin"))), Seq("piece"))
+        .repartition(col("bin")).write.partitionBy("bin")
+        .parquet(s"$work/compacted")
+      s.read.parquet(s"$work/compacted")
+        .withColumn("bin", col("bin").cast("long"))
+        .groupBy(col("bin"))
+        .agg(countDistinct(col("piece")).as("n_pieces"),
+          countDistinct(col("bucket")).as("n_buckets"),
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("cents_sum"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
     })
   )
 
@@ -373,6 +427,30 @@ object SinkOps {
   private def withOplog(body: String): String = Oplog.withOracleCte(body)
 
   def oracles: Map[String, String] = Map(
+    "sink_compact" ->
+      """WITH e AS (
+            SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+              least(event_id % 64, 16) AS bucket
+            FROM events),
+          p AS (
+            SELECT *, bucket * 1000 +
+              (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY event_id) - 1)
+                // 256 AS piece
+            FROM e),
+          st AS (SELECT piece, COUNT(*) AS n FROM p GROUP BY 1),
+          plan AS (
+            SELECT piece,
+              CAST(COALESCE(SUM(n) OVER (ORDER BY n DESC, piece
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+                AS BIGINT) AS bin
+            FROM st)
+          SELECT bin, COUNT(DISTINCT piece) AS n_pieces,
+            COUNT(DISTINCT bucket) AS n_buckets, COUNT(*) AS n_rows,
+            CAST(SUM(cents) AS BIGINT) AS cents_sum,
+            MIN(event_id) AS min_event, MAX(event_id) AS max_event
+          FROM p JOIN plan USING (piece)
+          GROUP BY bin""",
+
     "sink_encode" -> withOplog(
       s""", enc AS (SELECT event_id, $shardSql AS shard, $payloadSql AS payload_json
             FROM oplog WHERE $chainSql)

@@ -204,4 +204,35 @@ class SinkSpec extends AnyFunSuite {
     val got = Envelope.conflicts(df).select("conflict_event_id").as[Long].collect().sorted
     assert(got.toSeq == Seq(2L, 6L))
   }
+
+  test("sink_compact: lossless rewrite, bounded bins, hot partition split, " +
+      "slivers merged, one file per bin") {
+    val dir = "/root/testdata/sf0.001"
+    val target = 256
+    val out = graft.operators.SinkOps.queries("sink_compact")(spark, dir)
+      .select("bin", "n_pieces", "n_buckets", "n_rows")
+      .as[(Long, Long, Long, Long)].collect()
+    val nSrc = spark.read.parquet(s"$dir/events.parquet").count()
+    // lossless: every source row lands in exactly one bin
+    assert(out.map(_._4).sum == nSrc)
+    // bounded: a bin holds at most one overshooting piece past its budget
+    assert(out.forall(_._4 <= 2 * target - 1))
+    // the hot bucket (~75% of rows) was SPLIT across bins
+    val compacted = spark.read.parquet(
+      s"${System.getProperty("java.io.tmpdir")}/graft_compact_q/compacted")
+    assert(compacted.filter(col("bucket") === 16)
+      .select("bin").distinct().count() > 1)
+    // sliver buckets were MERGED: some bin spans more than one bucket
+    assert(out.exists(_._3 > 1))
+    // physical layout: exactly one data file per bin directory
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_compact_q/compacted")
+    val binDirs = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("bin="))
+    assert(binDirs.length == out.length)
+    binDirs.foreach { d =>
+      val dataFiles = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(dataFiles.length == 1, s"${d.getName} has ${dataFiles.length} files")
+    }
+  }
 }

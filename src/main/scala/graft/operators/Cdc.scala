@@ -372,6 +372,35 @@ object Cdc {
     // at 100 TB: per batch, one |batch-keys| join against the state
     // buckets plus a |ns|-row delta aggregate — the view costs O(batch),
     // not O(state), which is the entire point of maintenance.
+    // Incremental maintenance of a JOIN view — the companion to
+    // cdc_incr_agg's aggregate maintenance; together they cover the two
+    // materialized-view shapes a warehouse keeps over a CDC feed. The
+    // view is users_0 ⋈ users_1 on the derived household key (user DIV 4
+    // — each namespace owns one member per household, so the per-ns key
+    // universes, disjoint by construction, still join). Per batch:
+    // per-side deltas fold map-side (lastPerKey), states merge by
+    // anti+union, and ONLY touched households re-join —
+    // V₁ = V₀⟨untouched⟩ ∪ (A₁ ⋈ B₁)⟨touched⟩ — with the touched set
+    // broadcast (a batch is small next to the state at 100 TB) and the
+    // carried view never rebuilt. The oracle is the full-fold join, so
+    // a maintenance path that loses, duplicates, or staled a household
+    // hash-diverges.
+    "cdc_incr_join_view" -> ((s, dir) => {
+      val ops = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+      ops.persist()
+      val cuts = ops.agg(
+        expr("percentile(ts_packed, 0.25)").cast("long"),
+        expr("percentile(ts_packed, 0.50)").cast("long"),
+        expr("percentile(ts_packed, 0.75)").cast("long")).head()
+      val bounds =
+        if (cuts.isNullAt(0)) Seq(Long.MinValue, Long.MaxValue)
+        else Seq(Long.MinValue, cuts.getLong(0), cuts.getLong(1),
+          cuts.getLong(2), Long.MaxValue)
+      val out = incrementalJoinView(ops, "app.users_0", "app.users_1", bounds)
+      ops.unpersist()
+      out
+    }),
+
     "cdc_incr_agg" -> ((s, dir) => {
       val work = s"${System.getProperty("java.io.tmpdir")}/graft_incr_agg_q"
       val ops = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
@@ -660,6 +689,62 @@ object Cdc {
       .agg(sum(col("dn")).as("n_rows"),
         sum(col("dv")).cast("double").as("v_sum"))
       .filter(col("n_rows") > 0)
+  }
+
+  /** Incremental JOIN-view maintenance over time-sliced batches (the
+    * engine core of `cdc_incr_join_view`): V = state(nsA) ⋈ state(nsB)
+    * on household = key DIV 4, maintained as
+    * V₁ = V₀⟨untouched households⟩ ∪ (A₁ ⋈ B₁)⟨touched households⟩.
+    * Per batch the work is O(|Δ| + |V₀ ∩ touched|): per-side deltas are
+    * lastPerKey argmax folds, the state merge is one anti-join + union,
+    * the patch join is semi-scoped to the broadcast touched set, and the
+    * carried view/states are pinned per round (localCheckpoint — constant
+    * plan depth across batches, the same discipline as the component
+    * fixpoint loop).
+    */
+  def incrementalJoinView(ops: DataFrame, nsA: String, nsB: String,
+      bounds: Seq[Long]): DataFrame = {
+    val hhCol = expr("cast(doc_key as bigint) DIV 4")
+
+    def deltaFor(batch: DataFrame, ns: String): DataFrame =
+      Replay.lastPerKey(batch.filter(col("ns") === ns))
+        .select(col("doc_key"), col("op"), col("last_value"),
+          col("last_event_id"))
+        .withColumn("household", hhCol)
+
+    def mergeState(state: DataFrame, delta: DataFrame): DataFrame =
+      state.join(delta.select(col("doc_key")), Seq("doc_key"), "left_anti")
+        .unionByName(delta.filter(col("op") =!= "d").drop("op"))
+
+    def joined(a: DataFrame, b: DataFrame): DataFrame =
+      a.select(col("household"), col("doc_key").as("a_key"),
+          col("last_value").as("a_value"), col("last_event_id").as("a_event"))
+        .join(b.select(col("household"), col("doc_key").as("b_key"),
+          col("last_value").as("b_value"), col("last_event_id").as("b_event")),
+          Seq("household"))
+
+    val emptyState = deltaFor(ops.filter(lit(false)), nsA).drop("op")
+    var stateA = emptyState.localCheckpoint()
+    var stateB = emptyState.localCheckpoint()
+    var view = joined(stateA, stateB).localCheckpoint()
+
+    bounds.sliding(2).foreach { case Seq(lo, hi) =>
+      val batch = ops.filter(col("ts_packed") > lo && col("ts_packed") <= hi)
+      val dA = deltaFor(batch, nsA).localCheckpoint()
+      val dB = deltaFor(batch, nsB).localCheckpoint()
+      val newA = mergeState(stateA, dA).localCheckpoint()
+      val newB = mergeState(stateB, dB).localCheckpoint()
+      val touched = dA.select(col("household"))
+        .unionByName(dB.select(col("household"))).distinct()
+      val patch = joined(
+        newA.join(broadcast(touched), Seq("household"), "left_semi"),
+        newB.join(broadcast(touched), Seq("household"), "left_semi"))
+      view = view.join(broadcast(touched), Seq("household"), "left_anti")
+        .unionByName(patch).localCheckpoint()
+      stateA = newA
+      stateB = newB
+    }
+    view
   }
 
   private def withOplog(body: String): String = Oplog.withOracleCte(body)
@@ -1182,6 +1267,29 @@ object Cdc {
 
     // Full recompute from the final state — the maintained view must be
     // indistinguishable from it (count and decimal-exact sum per ns).
+    "cdc_incr_join_view" -> withOplog(
+      s""", sA AS (
+            SELECT doc_key, value, event_id FROM (
+              SELECT doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM oplog WHERE $chainSql AND op IN ('i','u','d')
+                AND ns = 'app.users_0')
+            WHERE rn = 1 AND op <> 'd'),
+          sB AS (
+            SELECT doc_key, value, event_id FROM (
+              SELECT doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM oplog WHERE $chainSql AND op IN ('i','u','d')
+                AND ns = 'app.users_1')
+            WHERE rn = 1 AND op <> 'd')
+          SELECT CAST(a.doc_key AS BIGINT) // 4 AS household,
+            a.doc_key AS a_key, a.value AS a_value, a.event_id AS a_event,
+            b.doc_key AS b_key, b.value AS b_value, b.event_id AS b_event
+          FROM sA a JOIN sB b
+            ON CAST(a.doc_key AS BIGINT) // 4 = CAST(b.doc_key AS BIGINT) // 4"""),
+
     "cdc_incr_agg" -> withOplog(
       s"""SELECT ns, COUNT(*) AS n_rows,
             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum

@@ -146,6 +146,37 @@ class CdcSpec extends AnyFunSuite {
     assert(graft.apply.Replay.repairPlan(src, once).count() == 0L)
   }
 
+  test("incrementalJoinView: a row appears only when both sides exist, " +
+      "one-side updates refresh it, deletes retract it, reinserts restore it, " +
+      "untouched households carry") {
+    val ops = Seq(
+      // batch 1 (ts ≤ 10): hh1 complete, hh0 half, hh2 complete
+      (1L, 1L, "i", "app.t0", "0", 1.0), // hh0 A only — no view row yet
+      (2L, 2L, "i", "app.t0", "4", 2.0), // hh1 A
+      (3L, 3L, "i", "app.t1", "5", 3.0), // hh1 B → view row
+      (4L, 4L, "i", "app.t0", "8", 5.0), // hh2 A
+      (5L, 5L, "i", "app.t1", "9", 6.0), // hh2 B → view row, then untouched
+      // batch 2 (10, 20]: B completes hh0 (A carried from batch 1);
+      // A updates hh1 (B carried)
+      (6L, 11L, "i", "app.t1", "1", 4.0),
+      (7L, 12L, "u", "app.t0", "4", 2.5),
+      // batch 3 (20, 30]: retractions — B leaves hh1, A leaves hh0
+      (8L, 21L, "d", "app.t1", "5", 0.0),
+      (9L, 22L, "d", "app.t0", "0", 0.0),
+      // batch 4 (> 30): A reinserts hh0 — the view row returns with the
+      // CARRIED batch-2 B side
+      (10L, 31L, "i", "app.t0", "0", 7.0)
+    ).toDF("event_id", "ts_packed", "op", "ns", "doc_key", "value")
+    val got = graft.operators.Cdc.incrementalJoinView(ops, "app.t0", "app.t1",
+        Seq(Long.MinValue, 10L, 20L, 30L, Long.MaxValue))
+      .select("household", "a_key", "a_value", "a_event", "b_key", "b_value",
+        "b_event")
+      .as[(Long, String, Double, Long, String, Double, Long)].collect().toSet
+    assert(got == Set(
+      (0L, "0", 7.0, 10L, "1", 4.0, 6L), // retract + reinsert, carried B
+      (2L, "8", 5.0, 4L, "9", 6.0, 5L))) // untouched since batch 1
+  }
+
   test("incrementalAgg: delta algebra across batches — upsert-of-absent, " +
       "delete/reinsert, delete-of-absent no-op, fully-deleted ns dropped") {
     val ops = Seq(

@@ -131,6 +131,26 @@ object Cdc {
       Replay.materialize(eff.filter(col("ts_packed") <= t))
     }),
 
+    // Incremental backup export — the "changes since LSN T" batch a
+    // downstream consumer pulls instead of re-reading the full state
+    // (the delta face of cdc_time_travel's point-in-time fold): the
+    // effective last op per key WITHIN the (t1, t2] window, tombstones
+    // included — a key deleted in the window exports op='d' so the
+    // consumer can retract; a key untouched in the window exports
+    // nothing. Same one-exchange argmax fold as cdc_apply, just
+    // ts-range-scoped — at 100 TB the export reads only the window's
+    // feed slice (partition-pruned on the LSN layout), never the state.
+    "cdc_delta_export" -> ((s, dir) => {
+      val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+      val b = eff.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
+      val span = b.getLong(1) - b.getLong(0)
+      val (t1, t2) = (b.getLong(0) + span / 2, b.getLong(0) + 3 * span / 4)
+      Replay.lastPerKey(
+          eff.filter(col("ts_packed") > t1 && col("ts_packed") <= t2))
+        .select(col("ns"), col("doc_key"), col("op"),
+          col("last_value"), col("last_event_id"), col("n_ops"))
+    }),
+
     // P10 gid scrub: every record's gid blanks; n_foreign proves the scrub
     // actually hit the foreign-gid rows (not a vacuous pass-through).
     // Post-sync verification (scripts/comparison.py analogue): diff the
@@ -1267,6 +1287,25 @@ object Cdc {
 
     // Full recompute from the final state — the maintained view must be
     // indistinguishable from it (count and decimal-exact sum per ns).
+    "cdc_delta_export" -> withOplog(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          tt AS (
+            SELECT tmin + (tmax - tmin) // 2 AS t1,
+                   tmin + (3 * (tmax - tmin)) // 4 AS t2
+            FROM (SELECT MIN(ts_packed) AS tmin, MAX(ts_packed) AS tmax
+                  FROM eff))
+          SELECT ns, doc_key, op, value AS last_value,
+            event_id AS last_event_id, n_ops
+          FROM (
+            SELECT ns, doc_key, op, value, event_id,
+              ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                ORDER BY ts_packed DESC, event_id DESC) AS rn,
+              COUNT(*) OVER (PARTITION BY ns, doc_key) AS n_ops
+            FROM eff, tt WHERE ts_packed > t1 AND ts_packed <= t2)
+          WHERE rn = 1"""),
+
     "cdc_incr_join_view" -> withOplog(
       s""", sA AS (
             SELECT doc_key, value, event_id FROM (

@@ -146,6 +146,40 @@ class CdcSpec extends AnyFunSuite {
     assert(graft.apply.Replay.repairPlan(src, once).count() == 0L)
   }
 
+  test("cdc_delta_export restore law: state(t1) + delta(t1,t2] == state(t2), " +
+      "tombstones retract, untouched keys stay silent") {
+    val ops = Seq(
+      (1L, 1L, "i", "app.t", "k1", 1.0),
+      (2L, 2L, "i", "app.t", "k2", 2.0),
+      (3L, 3L, "i", "app.t", "k3", 3.0),
+      // window (5, 10]: k1 updated, k2 deleted, k4 born, k3 untouched
+      (4L, 6L, "u", "app.t", "k1", 1.5),
+      (5L, 7L, "d", "app.t", "k2", 0.0),
+      (6L, 8L, "i", "app.t", "k4", 4.0),
+      // after t2: must NOT leak into the export
+      (7L, 11L, "u", "app.t", "k3", 9.0)
+    ).toDF("event_id", "ts_packed", "op", "ns", "doc_key", "value")
+    val (t1, t2) = (5L, 10L)
+    val delta = Replay.lastPerKey(
+      ops.filter(col("ts_packed") > t1 && col("ts_packed") <= t2))
+    val exported = delta.select("doc_key", "op")
+      .as[(String, String)].collect().toSet
+    // untouched k3 silent; tombstone for k2 present
+    assert(exported == Set(("k1", "u"), ("k2", "d"), ("k4", "i")))
+    // restore: merge the export into state(t1) and compare to state(t2)
+    val v1 = Replay.materialize(ops.filter(col("ts_packed") <= t1))
+      .select("ns", "doc_key", "last_value", "last_event_id")
+    val restored = v1
+      .join(delta.select(col("ns"), col("doc_key")), Seq("ns", "doc_key"), "left_anti")
+      .unionByName(delta.filter(col("op") =!= "d")
+        .select("ns", "doc_key", "last_value", "last_event_id"))
+      .as[(String, String, Double, Long)].collect().toSet
+    val v2 = Replay.materialize(ops.filter(col("ts_packed") <= t2))
+      .select("ns", "doc_key", "last_value", "last_event_id")
+      .as[(String, String, Double, Long)].collect().toSet
+    assert(restored == v2)
+  }
+
   test("incrementalJoinView: a row appears only when both sides exist, " +
       "one-side updates refresh it, deletes retract it, reinserts restore it, " +
       "untouched households carry") {

@@ -285,11 +285,15 @@ object SinkOps {
     "sink_compact" -> ((s, dir) => {
       val work = s"${System.getProperty("java.io.tmpdir")}/graft_compact_q"
       graft.streaming.IncrSync.deletePath(s, work)
-      val target = 256
       val e = graft.Tables.loadEventsNs(s, dir)
         .select(col("event_id"),
           expr("cast(round(value * 100) as bigint)").as("cents"))
         .withColumn("bucket", least(pmod(col("event_id"), lit(64L)), lit(16L)))
+      // the target scales with the corpus (≈64 output files per
+      // compaction unit, floored at 256 rows) — a fixed-row toy target
+      // would mint thousands of output directories at scale and drown in
+      // per-directory commit overhead, the exact pathology being fixed
+      val target = math.max(256L, e.count() / 64L)
       // the skewed landing zone: one file per hash bucket
       e.repartition(col("bucket")).write.partitionBy("bucket")
         .parquet(s"$work/landing")
@@ -297,10 +301,13 @@ object SinkOps {
         .withColumn("bucket", col("bucket").cast("long"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("bucket")).orderBy(col("event_id"))
+      // pinned: both the stats aggregate and the bin join consume this —
+      // without the pin the per-bucket window runs twice
       val pieces = landed
         .withColumn("rn", row_number().over(w).cast("long") - 1)
         .withColumn("piece", col("bucket") * 1000 + expr(s"rn DIV $target"))
         .drop("rn")
+        .localCheckpoint()
       val stats = pieces.groupBy(col("piece")).agg(count(lit(1)).as("n"))
       val pw = org.apache.spark.sql.expressions.Window
         .orderBy(col("n").desc, col("piece"))
@@ -432,18 +439,19 @@ object SinkOps {
             SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
               least(event_id % 64, 16) AS bucket
             FROM events),
+          tgt AS (SELECT greatest(256, COUNT(*) // 64) AS t FROM e),
           p AS (
-            SELECT *, bucket * 1000 +
+            SELECT e.*, bucket * 1000 +
               (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY event_id) - 1)
-                // 256 AS piece
-            FROM e),
+                // t AS piece
+            FROM e, tgt),
           st AS (SELECT piece, COUNT(*) AS n FROM p GROUP BY 1),
           plan AS (
             SELECT piece,
               CAST(COALESCE(SUM(n) OVER (ORDER BY n DESC, piece
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // t
                 AS BIGINT) AS bin
-            FROM st)
+            FROM st, tgt)
           SELECT bin, COUNT(DISTINCT piece) AS n_pieces,
             COUNT(DISTINCT bucket) AS n_buckets, COUNT(*) AS n_rows,
             CAST(SUM(cents) AS BIGINT) AS cents_sum,

@@ -61,7 +61,8 @@ object StreamOps {
     "stream_enrich" -> ((s, dir) => runStreamEnrich(s, dir)),
     "stream_pattern" -> ((s, dir) => runPattern(s, dir)),
     "stream_join_semi" -> ((s, dir) => runStreamJoinSemi(s, dir)),
-    "stream_anomaly" -> ((s, dir) => runAnomaly(s, dir)))
+    "stream_anomaly" -> ((s, dir) => runAnomaly(s, dir)),
+    "stream_scd2" -> ((s, dir) => runScd2(s, dir)))
 
   /** Stage a multi-file feed whose files must be consumed IN ORDER by a
     * `maxFilesPerTrigger = 1` file source: write each part, then pin
@@ -1364,6 +1365,75 @@ object StreamOps {
     out.iterator
   }
 
+  case class Scd2Op(event_id: Long, ts_packed: Long, op: String, ns: String,
+    doc_key: String, value: Double)
+  /** `openVer == 0` means no version is currently open (post-delete). */
+  case class Scd2State(nOps: Long, openVer: Long, validFrom: Long,
+    value: Double)
+  case class Scd2Row(ns: String, doc_key: String, version: Long,
+    valid_from: Long, valid_to: Long, value: Double)
+
+  /** SCD Type-2 history build as a CONTINUOUS pipeline (the streaming
+    * face of `cdc_scd2`'s batch window): per document, the open version
+    * lives in `flatMapGroupsWithState` state — (op count, open version's
+    * seq/valid_from/value), O(1) per key — and a version row is emitted
+    * the moment the NEXT effective op closes it. Open (current) versions
+    * are state, not output — exactly how a live history table works (the
+    * current image lives in the target; the history table accretes
+    * closed rows) — so the oracle is the batch fold's closed rows
+    * (`valid_to IS NOT NULL`). Delete ops consume a version number
+    * without opening one, matching the batch window's row_number
+    * semantics; the feed splits at the ts midpoint so versions provably
+    * close across the trigger boundary.
+    */
+  private def runScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_scd2_q"
+    IncrSync.deletePath(s, work)
+    val eff = Oplog.fromEvents(s, dir)
+      .filter(OplogFilters.chain(gids, white, black))
+      .filter(col("op").isin("i", "u", "d"))
+      .select(col("event_id"), col("ts_packed"), col("op"), col("ns"),
+        col("doc_key"), col("value"))
+      .localCheckpoint()
+    val b = eff.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
+    val tcut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    stageOrdered(s, s"$work/feed", Seq(
+      eff.filter(col("ts_packed") <= tcut), eff.filter(col("ts_packed") > tcut)))
+
+    val q = s.readStream.schema(eff.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .as[Scd2Op]
+      .groupByKey(o => (o.ns, o.doc_key))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        scd2Group)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
+  /** The per-document version machine (see [[runScd2]]). */
+  private[graft] def scd2Group(key: (String, String),
+      ops: Iterator[Scd2Op],
+      state: GroupState[Scd2State]): Iterator[Scd2Row] = {
+    var st = if (state.exists) state.get else Scd2State(0L, 0L, 0L, 0.0)
+    val out = scala.collection.mutable.ListBuffer.empty[Scd2Row]
+    for (o <- ops.toSeq.sortBy(o => (o.ts_packed, o.event_id))) {
+      val ver = st.nOps + 1
+      if (st.openVer > 0)
+        out += Scd2Row(key._1, key._2, st.openVer, st.validFrom,
+          o.ts_packed, st.value)
+      st =
+        if (o.op == "d") Scd2State(ver, 0L, 0L, 0.0)
+        else Scd2State(ver, ver, o.ts_packed, o.value)
+    }
+    state.update(st)
+    out.iterator
+  }
+
   case class AnomEvent(event_id: Long, event_type: String, ts_us: Long,
     cents: Long)
   case class AnomState(n: Long, sumCents: Long)
@@ -1595,6 +1665,20 @@ object StreamOps {
     // strictly after it, first purchase strictly after that (row-value
     // comparison breaks equal-timestamp ties on event_id, exactly the
     // machine's `after` guard).
+    // The batch SCD2 fold's CLOSED rows — open versions are state, not
+    // output (see runScd2).
+    "stream_scd2" -> Oplog.withOracleCte(
+      s"""SELECT ns, doc_key, version, valid_from, valid_to, value
+          FROM (
+            SELECT ns, doc_key, op, value,
+              ROW_NUMBER() OVER w AS version,
+              ts_packed AS valid_from,
+              LEAD(ts_packed) OVER w AS valid_to
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')
+            WINDOW w AS (PARTITION BY ns, doc_key
+              ORDER BY ts_packed, event_id))
+          WHERE op <> 'd' AND valid_to IS NOT NULL"""),
+
     // Closed form of the running-baseline flag: a strict-prefix window
     // per event_type, the same integer cross-multiplied comparison.
     "stream_anomaly" ->

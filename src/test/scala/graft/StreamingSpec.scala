@@ -819,6 +819,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.exists(m => m._2 <= tcut && m._4 > tcut))
   }
 
+  test("stream_scd2: delete consumes a version without opening one; the " +
+      "open version carries across invocations and closes with batch-2 ts") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.operators.StreamOps.{Scd2Op, Scd2State}
+    def st(prev: Option[Scd2State]) = TestGroupState.create[Scd2State](
+      optionalState = prev.map(org.apache.spark.api.java.Optional.of[Scd2State])
+        .getOrElse(org.apache.spark.api.java.Optional.empty[Scd2State]()),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // batch 1: i(v=1), u(v=2), d(v=3) — closes v1 and v2, leaves nothing open
+    val s1 = st(None)
+    val h1 = graft.operators.StreamOps.scd2Group(("app.t", "k"), Iterator(
+      Scd2Op(1L, 10L, "i", "app.t", "k", 1.0),
+      Scd2Op(2L, 20L, "u", "app.t", "k", 2.0),
+      Scd2Op(3L, 30L, "d", "app.t", "k", 0.0)), s1).toSeq
+    assert(h1.map(r => (r.version, r.valid_from, r.valid_to, r.value)) ==
+      Seq((1L, 10L, 20L, 1.0), (2L, 20L, 30L, 2.0)))
+    assert(s1.get == Scd2State(3L, 0L, 0L, 0.0)) // delete leaves none open
+    // batch 2: reinsert opens v4 (the delete consumed v3), then an update
+    // closes it — version numbering carried through state
+    val s2 = st(Some(s1.get))
+    val h2 = graft.operators.StreamOps.scd2Group(("app.t", "k"), Iterator(
+      Scd2Op(4L, 40L, "i", "app.t", "k", 4.0),
+      Scd2Op(5L, 50L, "u", "app.t", "k", 5.0)), s2).toSeq
+    assert(h2.map(r => (r.version, r.valid_from, r.valid_to, r.value)) ==
+      Seq((4L, 40L, 50L, 4.0)))
+    assert(s2.get == Scd2State(5L, 5L, 50L, 5.0)) // v5 open in state
+    // end-to-end: some version opened in batch 1 closes in batch 2
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.StreamOps.queries("stream_scd2")(spark, dir)
+      .select("valid_from", "valid_to").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    val eff = graft.model.Oplog.fromEvents(spark, dir)
+      .filter(col("op").isin("i", "u", "d"))
+    val bb = eff.agg(org.apache.spark.sql.functions.min("ts_packed"),
+      org.apache.spark.sql.functions.max("ts_packed")).head()
+    val tcut = bb.getLong(0) + (bb.getLong(1) - bb.getLong(0)) / 2
+    assert(out.exists(r => r._1 <= tcut && r._2 > tcut))
+  }
+
   test("stream_anomaly: baseline carries across invocations; warmup and " +
       "strict-prefix semantics hold") {
     import org.apache.spark.sql.streaming.TestGroupState

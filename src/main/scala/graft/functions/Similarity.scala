@@ -218,10 +218,15 @@ object Similarity {
     */
   def ivfSearch(embs: DataFrame, id: Column, emb: Column,
       cents: DataFrame, queryPred: Column,
-      nProbe: Int = 2, k: Int = 3): DataFrame = {
-    val p = prepared(embs, id, emb)
+      nProbe: Int = 2, k: Int = 3, corpusPred: Column = lit(true)): DataFrame = {
+    // Filtered search pre-filters the INVERTED LISTS (the metadata
+    // predicate rides the list scan), never the top-k head — post-
+    // filtering a k-row head under-fills results wherever the predicate
+    // is selective. Queries come from the unfiltered table.
+    val corpus = embs.filter(corpusPred)
+    val p = prepared(corpus, id, emb)
     val lists = p.join(
-      ivfAssign(embs, id, emb, cents).select(col("vec_id"), col("centroid_id")),
+      ivfAssign(corpus, id, emb, cents).select(col("vec_id"), col("centroid_id")),
       Seq("vec_id"))
     val q = embs.filter(queryPred).select(id.as("query_id"), quantize(emb).as("qv"))
       .withColumn("qn", sqNorm(col("qv")))

@@ -118,6 +118,23 @@ object VectorOps {
         cents, queryPred = col("vec_id") < 10)
     }),
 
+    // FILTERED vector search — the metadata-predicate ANN every vector
+    // store ships (WHERE label is even AND nearest-k): the predicate
+    // pre-filters the INVERTED LISTS, never the k-row head — post-
+    // filtering a head under-fills results wherever the predicate is
+    // selective (here it halves the corpus, so a post-filter would
+    // return ~1.5 of 3 asked-for neighbors). Same one-probe-join shape
+    // as sim_ivf_search; at scale the label predicate pushes into the
+    // list scan as a partition/zone filter.
+    "sim_filtered_search" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = KmeansIters)
+      Similarity.ivfSearch(e, col("vec_id"), col("embedding"),
+        cents, queryPred = col("vec_id") < 10,
+        corpusPred = pmod(col("label"), lit(2)) === 0)
+    }),
+
     // ANN quality evaluation: recall@3 of the IVF(nprobe = 2) head
     // against the exact brute-force top-3 ground truth, per probe query
     // — the measurement an ANN deployment is tuned by (nprobe/k trade
@@ -474,6 +491,34 @@ object VectorOps {
             FROM prep p, cents2 c)
           SELECT centroid_id, COUNT(*) AS n_assigned
           FROM assigned WHERE rn = 1 GROUP BY 1""",
+
+    "sim_filtered_search" ->
+      s"""WITH $prepCte, ${kmeansCtes(2)},
+          assigned AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents2 c WHERE p.label % 2 = 0)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS prn
+              FROM prep q, cents2 c WHERE q.vec_id < 10)
+            WHERE prn <= 2),
+          scored AS (
+            SELECT pr.query_id, a.vec_id AS neighbor_id,
+              ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} AS sim,
+              ROW_NUMBER() OVER (PARTITION BY pr.query_id
+                ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, a.vec_id) AS rank
+            FROM probes pr
+            JOIN assigned a ON a.centroid_id = pr.centroid_id AND a.vec_id <> pr.query_id
+            JOIN prep q ON q.vec_id = pr.query_id
+            JOIN prep p ON p.vec_id = a.vec_id)
+          SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+          FROM scored WHERE rank <= 3""",
 
     "sim_ivf_search" ->
       s"""WITH $prepCte, ${kmeansCtes(2)},

@@ -148,4 +148,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(n > 0 && n <= 50)
     assert(res.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
   }
+
+  test("sim_filtered_search: every neighbor satisfies the predicate, heads " +
+      "stay full (pre-filter, not post-filter), and the filter is load-bearing") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.VectorOps.queries("sim_filtered_search")(spark, dir)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    // the predicate holds on every returned neighbor
+    assert(out.forall { case (_, n, _) => labels(n) % 2 == 0 })
+    // heads are FULL k=3 per query — a post-filter of the unfiltered
+    // head would leave ~half-empty result lists
+    val perQuery = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perQuery.values.forall(_ == 3))
+    // and the filter actually changes the answer vs the unfiltered search
+    val unf = graft.operators.VectorOps.queries("sim_ivf_search")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(out.map(t => (t._1, t._2)).toSet != unf)
+  }
 }

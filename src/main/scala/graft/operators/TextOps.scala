@@ -831,6 +831,27 @@ object TextOps {
           countDistinct(col("lang")).as("n_langs"))
     }),
 
+    // Quality-gate ABLATION — the report that decides which filters a
+    // curation pipeline actually runs: every document scored by all
+    // three gates in ONE scan (quality score, language-id agreement,
+    // Gopher rules — each rides the same tokenize), then a CUBE over the
+    // three verdict flags gives doc/token budgets for every gate
+    // combination and margin, so "what does adding the Gopher gate cost
+    // on top of the quality gate" is one row lookup. The cube expands
+    // 8 rows per input row but AFTER collapsing to the 8-flag-combo
+    // aggregate — the expansion is over the aggregated set at scale.
+    "pipe_gate_ablation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val flags = d.select(col("doc_id"), col("lang"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+          (Text.qualityScore(col("text")) >= 0.5).as("quality_ok"),
+          (Text.langId(col("text")) === col("lang")).as("lang_ok"))
+        .join(Text.gopherStats(d, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("keep").as("gopher_ok")), Seq("doc_id"))
+      flags.cube(col("quality_ok"), col("lang_ok"), col("gopher_ok"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    }),
+
     // Leak-free train/val/test split — the assignment rule a pretraining
     // pipeline must use AFTER dedup finds near-dup clusters: hash the
     // CLUSTER label, not the document id, so every member of a near-dup
@@ -1518,6 +1539,42 @@ object TextOps {
           SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
             CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_sum
           FROM wn""",
+
+    "pipe_gate_ablation" -> {
+      val langs = Text.langMarkers.map(_._1)
+      val scoreCols = langs.map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+      val stops = Text.gopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+            SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens,
+              (0.4 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                  / CAST(len($toks) AS DOUBLE)) / 8.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct($toks)) AS DOUBLE)
+                  / CAST(len($toks) AS DOUBLE))
+               + 0.3 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)) >= 0.5
+                AS quality_ok,
+              $scoreCols,
+              CAST(len($toks) AS BIGINT) AS n_words,
+              CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                / CAST(len($toks) AS DOUBLE) AS mean_word_len,
+              CAST(len(list_intersect(list_distinct($toks), $stops)) AS BIGINT)
+                AS n_stops,
+              CAST(len(list_filter($toks, w -> regexp_matches(w, '[a-z]')))
+                AS DOUBLE) / CAST(len($toks) AS DOUBLE) AS alpha_frac
+            FROM documents),
+          b2 AS (SELECT *, $best AS best FROM base),
+          f AS (
+            SELECT doc_id, n_tokens, quality_ok,
+              (CASE $cases ELSE 'und' END) = lang AS lang_ok,
+              (n_words BETWEEN 50 AND 100000)
+                AND (mean_word_len BETWEEN 3 AND 10)
+                AND n_stops >= 2 AND alpha_frac > 0.8 AS gopher_ok
+            FROM b2)
+          SELECT quality_ok, lang_ok, gopher_ok, COUNT(*) AS n_docs,
+            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+          FROM f GROUP BY CUBE (quality_ok, lang_ok, gopher_ok)"""
+    },
 
     "text_split_leakfree" -> {
       def splitCase(key: String) = {

@@ -204,6 +204,30 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe_gate_ablation: cube totals telescope — grand total is the " +
+      "corpus, marginals sum to it, the all-gates cell is the minimum") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.operators.TextOps.queries("pipe_gate_ablation")(spark, dir)
+      .select("quality_ok", "lang_ok", "gopher_ok", "n_docs")
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Boolean]),
+        Option(r.get(1)).map(_.asInstanceOf[Boolean]),
+        Option(r.get(2)).map(_.asInstanceOf[Boolean]),
+        r.getLong(3)))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    def cell(q: Option[Boolean], l: Option[Boolean], g: Option[Boolean]) =
+      rows.filter(r => r._1 == q && r._2 == l && r._3 == g).map(_._4).sum
+    assert(cell(None, None, None) == total)
+    // marginal split over any one flag reassembles the corpus
+    assert(cell(Some(true), None, None) + cell(Some(false), None, None) == total)
+    // the pass-all cell is bounded by every single-gate pass count
+    val allPass = cell(Some(true), Some(true), Some(true))
+    assert(allPass <= cell(Some(true), None, None))
+    assert(allPass <= cell(None, Some(true), None))
+    assert(allPass <= cell(None, None, Some(true)))
+    assert(allPass > 0)
+  }
+
   test("text_split_leakfree: cluster keying never splits a near-dup family; " +
       "doc keying measurably does") {
     import org.apache.spark.sql.functions.{countDistinct, sum => fsum}

@@ -109,26 +109,69 @@ object Dedup {
     // verification joins (same 3×-recompute trap as ngramJaccard).
     val sig = minhashSignatures(docs, id, text, shingleN, bands * rowsPerBand)
       .localCheckpoint()
-    val bandStructs = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*).as("sig"))
-    }: _*)
-    val banded = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val bounded = banded
-      .withColumn("bkt_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
-      .filter(col("bkt_n") <= maxBandBucket)
+    val bounded = boundedBands(sig, bands, rowsPerBand, maxBandBucket)
     val a = bounded.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = bounded.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     val pairs = a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    verifyPairs(pairs, sig, threshold)
+  }
+
+  /** Band table with the quadratic-blowup bucket cap (shared by the batch
+    * self-join and the incremental probe).
+    */
+  private def boundedBands(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBandBucket: Int): DataFrame = {
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*).as("sig"))
+    }: _*)
+    sig.select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .withColumn("bkt_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("bkt_n") <= maxBandBucket)
+  }
+
+  /** Attach both shingle sets to id-pairs and verify exact Jaccard. */
+  private def verifyPairs(pairs: DataFrame, sig: DataFrame,
+      threshold: Double): DataFrame = {
     val sets = sig.select(col("doc_id"), col("s"))
     val cand = pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
     verifyJaccard(cand, threshold)
+  }
+
+  /** INCREMENTAL MinHash-LSH: the pairs a NEW batch creates against a
+    * standing index, without re-pairing the base corpus. The band table
+    * over all docs is the index (in production it is persisted and the
+    * increment's bands are appended); only the increment's bands PROBE
+    * it — so the exchange is |incr bands| ⋈ index, never the index
+    * self-join, and known base-base pairs are structurally excluded.
+    * Probe hits normalize to (least, greatest) id order before the same
+    * exact-Jaccard verification as the batch path.
+    */
+  def minhashLshIncremental(docs: DataFrame, id: Column, text: Column,
+      incrPred: Column, shingleN: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 4, threshold: Double = 0.5,
+      maxBandBucket: Int = 500): DataFrame = {
+    val sig = minhashSignatures(docs, id, text, shingleN, bands * rowsPerBand)
+      .localCheckpoint()
+    // minhashSignatures keeps only (doc_id, s, mh_*): attach the flag
+    val flags = docs.select(id.as("doc_id"), incrPred.as("_incr"))
+    val bounded = boundedBands(sig, bands, rowsPerBand, maxBandBucket)
+      .join(flags, Seq("doc_id"))
+    val index = bounded.select(col("band"), col("sig"), col("doc_id").as("doc_i"))
+    val probe = bounded.filter(col("_incr"))
+      .select(col("band"), col("sig"), col("doc_id").as("doc_p"))
+    val pairs = index.join(probe, Seq("band", "sig"))
+      .filter(col("doc_i") =!= col("doc_p"))
+      .select(least(col("doc_i"), col("doc_p")).as("doc_a"),
+        greatest(col("doc_i"), col("doc_p")).as("doc_b"))
+      .distinct()
+    verifyPairs(pairs, sig, threshold)
   }
 
   /** Exact Jaccard on candidate pairs carrying their shingle sets. */

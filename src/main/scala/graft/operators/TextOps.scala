@@ -852,6 +852,18 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     }),
 
+    // Incremental near-dup detection — what a CONTINUOUS ingest runs
+    // instead of re-pairing the corpus: the new batch (every 5th doc)
+    // probes the standing band index, so the exchange is |incr bands| ⋈
+    // index rather than the index self-join, and already-known base-base
+    // pairs never recompute. Output = exactly the pairs the ingestion
+    // CREATES (incr-incr and incr-base), verified by exact Jaccard like
+    // the batch path; the oracle is the full pair set restricted to
+    // pairs touching the increment.
+    "dedup_minhash_incr" -> ((s, dir) =>
+      Dedup.minhashLshIncremental(docs(s, dir), col("doc_id"), col("text"),
+        incrPred = col("doc_id") % 5 === 0)),
+
     // Leak-free train/val/test split — the assignment rule a pretraining
     // pipeline must use AFTER dedup finds near-dup clusters: hash the
     // CLUSTER label, not the document id, so every member of a near-dup
@@ -1795,6 +1807,11 @@ object TextOps {
 
     "dedup_minhash_lsh" ->
       s"WITH $minhashPairCtes SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5",
+
+    "dedup_minhash_incr" ->
+      s"""WITH $minhashPairCtes
+          SELECT doc_a, doc_b, jaccard FROM j
+          WHERE jaccard >= 0.5 AND (doc_a % 5 = 0 OR doc_b % 5 = 0)""",
 
     "dedup_lsh_recall" ->
       s"""WITH $minhashPairCtes,

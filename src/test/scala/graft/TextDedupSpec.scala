@@ -204,6 +204,20 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_minhash_incr: probe pairs are exactly the batch pairs that " +
+      "touch the increment — no base-base pair, none missed") {
+    val dir = "/root/testdata/sf0.01"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val incr = graft.functions.Dedup.minhashLshIncremental(
+        d, col("doc_id"), col("text"), incrPred = col("doc_id") % 5 === 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val full = graft.functions.Dedup.minhashLsh(d, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(incr.nonEmpty)
+    assert(incr.forall { case (a, b) => a % 5 == 0 || b % 5 == 0 })
+    assert(incr == full.filter { case (a, b) => a % 5 == 0 || b % 5 == 0 })
+  }
+
   test("pipe_gate_ablation: cube totals telescope — grand total is the " +
       "corpus, marginals sum to it, the all-gates cell is the minimum") {
     val dir = "/root/testdata/sf0.001"

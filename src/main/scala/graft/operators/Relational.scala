@@ -670,6 +670,47 @@ object Relational {
       agg.unionByName(stat("probe_rows", li))
         .unionByName(stat("passed_bloom", reduced))
         .unionByName(stat("matched", joined))
+    }),
+
+    // Interval-overlap sweep — "how many sessions are concurrently open
+    // at each moment" — WITHOUT the naive range self-join (quadratic in
+    // overlaps): each session contributes ±1 endpoint deltas, deltas
+    // collapse per timestamp (tie-order independence), and the running
+    // total is a TWO-PHASE distributed prefix sum — per-day-bucket local
+    // windows plus a broadcast of cumulated bucket offsets — so no
+    // single-partition global sort ever sees the timeline. The sweep
+    // input is the session table (already ~|events|/sessions smaller);
+    // output: the top-10 most concurrent moments.
+    "q32_concurrency" -> ((s, dir) => {
+      val gapUs = 1800000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.loadEventsNs(s, dir)
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts"))
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") - lag(col("ts"), 1).over(w) > gapUs, 1).otherwise(0))
+        .withColumn("sess_seq", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_seq"))
+        .agg(min(col("ts")).as("ts_start"), max(col("ts")).as("ts_end"))
+      val deltas = sess.select(col("ts_start").as("ts"), lit(1L).as("d"))
+        .unionByName(sess.select((col("ts_end") + 1).as("ts"), lit(-1L).as("d")))
+        .groupBy(col("ts")).agg(sum(col("d")).as("net_delta"))
+      val bucketed = deltas.withColumn("bkt", expr("ts DIV 86400000000"))
+      val local = bucketed.withColumn("run_local",
+        sum(col("net_delta")).over(Window.partitionBy(col("bkt"))
+          .orderBy(col("ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val offs = bucketed.groupBy(col("bkt"))
+        .agg(sum(col("net_delta")).as("bd"))
+        .withColumn("off", coalesce(sum(col("bd")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("off"))
+      local.join(broadcast(offs), Seq("bkt"))
+        .withColumn("concurrency", col("run_local") + col("off"))
+        .orderBy(col("concurrency").desc, col("ts")).limit(10)
+        .select(col("ts"), col("net_delta"), col("concurrency"))
     })
   )
 
@@ -1115,6 +1156,28 @@ object Relational {
          FROM joined GROUP BY 2
          UNION ALL SELECT 'stats', 'probe_rows', COUNT(*), 0.0 FROM li
          UNION ALL SELECT 'stats', 'passed_bloom', COUNT(*), 0.0 FROM reduced
-         UNION ALL SELECT 'stats', 'matched', COUNT(*), 0.0 FROM joined"""
+         UNION ALL SELECT 'stats', 'matched', COUNT(*), 0.0 FROM joined""",
+
+    "q32_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts FROM events),
+         m AS (SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sq AS (SELECT *,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_seq
+           FROM m),
+         sess AS (SELECT user_id, sess_seq, MIN(ts) AS ts_start, MAX(ts) AS ts_end
+           FROM sq GROUP BY 1, 2),
+         d0 AS (SELECT ts_start AS ts, 1 AS d FROM sess
+           UNION ALL SELECT ts_end + 1, -1 FROM sess),
+         d1 AS (SELECT ts, CAST(SUM(d) AS BIGINT) AS net_delta FROM d0 GROUP BY 1),
+         c AS (SELECT ts, net_delta,
+             CAST(SUM(net_delta) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS concurrency
+           FROM d1)
+         SELECT ts, net_delta, concurrency FROM c
+         ORDER BY concurrency DESC, ts LIMIT 10"""
   )
 }

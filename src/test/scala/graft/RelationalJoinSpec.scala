@@ -198,4 +198,40 @@ class RelationalJoinSpec extends AnyFunSuite {
     val rows = out.collect()
     assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("within_bound")))
   }
+
+  test("q32's two-phase prefix sum equals the naive global window, and the " +
+      "sweep is conservative (every prefix nonnegative, ends at zero)") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    // rebuild the delta stream exactly as the query does
+    val gapUs = 1800000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = graft.Tables.loadEventsNs(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts"))
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("sess_seq", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_seq"))
+      .agg(min(col("ts")).as("ts_start"), max(col("ts")).as("ts_end"))
+    val deltas = sess.select(col("ts_start").as("ts"), lit(1L).as("d"))
+      .unionByName(sess.select((col("ts_end") + 1).as("ts"), lit(-1L).as("d")))
+      .groupBy(col("ts")).agg(sum(col("d")).as("net_delta"))
+    val naive = deltas.withColumn("concurrency",
+        sum(col("net_delta")).over(Window.orderBy(col("ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("ts", "concurrency").as[(Long, Long)].collect().toMap
+    // conservation: the sweep never goes negative and closes at zero
+    assert(naive.values.forall(_ >= 0))
+    assert(naive(naive.keys.max) == 0L)
+    // the query's two-phase values agree with the naive prefix at its moments
+    val out = graft.operators.Relational.queries("q32_concurrency")(spark, dir)
+      .select("ts", "concurrency").as[(Long, Long)].collect()
+    assert(out.length == 10)
+    assert(out.forall { case (ts, c) => naive(ts) == c })
+    // and they really are the top-10 (concurrency desc, ts asc)
+    val expected = naive.toSeq.sortBy { case (ts, c) => (-c, ts) }.take(10)
+    assert(out.sortBy { case (ts, c) => (-c, ts) }.toSeq == expected)
+  }
 }

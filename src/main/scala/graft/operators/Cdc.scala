@@ -131,6 +131,23 @@ object Cdc {
       Replay.materialize(eff.filter(col("ts_packed") <= t))
     }),
 
+    // K1's core contract as a GATED artifact (the reference relies on
+    // idempotence for at-least-once delivery, `README.md:55`): a feed
+    // where EVERY record is re-delivered (the at-least-once worst case —
+    // the whole batch duplicated verbatim) must materialize the
+    // identical state. The query folds the doubled feed and diffs it
+    // against the single fold; the oracle pins every ns to all-equal
+    // with zero mismatch/only rows, so a path where re-delivery
+    // double-applies (a SUM-flavored fold, a non-idempotent counter)
+    // hash-diverges.
+    "cdc_idempotent_replay" -> ((s, dir) => {
+      val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+        .localCheckpoint()
+      val once = Replay.materialize(eff)
+      val twice = Replay.materialize(eff.unionByName(eff))
+      Replay.diffStates(once, twice)
+    }),
+
     // Incremental backup export — the "changes since LSN T" batch a
     // downstream consumer pulls instead of re-reading the full state
     // (the delta face of cdc_time_travel's point-in-time fold): the
@@ -1287,6 +1304,19 @@ object Cdc {
 
     // Full recompute from the final state — the maintained view must be
     // indistinguishable from it (count and decimal-exact sum per ns).
+    "cdc_idempotent_replay" -> withOplog(
+      s"""SELECT ns, COUNT(*) AS n_equal,
+            CAST(0 AS BIGINT) AS n_mismatch,
+            CAST(0 AS BIGINT) AS n_src_only,
+            CAST(0 AS BIGINT) AS n_dst_only
+          FROM (
+            SELECT ns, op,
+              ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                ORDER BY ts_packed DESC, event_id DESC) AS rn
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
+          WHERE rn = 1 AND op <> 'd'
+          GROUP BY ns"""),
+
     "cdc_delta_export" -> withOplog(
       s""", eff AS (
             SELECT event_id, ts_packed, op, ns, doc_key, value

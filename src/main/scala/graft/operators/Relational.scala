@@ -711,6 +711,30 @@ object Relational {
         .withColumn("concurrency", col("run_local") + col("off"))
         .orderBy(col("concurrency").desc, col("ts")).limit(10)
         .select(col("ts"), col("net_delta"), col("concurrency"))
+    }),
+
+    // Time-weighted aggregation over an irregular series — the financial/
+    // IoT average where each observation holds until the next one (a
+    // plain AVG over irregular samples over-weights bursts): per
+    // event_type, Σ value·holding-duration as exact integer
+    // cents·µs (bounded: max cents ~5.6e4 × max span ~e12 µs ≪ 2^63),
+    // one lead() window on the (type, ts) exchange — no densification,
+    // no resampling join. The TWA itself is the consumer's quotient of
+    // two exact integers.
+    "q33_time_weighted" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.loadEventsNs(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("ts DIV 1000").as("ts_us"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("hold_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("hold_us").isNotNull) // the last observation holds 0
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("cents") * col("hold_us")).as("weighted_cents_us"),
+          sum(col("hold_us")).as("span_us"),
+          min(col("ts_us")).as("t_first"), max(col("ts_us")).as("t_last"))
     })
   )
 
@@ -1178,6 +1202,19 @@ object Relational {
                AS BIGINT) AS concurrency
            FROM d1)
          SELECT ts, net_delta, concurrency FROM c
-         ORDER BY concurrency DESC, ts LIMIT 10"""
+         ORDER BY concurrency DESC, ts LIMIT 10""",
+
+    "q33_time_weighted" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_ns(ts)//1000 AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         h AS (SELECT *,
+             lead(ts_us) OVER (PARTITION BY event_type
+               ORDER BY ts_us, event_id) - ts_us AS hold_us
+           FROM e)
+         SELECT event_type, COUNT(*) AS n_obs,
+           CAST(SUM(cents * hold_us) AS BIGINT) AS weighted_cents_us,
+           CAST(SUM(hold_us) AS BIGINT) AS span_us,
+           MIN(ts_us) AS t_first, MAX(ts_us) AS t_last
+         FROM h WHERE hold_us IS NOT NULL GROUP BY 1"""
   )
 }

@@ -146,6 +146,27 @@ class CdcSpec extends AnyFunSuite {
     assert(graft.apply.Replay.repairPlan(src, once).count() == 0L)
   }
 
+  test("idempotent replay gate: doubled delivery folds identical; an " +
+      "additive fold would not") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Cdc.queries("cdc_idempotent_replay")(spark, dir)
+      .select("ns", "n_equal", "n_mismatch", "n_src_only", "n_dst_only")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._2 > 0 && r._3 == 0 && r._4 == 0 && r._5 == 0))
+    // negative control: a non-idempotent (additive) fold DOES diverge
+    // under the same doubled delivery — the gate is not vacuous
+    val ops = Seq((1L, 1L, "i", "app.t", "k", 2.0))
+      .toDF("event_id", "ts_packed", "op", "ns", "doc_key", "value")
+    def additive(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("ns"), col("doc_key"))
+        .agg(sum(col("value")).as("last_value"),
+          max(col("event_id")).as("last_event_id"))
+    val diff = Replay.diffStates(additive(ops), additive(ops.unionByName(ops)))
+      .select("n_mismatch").as[Long].collect()
+    assert(diff.sum == 1L)
+  }
+
   test("cdc_delta_export restore law: state(t1) + delta(t1,t2] == state(t2), " +
       "tombstones retract, untouched keys stay silent") {
     val ops = Seq(

@@ -199,6 +199,33 @@ class RelationalJoinSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("within_bound")))
   }
 
+  test("q33 time-weighted sums match an independent sequential fold, and " +
+      "the TWA lies inside the value range") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.loadEventsNs(spark, dir)
+      .select(col("event_type"), expr("ts DIV 1000").as("ts_us"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        col("event_id"))
+      .as[(String, Long, Long, Long)].collect()
+    // independent fold: per type, sort by (ts, id) and accumulate
+    val expected = events.groupBy(_._1).map { case (t, rows) =>
+      val srt = rows.sortBy(r => (r._2, r._4))
+      val holds = srt.zip(srt.tail).map { case (a, b) => (a._3, b._2 - a._2) }
+      t -> (holds.map { case (c, h) => c * h }.sum, holds.map(_._2).sum,
+        srt.map(_._3))
+    }
+    val out = graft.operators.Relational.queries("q33_time_weighted")(spark, dir)
+      .select("event_type", "weighted_cents_us", "span_us")
+      .as[(String, Long, Long)].collect()
+    assert(out.length == expected.size)
+    out.foreach { case (t, wsum, span) =>
+      val (eWsum, eSpan, vals) = expected(t)
+      assert(wsum == eWsum && span == eSpan, s"$t fold mismatch")
+      val twa = wsum.toDouble / span
+      assert(twa >= vals.min && twa <= vals.max, s"$t TWA out of range")
+    }
+  }
+
   test("q32's two-phase prefix sum equals the naive global window, and the " +
       "sweep is conservative (every prefix nonnegative, ends at zero)") {
     import org.apache.spark.sql.expressions.Window

@@ -148,6 +148,46 @@ object Cdc {
       Replay.diffStates(once, twice)
     }),
 
+    // Dual-active (active-active) replica merge — the deployment the
+    // reference's gid machinery exists for (P10: each site tags its own
+    // writes; the other site's replayer drops foreign gids to break the
+    // loop): two sites see overlapping slices of the write stream
+    // (event_id % 3 splits: A = {0,2}, B = {1,2} — %3==2 lands on BOTH),
+    // each folds its own per-key state WITH tombstones, and the merge is
+    // a second argmax over the two states' last entries. Keeping
+    // tombstones through the merge is the load-bearing subtlety: merging
+    // delete-free states would resurrect a key one site deleted from
+    // the other site's stale upsert. The gate proves merged ≡ the
+    // direct fold of the union, next to per-ns counts of genuinely
+    // CONFLICTING keys (both sites wrote, different last events).
+    "cdc_active_active_merge" -> ((s, dir) => {
+      val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+        .localCheckpoint()
+      // per-site last entry per key, tombstones and the ts kept (the
+      // merge must rank by the SAME (ts, event_id) order the direct
+      // fold uses — ranking by event id alone could disagree on keys
+      // whose delivery ids are not ts-monotone)
+      def site(pred: org.apache.spark.sql.Column) =
+        eff.filter(pred).groupBy(col("ns"), col("doc_key"))
+          .agg(max(struct(col("ts_packed"), col("event_id"), col("op"),
+            col("value"))).as("m"))
+      val a = site(col("event_id") % 3 =!= 1)
+      val b = site(col("event_id") % 3 =!= 0)
+      val survivors = mergeSiteStates(a, b)
+      val direct = Replay.materialize(eff)
+      val conflicts = a
+        .select(col("ns"), col("doc_key"), col("m.event_id").as("a_event"))
+        .join(b.select(col("ns"), col("doc_key"),
+          col("m.event_id").as("b_event")), Seq("ns", "doc_key"))
+        .filter(col("a_event") =!= col("b_event"))
+        .groupBy(col("ns")).agg(count(lit(1)).as("n_conflicts"))
+      Replay.diffStates(direct, survivors)
+        .join(conflicts, Seq("ns"), "left_outer")
+        .select(col("ns"), col("n_equal"), col("n_mismatch"),
+          col("n_src_only"), col("n_dst_only"),
+          coalesce(col("n_conflicts"), lit(0L)).as("n_conflicts"))
+    }),
+
     // Incremental backup export — the "changes since LSN T" batch a
     // downstream consumer pulls instead of re-reading the full state
     // (the delta face of cdc_time_travel's point-in-time fold): the
@@ -728,6 +768,23 @@ object Cdc {
       .filter(col("n_rows") > 0)
   }
 
+  /** Tombstone-preserving LWW merge of two sites' last-entry states
+    * (`cdc_active_active_merge`'s engine; golden-pinned in CdcSpec).
+    * Each input carries per-key `m = struct(ts_packed, event_id, op,
+    * value)` argmax rows WITH tombstones; the merge is a second argmax
+    * over the union, and only then do deletes drop — merging delete-free
+    * states instead would resurrect a key one site deleted from the
+    * other site's stale upsert.
+    */
+  def mergeSiteStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("ns"), col("doc_key"))
+      .agg(max(col("m")).as("m"))
+      .select(col("ns"), col("doc_key"), col("m.op").as("op"),
+        col("m.value").as("last_value"),
+        col("m.event_id").as("last_event_id"))
+      .filter(col("op") =!= "d").drop("op")
+
   /** Incremental JOIN-view maintenance over time-sliced batches (the
     * engine core of `cdc_incr_join_view`): V = state(nsA) ⋈ state(nsB)
     * on household = key DIV 4, maintained as
@@ -1304,6 +1361,55 @@ object Cdc {
 
     // Full recompute from the final state — the maintained view must be
     // indistinguishable from it (count and decimal-exact sum per ns).
+    "cdc_active_active_merge" -> withOplog(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          sa AS (
+            SELECT ns, doc_key, ts_packed, event_id, op, value FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff WHERE event_id % 3 <> 1) WHERE rn = 1),
+          sb AS (
+            SELECT ns, doc_key, ts_packed, event_id, op, value FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff WHERE event_id % 3 <> 0) WHERE rn = 1),
+          merged AS (
+            SELECT ns, doc_key, value AS v, event_id AS e FROM (
+              SELECT u.*, ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) u)
+            WHERE rn = 1 AND op <> 'd'),
+          direct AS (
+            SELECT ns, doc_key, value AS v, event_id AS e FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff) WHERE rn = 1 AND op <> 'd'),
+          f AS (
+            SELECT COALESCE(d.ns, m.ns) AS ns,
+              CASE WHEN d.e IS NULL THEN 'dst_only'
+                   WHEN m.e IS NULL THEN 'src_only'
+                   WHEN d.v = m.v AND d.e = m.e THEN 'equal'
+                   ELSE 'mismatch' END AS status
+            FROM direct d FULL OUTER JOIN merged m
+              ON d.ns = m.ns AND d.doc_key = m.doc_key),
+          diff AS (
+            SELECT ns,
+              CAST(SUM(CASE WHEN status = 'equal' THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+              CAST(SUM(CASE WHEN status = 'mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+              CAST(SUM(CASE WHEN status = 'src_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_src_only,
+              CAST(SUM(CASE WHEN status = 'dst_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_dst_only
+            FROM f GROUP BY ns),
+          conf AS (
+            SELECT sa.ns, COUNT(*) AS n_conflicts
+            FROM sa JOIN sb ON sa.ns = sb.ns AND sa.doc_key = sb.doc_key
+            WHERE sa.event_id <> sb.event_id GROUP BY sa.ns)
+          SELECT d.ns, d.n_equal, d.n_mismatch, d.n_src_only, d.n_dst_only,
+            COALESCE(c.n_conflicts, 0) AS n_conflicts
+          FROM diff d LEFT JOIN conf c ON d.ns = c.ns"""),
+
     "cdc_idempotent_replay" -> withOplog(
       s"""SELECT ns, COUNT(*) AS n_equal,
             CAST(0 AS BIGINT) AS n_mismatch,

@@ -167,6 +167,33 @@ class CdcSpec extends AnyFunSuite {
     assert(diff.sum == 1L)
   }
 
+  test("active-active merge: tombstones win over stale remote upserts; " +
+      "later site wins conflicts; site-exclusive keys survive") {
+    def siteState(rows: Seq[(String, String, Long, Long, String, Double)]) =
+      rows.toDF("ns", "doc_key", "ts_packed", "event_id", "op", "value")
+        .groupBy(col("ns"), col("doc_key"))
+        .agg(max(struct(col("ts_packed"), col("event_id"), col("op"),
+          col("value"))).as("m"))
+    // site A: deleted K at ts 5; wrote X (exclusive); wrote M at ts 2
+    val a = siteState(Seq(
+      ("app.t", "K", 5L, 50L, "d", 0.0),
+      ("app.t", "X", 3L, 30L, "i", 3.0),
+      ("app.t", "M", 2L, 20L, "i", 2.0)))
+    // site B: stale upsert of K at ts 1; wrote M later at ts 4
+    val b = siteState(Seq(
+      ("app.t", "K", 1L, 10L, "i", 1.0),
+      ("app.t", "M", 4L, 40L, "u", 4.5)))
+    val got = graft.operators.Cdc.mergeSiteStates(a, b)
+      .select("doc_key", "last_value", "last_event_id")
+      .as[(String, Double, Long)].collect().toSet
+    assert(got == Set(
+      ("X", 3.0, 30L), // site-exclusive survives
+      ("M", 4.5, 40L))) // later site wins the conflict
+    // K is ABSENT: A's tombstone beat B's stale upsert — the resurrection
+    // bug a delete-free merge would have
+    assert(!got.exists(_._1 == "K"))
+  }
+
   test("cdc_delta_export restore law: state(t1) + delta(t1,t2] == state(t2), " +
       "tombstones retract, untouched keys stay silent") {
     val ops = Seq(

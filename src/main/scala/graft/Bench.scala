@@ -102,7 +102,12 @@ object Bench {
     println(json)
     // Stdout has been observed truncated in driver capture (BENCH_r* with
     // "parsed": null); the file is the machine-readable source of truth.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_latest.json")
+    // FULL-suite runs only: a filtered dev run (args given) must never
+    // clobber the promoted capture — the drift arm compares against this
+    // file, and a 2-query overwrite would poison every later comparison.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (args.isEmpty) "/root/repo/bench_latest.json"
+      else "/tmp/graft_bench_partial.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()

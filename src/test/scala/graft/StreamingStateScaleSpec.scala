@@ -140,4 +140,40 @@ class StreamingStateScaleSpec extends AnyFunSuite {
     // and the join itself matched every user exactly once
     assert(spark.read.parquet(s"$w/out").count() == users.toLong)
   }
+
+  test("flatMapGroupsWithState family (anomaly/SCD2 folds): state is one " +
+      "row per KEY, never per event") {
+    import graft.operators.StreamOps.AnomEvent
+    val w = work("fmgws")
+    // adversarial volume skew: 50 keys × 200 events — a fold that
+    // buffered events instead of (count, sum) would report 10k rows
+    val nKeys = 50
+    val rows = for (k <- 0 until nKeys; i <- 0 until 200)
+      yield (k.toLong * 1000 + i, s"t$k", i.toLong * 10, 100L + (i % 7))
+    rows.toDF("event_id", "event_type", "ts_us", "cents")
+      .coalesce(1).write.parquet(s"$w/feed")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.schema(schema).parquet(s"$w/feed")
+      .as[AnomEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        graft.operators.StreamOps.anomalyGroup)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$w/ckpt").option("path", s"$w/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    val totals = stateTotals(q)
+    assert(totals.nonEmpty && totals.max == nKeys.toLong,
+      s"per-key fold state is not |keys|: $totals")
+  }
 }

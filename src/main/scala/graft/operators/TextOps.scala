@@ -402,6 +402,38 @@ object TextOps {
     // a distributed TakeOrdered (no global window over the corpus — the
     // rank windows run on the 50-row tops); the query vector is a plan
     // literal, so the vector arm is a pure scan + map-side top-k.
+    // Two-stage retrieval CASCADE — the other production retrieval shape
+    // next to RRF fusion: cheap lexical recall first (BM25 top-50, the
+    // candidate generator), then the expensive scorer only over that
+    // head (vector cosine rerank → top-10). At scale stage 1 is the
+    // only corpus-wide pass; stage 2 touches 50 rows regardless of
+    // corpus size — the cost asymmetry cascades exist for. Output keeps
+    // both stages' ranks so a candidate the reranker promoted (low BM25
+    // rank, high final rank) is visible.
+    "pipe_two_stage" -> ((s, dir) => {
+      import graft.functions.Similarity
+      val wLex = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val candidates = bm25Scores(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .withColumn("r_lex", row_number().over(wLex).cast("long"))
+      val p = Similarity.prepared(Tables.load(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"))
+      val q0 = p.filter(col("vec_id") === 0).select(col("v"), col("nrm")).head()
+      val qv = typedLit(q0.getSeq[Long](0))
+      val qn = lit(q0.getLong(1))
+      val wFinal = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sim").desc, col("doc_id"))
+      candidates
+        .join(p.select(col("vec_id").as("doc_id"), col("v"), col("nrm")),
+          Seq("doc_id"))
+        .withColumn("sim", Similarity.cosineQ(qv, qn, col("v"), col("nrm")))
+        .orderBy(col("sim").desc, col("doc_id")).limit(10)
+        .withColumn("r_final", row_number().over(wFinal).cast("long"))
+        .select(col("doc_id"), col("r_lex"), col("bm25"), col("sim"),
+          col("r_final"))
+    }),
+
     "pipe_hybrid_rrf" -> ((s, dir) => {
       import graft.functions.Similarity
       val wLex = org.apache.spark.sql.expressions.Window
@@ -1339,6 +1371,28 @@ object TextOps {
             NTILE(3) OVER (PARTITION BY d.lang
               ORDER BY s.nll / CAST(s.n_bigrams AS DOUBLE), s.doc_id) AS bucket
           FROM lmscore s JOIN documents d ON s.doc_id = d.doc_id""",
+
+    "pipe_two_stage" ->
+      s"""WITH $bm25Ctes,
+          prep AS (
+            SELECT vec_id,
+              [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS v
+            FROM embeddings),
+          pn AS (SELECT vec_id, v, list_sum([y*y for y in v]) AS nrm FROM prep),
+          q0 AS (SELECT v AS qv, nrm AS qn FROM pn WHERE vec_id = 0),
+          cand AS (
+            SELECT doc_id, bm25,
+              CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
+            FROM lexall QUALIFY r_lex <= 50),
+          scored AS (
+            SELECT c.doc_id, c.r_lex, c.bm25,
+              CAST(list_sum([p.v[i] * q0.qv[i]
+                FOR i IN generate_series(1, len(p.v))]) AS DOUBLE)
+                / sqrt(CAST(p.nrm * q0.qn AS DOUBLE)) AS sim
+            FROM cand c JOIN pn p ON p.vec_id = c.doc_id, q0)
+          SELECT doc_id, r_lex, bm25, sim,
+            CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS r_final
+          FROM scored QUALIFY r_final <= 10""",
 
     "pipe_hybrid_rrf" ->
       s"""WITH $bm25Ctes,

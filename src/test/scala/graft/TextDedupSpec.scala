@@ -204,6 +204,22 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe_two_stage: every result is a stage-1 candidate, the final " +
+      "order is the reranker's, and the reranker is load-bearing") {
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.operators.TextOps.queries("pipe_two_stage")(spark, dir)
+      .select("doc_id", "r_lex", "sim", "r_final")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(out.length == 10)
+    // cascade containment: nothing outside the BM25 top-50 can surface
+    assert(out.forall(_._2 <= 50))
+    // final order is similarity order (ties by doc_id)
+    assert(out.map(r => (-r._3, r._1)).sameElements(
+      out.map(r => (-r._3, r._1)).sorted))
+    // the reranker changes the head: final order != candidate order
+    assert(out.map(_._2).toSeq != (1L to 10L).toSeq)
+  }
+
   test("dedup_minhash_incr: probe pairs are exactly the batch pairs that " +
       "touch the increment — no base-base pair, none missed") {
     val dir = "/root/testdata/sf0.01"

@@ -43,6 +43,41 @@ object MmOps {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
     }),
 
+    // INTERLEAVED multimodal sequence packing — the assembly step of an
+    // interleaved image/text training corpus: each document contributes
+    // its text tokens PLUS a fixed placeholder budget for its media item
+    // (64 tokens for an image, 32 for audio — the slots the vision/audio
+    // encoder's embeddings occupy in the sequence), and documents pack
+    // per modality-mixed stream into 512-token sequences with the same
+    // exclusive-prefix running-sum binning as text_pack. Per sequence:
+    // doc count, the text/placeholder token split, modality composition,
+    // and the media bytes the loader must fetch — the manifest an
+    // interleaved dataloader consumes. One window over a 4-column
+    // projection; production sub-partitions the window key by an ingest
+    // shard prefix exactly as text_pack notes.
+    "mm_interleave" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Multimodal.meta(media(s, dir))
+        .join(s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            graft.functions.Text.tokenCount(col("text")).cast("long")
+              .as("n_text_tokens")), Seq("doc_id"))
+        .withColumn("n_placeholder",
+          when(col("kind") === "wav", lit(32L)).otherwise(lit(64L)))
+        .withColumn("cost", col("n_text_tokens") + col("n_placeholder"))
+        .withColumn("cum", sum(col("cost")).over(w))
+        .withColumn("seq_id", expr("(cum - cost) DIV 512"))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_text_tokens")).as("n_text_tokens"),
+          sum(col("n_placeholder")).as("n_placeholder_tokens"),
+          sum((col("kind") =!= "wav").cast("long")).as("n_images"),
+          sum((col("kind") === "wav").cast("long")).as("n_audio"),
+          sum(col("payload_len")).as("media_bytes"))
+    }),
+
     // CLIP-score-style pair curation — the assembly gate a LAION-style
     // image/text corpus build runs: keep an (image, caption) pair only
     // when the two sides' embeddings agree. The corpus models pairs as
@@ -79,6 +114,31 @@ object MmOps {
   private val normSql = "lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))"
 
   def oracles: Map[String, String] = Map(
+    "mm_interleave" ->
+      s"""WITH m AS (
+            SELECT doc_id,
+              CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS kind,
+              CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_text_tokens
+            FROM documents),
+          c AS (
+            SELECT *,
+              CASE WHEN kind = 'wav' THEN 32 ELSE 64 END AS n_placeholder,
+              n_text_tokens + CASE WHEN kind = 'wav' THEN 32 ELSE 64 END AS cost
+            FROM m),
+          p AS (
+            SELECT *,
+              CAST((SUM(cost) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                - cost) // 512 AS BIGINT) AS seq_id
+            FROM c)
+          SELECT seq_id, COUNT(*) AS n_docs,
+            CAST(SUM(n_text_tokens) AS BIGINT) AS n_text_tokens,
+            CAST(SUM(n_placeholder) AS BIGINT) AS n_placeholder_tokens,
+            CAST(SUM(CASE WHEN kind <> 'wav' THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+            CAST(SUM(CASE WHEN kind = 'wav' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+            CAST(SUM(payload_len) AS BIGINT) AS media_bytes
+          FROM p GROUP BY seq_id""",
+
     "mm_clip_filter" -> {
       val sim = VectorOps.simSql("va", "na", "vb", "nb")
       s"""WITH ${VectorOps.prepCte},

@@ -86,6 +86,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got.exists(t => t._1 == 4L || t._2 == 4L))
   }
 
+  test("mm_interleave: packing conserves docs/bytes, placeholder budget is " +
+      "exactly the modality mix, sequences are contiguous") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.MmOps.queries("mm_interleave")(spark, dir)
+      .select("seq_id", "n_docs", "n_placeholder_tokens", "n_images",
+        "n_audio", "media_bytes")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(out.map(_._2).sum == docs.count())
+    // the placeholder budget IS the modality mix
+    assert(out.forall(r => r._3 == 64 * r._4 + 32 * r._5))
+    // bytes conserve against the payload universe
+    val totalBytes = docs.select(
+      org.apache.spark.sql.functions.sum(length(col("text")).cast("long")))
+      .head().getLong(0)
+    assert(out.map(_._6).sum == totalBytes)
+    // sequence ids are contiguous from 0 (no empty bins)
+    assert(out.map(_._1).toSeq == out.indices.map(_.toLong))
+  }
+
   test("mm_clip_filter: every embedding pairs exactly once, the keep verdict " +
       "is the threshold, and the gate separates the corpus") {
     val dir = "/root/testdata/sf0.001"

@@ -22,6 +22,32 @@ object SnapshotOps {
           min(col("l_orderkey")).as("key_min"),
           max(col("l_orderkey")).as("key_max"))),
 
+    // Raw-dump INGEST round-trip — the format corpora and Mongo exports
+    // actually arrive in is JSONL, and the trap is JSON-IN-JSON: the
+    // props column is itself a JSON string, so the export must escape
+    // its quotes/braces and the ingest must restore them byte-exact.
+    // Export through the real JSON writer, re-ingest with an EXPLICIT
+    // schema (schema-on-read, never inference — at 100 TB one corrupt
+    // line would silently flip a column type corpus-wide), return the
+    // re-ingested rows; the oracle is the original projection, so any
+    // escaping or type-mangling defect hash-diverges.
+    "snap_jsonl_roundtrip" -> ((s, dir) => {
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_q"
+      graft.streaming.IncrSync.deletePath(s, work)
+      Tables.load(s, dir, "events")
+        .select(to_json(struct(col("event_id"), col("event_type"),
+          col("props"))).as("value"))
+        .write.text(s"$work/dump")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("props",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).json(s"$work/dump")
+    }),
+
     // S6: catalog scan — discover collections from storage (Hadoop FS
     // walk), apply ns filters, surface collStats row counts. The oracle
     // pins the expected counts: a discovery regression shows as a row
@@ -187,6 +213,9 @@ object SnapshotOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "snap_jsonl_roundtrip" ->
+      "SELECT event_id, event_type, props FROM events",
+
     "snap_range_pieces" ->
       """WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem)
          SELECT ((l_orderkey - lo) * 8) // (hi - lo + 1) AS piece,

@@ -100,4 +100,38 @@ class CatalogSocketSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$target/full/region")))
   }
+
+  test("JSONL round-trip survives adversarial strings: quotes, backslashes, " +
+      "newlines, tabs, unicode, nested JSON") {
+    import org.apache.spark.sql.functions._
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_adversarial"
+    graft.streaming.IncrSync.deletePath(spark, work)
+    val nasty = Seq(
+      (1L, "quote", """he said "hi" twice"""),
+      (2L, "backslash", """path\to\file and \\server"""),
+      (3L, "newline", "line one\nline two\r\nline three"),
+      (4L, "tab", "col1\tcol2"),
+      (5L, "unicode", "naïve café — 日本語 🚀"),
+      (6L, "nested", """{"k": {"deep": ["a", "b\"c", 3]}, "v": null}"""),
+      (7L, "empty", ""),
+      (8L, "slashquote", """end with \" tricky"""))
+    val src = nasty.toDF("event_id", "event_type", "props")
+    src.select(to_json(struct(col("event_id"), col("event_type"),
+        col("props"))).as("value"))
+      .coalesce(1).write.text(s"$work/dump")
+    // one JSON object per physical line: embedded newlines must have
+    // been escaped, never emitted raw
+    val lines = spark.read.text(s"$work/dump").count()
+    assert(lines == nasty.length.toLong)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    val back = spark.read.schema(schema).json(s"$work/dump")
+      .as[(Long, String, String)].collect().toSet
+    assert(back == nasty.toSet)
+  }
 }

@@ -62,7 +62,8 @@ object StreamOps {
     "stream_pattern" -> ((s, dir) => runPattern(s, dir)),
     "stream_join_semi" -> ((s, dir) => runStreamJoinSemi(s, dir)),
     "stream_anomaly" -> ((s, dir) => runAnomaly(s, dir)),
-    "stream_scd2" -> ((s, dir) => runScd2(s, dir)))
+    "stream_scd2" -> ((s, dir) => runScd2(s, dir)),
+    "stream_asof_enrich" -> ((s, dir) => runAsofEnrich(s, dir)))
 
   /** Stage a multi-file feed whose files must be consumed IN ORDER by a
     * `maxFilesPerTrigger = 1` file source: write each part, then pin
@@ -1434,6 +1435,73 @@ object StreamOps {
     out.iterator
   }
 
+  case class AsofRow(event_id: Long, user_id: Long, kind: String,
+    ts_us: Long, cents: Long)
+  /** `dimEvent == 0` means no dimension version has arrived yet. */
+  case class AsofState(dimEvent: Long, dimTs: Long, dimCents: Long)
+  case class AsofHit(purchase_event: Long, user_id: Long, ts_us: Long,
+    cents: Long, asof_signup_event: Option[Long],
+    asof_signup_cents: Option[Long])
+
+  /** Temporal (AS-OF) enrichment in streaming — each fact row picks the
+    * dimension version in force AT its event time (the q14_asof_join
+    * semantics, live): Structured Streaming has no native as-of join, so
+    * dimension updates (signups = tier changes) and facts (purchases)
+    * ride ONE keyed stream through `flatMapGroupsWithState`, the state
+    * is the key's LATEST dimension version — three longs, O(1), never a
+    * version history — and a fact emits with whatever version the state
+    * holds. Within a batch the per-key slice sorts by (ts, event_id) so
+    * a same-batch dim-then-fact pair enriches correctly; across batches
+    * the ts-split feed guarantees version order, and the midpoint split
+    * proves batch-2 purchases enrich from batch-1 signups out of the
+    * state store. Facts before any version emit NULL — visible, never
+    * dropped.
+    */
+  private def runAsofEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_asof_q"
+    IncrSync.deletePath(s, work)
+    val ev = graft.Tables.loadEventsNs(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        when(col("event_type") === "signup", "dim").otherwise("fact").as("kind"),
+        expr("ts DIV 1000").as("ts_us"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .localCheckpoint()
+    val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val tcut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    stageOrdered(s, s"$work/feed", Seq(
+      ev.filter(col("ts_us") <= tcut), ev.filter(col("ts_us") > tcut)))
+
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .as[AsofRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        asofGroup)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
+  /** The per-user latest-version machine (see [[runAsofEnrich]]). */
+  private[graft] def asofGroup(uid: Long, rows: Iterator[AsofRow],
+      state: GroupState[AsofState]): Iterator[AsofHit] = {
+    var st = if (state.exists) state.get else AsofState(0L, 0L, 0L)
+    val out = scala.collection.mutable.ListBuffer.empty[AsofHit]
+    for (r <- rows.toSeq.sortBy(r => (r.ts_us, r.event_id))) {
+      if (r.kind == "dim") st = AsofState(r.event_id, r.ts_us, r.cents)
+      else out += AsofHit(r.event_id, uid, r.ts_us, r.cents,
+        if (st.dimEvent > 0) Some(st.dimEvent) else None,
+        if (st.dimEvent > 0) Some(st.dimCents) else None)
+    }
+    state.update(st)
+    out.iterator
+  }
+
   case class AnomEvent(event_id: Long, event_type: String, ts_us: Long,
     cents: Long)
   case class AnomState(n: Long, sumCents: Long)
@@ -1665,6 +1733,36 @@ object StreamOps {
     // strictly after it, first purchase strictly after that (row-value
     // comparison breaks equal-timestamp ties on event_id, exactly the
     // machine's `after` guard).
+    // The as-of closed form: per purchase, the latest same-user signup
+    // strictly before it in (ts, event_id) order; no-version purchases
+    // surface with NULLs.
+    "stream_asof_enrich" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+              epoch_ns(ts)//1000 AS ts_us,
+              CAST(round(value * 100) AS BIGINT) AS cents FROM events
+            WHERE event_type IN ('signup', 'purchase')),
+          f AS (SELECT * FROM e WHERE event_type = 'purchase'),
+          d AS (SELECT * FROM e WHERE event_type = 'signup'),
+          j AS (
+            SELECT f.event_id AS purchase_event, f.user_id, f.ts_us, f.cents,
+              d.event_id AS s_event, d.cents AS s_cents,
+              ROW_NUMBER() OVER (PARTITION BY f.event_id
+                ORDER BY d.ts_us DESC, d.event_id DESC) AS rn
+            FROM f JOIN d ON d.user_id = f.user_id
+              AND (d.ts_us < f.ts_us
+                OR (d.ts_us = f.ts_us AND d.event_id < f.event_id)))
+          SELECT purchase_event, user_id, ts_us, cents,
+            s_event AS asof_signup_event, s_cents AS asof_signup_cents
+          FROM j WHERE rn = 1
+          UNION ALL
+          SELECT event_id, user_id, ts_us, cents,
+            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+          FROM f
+          WHERE NOT EXISTS (SELECT 1 FROM d
+            WHERE d.user_id = f.user_id
+              AND (d.ts_us < f.ts_us
+                OR (d.ts_us = f.ts_us AND d.event_id < f.event_id)))""",
+
     // The batch SCD2 fold's CLOSED rows — open versions are state, not
     // output (see runScd2).
     "stream_scd2" -> Oplog.withOracleCte(

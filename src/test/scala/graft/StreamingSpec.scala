@@ -861,6 +861,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.exists(r => r._1 <= tcut && r._2 > tcut))
   }
 
+  test("stream_asof_enrich: the latest version carries across invocations, " +
+      "same-batch dim-then-fact order holds, pre-version facts emit NULL") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.operators.StreamOps.{AsofRow, AsofState}
+    def st(prev: Option[AsofState]) = TestGroupState.create[AsofState](
+      optionalState = prev.map(org.apache.spark.api.java.Optional.of[AsofState])
+        .getOrElse(org.apache.spark.api.java.Optional.empty[AsofState]()),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // batch 1 (delivered shuffled): fact@5 before any dim → NULL;
+    // dim@10 then fact@20 → enriched, despite arrival order
+    val s1 = st(None)
+    val h1 = graft.operators.StreamOps.asofGroup(7L, Iterator(
+      AsofRow(23L, 7L, "fact", 20L, 500L),
+      AsofRow(11L, 7L, "dim", 10L, 100L),
+      AsofRow(3L, 7L, "fact", 5L, 400L)), s1).toSeq
+    assert(h1.map(h => (h.purchase_event, h.asof_signup_event,
+      h.asof_signup_cents)) ==
+      Seq((3L, None, None), (23L, Some(11L), Some(100L))))
+    // batch 2: the carried version enriches; a newer dim supersedes it
+    val s2 = st(Some(s1.get))
+    val h2 = graft.operators.StreamOps.asofGroup(7L, Iterator(
+      AsofRow(31L, 7L, "fact", 30L, 600L),
+      AsofRow(41L, 7L, "dim", 40L, 200L),
+      AsofRow(47L, 7L, "fact", 45L, 700L)), s2).toSeq
+    assert(h2.map(h => (h.purchase_event, h.asof_signup_event,
+      h.asof_signup_cents)) ==
+      Seq((31L, Some(11L), Some(100L)), (47L, Some(41L), Some(200L))))
+    assert(s2.get == AsofState(41L, 40L, 200L))
+    // end-to-end: purchases after the feed split enrich from signups
+    // before it — the version crossed the trigger in the state store
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.loadEventsNs(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(expr("ts DIV 1000").as("ts_us"), col("event_type"),
+        col("event_id"))
+    val bb = ev.agg(org.apache.spark.sql.functions.min("ts_us"),
+      org.apache.spark.sql.functions.max("ts_us")).head()
+    val tcut = bb.getLong(0) + (bb.getLong(1) - bb.getLong(0)) / 2
+    val earlySignups = ev.filter(col("event_type") === "signup" &&
+      col("ts_us") <= tcut).select("event_id").as[Long].collect().toSet
+    val out = graft.operators.StreamOps.queries("stream_asof_enrich")(spark, dir)
+      .select("ts_us", "asof_signup_event").as[(Long, Option[Long])].collect()
+    assert(out.exists(r => r._1 > tcut && r._2.exists(earlySignups)))
+  }
+
   test("stream_anomaly: baseline carries across invocations; warmup and " +
       "strict-prefix semantics hold") {
     import org.apache.spark.sql.streaming.TestGroupState

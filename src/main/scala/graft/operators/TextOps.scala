@@ -863,6 +863,36 @@ object TextOps {
           countDistinct(col("lang")).as("n_langs"))
     }),
 
+    // PII-scrub COMPLETENESS audit — the governance artifact a release
+    // gate wants next to the scrub itself: per source, how much PII the
+    // detectors find BEFORE the scrub, and a re-run of the SAME
+    // detectors on the scrubbed text, which must read zero — an
+    // incomplete scrub (or a replacement tag that itself matches a
+    // detector) surfaces as a nonzero post column and hash-diverges.
+    // One projection chain, codegen'd; the audit costs one extra
+    // regexp_count pass over the already-scrubbed column.
+    "text_pii_audit" -> ((s, dir) => {
+      val dirty = concat(
+        col("text"), lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" at 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7 now"))
+      def cnt(c: org.apache.spark.sql.Column, re: String) =
+        regexp_count(c, lit(re)).cast("long")
+      docs(s, dir)
+        .withColumn("d", dirty)
+        .withColumn("c", Text.piiScrub(col("d")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(cnt(col("d"), Text.EmailRe)).as("pre_email"),
+          sum(cnt(col("d"), Text.Ipv4Re)).as("pre_ip"),
+          sum(cnt(col("d"), Text.PhoneRe)).as("pre_phone"),
+          sum(cnt(col("c"), Text.EmailRe)).as("post_email"),
+          sum(cnt(col("c"), Text.Ipv4Re)).as("post_ip"),
+          sum(cnt(col("c"), Text.PhoneRe)).as("post_phone"))
+    }),
+
     // Quality-gate ABLATION — the report that decides which filters a
     // curation pipeline actually runs: every document scored by all
     // three gates in ONE scan (quality score, language-id agreement,
@@ -1605,6 +1635,30 @@ object TextOps {
           SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
             CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_sum
           FROM wn""",
+
+    "text_pii_audit" ->
+      s"""WITH dirty AS (
+            SELECT source,
+              text || ' contact u' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now' AS d
+            FROM documents),
+          scrubbed AS (
+            SELECT source, d,
+              regexp_replace(regexp_replace(regexp_replace(d,
+                '${Text.EmailRe}', '<EMAIL>', 'g'),
+                '${Text.Ipv4Re}', '<IP>', 'g'),
+                '${Text.PhoneRe}', '<PHONE>', 'g') AS c
+            FROM dirty)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(len(regexp_extract_all(d, '${Text.EmailRe}'))) AS BIGINT) AS pre_email,
+            CAST(SUM(len(regexp_extract_all(d, '${Text.Ipv4Re}'))) AS BIGINT) AS pre_ip,
+            CAST(SUM(len(regexp_extract_all(d, '${Text.PhoneRe}'))) AS BIGINT) AS pre_phone,
+            CAST(SUM(len(regexp_extract_all(c, '${Text.EmailRe}'))) AS BIGINT) AS post_email,
+            CAST(SUM(len(regexp_extract_all(c, '${Text.Ipv4Re}'))) AS BIGINT) AS post_ip,
+            CAST(SUM(len(regexp_extract_all(c, '${Text.PhoneRe}'))) AS BIGINT) AS post_phone
+          FROM scrubbed GROUP BY source""",
 
     "pipe_gate_ablation" -> {
       val langs = Text.langMarkers.map(_._1)

@@ -204,6 +204,24 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("text_pii_audit: detectors fire pre-scrub, re-detection post-scrub " +
+      "is zero — the completeness gate is not vacuous") {
+    val out = graft.operators.TextOps.queries("text_pii_audit")(
+        spark, "/root/testdata/sf0.001")
+      .select("n_docs", "pre_email", "pre_ip", "pre_phone",
+        "post_email", "post_ip", "post_phone")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val (docs, preE, preI, preP) =
+      (out.map(_._1).sum, out.map(_._2).sum, out.map(_._3).sum, out.map(_._4).sum)
+    // every planted doc carries exactly one email and one IP; the phone
+    // detector also fires on the planted phone run (and the IP is
+    // phone-shaped, so pre_phone counts both)
+    assert(preE == docs && preI == docs && preP >= docs)
+    // completeness: nothing PII-shaped survives the scrub
+    assert(out.forall(r => r._5 == 0 && r._6 == 0 && r._7 == 0))
+  }
+
   test("pipe_two_stage: every result is a stage-1 candidate, the final " +
       "order is the reranker's, and the reranker is load-bearing") {
     val dir = "/root/testdata/sf0.01"

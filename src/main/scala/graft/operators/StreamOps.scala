@@ -63,7 +63,8 @@ object StreamOps {
     "stream_join_semi" -> ((s, dir) => runStreamJoinSemi(s, dir)),
     "stream_anomaly" -> ((s, dir) => runAnomaly(s, dir)),
     "stream_scd2" -> ((s, dir) => runScd2(s, dir)),
-    "stream_asof_enrich" -> ((s, dir) => runAsofEnrich(s, dir)))
+    "stream_asof_enrich" -> ((s, dir) => runAsofEnrich(s, dir)),
+    "stream_late_audit" -> ((s, dir) => runLateAudit(s, dir)))
 
   /** Stage a multi-file feed whose files must be consumed IN ORDER by a
     * `maxFilesPerTrigger = 1` file source: write each part, then pin
@@ -947,6 +948,62 @@ object StreamOps {
     s.read.parquet(s"$work/out")
   }
 
+  /** Late-data LOSS accounting — the ops question behind every watermark
+    * choice ("how much data is this horizon actually costing me"), made
+    * a first-class gated reconciliation: the same staged feed as
+    * `stream_window_late` (upper half, watermark-advancing filler, then
+    * the lower half arriving LATE), audited from the two numbers the
+    * engine actually reports — rows DELIVERED to the query
+    * (progress `numInputRows`, summed over batches) and rows EMITTED in
+    * closed windows (the output table). Their gap is the
+    * retained-or-dropped balance, and the oracle closed-forms every
+    * column, so a watermark regression in either direction (late rows
+    * silently admitted → emitted grows; on-time rows discarded →
+    * emitted shrinks) breaks the reconciliation and hash-diverges.
+    * (`numRowsDroppedByWatermark` is deliberately NOT the audited
+    * number: it counts only state-operator drops, not the pre-operator
+    * watermark filter — measured here: 15 of 4985 late rows.)
+    */
+  private def runLateAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_late_audit_q"
+    IncrSync.deletePath(s, work)
+    val ev = graft.Tables.loadEventsNs(s, dir)
+      .select(col("event_id"), expr("ts DIV 1000").as("ts_us")).localCheckpoint()
+    val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val tmid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    stageOrdered(s, s"$work/feed", Seq(
+      ev.filter(col("ts_us") > tmid),
+      ev.filter(col("ts_us") === b.getLong(1)),
+      ev.filter(col("ts_us") <= tmid)))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("w_start"), col("n_events"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    val delivered = q.recentProgress.toSeq.map(_.numInputRows).sum
+    val emitted = s.read.parquet(s"$work/out")
+      .agg(count(lit(1)).as("w"), coalesce(sum(col("n_events")), lit(0L)).as("e"))
+      .head()
+    Seq((delivered, emitted.getLong(0), emitted.getLong(1),
+        delivered - emitted.getLong(1)))
+      .toDF("n_delivered", "n_windows_emitted", "n_events_emitted",
+        "n_retained_or_dropped")
+  }
+
   /** Continuous top-k — the streaming materialized-view pattern for a
     * leaderboard: rank is not supported inside an append-mode streaming
     * aggregate, so the production shape is two-tier — the streaming
@@ -1733,6 +1790,30 @@ object StreamOps {
     // strictly after it, first purchase strictly after that (row-value
     // comparison breaks equal-timestamp ties on event_id, exactly the
     // machine's `after` guard).
+    // Closed form of the loss reconciliation: delivered = corpus + the
+    // filler re-delivery (rows at exactly tmax); emitted windows are
+    // stream_window_late's; the gap is everything the watermark retained
+    // (open windows, filler included) or dropped (the late lower half).
+    "stream_late_audit" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts)//1000 AS ts_us FROM events),
+          tt AS (SELECT tmin + (tmax - tmin) // 2 AS tmid,
+                        tmax - 3600000000 AS wm, tmax
+                 FROM (SELECT MIN(ts_us) AS tmin, MAX(ts_us) AS tmax FROM e)),
+          up AS (SELECT ts_us - ts_us % 86400000000 AS w_start
+                 FROM e, tt WHERE ts_us > tmid),
+          emitted AS (SELECT w_start, COUNT(*) AS n FROM up, tt
+                      WHERE w_start + 86400000000 <= wm GROUP BY w_start),
+          delivered AS (
+            SELECT (SELECT COUNT(*) FROM e)
+              + (SELECT COUNT(*) FROM e, tt WHERE ts_us = tmax) AS d)
+          SELECT (SELECT d FROM delivered) AS n_delivered,
+            (SELECT COUNT(*) FROM emitted) AS n_windows_emitted,
+            CAST((SELECT COALESCE(SUM(n), 0) FROM emitted) AS BIGINT)
+              AS n_events_emitted,
+            (SELECT d FROM delivered)
+              - CAST((SELECT COALESCE(SUM(n), 0) FROM emitted) AS BIGINT)
+              AS n_retained_or_dropped""",
+
     // The as-of closed form: per purchase, the latest same-user signup
     // strictly before it in (ts, event_id) order; no-version purchases
     // surface with NULLs.

@@ -861,6 +861,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.exists(r => r._1 <= tcut && r._2 > tcut))
   }
 
+  test("stream_late_audit: the reconciliation balances — delivered splits " +
+      "exactly into emitted, late-dropped, and the open tail") {
+    val dir = "/root/testdata/sf0.001"
+    val row = graft.operators.StreamOps.queries("stream_late_audit")(spark, dir)
+      .select("n_delivered", "n_windows_emitted", "n_events_emitted",
+        "n_retained_or_dropped").as[(Long, Long, Long, Long)].head()
+    val (delivered, nWin, emitted, gap) = row
+    assert(gap == delivered - emitted && nWin > 0 && emitted > 0)
+    // closed-form split of the gap: the late lower half (dropped) plus
+    // the upper-half rows in windows the watermark never closed (open),
+    // plus the filler re-delivery — nothing else
+    val ev = graft.Tables.loadEventsNs(spark, dir)
+      .select(expr("ts DIV 1000").as("ts_us")).as[Long].collect()
+    val (tmin, tmax) = (ev.min, ev.max)
+    val tmid = tmin + (tmax - tmin) / 2
+    val wm = tmax - 3600000000L
+    val day = 86400000000L
+    val late = ev.count(_ <= tmid)
+    val filler = ev.count(_ == tmax)
+    val open = ev.count(t => t > tmid && (t - t % day) + day > wm)
+    assert(delivered == ev.length + filler)
+    assert(gap == late + open + filler)
+  }
+
   test("stream_asof_enrich: the latest version carries across invocations, " +
       "same-batch dim-then-fact order holds, pre-version facts emit NULL") {
     import org.apache.spark.sql.streaming.TestGroupState

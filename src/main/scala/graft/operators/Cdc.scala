@@ -117,6 +117,44 @@ object Cdc {
           col("valid_to").isNull.as("is_current"))
     }),
 
+    // The query the SCD2 history EXISTS for — point-in-time dimension
+    // lookup: each fact (the view events, noops that never mutate state)
+    // resolves the dimension version in force AT its timestamp,
+    // including "no live version" gaps after deletes. Spark-first as-of
+    // shape (same as q14): dims and facts union into ONE stream per key,
+    // a single window carries the last dim struct forward
+    // (last(ignoreNulls) — delete rows ARE dim rows carrying
+    // alive=false, so a fact after a delete correctly sees no live
+    // version instead of resurrecting the prior one), facts project out.
+    // One shuffle on the document key; no pairwise fact×version join.
+    "cdc_scd2_lookup" -> ((s, dir) => {
+      val raw = oplog(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_key")).orderBy(col("ts_packed"), col("event_id"))
+      val dimStructT = "struct<version:bigint,value:double,alive:boolean>"
+      val dims = raw.filter(OplogFilters.chain(gids, white, black))
+        .filter(col("op").isin("i", "u", "d") && col("ns") === "app.users_0")
+        .withColumn("version", row_number().over(w).cast("long"))
+        .select(col("doc_key"), col("ts_packed"), lit(0).as("kind"),
+          col("event_id"),
+          struct(col("version"), col("value"),
+            (col("op") =!= "d").as("alive")).cast(dimStructT).as("dim"))
+      val facts = raw.filter(col("op") === "n" && col("ns") === "app.users_0")
+        .select(col("doc_key"), col("ts_packed"), lit(1).as("kind"),
+          col("event_id"), expr(s"cast(null as $dimStructT)").as("dim"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_key"))
+        .orderBy(col("ts_packed"), col("kind"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      dims.unionByName(facts)
+        .withColumn("d", last(col("dim"), ignoreNulls = true).over(wAll))
+        .filter(col("kind") === 1)
+        .select(col("event_id").as("fact_event"), col("doc_key"),
+          col("ts_packed"),
+          when(col("d.alive"), col("d.version")).as("asof_version"),
+          when(col("d.alive"), col("d.value")).as("asof_value"))
+    }),
+
     // Point-in-time state reconstruction ("the database as of LSN T"):
     // the replay fold truncated at a pinned mid-stream timestamp — the
     // query the checkpoint/replay architecture exists to answer. The pin
@@ -1361,6 +1399,35 @@ object Cdc {
 
     // Full recompute from the final state — the maintained view must be
     // indistinguishable from it (count and decimal-exact sum per ns).
+    "cdc_scd2_lookup" -> withOplog(
+      s""", dims AS (
+            SELECT doc_key, ts_packed, 0 AS kind, event_id,
+              ROW_NUMBER() OVER (PARTITION BY doc_key
+                ORDER BY ts_packed, event_id) AS version,
+              value, op <> 'd' AS alive
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')
+              AND ns = 'app.users_0'),
+          facts AS (
+            SELECT doc_key, ts_packed, 1 AS kind, event_id
+            FROM oplog WHERE op = 'n' AND ns = 'app.users_0'),
+          u AS (
+            SELECT doc_key, ts_packed, kind, event_id,
+              version, value, alive FROM dims
+            UNION ALL
+            SELECT doc_key, ts_packed, kind, event_id,
+              NULL, NULL, NULL FROM facts),
+          j AS (
+            SELECT *,
+              LAST_VALUE(version IGNORE NULLS) OVER w AS v_ver,
+              LAST_VALUE(value IGNORE NULLS) OVER w AS v_val,
+              LAST_VALUE(alive IGNORE NULLS) OVER w AS v_alive
+            FROM u WINDOW w AS (PARTITION BY doc_key
+              ORDER BY ts_packed, kind, event_id ROWS UNBOUNDED PRECEDING))
+          SELECT event_id AS fact_event, doc_key, ts_packed,
+            CAST(CASE WHEN v_alive THEN v_ver END AS BIGINT) AS asof_version,
+            CASE WHEN v_alive THEN v_val END AS asof_value
+          FROM j WHERE kind = 1"""),
+
     "cdc_active_active_merge" -> withOplog(
       s""", eff AS (
             SELECT event_id, ts_packed, op, ns, doc_key, value

@@ -167,6 +167,34 @@ class CdcSpec extends AnyFunSuite {
     assert(diff.sum == 1L)
   }
 
+  test("scd2 lookup agrees with the history's validity intervals: resolved " +
+      "facts land inside their version's window, gap facts inside none") {
+    val dir = "/root/testdata/sf0.001"
+    val hist = graft.operators.Cdc.queries("cdc_scd2")(spark, dir)
+      .filter(col("ns") === "app.users_0")
+      .select("doc_key", "version", "valid_from", "valid_to")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .groupBy(_._1)
+    val looked = graft.operators.Cdc.queries("cdc_scd2_lookup")(spark, dir)
+      .select("doc_key", "ts_packed", "asof_version")
+      .as[(String, Long, Option[Long])].collect()
+    assert(looked.nonEmpty)
+    assert(looked.exists(_._3.isDefined) && looked.exists(_._3.isEmpty))
+    looked.foreach { case (key, ts, ver) =>
+      val intervals = hist.getOrElse(key, Array.empty)
+      val covering = intervals.filter { case (_, _, from, to) =>
+        from <= ts && to.forall(ts < _) }
+      ver match {
+        case Some(v) =>
+          assert(covering.map(_._2).toSeq == Seq(v),
+            s"fact($key,$ts) resolved v$v but intervals say ${covering.toSeq}")
+        case None =>
+          assert(covering.isEmpty,
+            s"fact($key,$ts) resolved nothing but ${covering.toSeq} covers it")
+      }
+    }
+  }
+
   test("active-active merge: tombstones win over stale remote upserts; " +
       "later site wins conflicts; site-exclusive keys survive") {
     def siteState(rows: Seq[(String, String, Long, Long, String, Double)]) =

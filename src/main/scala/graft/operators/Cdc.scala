@@ -117,6 +117,25 @@ object Cdc {
           col("valid_to").isNull.as("is_current"))
     }),
 
+    // Point LOOKUP against the bucketed state table — "what is document
+    // X's current state" WITHOUT scanning the state (the read-path
+    // payoff of the `state/bucket=<b>/` layout the writer maintains):
+    // the probe keys hash to their buckets driver-side (|probe| rows),
+    // the scan partition-prunes to ONLY those bucket directories, and a
+    // broadcast semi-join picks the keys out of them. At 100 TB this
+    // reads |probe buckets|/nBuckets of the table; the spec additionally
+    // proves the pruning physically (inputFiles confined to the probe
+    // buckets' directories). Built on a REAL applyBatch-written state.
+    "cdc_point_lookup" -> ((s, dir) => {
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_point_lookup_q"
+      graft.streaming.IncrSync.deletePath(s, work)
+      val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+      graft.streaming.IncrSync.applyBatch(eff, work, 0L, nBuckets = 16)
+      pointLookup(s, work, Seq(
+        ("app.users_0", "4"), ("app.users_0", "8"),
+        ("app.users_1", "17"), ("app.users_2", "99999")))
+    }),
+
     // The query the SCD2 history EXISTS for — point-in-time dimension
     // lookup: each fact (the view events, noops that never mutate state)
     // resolves the dimension version in force AT its timestamp,
@@ -806,6 +825,27 @@ object Cdc {
       .filter(col("n_rows") > 0)
   }
 
+  /** Bucket-pruned point lookup against an `applyBatch`-written state
+    * table (`cdc_point_lookup`'s engine; the physical pruning is proven
+    * in CdcSpec via inputFiles). Probe buckets resolve driver-side from
+    * the |probe|-row key list; the scan filter on the partition column
+    * prunes to those directories before any file is opened.
+    */
+  def pointLookup(s: SparkSession, targetDir: String,
+      keys: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    val probe = keys.toDF("ns", "doc_key")
+      .withColumn("bucket", graft.streaming.IncrSync.bucketOf(16))
+    val buckets = probe.select("bucket").distinct().collect()
+      .map(r => Integer.valueOf(r.getInt(0))).toSeq
+    s.read.parquet(s"$targetDir/state")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(probe.select("ns", "doc_key")),
+        Seq("ns", "doc_key"), "left_semi")
+      .select(col("ns"), col("doc_key"), col("last_value"),
+        col("last_event_id"))
+  }
+
   /** Tombstone-preserving LWW merge of two sites' last-entry states
     * (`cdc_active_active_merge`'s engine; golden-pinned in CdcSpec).
     * Each input carries per-key `m = struct(ts_packed, event_id, op,
@@ -1399,6 +1439,17 @@ object Cdc {
 
     // Full recompute from the final state — the maintained view must be
     // indistinguishable from it (count and decimal-exact sum per ns).
+    "cdc_point_lookup" -> withOplog(
+      s"""SELECT ns, doc_key, value AS last_value, event_id AS last_event_id
+          FROM (
+            SELECT ns, doc_key, value, event_id, op,
+              ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                ORDER BY ts_packed DESC, event_id DESC) AS rn
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
+          WHERE rn = 1 AND op <> 'd'
+            AND (ns, doc_key) IN (('app.users_0', '4'), ('app.users_0', '8'),
+              ('app.users_1', '17'), ('app.users_2', '99999'))"""),
+
     "cdc_scd2_lookup" -> withOplog(
       s""", dims AS (
             SELECT doc_key, ts_packed, 0 AS kind, event_id,

@@ -167,6 +167,41 @@ class CdcSpec extends AnyFunSuite {
     assert(diff.sum == 1L)
   }
 
+  test("point lookup physically prunes to the probe buckets: inputFiles " +
+      "confined to their directories, strictly fewer than a full scan") {
+    val dir = "/root/testdata/sf0.001"
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_point_lookup_spec"
+    graft.streaming.IncrSync.deletePath(spark, work)
+    val eff = graft.model.Oplog.fromEvents(spark, dir)
+      .filter(graft.filters.OplogFilters.chain(
+        Seq(""), Seq("^app\\.users_[0-9]+$"), Seq("^app\\.users_3$")))
+      .filter(col("op").isin("i", "u", "d"))
+    graft.streaming.IncrSync.applyBatch(eff, work, 0L, nBuckets = 16)
+    val keys = Seq(("app.users_0", "8"), ("app.users_1", "13"))
+    val probeBuckets = keys.toDF("ns", "doc_key")
+      .withColumn("bucket", graft.streaming.IncrSync.bucketOf(16))
+      .select("bucket").distinct().as[Int].collect().toSet
+    val full = spark.read.parquet(s"$work/state")
+    val pruned = full.filter(col("bucket")
+      .isin(probeBuckets.toSeq.map(Integer.valueOf): _*))
+    // the filtered scan READS only files under the probe buckets' dirs
+    // (input_file_name at execution time — inputFiles on the frame is
+    // relation-level and blind to partition pruning)
+    val readFiles = pruned.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(readFiles.nonEmpty)
+    assert(readFiles.forall(f =>
+      probeBuckets.exists(b => f.contains(s"bucket=$b/"))))
+    assert(readFiles.length < full.inputFiles.length)
+    // and the lookup returns exactly the live probe states
+    val got = graft.operators.Cdc.pointLookup(spark, work, keys)
+      .select("ns", "doc_key").as[(String, String)].collect().toSet
+    val expect = graft.apply.Replay.materialize(eff)
+      .filter(col("doc_key").isin("8", "13"))
+      .select("ns", "doc_key").as[(String, String)].collect().toSet
+    assert(got == expect)
+  }
+
   test("scd2 lookup agrees with the history's validity intervals: resolved " +
       "facts land inside their version's window, gap facts inside none") {
     val dir = "/root/testdata/sf0.001"

@@ -127,13 +127,13 @@ object Cdc {
     // proves the pruning physically (inputFiles confined to the probe
     // buckets' directories). Built on a REAL applyBatch-written state.
     "cdc_point_lookup" -> ((s, dir) => {
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_point_lookup_q"
+      val work = graft.Work.dir(s"point_lookup_q")
       graft.streaming.IncrSync.deletePath(s, work)
       val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
       graft.streaming.IncrSync.applyBatch(eff, work, 0L, nBuckets = 16)
       pointLookup(s, work, Seq(
         ("app.users_0", "4"), ("app.users_0", "8"),
-        ("app.users_1", "17"), ("app.users_2", "99999")))
+        ("app.users_1", "17"), ("app.users_2", "99999")), nBuckets = 16)
     }),
 
     // The query the SCD2 history EXISTS for — point-in-time dimension
@@ -463,7 +463,7 @@ object Cdc {
     // streaming trigger.
     "cdc_incr_state" -> ((s, dir) => {
       import graft.streaming.IncrSync
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_incr_state_q"
+      val work = graft.Work.dir(s"incr_state_q")
       IncrSync.deletePath(s, work)
       val ops = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
       ops.persist()
@@ -536,7 +536,7 @@ object Cdc {
     }),
 
     "cdc_incr_agg" -> ((s, dir) => {
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_incr_agg_q"
+      val work = graft.Work.dir(s"incr_agg_q")
       val ops = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
       ops.persist()
       val cuts = ops.agg(
@@ -832,10 +832,11 @@ object Cdc {
     * prunes to those directories before any file is opened.
     */
   def pointLookup(s: SparkSession, targetDir: String,
-      keys: Seq[(String, String)]): DataFrame = {
+      keys: Seq[(String, String)],
+      nBuckets: Int = graft.streaming.IncrSync.StateBuckets): DataFrame = {
     import s.implicits._
     val probe = keys.toDF("ns", "doc_key")
-      .withColumn("bucket", graft.streaming.IncrSync.bucketOf(16))
+      .withColumn("bucket", graft.streaming.IncrSync.bucketOf(nBuckets))
     val buckets = probe.select("bucket").distinct().collect()
       .map(r => Integer.valueOf(r.getInt(0))).toSeq
     s.read.parquet(s"$targetDir/state")

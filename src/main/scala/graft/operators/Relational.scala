@@ -560,7 +560,7 @@ object Relational {
     // (PlanAuditSpec pins that). The bucketed copies stand in for how
     // the tables would be laid out at rest on a cluster.
     "q12_bucketed_join" -> ((s, dir) => {
-      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed" +
+      val wh = graft.Work.dir(s"bucketed") +
         dir.replace('/', '_')
       def bucketed(table: String, key: String): String = {
         // dataset-scoped NAME, not just path: a fixed name would keep
@@ -601,7 +601,7 @@ object Relational {
     // the oracle pins the joined aggregate. Same dataset-scoped staging
     // discipline as q12's bucketed warehouse (built once per dir, reused).
     "q30_dpp" -> ((s, dir) => {
-      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_dpp" +
+      val wh = graft.Work.dir(s"dpp") +
         dir.replace('/', '_')
       val path = s"$wh/lineitem_bymonth"
       val fs = new org.apache.hadoop.fs.Path(path)

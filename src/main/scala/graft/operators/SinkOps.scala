@@ -74,7 +74,7 @@ object SinkOps {
     // (`receiver/replayer.go:54-146`).
     "sink_receiver_e2e" -> ((s, dir) => {
       import graft.streaming.Receiver
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_receiver_q"
+      val work = graft.Work.dir(s"receiver_q")
       graft.streaming.IncrSync.deletePath(s, work)
       val framed = Envelope.compressFrames(
         Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))
@@ -94,7 +94,7 @@ object SinkOps {
     // applies the same shard predicate).
     "sink_file_tunnel" -> ((s, dir) => {
       import graft.sinks.FileSink
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_file_tunnel_q"
+      val work = graft.Work.dir(s"file_tunnel_q")
       graft.streaming.IncrSync.deletePath(s, work)
       val framed = Envelope.compressFrames(
         Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))
@@ -142,7 +142,7 @@ object SinkOps {
     // loses them, either hash-diverges.
     "sink_receiver_resume" -> ((s, dir) => {
       import graft.streaming.Receiver
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_receiver_resume_q"
+      val work = graft.Work.dir(s"receiver_resume_q")
       graft.streaming.IncrSync.deletePath(s, work)
       val framed = Envelope.compressFrames(
         Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))
@@ -177,7 +177,7 @@ object SinkOps {
     "sink_receiver_live" -> ((s, dir) => {
       import graft.streaming.{ParquetDirSource, Receiver}
       import org.apache.spark.sql.streaming.Trigger
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_receiver_live_q"
+      val work = graft.Work.dir(s"receiver_live_q")
       graft.streaming.IncrSync.deletePath(s, work)
       val enc = Envelope.encode(filtered(s, dir), nShards).localCheckpoint()
       val framed = Envelope.compressFrames(Envelope.messages(enc))
@@ -242,7 +242,7 @@ object SinkOps {
     // codec id drift all hash-diverge.
     "sink_filestat" -> ((s, dir) => {
       import graft.sinks.FileSink
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_filestat_q"
+      val work = graft.Work.dir(s"filestat_q")
       graft.streaming.IncrSync.deletePath(s, work)
       val framed = Envelope.compressFrames(
         Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))
@@ -252,7 +252,7 @@ object SinkOps {
 
     "sink_file_tunnel_sharded" -> ((s, dir) => {
       import graft.sinks.FileSink
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_file_tunnel_sharded_q"
+      val work = graft.Work.dir(s"file_tunnel_sharded_q")
       graft.streaming.IncrSync.deletePath(s, work)
       val framed = Envelope.compressFrames(
         Envelope.messages(Envelope.encode(filtered(s, dir), nShards)))
@@ -283,7 +283,7 @@ object SinkOps {
     // corruption in the rewrite hash-diverges against the source-side
     // oracle.
     "sink_compact" -> ((s, dir) => {
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_compact_q"
+      val work = graft.Work.dir(s"compact_q")
       graft.streaming.IncrSync.deletePath(s, work)
       val e = graft.Tables.loadEventsNs(s, dir)
         .select(col("event_id"),

@@ -32,7 +32,7 @@ object SnapshotOps {
     // re-ingested rows; the oracle is the original projection, so any
     // escaping or type-mangling defect hash-diverges.
     "snap_jsonl_roundtrip" -> ((s, dir) => {
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_q"
+      val work = graft.Work.dir(s"jsonl_q")
       graft.streaming.IncrSync.deletePath(s, work)
       Tables.load(s, dir, "events")
         .select(to_json(struct(col("event_id"), col("event_type"),
@@ -119,7 +119,7 @@ object SnapshotOps {
     // catalog metadata.
     "snap_index_sync" -> ((s, dir) => {
       import graft.streaming.{FullSync, IncrSync}
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_index_sync_q"
+      val work = graft.Work.dir(s"index_sync_q")
       IncrSync.deletePath(s, work)
       FullSync.writeIndexSpecs(s, work, "users_1", Seq(
         """{"v":2,"key":{"_id":1},"name":"_id_"}""",
@@ -135,7 +135,7 @@ object SnapshotOps {
       import graft.partition.Hashers
       import graft.streaming.{FullSync, IncrSync}
       import s.implicits._
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_shard_spec_q"
+      val work = graft.Work.dir(s"shard_spec_q")
       IncrSync.deletePath(s, work)
       val colls = Seq("users_0", "users_1", "users_2", "users_3")
       colls.foreach { c =>
@@ -154,7 +154,7 @@ object SnapshotOps {
     // exactly the source rows: any stale residue shows as an extra piece.
     "snap_drop_dest" -> ((s, dir) => {
       import graft.streaming.{FullSync, IncrSync}
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_drop_dest_q"
+      val work = graft.Work.dir(s"drop_dest_q")
       IncrSync.deletePath(s, work)
       Tables.load(s, dir, "orders").limit(100)
         .withColumn("piece", lit(99L))

@@ -112,7 +112,7 @@ object StreamOps {
     "value", "props", "g", "from_migrate", "lsid", "txn_number", "o")
 
   private def run(s: SparkSession, dir: String): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_e2e_q"
+    val work = graft.Work.dir(s"stream_e2e_q")
     IncrSync.deletePath(s, work)
 
     val base = Oplog.fromEvents(s, dir)
@@ -266,7 +266,7 @@ object StreamOps {
     * observationally identical to never having crashed.
     */
   private def runSupervisor(s: SparkSession, dir: String): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_supervisor_q"
+    val work = graft.Work.dir(s"supervisor_q")
     IncrSync.deletePath(s, work)
     val keep = OplogFilters.chain(gids, white, black)
     val eff = Oplog.fromEvents(s, dir)
@@ -313,7 +313,7 @@ object StreamOps {
     * to the global last-effective-write).
     */
   private def runResume(s: SparkSession, dir: String): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_resume_restart_q"
+    val work = graft.Work.dir(s"resume_restart_q")
     IncrSync.deletePath(s, work)
     val keep = OplogFilters.chain(gids, white, black)
     val eff = Oplog.fromEvents(s, dir)
@@ -373,7 +373,7 @@ object StreamOps {
     */
   private def runTailLive(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.{OplogTail, OplogTailSource}
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_tail_live_q"
+    val work = graft.Work.dir(s"tail_live_q")
     IncrSync.deletePath(s, work)
     val keep = OplogFilters.chain(gids, white, black)
     val eff = Oplog.fromEvents(s, dir)
@@ -503,7 +503,7 @@ object StreamOps {
   private def runCkptStores(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.{CkptContext, CkptManager, CkptStore, Fcv,
       FileApiCkptStore, GraftConfig}
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_store_q"
+    val work = graft.Work.dir(s"ckpt_store_q")
     IncrSync.deletePath(s, work)
     val keep = OplogFilters.chain(gids, white, black)
     val eff = Oplog.fromEvents(s, dir)
@@ -592,7 +592,7 @@ object StreamOps {
     */
   private def runJournal(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.JournalConf
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_journal_q"
+    val work = graft.Work.dir(s"journal_q")
     IncrSync.deletePath(s, work)
     val keep = OplogFilters.chain(gids, white, black)
     val eff = Oplog.fromEvents(s, dir)
@@ -618,7 +618,7 @@ object StreamOps {
 
   private def runRebucket(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.Rebucket
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_rebucket_q"
+    val work = graft.Work.dir(s"rebucket_q")
     IncrSync.deletePath(s, work)
     val keep = OplogFilters.chain(gids, white, black)
     val eff = Oplog.fromEvents(s, dir)
@@ -680,7 +680,7 @@ object StreamOps {
     * final state equals the one-shot fold.
     */
   private def runHandoff(s: SparkSession, dir: String): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_handoff_q"
+    val work = graft.Work.dir(s"handoff_q")
     IncrSync.deletePath(s, work)
     val keep = OplogFilters.chain(gids, white, black)
     val eff = Oplog.fromEvents(s, dir)
@@ -772,7 +772,7 @@ object StreamOps {
     // phase bounded while sitting well above observed worst-case batch-1
     // latency; StreamingSpec's faster 6 s variant was raised for the same
     // reason.
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_soak_live_q"
+    val work = graft.Work.dir(s"soak_live_q")
     IncrSync.deletePath(s, work)
     val keep = OplogFilters.chain(gids, white, black)
     val eff = Oplog.fromEvents(s, dir)
@@ -912,7 +912,7 @@ object StreamOps {
     * aggregates, engine-exact.
     */
   private def runWindowed(s: SparkSession, dir: String): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_wm_window_q"
+    val work = graft.Work.dir(s"wm_window_q")
     IncrSync.deletePath(s, work)
     val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), expr("ts DIV 1000").as("ts_us")).localCheckpoint()
@@ -966,7 +966,7 @@ object StreamOps {
     */
   private def runLateAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_late_audit_q"
+    val work = graft.Work.dir(s"late_audit_q")
     IncrSync.deletePath(s, work)
     val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), expr("ts DIV 1000").as("ts_us")).localCheckpoint()
@@ -982,19 +982,42 @@ object StreamOps {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts_us",
         org.apache.spark.sql.types.LongType)))
-    val q = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
-      .withColumn("ts", timestamp_micros(col("ts_us")))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 day").as("w"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(unix_micros(col("w.start")).as("w_start"), col("n_events"))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$work/ckpt")
-      .option("path", s"$work/out")
-      .trigger(Trigger.AvailableNow()).format("parquet").start()
-    q.awaitTermination()
-    val delivered = q.recentProgress.toSeq.map(_.numInputRows).sum
+    // delivered-row count accumulates through a listener, NOT
+    // q.recentProgress — recentProgress is a ring buffer capped at
+    // spark.sql.streaming.numRecentProgressUpdates (default 100) and
+    // would silently undercount past 100 micro-batches
+    val deliveredAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        deliveredAcc.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
+    val delivered = try {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("w.start")).as("w_start"), col("n_events"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .option("path", s"$work/out")
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination()
+      // listener callbacks are async — wait until the count stabilizes
+      // (bounded; the staged feed is 3 files so this settles instantly)
+      var last = -1L; var spins = 0
+      while (deliveredAcc.get() != last && spins < 100) {
+        last = deliveredAcc.get(); spins += 1; Thread.sleep(50)
+      }
+      deliveredAcc.get()
+    } finally s.streams.removeListener(listener)
     val emitted = s.read.parquet(s"$work/out")
       .agg(count(lit(1)).as("w"), coalesce(sum(col("n_events")), lit(0L)).as("e"))
       .head()
@@ -1016,7 +1039,7 @@ object StreamOps {
     * watermark-advancing filler, dropped-late lower half).
     */
   private def runStreamTopk(s: SparkSession, dir: String): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_topk_q"
+    val work = graft.Work.dir(s"stream_topk_q")
     IncrSync.deletePath(s, work)
     val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
@@ -1104,7 +1127,7 @@ object StreamOps {
 
   private def streamJoinRunner(s: SparkSession, dir: String, tag: String,
       joinType: String, out: DataFrame => DataFrame): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_${tag}_q"
+    val work = graft.Work.dir(s"stream_join_${tag}_q")
     IncrSync.deletePath(s, work)
     val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
@@ -1201,7 +1224,7 @@ object StreamOps {
     * oracle's new-session predicate — same boundary as q10_sessionize.
     */
   private def runSessionize(s: SparkSession, dir: String): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sess_q"
+    val work = graft.Work.dir(s"stream_sess_q")
     IncrSync.deletePath(s, work)
     val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
@@ -1259,7 +1282,7 @@ object StreamOps {
     * (duplicates emitted) or over-dropped diverges row-count and hash.
     */
   private def runStreamDedup(s: SparkSession, dir: String): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dedup_q"
+    val work = graft.Work.dir(s"stream_dedup_q")
     IncrSync.deletePath(s, work)
     val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
@@ -1305,7 +1328,7 @@ object StreamOps {
     * the batch join, closed-form in the oracle.
     */
   private def runStreamEnrich(s: SparkSession, dir: String): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_enrich_q"
+    val work = graft.Work.dir(s"stream_enrich_q")
     IncrSync.deletePath(s, work)
     val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"))
@@ -1364,7 +1387,7 @@ object StreamOps {
     */
   private def runPattern(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_pattern_q"
+    val work = graft.Work.dir(s"stream_pattern_q")
     IncrSync.deletePath(s, work)
     val ev = graft.Tables.loadEventsNs(s, dir)
       .filter(col("event_type").isin("view", "click", "purchase"))
@@ -1446,7 +1469,7 @@ object StreamOps {
     */
   private def runScd2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_scd2_q"
+    val work = graft.Work.dir(s"stream_scd2_q")
     IncrSync.deletePath(s, work)
     val eff = Oplog.fromEvents(s, dir)
       .filter(OplogFilters.chain(gids, white, black))
@@ -1495,7 +1518,8 @@ object StreamOps {
   case class AsofRow(event_id: Long, user_id: Long, kind: String,
     ts_us: Long, cents: Long)
   /** `dimEvent == 0` means no dimension version has arrived yet. */
-  case class AsofState(dimEvent: Long, dimTs: Long, dimCents: Long)
+  case class AsofState(hasDim: Boolean, dimEvent: Long, dimTs: Long,
+    dimCents: Long)
   case class AsofHit(purchase_event: Long, user_id: Long, ts_us: Long,
     cents: Long, asof_signup_event: Option[Long],
     asof_signup_cents: Option[Long])
@@ -1516,7 +1540,7 @@ object StreamOps {
     */
   private def runAsofEnrich(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_asof_q"
+    val work = graft.Work.dir(s"stream_asof_q")
     IncrSync.deletePath(s, work)
     val ev = graft.Tables.loadEventsNs(s, dir)
       .filter(col("event_type").isin("signup", "purchase"))
@@ -1547,13 +1571,15 @@ object StreamOps {
   /** The per-user latest-version machine (see [[runAsofEnrich]]). */
   private[graft] def asofGroup(uid: Long, rows: Iterator[AsofRow],
       state: GroupState[AsofState]): Iterator[AsofHit] = {
-    var st = if (state.exists) state.get else AsofState(0L, 0L, 0L)
+    // presence is an explicit flag, not an event_id sentinel — event_id
+    // 0 is a real id in the fixtures and must enrich like any other
+    var st = if (state.exists) state.get else AsofState(false, 0L, 0L, 0L)
     val out = scala.collection.mutable.ListBuffer.empty[AsofHit]
     for (r <- rows.toSeq.sortBy(r => (r.ts_us, r.event_id))) {
-      if (r.kind == "dim") st = AsofState(r.event_id, r.ts_us, r.cents)
+      if (r.kind == "dim") st = AsofState(true, r.event_id, r.ts_us, r.cents)
       else out += AsofHit(r.event_id, uid, r.ts_us, r.cents,
-        if (st.dimEvent > 0) Some(st.dimEvent) else None,
-        if (st.dimEvent > 0) Some(st.dimCents) else None)
+        if (st.hasDim) Some(st.dimEvent) else None,
+        if (st.hasDim) Some(st.dimCents) else None)
     }
     state.update(st)
     out.iterator
@@ -1582,7 +1608,7 @@ object StreamOps {
     */
   private def runAnomaly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_anomaly_q"
+    val work = graft.Work.dir(s"stream_anomaly_q")
     IncrSync.deletePath(s, work)
     val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), col("event_type"),
@@ -1646,7 +1672,7 @@ object StreamOps {
     * stored numbers.
     */
   private def runMetrics(s: SparkSession, dir: String): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_metrics_q"
+    val work = graft.Work.dir(s"metrics_q")
     IncrSync.deletePath(s, work)
     // the WHOLE corpus — the engine's own filter chain does the dropping
     feedify(Oplog.fromEvents(s, dir)).coalesce(1).write.parquet(s"$work/feed")

@@ -178,11 +178,14 @@ object TextOps {
         .select(col("doc_id"), col("u.pos").as("pos"),
           array_join(col("u.blk"), " ").as("blk"),
           size(col("u.blk")).cast("long").as("blk_len"))
+      // canonical-first argmin key is the (doc_id, pos) STRUCT, not an
+      // arithmetic encoding — doc_id*K+pos collides once a doc holds
+      // >= K blocks and can overflow for large ids
       val counts = b.groupBy(col("blk")).agg(count(lit(1)).as("c"),
-        min(col("doc_id") * 100000 + col("pos")).as("mk"))
+        min(struct(col("doc_id"), col("pos"))).as("mk"))
       b.join(counts, Seq("blk"))
         .withColumn("keep",
-          col("c") === 1 || (col("doc_id") * 100000 + col("pos")) === col("mk"))
+          col("c") === 1 || struct(col("doc_id"), col("pos")) === col("mk"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_blocks"),
           sum((!col("keep")).cast("long")).as("n_removed"),
@@ -962,7 +965,7 @@ object TextOps {
     // duplicate "winning" (min over both phases) or a leak (digest
     // emitted twice) hash-diverges from the oracle.
     "dedup_stream_exact" -> ((s, dir) => {
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_stream_q"
+      val work = graft.Work.dir(s"dedup_stream_q")
       graft.streaming.IncrSync.deletePath(s, work)
       val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("digest"))
         .localCheckpoint()
@@ -1318,10 +1321,10 @@ object TextOps {
               FROM tk)),
           counts AS (
             SELECT blk, COUNT(*) AS c,
-              MIN(doc_id * 100000 + pos) AS mk
+              MIN(ROW(doc_id, pos)) AS mk
             FROM b GROUP BY 1),
           k AS (
-            SELECT b.*, (c = 1 OR doc_id * 100000 + pos = mk) AS keep
+            SELECT b.*, (c = 1 OR ROW(doc_id, pos) = mk) AS keep
             FROM b JOIN counts USING (blk))
           SELECT doc_id, COUNT(*) AS n_blocks,
             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,

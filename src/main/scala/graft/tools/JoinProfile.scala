@@ -25,7 +25,7 @@ object JoinProfile {
       println(f"[profile] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_join_profile"
+    val work = graft.Work.dir(s"join_profile")
     graft.streaming.IncrSync.deletePath(spark, work)
 
     val ev = t("prep: load+split+localCheckpoint") {

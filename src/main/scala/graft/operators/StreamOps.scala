@@ -45,6 +45,7 @@ object StreamOps {
     "cdc_stream_e2e" -> ((s, dir) => run(s, dir)),
     "cdc_resume_restart" -> ((s, dir) => runResume(s, dir)),
     "cdc_tail_live" -> ((s, dir) => runTailLive(s, dir)),
+    "cdc_sharded_fanout" -> ((s, dir) => runShardedFanout(s, dir)),
     "cdc_supervisor_restart" -> ((s, dir) => runSupervisor(s, dir)),
     "cdc_metrics" -> ((s, dir) => runMetrics(s, dir)),
     "cdc_full_incr_handoff" -> ((s, dir) => runHandoff(s, dir)),
@@ -387,13 +388,7 @@ object StreamOps {
     // Harness-side cursor staging: the collect IS the fake — the buffer
     // stands in for the mongod cursor, which a real deployment reads
     // over the wire (one cursor per shard), never through the driver.
-    val all = eff
-      .select(col("event_id"), col("ts_packed"), col("op"), col("ns"),
-        col("doc_key"), col("value"), col("props"), col("g"), col("from_migrate"))
-      .collect().toSeq.map(r => OplogTail.Entry(r.getLong(0), r.getLong(1),
-        r.getString(2), r.getString(3), r.getString(4), r.getDouble(5),
-        Option(r.getString(6)).getOrElse("{}"), Option(r.getString(7)).getOrElse(""),
-        r.getBoolean(8)))
+    val all = toEntries(eff)
     val (ea, rest) = all.partition(_.ts <= t1)
     val (eb, ec) = rest.partition(_.ts <= t2)
 
@@ -449,6 +444,140 @@ object StreamOps {
       lit(if (bounded) "true" else "false").as("b"), lit(0L).as("x"), lit(0L).as("y"),
       lit(0.0).as("v"))
     state.unionByName(ck).unionByName(cursor)
+  }
+
+  /** Canonical oplog rows collected into tail-cursor entries (the staging
+    * step of every live-tail harness — stands in for the wire cursor).
+    */
+  private def toEntries(df: DataFrame): Seq[graft.streaming.OplogTail.Entry] =
+    df.select(col("event_id"), col("ts_packed"), col("op"), col("ns"),
+      col("doc_key"), col("value"), col("props"), col("g"), col("from_migrate"))
+      .collect().toSeq.map(r => graft.streaming.OplogTail.Entry(
+        r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3), r.getString(4), r.getDouble(5),
+        Option(r.getString(6)).getOrElse("{}"), Option(r.getString(7)).getOrElse(""),
+        r.getBoolean(8)))
+
+  /** The sharded-source fan-out dataflow END-TO-END
+    * ([[graft.streaming.IncrSync.startSharded]] ↔
+    * `collector/coordinator/incr.go:20-57`): the corpus splits 3 ways by
+    * the F8 chunk map (uniform chunks of 8 keys, ownership round-robin —
+    * each shard's cursor serves only the chunks it owns), three live
+    * tail-source queries run CONCURRENTLY into ONE bucketed target, and
+    * mid-run one shard crashes: after every shard drains phase A, shard
+    * rs1 stops, phase B lands on all three cursors, rs0/rs2 drain it
+    * live while rs1 is down, and rs1 then restarts from ITS OWN
+    * checkpoint and catches up.
+    *
+    * Proof sections (all closed-form in the oracle):
+    *  - `state`: the global last-effective-write fold — three concurrent
+    *    writers into one state table lost nothing, duplicated nothing,
+    *    and never clobbered each other's bucket-directory writes (the
+    *    apply-lock + disjoint-key-space composition argument, observed).
+    *  - `shard`: per-shard (ack, first lsn, delivered total) — the crash
+    *    and resume delivered each shard's rows exactly once into `_ckpt`
+    *    (overwrite-by-batch absorbs the at-least-once replay).
+    *  - `ckpt`/`global_mid`: the group position WHILE rs1 was down =
+    *    rs1's phase-A ack — the min-ack rule
+    *    (`checkpoint.go:149-199`) visibly held back by the lagging
+    *    shard, never advanced past an unacked tail.
+    *  - `ckpt`/`global_final`: after catch-up, the min over the
+    *    per-shard acks (each shard's own newest ts).
+    */
+  private def runShardedFanout(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{OplogTail, OplogTailSource, ShardedSync}
+    import graft.filters.OrphanFilter
+    val work = graft.Work.dir(s"sharded_fanout_q")
+    IncrSync.deletePath(s, work)
+    val keep = OplogFilters.chain(gids, white, black)
+    val eff = Oplog.fromEvents(s, dir)
+      .filter(keep && col("op").isin("i", "u", "d"))
+      .localCheckpoint()
+    val bounds = eff.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
+    val t1 = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+
+    val nShards = 3
+    val step = 8L
+    val keyed = eff.withColumn("k", col("doc_key").cast("long"))
+    // F8 machinery carves each shard's owned slice — the same chunk-map
+    // join a sharded full sync uses to drop orphans
+    val shardEntries: IndexedSeq[Seq[OplogTail.Entry]] =
+      (0 until nShards).map { sh =>
+        toEntries(OrphanFilter.keepOwned(keyed, "k",
+          OrphanFilter.uniformChunks(keyed, "k", step, nShards, sh), step))
+      }
+    val names = (0 until nShards).map(sh => s"rs$sh")
+    val bufs = names.map { n =>
+      OplogTail.drop(s"cdc_sharded_$n")
+      OplogTail.buffer(s"cdc_sharded_$n")
+    }
+
+    val ckptFs = new org.apache.hadoop.fs.Path(s"$work/target")
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def shardTotal(sh: Int): Long =
+      try {
+        val p = s"$work/target/_ckpt/shard=${names(sh)}"
+        if (!ckptFs.exists(new org.apache.hadoop.fs.Path(p))) 0L
+        else s.read.parquet(p)
+          .agg(coalesce(sum(col("n_logs")), lit(0L))).head().getLong(0)
+      } catch { case _: Throwable => 0L }
+    def awaitShard(sh: Int, n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (shardTotal(sh) < n) {
+        if (System.currentTimeMillis() >= deadline)
+          throw new IllegalStateException(
+            s"shard ${names(sh)} stalled: ${shardTotal(sh)} of $n rows " +
+              "delivered within 120s")
+        Thread.sleep(100)
+      }
+    }
+
+    def startShards(which: Seq[Int]) = IncrSync.startSharded(s,
+      which.map(sh => (names(sh), OplogTailSource(s"cdc_sharded_${names(sh)}"))),
+      s"$work/target", s"$work/ckpt", gids = gids, white = white, black = black,
+      nBuckets = 16, trigger = Trigger.ProcessingTime("100 milliseconds"))
+
+    val aCounts = shardEntries.map(_.count(_.ts <= t1).toLong)
+    val totals = shardEntries.map(_.size.toLong)
+
+    // phase A on every cursor; all three shards drain it concurrently
+    bufs.zipWithIndex.foreach { case (b, sh) =>
+      b.append(shardEntries(sh).filter(_.ts <= t1))
+    }
+    val qs = startShards(0 until nShards)
+    val globalMid =
+      try {
+        (0 until nShards).foreach(sh => awaitShard(sh, aCounts(sh)))
+        // CRASH shard rs1 (stop is the sandbox's kill); the others keep on
+        qs(1).stop()
+        bufs.zipWithIndex.foreach { case (b, sh) =>
+          b.append(shardEntries(sh).filter(_.ts > t1))
+        }
+        awaitShard(0, totals(0)); awaitShard(2, totals(2))
+        // the group position while rs1 lags: min ack = rs1's phase-A ack
+        ShardedSync.globalCheckpoint(s, s"$work/target")
+      } finally { qs.foreach(q => if (q.isActive) q.stop()) }
+
+    // rs1 resumes ALONE from its own checkpoint and catches up
+    val q1b = startShards(Seq(1)).head
+    try awaitShard(1, totals(1)) finally q1b.stop()
+    names.foreach(n => OplogTail.drop(s"cdc_sharded_$n"))
+
+    val state = IncrSync.readOrEmpty(s, s"$work/target/state")
+      .select(lit("state").as("section"), col("ns").as("a"), col("doc_key").as("b"),
+        col("last_event_id").as("x"), lit(0L).as("y"), col("last_value").as("v"))
+    val acks = ShardedSync.shardAcks(s, s"$work/target")
+      .select(lit("shard").as("section"), col("shard").as("a"), lit("").as("b"),
+        col("lsn_ack").as("x"), col("lsn_first").as("y"),
+        col("n_logs").cast("double").as("v"))
+    val globalFinal = ShardedSync.globalCheckpoint(s, s"$work/target")
+    val globals = s.range(1).select(lit("ckpt").as("section"),
+        lit("global_mid").as("a"), lit("").as("b"), lit(globalMid).as("x"),
+        lit(0L).as("y"), lit(0.0).as("v"))
+      .unionByName(s.range(1).select(lit("ckpt").as("section"),
+        lit("global_final").as("a"), lit("").as("b"), lit(globalFinal).as("x"),
+        lit(0L).as("y"), lit(0.0).as("v")))
+    state.unionByName(acks).unionByName(globals)
   }
 
   /** State re-bucketing migration, oracle-gated end-to-end
@@ -2065,6 +2194,43 @@ object StreamOps {
           FROM eff
           UNION ALL
           SELECT 'cursor', 'bounded', 'true', CAST(0 AS BIGINT),
+            CAST(0 AS BIGINT), 0.0"""),
+
+    // Three concurrent shard writers into one state table must land the
+    // global fold; per-shard ckpt totals pin exactly-once-into-_ckpt
+    // delivery through the crash; the two global rows pin the min-ack
+    // rule — held at the lagging shard's ack mid-run, min of the
+    // per-shard newest positions after catch-up.
+    "cdc_sharded_fanout" -> Oplog.withOracleCte(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value,
+              (CAST(doc_key AS BIGINT) // 8) % 3 AS shard
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          tt AS (
+            SELECT tmin + (tmax - tmin) // 2 AS t1
+            FROM (SELECT MIN(ts_packed) AS tmin, MAX(ts_packed) AS tmax FROM eff)),
+          state AS (
+            SELECT ns, doc_key, value, event_id FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff) WHERE rn = 1 AND op <> 'd'),
+          sh AS (
+            SELECT 'rs' || CAST(shard AS VARCHAR) AS sname,
+              MAX(ts_packed) AS ack, MIN(ts_packed) AS first_lsn,
+              COUNT(*) AS n
+            FROM eff GROUP BY shard)
+          SELECT 'state' AS section, ns AS a, doc_key AS b,
+            event_id AS x, CAST(0 AS BIGINT) AS y, value AS v
+          FROM state
+          UNION ALL
+          SELECT 'shard', sname, '', ack, first_lsn, CAST(n AS DOUBLE) FROM sh
+          UNION ALL
+          SELECT 'ckpt', 'global_mid', '',
+            (SELECT MAX(ts_packed) FROM eff, tt WHERE shard = 1 AND ts_packed <= t1),
+            CAST(0 AS BIGINT), 0.0
+          UNION ALL
+          SELECT 'ckpt', 'global_final', '', (SELECT MIN(ack) FROM sh),
             CAST(0 AS BIGINT), 0.0"""),
 
     // The supervised crash-recovery run must be observationally identical

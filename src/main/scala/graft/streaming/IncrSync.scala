@@ -337,6 +337,64 @@ object IncrSync {
       .start()
   }
 
+  /** Sharded-source fan-out (`collector/coordinator/incr.go:20-57`): one
+    * tailing query per shard replica set, ALL into one bucketed target.
+    * Each shard's source serves only the chunks it owns (the F8 chunk-map
+    * contract), so shard key spaces are disjoint and the idempotent merge
+    * composes; physical bucket-directory writes serialize on the
+    * target's apply lock ([[ShardedSync.targetLock]]). Each shard resumes
+    * independently from `checkpointRoot/<shard>` — a crashed shard
+    * restarts alone while the others keep flowing — and the GROUP resume
+    * position is the min ack across shards
+    * ([[ShardedSync.globalCheckpoint]], `checkpoint.go:149-199`).
+    *
+    * Sharded + oplog fetch carries the reference's two sharp edges,
+    * enforced here rather than documented away:
+    *  - DDL cannot replay (`sanitize.go` checkConflict): `ddlEnable` is
+    *    rejected, commands are filtered per shard, and the shard target's
+    *    `applyCommand` throws if one ever slips through.
+    *  - a `fromMigrate` record means the balancer is running — the shard
+    *    query CRASHES at the batcher seam (`batcher.go:133-135`) instead
+    *    of silently dropping the record ([[ShardedSync.applyShardBatch]]).
+    */
+  def startSharded(spark: SparkSession, shards: Seq[(String, ChangeSource)],
+      targetDir: String, checkpointRoot: String,
+      gids: Seq[String] = Seq(""),
+      white: Seq[String] = Seq("^app\\..*$"),
+      black: Seq[String] = Nil,
+      nBuckets: Int = StateBuckets,
+      trigger: Trigger = Trigger.AvailableNow(),
+      startingTs: Long = Long.MinValue,
+      ddlEnable: Boolean = false): Seq[StreamingQuery] = {
+    require(shards.nonEmpty, "at least one shard source required")
+    require(shards.map(_._1).distinct.length == shards.length,
+      "mongo urls were duplicated")
+    require(!ddlEnable,
+      "DDL is not support for sharding when incr_sync.mongo_fetch_method" +
+        " == 'oplog'")
+    shards.map { case (shardName, source) =>
+      val stream = source.load(spark)
+        .filter(col("ts_packed") > startingTs)
+        .withColumn("db", substring_index(col("ns"), ".", 1))
+        .withColumn("coll", substring_index(col("ns"), ".", -1))
+      // the migrate drop (F7) is deliberately ABSENT from this chain:
+      // migrate records ride through to the batcher seam, which crashes
+      val keep = OplogFilters.notNoop && OplogFilters.gidAllowed(gids) &&
+        OplogFilters.notAutologous && OplogFilters.nsFilter(white, black)
+      val rows = stream.filter(keep && col("op") =!= "c")
+        .select(col("event_id"), col("ts_packed"), col("op"), col("ns"),
+          col("doc_key"), col("value"), col("props"), col("from_migrate"))
+      val target = ShardedTarget(targetDir, shardName, nBuckets)
+      rows.writeStream
+        .option("checkpointLocation", s"$checkpointRoot/$shardName")
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          ShardedSync.applyShardBatch(batch, target, batchId)
+        }
+        .start()
+    }
+  }
+
   /** Batch apply + checkpoint commit, with T4 barrier segmentation: the
     * batch is cut AT each DDL barrier (reference `batcher.go:283-305` —
     * a barrier never executes before the DML that precedes it, and DML

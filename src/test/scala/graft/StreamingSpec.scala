@@ -915,7 +915,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(h2.map(h => (h.purchase_event, h.asof_signup_event,
       h.asof_signup_cents)) ==
       Seq((31L, Some(11L), Some(100L)), (47L, Some(41L), Some(200L))))
-    assert(s2.get == AsofState(41L, 40L, 200L))
+    assert(s2.get == AsofState(true, 41L, 40L, 200L))
     // end-to-end: purchases after the feed split enrich from signups
     // before it — the version crossed the trigger in the state store
     val dir = "/root/testdata/sf0.001"

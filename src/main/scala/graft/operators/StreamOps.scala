@@ -46,6 +46,7 @@ object StreamOps {
     "cdc_resume_restart" -> ((s, dir) => runResume(s, dir)),
     "cdc_tail_live" -> ((s, dir) => runTailLive(s, dir)),
     "cdc_sharded_fanout" -> ((s, dir) => runShardedFanout(s, dir)),
+    "cdc_token_resume" -> ((s, dir) => runTokenResume(s, dir)),
     "cdc_supervisor_restart" -> ((s, dir) => runSupervisor(s, dir)),
     "cdc_metrics" -> ((s, dir) => runMetrics(s, dir)),
     "cdc_full_incr_handoff" -> ((s, dir) => runHandoff(s, dir)),
@@ -457,6 +458,85 @@ object StreamOps {
         r.getString(2), r.getString(3), r.getString(4), r.getDouble(5),
         Option(r.getString(6)).getOrElse("{}"), Option(r.getString(7)).getOrElse(""),
         r.getBoolean(8)))
+
+  /** S2's ACTUAL resume contract end-to-end
+    * ([[graft.streaming.EventTailSource]] ↔
+    * `collector/reader/event_reader.go:109-185`,
+    * `common/change_stream.go:28-161`): the offset checkpointed between
+    * the two runs is the OPAQUE resume token of the last delivered
+    * change-stream event (`StartAfter(token)`), not a timestamp — the
+    * tokens are md5 hex, deliberately uncorrelated with arrival order,
+    * so any implementation that compared or sorted them would misplan
+    * the resume (EventTailSpec pins that sharper still with
+    * reverse-ordered tokens). `startAtOperationTime` seeds only the
+    * cold start, exactly the int64 branch of `NewChangeStreamConn`.
+    *
+    * Run 1 drains phase A and checkpoints its last token; phase B lands
+    * while no query runs; run 2 resumes AFTER the token and the full S2
+    * pipeline (8-way dispatch → oplog feed → filter chain → idempotent
+    * apply) processes only B. Proof sections: `state` = the global
+    * fold (resume lost nothing, re-served nothing), per-batch `ckpt`
+    * rows = each phase's exact delivered volume (a token re-serve
+    * doubles batch 1, a skip starves it), `cursor` = the ack purge held
+    * through token commits.
+    */
+  private def runTokenResume(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{EventTail, EventTailSource, IncrSync, FrameSource}
+    val work = graft.Work.dir(s"token_resume_q")
+    IncrSync.deletePath(s, work)
+    val nsCol = concat(col("db"), lit("."), col("coll"))
+    val cev = graft.model.ChangeEvent.fromEvents(s, dir)
+      .filter(col("operation_type").isin("insert", "replace", "update", "delete"))
+      .localCheckpoint()
+    val passing = cev.filter(nsCol.rlike(white.head) && !nsCol.rlike(black.head))
+    val bounds = passing.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
+    val t1 = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+
+    // the wire cursor: arrival order = (ts, event_id); tokens opaque hex
+    val evs = cev.orderBy(col("ts_packed"), col("event_id"))
+      .select(md5(concat(lit("tok:"), col("event_id").cast("string"))).as("token"),
+        col("event_id"), col("ts_us"), col("ts_packed"), col("operation_type"),
+        col("db"), col("coll"), col("to_db"), col("to_coll"),
+        col("full_document"), col("document_key"), col("updated_fields"),
+        col("removed_fields"))
+      .collect().toSeq.map(r => EventTail.Event(r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getString(4), r.getString(5),
+        r.getString(6), r.getString(7), r.getString(8), r.getString(9),
+        r.getString(10), r.getString(11), r.getSeq[String](12)))
+    val (ea, eb) = evs.partition(_.tsPacked <= t1)
+
+    val bufName = "cdc_token_resume_q"
+    EventTail.drop(bufName)
+    val buf = EventTail.buffer(bufName)
+    // the S2 connector pipeline over the token cursor: dispatch → feed
+    val source = FrameSource(() =>
+      graft.streaming.MongoChangeSource.toOplogFeed(
+        graft.transform.EventNormalizer.normalize(
+          EventTailSource(bufName).load(s))))
+
+    buf.append(ea)
+    val q1 = IncrSync.startOplogFrom(s, source, s"$work/target", s"$work/ckpt",
+      gids = gids, white = white, black = black, nBuckets = 16)
+    q1.awaitTermination()
+    buf.append(eb) // lands while no query runs; StartAfter(token) resumes
+    val q2 = IncrSync.startOplogFrom(s, source, s"$work/target", s"$work/ckpt",
+      gids = gids, white = white, black = black, nBuckets = 16)
+    q2.awaitTermination()
+    val bounded = buf.size <= eb.size
+    EventTail.drop(bufName)
+
+    val state = IncrSync.readOrEmpty(s, s"$work/target/state")
+      .select(lit("state").as("section"), col("ns").as("a"), col("doc_key").as("b"),
+        col("last_event_id").as("x"), lit(0L).as("y"), col("last_value").as("v"))
+    val ck = s.read.parquet(s"$work/target/_ckpt")
+      .select(lit("ckpt").as("section"), col("batch_id").cast("string").as("a"),
+        lit("").as("b"), col("lsn_min").as("x"), col("lsn_max").as("y"),
+        col("n_logs").cast("double").as("v"))
+    val cursor = s.range(1).select(lit("cursor").as("section"), lit("bounded").as("a"),
+      lit(if (bounded) "true" else "false").as("b"), lit(0L).as("x"), lit(0L).as("y"),
+      lit(0.0).as("v"))
+    state.unionByName(ck).unionByName(cursor)
+  }
 
   /** The sharded-source fan-out dataflow END-TO-END
     * ([[graft.streaming.IncrSync.startSharded]] ↔
@@ -2195,6 +2275,47 @@ object StreamOps {
           UNION ALL
           SELECT 'cursor', 'bounded', 'true', CAST(0 AS BIGINT),
             CAST(0 AS BIGINT), 0.0"""),
+
+    // Token-offset resume over the S2 connector pipeline: the fold, the
+    // per-phase delivered volumes, and the token-ack purge bound — all
+    // with value hardwired 0.0 (the connector path carries no numeric
+    // value column; the document rides props).
+    "cdc_token_resume" ->
+      s"""WITH cev AS (${graft.model.ChangeEvent.oracleCte}),
+          eff AS (
+            SELECT event_id, ts_packed,
+              CASE operation_type WHEN 'insert' THEN 'i' WHEN 'delete' THEN 'd'
+                ELSE 'u' END AS op,
+              db || '.' || coll AS ns,
+              json_extract_string(document_key, '$$._id') AS doc_key
+            FROM cev
+            WHERE operation_type IN ('insert','replace','update','delete')
+              AND regexp_matches(db || '.' || coll, '^app\\.users_[0-9]+$$')
+              AND NOT regexp_matches(db || '.' || coll, '^app\\.users_3$$')),
+          tt AS (
+            SELECT tmin + (tmax - tmin) // 2 AS t1
+            FROM (SELECT MIN(ts_packed) AS tmin, MAX(ts_packed) AS tmax FROM eff)),
+          state AS (
+            SELECT ns, doc_key, event_id FROM (
+              SELECT ns, doc_key, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff) WHERE rn = 1 AND op <> 'd'),
+          ck AS (
+            SELECT '0' AS bid, MIN(ts_packed) AS lsn_min, MAX(ts_packed) AS lsn_max,
+              COUNT(*) AS n
+            FROM eff, tt WHERE ts_packed <= t1
+            UNION ALL
+            SELECT '1', MIN(ts_packed), MAX(ts_packed), COUNT(*)
+            FROM eff, tt WHERE ts_packed > t1)
+          SELECT 'state' AS section, ns AS a, doc_key AS b,
+            event_id AS x, CAST(0 AS BIGINT) AS y, 0.0 AS v
+          FROM state
+          UNION ALL
+          SELECT 'ckpt', bid, '', lsn_min, lsn_max, CAST(n AS DOUBLE) FROM ck
+          UNION ALL
+          SELECT 'cursor', 'bounded', 'true', CAST(0 AS BIGINT),
+            CAST(0 AS BIGINT), 0.0""",
 
     // Three concurrent shard writers into one state table must land the
     // global fold; per-shard ckpt totals pin exactly-once-into-_ckpt

@@ -52,14 +52,12 @@ object MmOps {
     // exclusive-prefix running-sum binning as text_pack. Per sequence:
     // doc count, the text/placeholder token split, modality composition,
     // and the media bytes the loader must fetch — the manifest an
-    // interleaved dataloader consumes. One window over a 4-column
-    // projection; production sub-partitions the window key by an ingest
-    // shard prefix exactly as text_pack notes.
+    // interleaved dataloader consumes. The running token offset is the
+    // TWO-PHASE distributed prefix sum ([[Relational.prefixSum]] — local
+    // windows per 4096-doc ingest-shard bucket + broadcast cumulated
+    // offsets), so no single-partition window ever sees the corpus rows.
     "mm_interleave" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      Multimodal.meta(media(s, dir))
+      val base = Multimodal.meta(media(s, dir))
         .join(s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"),
             graft.functions.Text.tokenCount(col("text")).cast("long")
@@ -67,7 +65,8 @@ object MmOps {
         .withColumn("n_placeholder",
           when(col("kind") === "wav", lit(32L)).otherwise(lit(64L)))
         .withColumn("cost", col("n_text_tokens") + col("n_placeholder"))
-        .withColumn("cum", sum(col("cost")).over(w))
+      Relational.prefixSum(base, col("cost"), col("doc_id"),
+          expr("doc_id DIV 4096"), "cum")
         .withColumn("seq_id", expr("(cum - cost) DIV 512"))
         .groupBy(col("seq_id"))
         .agg(count(lit(1)).as("n_docs"),

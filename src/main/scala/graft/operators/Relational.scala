@@ -696,19 +696,8 @@ object Relational {
       val deltas = sess.select(col("ts_start").as("ts"), lit(1L).as("d"))
         .unionByName(sess.select((col("ts_end") + 1).as("ts"), lit(-1L).as("d")))
         .groupBy(col("ts")).agg(sum(col("d")).as("net_delta"))
-      val bucketed = deltas.withColumn("bkt", expr("ts DIV 86400000000"))
-      val local = bucketed.withColumn("run_local",
-        sum(col("net_delta")).over(Window.partitionBy(col("bkt"))
-          .orderBy(col("ts"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val offs = bucketed.groupBy(col("bkt"))
-        .agg(sum(col("net_delta")).as("bd"))
-        .withColumn("off", coalesce(sum(col("bd")).over(
-          Window.orderBy(col("bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("bkt"), col("off"))
-      local.join(broadcast(offs), Seq("bkt"))
-        .withColumn("concurrency", col("run_local") + col("off"))
+      prefixSum(deltas, col("net_delta"), col("ts"),
+          expr("ts DIV 86400000000"), "concurrency")
         .orderBy(col("concurrency").desc, col("ts")).limit(10)
         .select(col("ts"), col("net_delta"), col("concurrency"))
     }),
@@ -845,6 +834,35 @@ object Relational {
   private val (boxSkLo, boxSkHi) = (4, 7)
 
   /** DuckDB mirror of [[zorderInterleave]] (parenthesized sum). */
+  /** TWO-PHASE distributed prefix sum — the shared packer primitive
+    * (`q32_concurrency`'s shape, factored): an inclusive running sum of
+    * `value` in global `order` order WITHOUT a single-partition window
+    * over the rows. Phase 1 runs local windows per `bucket` (any
+    * monotone coarsening of `order` — a day, an ingest-shard prefix, an
+    * id range); phase 2 cumulates the per-bucket totals (a window over
+    * |buckets| rows, never the data) and broadcasts each bucket's
+    * exclusive offset back onto the local sums. At 100 TB the only
+    * global structure is the bucket-total table.
+    *
+    * `order` must be unique per row within a bucket (or `value` constant
+    * across ties) for the row-level sums to be well-defined.
+    */
+  def prefixSum(df: DataFrame, value: Column, order: Column, bucket: Column,
+      out: String = "prefix_sum"): DataFrame = {
+    val b = df.withColumn("_ps_bkt", bucket)
+    val local = b.withColumn(out, sum(value).over(
+      Window.partitionBy(col("_ps_bkt")).orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offs = b.groupBy(col("_ps_bkt")).agg(sum(value).as("_ps_total"))
+      .withColumn("_ps_off", coalesce(sum(col("_ps_total")).over(
+        Window.orderBy(col("_ps_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_ps_bkt"), col("_ps_off"))
+    local.join(broadcast(offs), Seq("_ps_bkt"))
+      .withColumn(out, col(out) + col("_ps_off"))
+      .drop("_ps_bkt", "_ps_off")
+  }
+
   private def zorderSql: String =
     (0 until 32).map(i =>
       s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})")

@@ -43,7 +43,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "cdc_full_incr_handoff", // snapshot apply + full streaming query
     "cdc_metrics", // streaming query + listener-fed metrics table
     "cdc_soak_live", // continuous-trigger soak: live TTL sleep + 4 polled phases
-    "sink_receiver_live" // continuous-trigger receiver soak: 4 polled phases
+    "sink_receiver_live", // continuous-trigger receiver soak: 4 polled phases
+    "cdc_sharded_fanout", // three concurrent live shard queries + crash/resume
+    "cdc_token_resume" // two full streaming queries over the token cursor
   )
 
   /** Broadcast nested-loop joins that ARE the operator's semantics: a
@@ -98,6 +100,25 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"q30_dpp lost dynamic partition pruning on the fact scan:\n$plan")
+  }
+
+  test("plan audit: packer prefix sums never single-partition the corpus rows") {
+    // the two-phase prefixSum contract: the ONLY single-partition
+    // exchange allowed in a packer plan is the one cumulating the
+    // |buckets|-row bucket-total table (an aggregate sits beneath it);
+    // a single-partition exchange over raw rows is the global-sort
+    // scale-killer the primitive exists to avoid
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for (name <- Seq("mm_interleave", "q32_concurrency", "text_pack")) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 &&
+            e.child.collect { case a: BaseAggregateExec => a }.isEmpty => e
+      }
+      assert(bad.isEmpty,
+        s"$name single-partitions unaggregated rows into a window:\n$plan")
+    }
   }
 
   test("plan audit: q6_filter pushes its scan predicates into parquet") {

@@ -245,6 +245,82 @@ object Cdc {
           coalesce(col("n_conflicts"), lit(0L)).as("n_conflicts"))
     }),
 
+    // The active-active LOOP closed end-to-end — the topology the gid
+    // machinery exists for (`oplog_filter.go:30-55` gid filter,
+    // `syncer.go:618-633` gid scrub): site A and site B EACH tail the
+    // other. A local write lands in its site's oplog with g=''; the
+    // outbound syncer keeps only g='' (local) entries, SCRUBS the gid,
+    // and applies them to the peer — where the replicated write re-enters
+    // the peer's oplog tagged with the channel gid. The peer's own
+    // outbound pass then sees those foreign-gid entries and the gid
+    // filter drops every one: round 2 delivers ZERO ops in both
+    // directions — the echo is dead, not damped. Both site states are
+    // built through the REAL applyBatch (local batch, then the inbound
+    // replicated batch) and must equal the direct union fold exactly.
+    // Proof sections: `state` = site A's final state (≡ the fold);
+    // `conv` = diffStates of BOTH sites vs the fold (all-zero
+    // mismatch/missing); `loop` = per-direction, per-round delivered
+    // counts (r1 = each site's local volume, r2 = 0).
+    "cdc_active_active_loop" -> ((s, dir) => {
+      val work = graft.Work.dir(s"aa_loop_q")
+      graft.streaming.IncrSync.deletePath(s, work)
+      val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+        .localCheckpoint()
+      // disjoint site-local key spaces: even keys write at A, odd at B
+      val localA = eff.filter(expr("cast(doc_key as bigint) % 2 = 0"))
+      val localB = eff.filter(expr("cast(doc_key as bigint) % 2 = 1"))
+
+      // one outbound syncer pass over NEW site-oplog entries: gid filter
+      // (keep local g='' only), then the scrub — exactly the reference's
+      // filter-then-clear order
+      def outbound(newEntries: DataFrame): (DataFrame, Long) = {
+        val kept = newEntries.filter(OplogFilters.gidAllowed(Seq("")))
+          .localCheckpoint()
+        (Transforms.gidScrub(kept), kept.count())
+      }
+
+      // round 1: each site ships its local segment to the peer
+      val (a2b1, nA2B1) = outbound(localA)
+      val (b2a1, nB2A1) = outbound(localB)
+      // the peers apply through the real pipeline: local batch 0, then
+      // the inbound replicated batch 1
+      graft.streaming.IncrSync.applyBatch(localA, s"$work/a", 0L, nBuckets = 16)
+      graft.streaming.IncrSync.applyBatch(b2a1, s"$work/a", 1L, nBuckets = 16)
+      graft.streaming.IncrSync.applyBatch(localB, s"$work/b", 0L, nBuckets = 16)
+      graft.streaming.IncrSync.applyBatch(a2b1, s"$work/b", 1L, nBuckets = 16)
+      // the replicated writes re-enter each peer's oplog under the
+      // channel gid — the segment round 2 tails
+      val oplogA2 = b2a1.withColumn("g", lit("shake_b"))
+      val oplogB2 = a2b1.withColumn("g", lit("shake_a"))
+      // round 2: the only new entries are foreign-gid — zero must pass
+      val (_, nA2B2) = outbound(oplogA2)
+      val (_, nB2A2) = outbound(oplogB2)
+
+      val direct = Replay.materialize(eff)
+      val stateA = graft.streaming.IncrSync.readOrEmpty(s, s"$work/a/state")
+      val stateB = graft.streaming.IncrSync.readOrEmpty(s, s"$work/b/state")
+      def convRow(name: String, st: DataFrame) =
+        Replay.diffStates(direct, st)
+          .agg(coalesce(sum(col("n_equal")), lit(0L)).as("x"),
+            coalesce(sum(col("n_mismatch") + col("n_src_only") +
+              col("n_dst_only")), lit(0L)).as("y"))
+          .select(lit("conv").as("section"), lit(name).as("a"), lit("").as("b"),
+            col("x"), col("y"), lit(0.0).as("v"))
+      def loopRow(dirn: String, round: String, n: Long) =
+        s.range(1).select(lit("loop").as("section"), lit(dirn).as("a"),
+          lit(round).as("b"), lit(n).as("x"), lit(0L).as("y"), lit(0.0).as("v"))
+      val state = stateA.select(lit("state").as("section"), col("ns").as("a"),
+        col("doc_key").as("b"), col("last_event_id").as("x"), lit(0L).as("y"),
+        col("last_value").as("v"))
+      state
+        .unionByName(convRow("site_a", stateA))
+        .unionByName(convRow("site_b", stateB))
+        .unionByName(loopRow("a2b", "r1", nA2B1))
+        .unionByName(loopRow("a2b", "r2", nA2B2))
+        .unionByName(loopRow("b2a", "r1", nB2A1))
+        .unionByName(loopRow("b2a", "r2", nB2A2))
+    }),
+
     // Incremental backup export — the "changes since LSN T" batch a
     // downstream consumer pulls instead of re-reading the full state
     // (the delta face of cdc_time_travel's point-in-time fold): the
@@ -1479,6 +1555,39 @@ object Cdc {
             CAST(CASE WHEN v_alive THEN v_ver END AS BIGINT) AS asof_version,
             CASE WHEN v_alive THEN v_val END AS asof_value
           FROM j WHERE kind = 1"""),
+
+    // Both sites converge on the union fold; round-2 deliveries are zero
+    // in both directions (the gid filter killed the echo).
+    "cdc_active_active_loop" -> withOplog(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          state AS (
+            SELECT ns, doc_key, value, event_id FROM (
+              SELECT ns, doc_key, value, event_id, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff) WHERE rn = 1 AND op <> 'd')
+          SELECT 'state' AS section, ns AS a, doc_key AS b, event_id AS x,
+            CAST(0 AS BIGINT) AS y, value AS v FROM state
+          UNION ALL
+          SELECT 'conv', 'site_a', '', (SELECT COUNT(*) FROM state),
+            CAST(0 AS BIGINT), 0.0
+          UNION ALL
+          SELECT 'conv', 'site_b', '', (SELECT COUNT(*) FROM state),
+            CAST(0 AS BIGINT), 0.0
+          UNION ALL
+          SELECT 'loop', 'a2b', 'r1',
+            (SELECT COUNT(*) FROM eff WHERE CAST(doc_key AS BIGINT) % 2 = 0),
+            CAST(0 AS BIGINT), 0.0
+          UNION ALL
+          SELECT 'loop', 'a2b', 'r2', CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0
+          UNION ALL
+          SELECT 'loop', 'b2a', 'r1',
+            (SELECT COUNT(*) FROM eff WHERE CAST(doc_key AS BIGINT) % 2 = 1),
+            CAST(0 AS BIGINT), 0.0
+          UNION ALL
+          SELECT 'loop', 'b2a', 'r2', CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0"""),
 
     "cdc_active_active_merge" -> withOplog(
       s""", eff AS (

@@ -52,6 +52,10 @@ def describe(tag, d, clean_floor):
     med = sorted(ps)[len(ps) // 2]
     spread = max(ps) / med
     contended = spread > SPREAD_LIMIT or min(ps) > clean_floor
+    # newer captures stamp their own verdict (Bench also folds in the
+    # start load average); trust the stamp when present
+    if d.get("contended") is not None:
+        contended = contended or bool(d["contended"])
     flag = "  << CONTENDED CAPTURE" if contended else ""
     print("%s total %.1fs (probes n=%d min %.2f med %.2f max %.2f spread %.2fx load %.2f)%s"
           % (tag, d["value"], len(ps), min(ps), med, max(ps), spread,

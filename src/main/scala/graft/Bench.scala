@@ -95,10 +95,22 @@ object Bench {
     // Failures (-1 entries) are excluded from the total: a partial-failure
     // capture must not report a *lower* total than a clean one.
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Self-describing contention verdict (same rules as
+    // scripts/bench_compare.py: spread = max/median > 2x, or the probe
+    // floor never reaching a quiet-box baseline, or a busy start load):
+    // a downstream reader (driver, judge, compare) can discount a
+    // contended capture from the JSON alone, without re-deriving the
+    // probe math.
+    val sortedProbes = probes.sorted
+    val probeMed = sortedProbes(sortedProbes.length / 2)
+    val probeSpread = if (probeMed > 0) probes.max / probeMed else 1.0
+    val cleanFloor = sys.env.getOrElse("GRAFT_CLEAN_FLOOR", "0.25").toDouble
+    val contended = probeSpread > 2.0 || probes.min > cleanFloor || loadPre > 2.5
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","probe_pre":${probes.head},"probe_post":${probes.last}""" +
       s""","probes":${probes.mkString("[", ",", "]")},"probe_every":$probeEvery""" +
-      s""","load_avg":${math.max(loadPre, loadPost)}}"""
+      s""","load_avg":${math.max(loadPre, loadPost)},"load_pre":$loadPre""" +
+      s""","probe_spread":$probeSpread,"contended":$contended}"""
     println(json)
     // Stdout has been observed truncated in driver capture (BENCH_r* with
     // "parsed": null); the file is the machine-readable source of truth.

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -88,6 +88,27 @@ object OplogTail {
       log.subMap(fromExclusive, false, toInclusive, true)
         .values.asScala.flatten.toArray
 
+    /** Admission control (`fetch_batch_size`): the furthest ts whose
+      * cumulative row count from `fromExclusive` stays within `maxRows`,
+      * capped at `toInclusiveCap`. Cuts only at ts-group boundaries (the
+      * offset is a ts — a multi-row ts never splits); a first group
+      * larger than the budget is taken whole rather than stalling.
+      */
+    def advanceBy(fromExclusive: Long, maxRows: Int,
+        toInclusiveCap: Long): Long = {
+      var n = 0
+      var ts = fromExclusive
+      val it = log.subMap(fromExclusive, false, toInclusiveCap, true)
+        .entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (n > 0 && n + e.getValue.size > maxRows) return ts
+        n += e.getValue.size
+        ts = e.getKey
+      }
+      ts
+    }
+
     /** Ack: drop everything at or below the committed offset. */
     def purgeThrough(ts: Long): Unit = synchronized {
       if (ts > acked) acked = ts
@@ -109,12 +130,22 @@ object OplogTail {
 /** [[ChangeSource]] over the tail buffer `name` — inject into
   * [[IncrSync.startOplogFrom]]/[[IncrSync.startOplogTo]] for a live-tail
   * run with ts-offset resume.
+  *
+  * @param maxRowsPerTrigger source-side admission bound (the reference
+  *   reader's `fetch_batch_size`, default 8192 there; 0 = unlimited
+  *   here): each micro-batch admits at most this many rows, so a deep
+  *   backlog drains in bounded batches instead of one giant one. This is
+  *   the SOURCE half of backpressure; the T7 QoS token bucket
+  *   ([[graft.operators.ControlOps]]) composes downstream as the
+  *   apply-side half.
   */
-final case class OplogTailSource(name: String, startingTs: Long = Long.MinValue)
+final case class OplogTailSource(name: String, startingTs: Long = Long.MinValue,
+    maxRowsPerTrigger: Int = 0)
     extends ChangeSource {
   def load(spark: SparkSession): DataFrame =
     spark.readStream.format(classOf[OplogTailProvider].getName)
-      .option("buffer", name).option("startingTs", startingTs.toString).load()
+      .option("buffer", name).option("startingTs", startingTs.toString)
+      .option("maxRowsPerTrigger", maxRowsPerTrigger.toString).load()
 }
 
 /** ts offset: the packed BSON timestamp of the last served entry. */
@@ -129,10 +160,12 @@ final class OplogTailProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new OplogTailTable(properties.getOrDefault("buffer", "default"),
-      Option(properties.get("startingTs")).map(_.toLong).getOrElse(Long.MinValue))
+      Option(properties.get("startingTs")).map(_.toLong).getOrElse(Long.MinValue),
+      Option(properties.get("maxRowsPerTrigger")).map(_.toInt).getOrElse(0))
 }
 
-private[streaming] final class OplogTailTable(name: String, startingTs: Long)
+private[streaming] final class OplogTailTable(name: String, startingTs: Long,
+    maxRows: Int)
     extends Table with SupportsRead {
   override def name(): String = s"oplog_tail($name)"
   override def schema(): StructType = IncrSync.oplogSchema
@@ -142,11 +175,12 @@ private[streaming] final class OplogTailTable(name: String, startingTs: Long)
     () => new Scan {
       override def readSchema(): StructType = IncrSync.oplogSchema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new OplogTailStream(name, startingTs)
+        new OplogTailStream(name, startingTs, maxRows)
     }
 }
 
-private[streaming] final class OplogTailStream(name: String, startingTs: Long)
+private[streaming] final class OplogTailStream(name: String, startingTs: Long,
+    maxRows: Int = 0)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private def buf = OplogTail.buffer(name)
   // AvailableNow drain bound: pinned at prepare time, so entries tailed
@@ -159,8 +193,29 @@ private[streaming] final class OplogTailStream(name: String, startingTs: Long)
     TsOffset(math.max(buf.maxTs, startingTs))
   override def prepareForTriggerAvailableNow(): Unit =
     drainTo = Some(math.max(buf.maxTs, startingTs))
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    TsOffset(drainTo.getOrElse(math.max(buf.maxTs, startingTs)))
+  /** The engine's admission contract: a maxRows limit advances the end
+    * offset only as far as the row budget allows (ts-group granular),
+    * so a deep backlog drains in bounded micro-batches — under
+    * AvailableNow the drain target stays pinned and the engine keeps
+    * scheduling batches until it is reached.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cap = drainTo.getOrElse(math.max(buf.maxTs, startingTs))
+    val s = start.asInstanceOf[TsOffset].ts
+    val budget = limit match {
+      case m: ReadMaxRows => Some(m.maxRows().toInt)
+      case c: CompositeReadLimit =>
+        c.getReadLimits.collectFirst { case m: ReadMaxRows => m.maxRows().toInt }
+      case _ => None
+    }
+    val end = budget match {
+      case Some(n) => buf.advanceBy(s, n, cap)
+      case None => cap
+    }
+    TsOffset(math.max(end, s))
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRows > 0) ReadLimit.maxRows(maxRows.toLong) else ReadLimit.allAvailable()
   override def deserializeOffset(json: String): Offset = TsOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

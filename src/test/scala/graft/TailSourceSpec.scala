@@ -124,6 +124,39 @@ class TailSourceSpec extends AnyFunSuite {
     assert(stateSet(s"$work/target") == Set(("app.u0", "k1", 1.0), ("app.u0", "k2", 2.0)))
   }
 
+  test("maxRowsPerTrigger drains a deep backlog in bounded micro-batches") {
+    val work = Files.createTempDirectory("graft_tail_limit").toFile.getAbsolutePath
+    OplogTail.drop("limit1")
+    val buf = OplogTail.buffer("limit1")
+    // a 10k-row backlog (the fetch_batch_size scenario): distinct ts so
+    // the admission cut lands exactly on the row budget
+    buf.append((1 to 10000).map(i =>
+      dml(i.toLong, i.toLong, "i", s"k${i % 64}", i.toDouble)))
+    val q = OplogTailSource("limit1", maxRowsPerTrigger = 1000).load(spark)
+      .select("event_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt").option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$work/out").count() === 10000L)
+    // the drain happened in row-budgeted batches, not one giant one
+    val sizes = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    assert(sizes.length === 10, s"batch sizes: $sizes")
+    assert(sizes.forall(_ <= 1000), s"batch sizes: $sizes")
+    OplogTail.drop("limit1")
+    // a multi-row ts-group larger than the budget is taken whole (the
+    // offset is ts-granular; the cursor must not stall), and the cut
+    // lands on a group boundary, never inside one
+    OplogTail.drop("limit2")
+    val b2 = OplogTail.buffer("limit2")
+    b2.append(Seq(dml(1L, 100L, "i", "a", 1.0), dml(2L, 100L, "i", "b", 2.0),
+      dml(3L, 100L, "i", "c", 3.0), dml(4L, 200L, "i", "d", 4.0)))
+    assert(b2.advanceBy(0L, 2, 200L) === 100L) // oversized group: whole
+    assert(b2.advanceBy(0L, 3, 200L) === 100L) // boundary cut before 200
+    assert(b2.advanceBy(0L, 4, 200L) === 200L)
+    OplogTail.drop("limit2")
+  }
+
   test("cursor contract: appends at or below the acked offset are rejected") {
     val buf = OplogTail.buffer("guard1")
     buf.append(Seq(dml(1L, 100L, "i", "k1", 1.0)))

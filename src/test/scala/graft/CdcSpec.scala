@@ -194,7 +194,7 @@ class CdcSpec extends AnyFunSuite {
       probeBuckets.exists(b => f.contains(s"bucket=$b/"))))
     assert(readFiles.length < full.inputFiles.length)
     // and the lookup returns exactly the live probe states
-    val got = graft.operators.Cdc.pointLookup(spark, work, keys)
+    val got = graft.operators.Cdc.pointLookup(spark, work, keys, nBuckets = 16)
       .select("ns", "doc_key").as[(String, String)].collect().toSet
     val expect = graft.apply.Replay.materialize(eff)
       .filter(col("doc_key").isin("8", "13"))

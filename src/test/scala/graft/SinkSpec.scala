@@ -219,14 +219,14 @@ class SinkSpec extends AnyFunSuite {
     assert(out.forall(_._4 <= 2 * target - 1))
     // the hot bucket (~75% of rows) was SPLIT across bins
     val compacted = spark.read.parquet(
-      s"${System.getProperty("java.io.tmpdir")}/graft_compact_q/compacted")
+      s"${graft.Work.dir("compact_q")}/compacted")
     assert(compacted.filter(col("bucket") === 16)
       .select("bin").distinct().count() > 1)
     // sliver buckets were MERGED: some bin spans more than one bucket
     assert(out.exists(_._3 > 1))
     // physical layout: exactly one data file per bin directory
     val root = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_compact_q/compacted")
+      s"${graft.Work.dir("compact_q")}/compacted")
     val binDirs = root.listFiles().filter(f =>
       f.isDirectory && f.getName.startsWith("bin="))
     assert(binDirs.length == out.length)

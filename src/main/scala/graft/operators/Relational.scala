@@ -560,24 +560,29 @@ object Relational {
     // (PlanAuditSpec pins that). The bucketed copies stand in for how
     // the tables would be laid out at rest on a cluster.
     "q12_bucketed_join" -> ((s, dir) => {
-      val wh = graft.Work.dir(s"bucketed") +
-        dir.replace('/', '_')
+      val dirTag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       def bucketed(table: String, key: String): String = {
         // dataset-scoped NAME, not just path: a fixed name would keep
         // pointing at the last dir it was built for, silently serving
-        // dir B's data to a dir A run that passes the path/_SUCCESS check
-        val name = s"g_${table}_b" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val path = s"$wh/$table"
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(s.sessionState.newHadoopConf())
-        if (!s.catalog.tableExists(name) ||
-            !fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
-          s.sql(s"DROP TABLE IF EXISTS $name")
-          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-            fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        // dir B's data to a dir A run that passes the path/_SUCCESS check.
+        // The FILES are a shared cross-JVM cache (Work.staged); a fresh
+        // JVM re-registers the bucketed external table over them instead
+        // of re-bucketing the base table.
+        val name = s"g_${table}_b" + dirTag
+        val path = graft.Work.staged(s, s"bucketed_$dirTag/$table") { tmp =>
+          val tmpName = name + "_stage"
+          s.sql(s"DROP TABLE IF EXISTS $tmpName")
           Tables.load(s, dir, table).write
             .bucketBy(8, key).sortBy(key)
-            .option("path", path).saveAsTable(name)
+            .option("path", tmp).saveAsTable(tmpName)
+          // external table: dropping the registration keeps the files
+          s.sql(s"DROP TABLE IF EXISTS $tmpName")
+        }
+        if (!s.catalog.tableExists(name)) {
+          val ddl = Tables.load(s, dir, table).schema.toDDL
+          s.sql(s"CREATE TABLE $name ($ddl) USING parquet " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
+            s"LOCATION '$path'")
         }
         name
       }
@@ -598,21 +603,16 @@ object Relational {
     // on the fact's PARTITION column, so only ~12 of ~84 month partitions
     // are read — the scan never touches the other years' files. The plan
     // gate (PlanAuditSpec) asserts `dynamicpruning` reached the fact scan;
-    // the oracle pins the joined aggregate. Same dataset-scoped staging
-    // discipline as q12's bucketed warehouse (built once per dir, reused).
+    // the oracle pins the joined aggregate. The staged fact is a SHARED
+    // cross-JVM cache (Work.staged — atomic-rename staging, so fresh
+    // bench/suite JVMs reuse it instead of re-partitioning 84 months).
     "q30_dpp" -> ((s, dir) => {
-      val wh = graft.Work.dir(s"dpp") +
-        dir.replace('/', '_')
-      val path = s"$wh/lineitem_bymonth"
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
-        if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val path = graft.Work.staged(s,
+        "dpp_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "/lineitem_bymonth") { tmp =>
         Tables.load(s, dir, "lineitem")
           .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
           .repartition(col("ship_month")) // one writer per month, not 84 files per task
-          .write.partitionBy("ship_month").parquet(path)
+          .write.partitionBy("ship_month").parquet(tmp)
       }
       val fact = s.read.parquet(path)
       val months = fact.select(col("ship_month")).distinct()

@@ -114,6 +114,54 @@ object SnapshotOps {
         .agg(count(lit(1)).as("n_rows"))
     }),
 
+    // The sharded FULL-SYNC fan-out composed end-to-end (the snapshot
+    // sibling of cdc_sharded_fanout): each of 3 shards holds its OWNED
+    // chunks plus migration leftovers (a deterministic slice of its
+    // neighbor's keys — the orphans `doc_reader` must not copy), the F8
+    // orphan filter drops the leftovers, and the S3 splitVector planning
+    // carves each shard's surviving rows into 4 key-range pieces — the
+    // (shard, piece) grid a parallel full sync actually executes, one
+    // range reader per cell. Proof rows: every (shard, piece) count +
+    // bounds in closed form; per-shard orphan-dropped counts; and the
+    // union total ≡ the table count — every row synced EXACTLY once
+    // (an orphan leak double-copies, an over-eager filter drops data;
+    // both hash-diverge).
+    "snap_sharded_fullsync" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val nShards = 3
+      val step = 1000L
+      val parts = (0 until nShards).map { sh =>
+        val next = (sh + 1) % nShards
+        val owned = li.filter(
+          expr(s"(l_orderkey DIV $step) % $nShards = $sh"))
+        val leftover = li.filter(
+          expr(s"(l_orderkey DIV $step) % $nShards = $next AND l_orderkey % 13 = 0"))
+        val chunks = OrphanFilter.uniformChunks(li, "l_orderkey", step, nShards, sh)
+        val synced = OrphanFilter.keepOwned(owned.unionByName(leftover),
+          "l_orderkey", chunks, step).drop("chunk_id")
+        val pieces = Snapshot.pieceAssign(synced, "l_orderkey", 4)
+          .groupBy(col("piece"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("key_min"),
+            max(col("l_orderkey")).as("key_max"))
+          .select(lit("piece").as("section"), lit(sh.toLong).as("shard"),
+            col("piece").cast("long").as("piece"), col("n_rows"),
+            col("key_min"), col("key_max"))
+        val orphans = leftover.agg(count(lit(1)).as("n"))
+          .select(lit("orphans").as("section"), lit(sh.toLong).as("shard"),
+            lit(-1L).as("piece"), col("n").as("n_rows"),
+            lit(0L).as("key_min"), lit(0L).as("key_max"))
+        (synced, pieces.unionByName(orphans))
+      }
+      val total = parts.map(_._1).reduce(_ unionByName _)
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(li.agg(count(lit(1)).as("t")))
+        .select(lit("total").as("section"), lit(-1L).as("shard"),
+          lit(-1L).as("piece"), col("n").as("n_rows"),
+          col("t").as("key_min"), lit(0L).as("key_max"))
+      parts.map(_._2).reduce(_ unionByName _).unionByName(total)
+    }),
+
     // W9 index sync: persist listIndexes-style specs (background scrubbed,
     // reference doc_syncer.go:206-287) and read them back as the target's
     // catalog metadata.
@@ -225,6 +273,30 @@ object SnapshotOps {
     "snap_orphan_filter" ->
       """SELECT l_orderkey // 1000 AS chunk_id, COUNT(*) AS n_rows
          FROM lineitem WHERE (l_orderkey // 1000) % 3 = 0 GROUP BY 1""",
+
+    "snap_sharded_fullsync" ->
+      """WITH sh AS (
+           SELECT l_orderkey, (l_orderkey // 1000) % 3 AS shard FROM lineitem),
+         b AS (
+           SELECT shard, MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi
+           FROM sh GROUP BY 1),
+         p AS (
+           SELECT sh.shard, ((l_orderkey - lo) * 4) // (hi - lo + 1) AS piece,
+             l_orderkey
+           FROM sh JOIN b USING (shard))
+         SELECT 'piece' AS section, shard, piece, COUNT(*) AS n_rows,
+           MIN(l_orderkey) AS key_min, MAX(l_orderkey) AS key_max
+         FROM p GROUP BY shard, piece
+         UNION ALL
+         SELECT 'orphans', x.shard, CAST(-1 AS BIGINT),
+           (SELECT COUNT(*) FROM sh o
+            WHERE o.shard = (x.shard + 1) % 3 AND o.l_orderkey % 13 = 0),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         FROM (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS shard) x
+         UNION ALL
+         SELECT 'total', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM lineitem),
+           CAST(0 AS BIGINT)""",
 
     "snap_schema_infer" ->
       """WITH docs AS (

@@ -47,6 +47,7 @@ object StreamOps {
     "cdc_tail_live" -> ((s, dir) => runTailLive(s, dir)),
     "cdc_sharded_fanout" -> ((s, dir) => runShardedFanout(s, dir)),
     "cdc_token_resume" -> ((s, dir) => runTokenResume(s, dir)),
+    "cdc_tail_admission" -> ((s, dir) => runTailAdmission(s, dir)),
     "cdc_supervisor_restart" -> ((s, dir) => runSupervisor(s, dir)),
     "cdc_metrics" -> ((s, dir) => runMetrics(s, dir)),
     "cdc_full_incr_handoff" -> ((s, dir) => runHandoff(s, dir)),
@@ -536,6 +537,54 @@ object StreamOps {
       lit(if (bounded) "true" else "false").as("b"), lit(0L).as("x"), lit(0L).as("y"),
       lit(0.0).as("v"))
     state.unionByName(ck).unionByName(cursor)
+  }
+
+  /** Source-side admission control, oracle-gated: the tail cursor's
+    * `maxRowsPerTrigger` (the reader `fetch_batch_size` analogue, via
+    * the DSv2 `ReadLimit` contract) slices an AvailableNow drain of the
+    * whole corpus into exactly 16 row-budgeted micro-batches. Because
+    * the cursor serves in ts order, every batch boundary is closed-form:
+    * batch b holds rows ranked (b·lim, (b+1)·lim] by ts — so the oracle
+    * pins each batch's row count AND lsn bounds exactly. An admission
+    * regression in either direction (limit ignored → one giant batch;
+    * off-by-one cuts → shifted lsn ranges) hash-diverges.
+    */
+  private def runTailAdmission(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{OplogTail, OplogTailSource}
+    val work = graft.Work.dir(s"tail_admission_q")
+    IncrSync.deletePath(s, work)
+    val keep = OplogFilters.chain(gids, white, black)
+    val eff = Oplog.fromEvents(s, dir)
+      .filter(keep && col("op").isin("i", "u", "d"))
+      .localCheckpoint()
+    val n = eff.count()
+    val lim = ((n + 15) / 16).toInt // 16 batches at any scale factor
+
+    val bufName = "cdc_tail_admission_q"
+    OplogTail.drop(bufName)
+    OplogTail.buffer(bufName).append(toEntries(eff))
+    val acct = s"$work/acct"
+    val q = OplogTailSource(bufName, maxRowsPerTrigger = lim).load(s)
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import s.implicits._
+        val r = batch.agg(count(lit(1)).as("n"),
+          min(col("ts_packed")).as("lsn_min"),
+          max(col("ts_packed")).as("lsn_max")).head()
+        if (r.getLong(0) > 0L)
+          Seq((batchId, r.getLong(0), r.getLong(1), r.getLong(2)))
+            .toDF("batch_id", "n", "lsn_min", "lsn_max")
+            .coalesce(1).write.mode("overwrite").parquet(s"$acct/batch=$batchId")
+      }
+      .start()
+    q.awaitTermination()
+    OplogTail.drop(bufName)
+
+    s.read.parquet(acct)
+      .select(col("batch_id").cast("long").as("batch_id"), col("n"),
+        col("lsn_min"), col("lsn_max"))
   }
 
   /** The sharded-source fan-out dataflow END-TO-END
@@ -2275,6 +2324,21 @@ object StreamOps {
           UNION ALL
           SELECT 'cursor', 'bounded', 'true', CAST(0 AS BIGINT),
             CAST(0 AS BIGINT), 0.0"""),
+
+    // Admission accounting: an AvailableNow drain under maxRowsPerTrigger
+    // = ceil(n/16) must land exactly 16 batches whose row counts and lsn
+    // bounds are the closed-form 16-way slicing of the ts-ranked corpus.
+    "cdc_tail_admission" -> Oplog.withOracleCte(
+      s""", eff AS (
+            SELECT event_id, ts_packed
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          lim AS (SELECT (COUNT(*) + 15) // 16 AS lim FROM eff),
+          ranked AS (
+            SELECT ts_packed, ROW_NUMBER() OVER (ORDER BY ts_packed) AS rn
+            FROM eff)
+          SELECT (rn - 1) // lim AS batch_id, COUNT(*) AS n,
+            MIN(ts_packed) AS lsn_min, MAX(ts_packed) AS lsn_max
+          FROM ranked, lim GROUP BY 1"""),
 
     // Token-offset resume over the S2 connector pipeline: the fold, the
     // per-phase delivered volumes, and the token-ack purge bound — all

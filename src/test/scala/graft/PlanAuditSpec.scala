@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "cdc_soak_live", // continuous-trigger soak: live TTL sleep + 4 polled phases
     "sink_receiver_live", // continuous-trigger receiver soak: 4 polled phases
     "cdc_sharded_fanout", // three concurrent live shard queries + crash/resume
-    "cdc_token_resume" // two full streaming queries over the token cursor
+    "cdc_token_resume", // two full streaming queries over the token cursor
+    "cdc_tail_admission" // 16-batch admission-bounded streaming drain
   )
 
   /** Broadcast nested-loop joins that ARE the operator's semantics: a

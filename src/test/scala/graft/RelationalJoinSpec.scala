@@ -261,4 +261,27 @@ class RelationalJoinSpec extends AnyFunSuite {
     val expected = naive.toSeq.sortBy { case (ts, c) => (-c, ts) }.take(10)
     assert(out.sortBy { case (ts, c) => (-c, ts) }.toSeq == expected)
   }
+
+  test("prefixSum equals the sequential running sum across bucket boundaries") {
+    import graft.operators.Relational
+    // values keyed by a unique order column; buckets of width 10 — the
+    // two-phase result must match the single-threaded fold exactly,
+    // including at bucket edges and for negative deltas
+    val rows = (1L to 95L).map(i => (i, (i % 7) - 3))
+    val df = rows.toDF("ord", "v")
+    val got = Relational.prefixSum(df, col("v"), col("ord"),
+        expr("ord DIV 10"), "ps")
+      .select("ord", "ps").as[(Long, Long)].collect().toMap
+    var run = 0L
+    rows.foreach { case (o, v) =>
+      run += v
+      assert(got(o) === run, s"at ord=$o")
+    }
+    // a single row per bucket and an empty-prefix first bucket both hold
+    val tiny = Seq((5L, 100L), (25L, 1L)).toDF("ord", "v")
+    val got2 = Relational.prefixSum(tiny, col("v"), col("ord"),
+        expr("ord DIV 10"), "ps")
+      .select("ord", "ps").as[(Long, Long)].collect().toMap
+    assert(got2 === Map(5L -> 100L, 25L -> 101L))
+  }
 }

@@ -1046,21 +1046,32 @@ object TextOps {
     // bucket id, like sim_ann_lsh), not a data label that could be absent
     // or degenerate at corpus scale. Then connected components pick ONE
     // survivor per near-dup cluster, carrying its language.
-    "dedup_embed_cosine" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val joined = d.join(Tables.load(s, dir, "embeddings"),
-          d("doc_id") === col("vec_id"))
-        .withColumn("bucket",
-          Similarity.lshBucketCol(Similarity.quantize(col("embedding"))))
-      val pairs = Similarity.thresholdPairs(joined,
-          d("doc_id"), col("embedding"), col("bucket"), threshold = 0.4)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      Dedup.nearDupComponents(pairs)
-        .join(d.select(col("doc_id"), col("lang")), col("keep_id") === col("doc_id"))
-        .select(col("cluster"), col("n_members"), col("keep_id"),
-          col("lang").as("keep_lang"))
-    })
+    "dedup_embed_cosine" -> ((s, dir) => embedCosineClusters(s, dir))
   )
+
+  /** `dedup_embed_cosine`'s dataflow with the LSH hyperplane count
+    * exposed: the occupancy knob a growing corpus turns. Candidate pairs
+    * inside a bucket grow quadratically with occupancy, so bucket bits
+    * must grow ~log2 with the corpus to hold expected occupancy — and
+    * therefore pair volume — constant per row ([[graft.tools.ScaleSmoke]]
+    * measures exactly this at 10x; SCALE_r12.md records it).
+    */
+  def embedCosineClusters(s: SparkSession, dir: String,
+      numPlanes: Int = 8): DataFrame = {
+    val d = docs(s, dir)
+    val joined = d.join(Tables.load(s, dir, "embeddings"),
+        d("doc_id") === col("vec_id"))
+      .withColumn("bucket",
+        Similarity.lshBucketCol(Similarity.quantize(col("embedding")),
+          numPlanes = numPlanes))
+    val pairs = Similarity.thresholdPairs(joined,
+        d("doc_id"), col("embedding"), col("bucket"), threshold = 0.4)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    Dedup.nearDupComponents(pairs)
+      .join(d.select(col("doc_id"), col("lang")), col("keep_id") === col("doc_id"))
+      .select(col("cluster"), col("n_members"), col("keep_id"),
+        col("lang").as("keep_lang"))
+  }
 
   /** Bloom-filter size in bits (2^14 — deliberately small so the sf0.01
     * corpus exercises the false-positive path) and the k = 3 affine

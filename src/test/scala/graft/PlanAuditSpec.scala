@@ -68,6 +68,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_enrich", // broadcast k-means centroid table (cluster assignment arm)
     "snap_orphan_compound", // broadcast chunk bounds, BSON-order range semi-join
     "snap_range_pieces", // broadcast piece bounds × table rows
+    "snap_sharded_fullsync", // same piece-bounds broadcast, one per shard arm
     "cdc_qos_reload" // broadcast sentinel control table, as-of range join on ticks
   )
 
@@ -76,6 +77,15 @@ class PlanAuditSpec extends AnyFunSuite {
     * still failing a plan whose shuffle count doubles.
     */
   private val maxExchanges = 12
+
+  /** Queries whose ONE plan intentionally unions an N-way fan-out grid:
+    * the per-arm dataflow is what runs at scale (and stays within the
+    * normal cap); the union of all arms in a single proof plan
+    * multiplies the count by the arm count.
+    */
+  private val maxExchangesOverride = Map(
+    "snap_sharded_fullsync" -> 24 // 3 shard arms x (chunks + pieces + orphans)
+  )
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted if !slowHarness(name)) {
     test(s"plan audit: $name") {
@@ -87,9 +97,10 @@ class PlanAuditSpec extends AnyFunSuite {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected BroadcastNestedLoopJoin:\n$plan")
       }
+      val cap = maxExchangesOverride.getOrElse(name, maxExchanges)
       val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
-      assert(exchanges <= maxExchanges,
-        s"$name plans $exchanges exchanges (cap $maxExchanges):\n$plan")
+      assert(exchanges <= cap,
+        s"$name plans $exchanges exchanges (cap $cap):\n$plan")
     }
   }
 

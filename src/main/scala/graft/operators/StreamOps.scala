@@ -509,7 +509,12 @@ object StreamOps {
     val bufName = "cdc_token_resume_q"
     EventTail.drop(bufName)
     val buf = EventTail.buffer(bufName)
-    // the S2 connector pipeline over the token cursor: dispatch → feed
+    // the S2 connector pipeline over the token cursor: dispatch → feed.
+    // (The cursor serves each micro-batch as ONE partition — one change
+    // stream, one wire cursor; a reader→workers repartition before the
+    // dispatch was A/B-measured at this batch size and the shuffle cost
+    // more than the parallelism bought, so the spread happens at the
+    // apply's own exchange instead.)
     val source = FrameSource(() =>
       graft.streaming.MongoChangeSource.toOplogFeed(
         graft.transform.EventNormalizer.normalize(

@@ -197,22 +197,26 @@ object Dedup {
     * near-dup candidate — the standard inverted-index pruning rule).
     */
   def ngramJaccard(docs: DataFrame, id: Column, text: Column,
-      shingleN: Int = 4, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+      shingleN: Int = 4, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame =
+    verifyJaccard(shingleCandidates(docs, id, text, shingleN, maxDf), threshold)
+
+  /** Inverted-index candidate pairs with their full shingle sets (the
+    * shared front half of [[ngramJaccard]] and [[containmentPairs]]):
+    * hash shingles to 60-bit longs once (lineage-cut — the set feeds the
+    * index and both verification joins), df-cutoff via a count window
+    * over the shingle partitioning (both self-join inputs are the
+    * identical subplan → one hash-partition(shingle) exchange, reused),
+    * pair generation on that exchange, then the per-side set joins.
+    */
+  private def shingleCandidates(docs: DataFrame, id: Column, text: Column,
+      shingleN: Int, maxDf: Int): DataFrame = {
     // Hash shingles to 60-bit longs up front: the inverted-index exchange
     // and the verification arrays carry fixed-width longs, not n-gram
     // strings (~8 bytes vs ~30+ per shingle at corpus scale).
-    // Hash the shingles ONCE: the set feeds the inverted index and both
-    // verification joins — without a lineage cut each subplan re-runs the
-    // full md5 sweep over the corpus (3× the dominant cost).
     val sh = docs.select(id.as("doc_id"),
       array_distinct(transform(shingles(text, shingleN), s => phash64(s))).as("s"))
       .localCheckpoint()
     val ex = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
-    // df-cutoff via a count window over the shingle partitioning: both
-    // self-join inputs are the identical subplan, so the single
-    // hash-partition(shingle) exchange is planned once and reused
-    // (ReusedExchange), and its sort order feeds the join directly — vs a
-    // separate groupBy+join pre-pass that re-shingles the corpus.
     val rare = ex.withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
       .filter(col("df") <= maxDf)
@@ -221,11 +225,34 @@ object Dedup {
       .join(rare.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val cand = pairs
+    pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
-    verifyJaccard(cand, threshold)
   }
+
+  /** Directional containment dedup: keep a candidate pair when the
+    * SMALLER shingle set is ≥ `thrNum/thrDen` contained in the other —
+    * `|A∩B| / min(|A|,|B|)` ≥ 4/5 by default. Catches near-SUPERSET
+    * duplication (a quote, a wrapped article, boilerplate-plus-body)
+    * that resemblance misses: the larger document dilutes the union, so
+    * Jaccard stays low while containment is ~1 — the `jaccard_low` flag
+    * marks exactly those pairs (J < 1/2), the set a Jaccard-only dedup
+    * pass would NOT have found. Same inverted-index scale shape as
+    * [[ngramJaccard]]; all verdicts integer-exact (cross-multiplied,
+    * no division anywhere).
+    */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+      shingleN: Int = 4, thrNum: Int = 4, thrDen: Int = 5,
+      maxDf: Int = 1000): DataFrame =
+    shingleCandidates(docs, id, text, shingleN, maxDf)
+      .withColumn("n_a", size(col("sa")).cast("long"))
+      .withColumn("n_b", size(col("sb")).cast("long"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("n_inter") * thrDen >= least(col("n_a"), col("n_b")) * thrNum)
+      .withColumn("jaccard_low",
+        col("n_inter") * 3 < col("n_a") + col("n_b")) // J < 1/2 ⟺ 3·i < a+b
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("jaccard_low"))
 
   // --- Cluster dedup (connected components) --------------------------------
 

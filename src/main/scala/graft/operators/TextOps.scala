@@ -997,6 +997,14 @@ object TextOps {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Containment dedup — the near-SUPERSET detector (quotes, wrapped
+    // articles, boilerplate-plus-body): |A∩B| / min(|A|,|B|) ≥ 4/5 over
+    // the same inverted shingle index as dedup_ngram_jaccard, with the
+    // jaccard_low flag marking the pairs a resemblance-only pass (J ≥
+    // 0.5) would have MISSED. Integer-exact end to end.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), col("doc_id"), col("text"))),
+
     // Dedup-quality evaluation — the recall measurement a banding config
     // is tuned by (bands × rows trade candidate volume for recall, the
     // S-curve): exact 3-shingle Jaccard ≥ 0.5 over a bounded PROBE set
@@ -1984,6 +1992,27 @@ object TextOps {
                 (CAST(len(sa.s) + len(sb.s) AS DOUBLE) - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)) AS jaccard
             FROM pairs JOIN sh sa ON sa.doc_id = pairs.doc_a JOIN sh sb ON sb.doc_id = pairs.doc_b)
           SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""",
+
+    "dedup_containment" ->
+      s"""WITH sh AS (SELECT doc_id, ${hashedShingleSql(4, mod = "")} AS s
+            FROM (SELECT doc_id, $toks AS t FROM documents)),
+          ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+          rare AS (
+            SELECT * FROM (
+              SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+              FROM ex) WHERE df <= 1000),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+          c AS (
+            SELECT doc_a, doc_b,
+              CAST(len(sa.s) AS BIGINT) AS n_a, CAST(len(sb.s) AS BIGINT) AS n_b,
+              CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter
+            FROM pairs JOIN sh sa ON sa.doc_id = pairs.doc_a
+              JOIN sh sb ON sb.doc_id = pairs.doc_b)
+          SELECT doc_a, doc_b, n_a, n_b, n_inter,
+            n_inter * 3 < n_a + n_b AS jaccard_low
+          FROM c WHERE n_inter * 5 >= least(n_a, n_b) * 4""",
 
     "dedup_simhash" ->
       s"""WITH sh AS (SELECT doc_id, unnest(s) AS shingle

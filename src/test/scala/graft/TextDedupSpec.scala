@@ -375,4 +375,25 @@ class TextDedupSpec extends AnyFunSuite {
       .select("wkey").as[Double].collect()
     assert(rest.forall(_ <= minSel))
   }
+
+  test("containment catches a near-superset pair that Jaccard misses") {
+    // doc 2 = doc 1 quoted inside a much larger article: the small doc's
+    // shingles are ~fully contained, but the big doc dilutes the union
+    // so J < 0.5 — a resemblance-only pass would not pair them
+    val quoted = (1 to 12).map(i => s"q$i").mkString(" ")
+    val article = (1 to 60).map(i => s"w$i").mkString(" ") + " " + quoted
+    val unrelated = (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, quoted), (2L, article), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_inter", "jaccard_low")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    // exactly the (quote, article) pair, flagged as Jaccard-invisible
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 2L)))
+    val (_, _, na, nb, ni, jLow) = got.head
+    assert(ni == na) // the quote is FULLY contained (9 shingles of 12 words)
+    assert(ni * 3 < na + nb && jLow) // J < 1/2: containment-only catch
+    // and the resemblance pass indeed misses it at its 0.5 bar
+    assert(Dedup.ngramJaccard(docs, col("doc_id"), col("text")).count() == 0L)
+  }
 }

@@ -49,6 +49,28 @@ class ShardedSyncSpec extends AnyFunSuite {
     assert(ShardedSync.globalCheckpoint(spark, s"$work/target") === 300L)
   }
 
+  test("hammer: interleaved applyDml from two threads loses no keys") {
+    // the apply-lock regression guard: two writers with disjoint key
+    // spaces but ONE shared bucket directory (nBuckets=1) interleave 20
+    // merges each; an unserialized read-merge-overwrite would drop the
+    // other writer's keys. Direct ShardedTarget.applyDml calls — no
+    // streaming machinery, so the interleaving is tight.
+    val work = Files.createTempDirectory("graft_shardspec").toFile.getAbsolutePath
+    def mergeSet(shard: String, prefix: String): Unit = {
+      val t = graft.streaming.ShardedTarget(s"$work/target", shard, nBuckets = 1)
+      (1 to 20).foreach { i =>
+        t.applyDml(Seq(("app.u0", s"$prefix$i", "i", i.toDouble, i.toLong, 1L))
+          .toDF("ns", "doc_key", "op", "last_value", "last_event_id", "n_ops"))
+      }
+    }
+    val ta = new Thread(() => mergeSet("sa", "a"))
+    val tb = new Thread(() => mergeSet("sb", "b"))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    val keys = IncrSync.readOrEmpty(spark, s"$work/target/state")
+      .select("doc_key").as[String].collect().toSet
+    assert(keys === ((1 to 20).map("a" + _) ++ (1 to 20).map("b" + _)).toSet)
+  }
+
   test("a fromMigrate record crashes the shard query at the batcher seam") {
     val work = Files.createTempDirectory("graft_shardspec").toFile.getAbsolutePath
     OplogTail.drop("shsp_mig")

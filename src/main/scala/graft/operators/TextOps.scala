@@ -997,6 +997,50 @@ object TextOps {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), col("doc_id"), col("text"))),
 
+    // The production dedup CASCADE with per-stage marginal accounting —
+    // cheap filters first, each stage seeing only the previous stage's
+    // survivors: exact (md5 canonical-first) → containment (drop the
+    // contained side: smaller set, larger id on tie) → MinHash-LSH
+    // near-dup components (keep the min-id member per cluster). The
+    // accounting is the number each stage removes GIVEN what earlier
+    // stages already removed — the marginal-value report that justifies
+    // (or kills) a stage in a real pipeline — plus an order-insensitive
+    // fingerprint of the final survivor set. Scale shape: every stage is
+    // the already-audited operator run on a shrinking survivor set; the
+    // cascade adds only the anti-joins between stages.
+    "pipe_dedup_cascade" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"), col("text")).localCheckpoint()
+      val n0 = d.count()
+      val s1 = d.withColumn("h", md5(encode(col("text"), "UTF-8")))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val d1 = d.join(s1, Seq("doc_id")).localCheckpoint()
+      val n1 = d1.count()
+      val contained = Dedup.containmentPairs(d1, col("doc_id"), col("text"))
+        .select(when(col("n_a") < col("n_b"), col("doc_a"))
+          .when(col("n_b") < col("n_a"), col("doc_b"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val d2 = d1.join(contained, Seq("doc_id"), "left_anti").localCheckpoint()
+      val n2 = d2.count()
+      val labels = Dedup.componentLabels(
+        Dedup.minhashLsh(d2, col("doc_id"), col("text")))
+      val removed3 = labels.filter(col("doc_id") =!= col("label"))
+        .select("doc_id")
+      val s3 = d2.join(removed3, Seq("doc_id"), "left_anti")
+      val n3 = s3.count()
+      val fp = s3.agg(md5(encode(concat_ws(",",
+        array_sort(collect_list(col("doc_id").cast("string")))), "UTF-8")).as("f"))
+        .head().getString(0)
+      Seq(
+        ("exact", n0, n0 - n1, n1, ""),
+        ("containment", n1, n1 - n2, n2, ""),
+        ("neardup", n2, n2 - n3, n3, ""),
+        ("survivors", n3, 0L, n3, fp))
+        .toDF("stage", "n_in", "n_removed", "n_out", "fp")
+    }),
+
     // Containment dedup — the near-SUPERSET detector (quotes, wrapped
     // articles, boilerplate-plus-body): |A∩B| / min(|A|,|B|) ≥ 4/5 over
     // the same inverted shingle index as dedup_ngram_jaccard, with the
@@ -1203,9 +1247,9 @@ object TextOps {
   /** MinHash-LSH candidate/verify CTE chain ending in `j(doc_a, doc_b,
     * jaccard)` — shared by the pair query and the cluster-dedup closure.
     */
-  private def minhashPairCtes: String =
+  private def minhashPairCtes(src: String = "documents"): String =
     s"""base AS (SELECT doc_id, ${hashedShingleSql(3)} AS s
-          FROM (SELECT doc_id, $toks AS t, text FROM documents)),
+          FROM (SELECT doc_id, $toks AS t, text FROM $src)),
         sig AS (SELECT doc_id, s, ${minhashExprs.mkString(", ")} FROM base),
         banded AS (
           SELECT doc_id, band,
@@ -1723,7 +1767,7 @@ object TextOps {
         val h = s"${phash64Sql(key)} % 100"
         s"CASE WHEN $h < 80 THEN 'train' WHEN $h < 90 THEN 'val' ELSE 'test' END"
       }
-      s"""WITH $minhashPairCtes,
+      s"""WITH ${minhashPairCtes()},
           good AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
           edges AS (
             SELECT doc_a AS src, doc_b AS dst FROM good
@@ -1906,7 +1950,7 @@ object TextOps {
          FROM documents GROUP BY 1""",
 
     "pipe_golden_record" ->
-      s"""WITH $minhashPairCtes,
+      s"""WITH ${minhashPairCtes()},
           good AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
           edges AS (
             SELECT doc_a AS src, doc_b AS dst FROM good
@@ -1936,15 +1980,15 @@ object TextOps {
          FROM dg GROUP BY digest""",
 
     "dedup_minhash_lsh" ->
-      s"WITH $minhashPairCtes SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5",
+      s"WITH ${minhashPairCtes()} SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5",
 
     "dedup_minhash_incr" ->
-      s"""WITH $minhashPairCtes
+      s"""WITH ${minhashPairCtes()}
           SELECT doc_a, doc_b, jaccard FROM j
           WHERE jaccard >= 0.5 AND (doc_a % 5 = 0 OR doc_b % 5 = 0)""",
 
     "dedup_lsh_recall" ->
-      s"""WITH $minhashPairCtes,
+      s"""WITH ${minhashPairCtes()},
           lsh AS (
             SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5 AND doc_a < 50),
           truth AS (
@@ -1960,7 +2004,7 @@ object TextOps {
           SELECT 'n_cand', COUNT(*) FROM lsh""",
 
     "dedup_components" ->
-      s"""WITH $minhashPairCtes,
+      s"""WITH ${minhashPairCtes()},
           good AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
           edges AS (
             SELECT doc_a AS src, doc_b AS dst FROM good
@@ -1992,6 +2036,69 @@ object TextOps {
                 (CAST(len(sa.s) + len(sb.s) AS DOUBLE) - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)) AS jaccard
             FROM pairs JOIN sh sa ON sa.doc_id = pairs.doc_a JOIN sh sb ON sb.doc_id = pairs.doc_b)
           SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""",
+
+    "pipe_dedup_cascade" ->
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+          s1 AS (
+            SELECT MIN(doc_id) AS doc_id FROM (
+              SELECT doc_id, md5(text) AS h FROM d0) GROUP BY h),
+          d1 AS (SELECT d0.* FROM d0 JOIN s1 USING (doc_id)),
+          shc AS (SELECT doc_id, ${hashedShingleSql(4, mod = "")} AS s
+            FROM (SELECT doc_id, $toks AS t FROM d1)),
+          exc AS (SELECT doc_id, unnest(s) AS shingle FROM shc),
+          rarec AS (
+            SELECT * FROM (
+              SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+              FROM exc) WHERE df <= 1000),
+          pairsc AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM rarec a JOIN rarec b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+          cverd AS (
+            SELECT doc_a, doc_b,
+              CAST(len(sa.s) AS BIGINT) AS n_a, CAST(len(sb.s) AS BIGINT) AS n_b,
+              CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter
+            FROM pairsc JOIN shc sa ON sa.doc_id = pairsc.doc_a
+              JOIN shc sb ON sb.doc_id = pairsc.doc_b),
+          contained AS (
+            SELECT DISTINCT CASE WHEN n_a < n_b THEN doc_a
+              WHEN n_b < n_a THEN doc_b
+              ELSE greatest(doc_a, doc_b) END AS doc_id
+            FROM cverd WHERE n_inter * 5 >= least(n_a, n_b) * 4),
+          d2 AS (SELECT d1.* FROM d1
+            WHERE doc_id NOT IN (SELECT doc_id FROM contained)),
+          ${minhashPairCtes("d2")},
+          good AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM good
+            UNION SELECT doc_b, doc_a FROM good),
+          verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+          lab AS (
+            SELECT doc_id, label FROM (
+              WITH RECURSIVE cc AS (
+                SELECT doc_id, doc_id AS label FROM verts
+                UNION
+                SELECT e.dst AS doc_id, cc.label FROM cc
+                  JOIN edges e ON e.src = cc.doc_id)
+              SELECT doc_id, MIN(label) AS label FROM cc GROUP BY 1) t),
+          s3 AS (SELECT doc_id FROM d2 WHERE doc_id NOT IN (
+            SELECT doc_id FROM lab WHERE doc_id <> label)),
+          n AS (
+            SELECT (SELECT COUNT(*) FROM d0) AS n0,
+              (SELECT COUNT(*) FROM d1) AS n1,
+              (SELECT COUNT(*) FROM d2) AS n2,
+              (SELECT COUNT(*) FROM s3) AS n3)
+          SELECT 'exact' AS stage, n0 AS n_in, n0 - n1 AS n_removed,
+            n1 AS n_out, '' AS fp FROM n
+          UNION ALL
+          SELECT 'containment', n1, n1 - n2, n2, '' FROM n
+          UNION ALL
+          SELECT 'neardup', n2, n2 - n3, n3, '' FROM n
+          UNION ALL
+          SELECT 'survivors', n3, CAST(0 AS BIGINT), n3,
+            (SELECT md5(string_agg(CAST(doc_id AS VARCHAR), ','
+              ORDER BY CAST(doc_id AS VARCHAR))) FROM s3)
+          FROM n""",
 
     "dedup_containment" ->
       s"""WITH sh AS (SELECT doc_id, ${hashedShingleSql(4, mod = "")} AS s

@@ -247,6 +247,40 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("sim"))
   }
 
+  /** IVF RANGE search: all corpus vectors within cosine `threshold` of any
+    * query, via the same probed-inverted-list join as [[ivfSearch]] but
+    * with a similarity floor instead of a top-k head — the primitive a
+    * semantic decontamination pass needs (every train doc near ANY eval
+    * probe is a hit; a k-head would silently drop hits past k).
+    *
+    * Scale shape: the probe set (queries × nProbe cells) broadcasts into
+    * the list scan, the threshold filter rides the scored join map-side,
+    * and output is bounded by the genuinely-near pair count — never
+    * corpus × queries.
+    */
+  def ivfRange(embs: DataFrame, id: Column, emb: Column,
+      cents: DataFrame, queryPred: Column, threshold: Double,
+      nProbe: Int = 2, corpusPred: Column = lit(true)): DataFrame = {
+    val corpus = embs.filter(corpusPred)
+    val lists = prepared(corpus, id, emb).join(
+      ivfAssign(corpus, id, emb, cents).select(col("vec_id"), col("centroid_id")),
+      Seq("vec_id"))
+    val q = embs.filter(queryPred).select(id.as("query_id"), quantize(emb).as("qv"))
+      .withColumn("qn", sqNorm(col("qv")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probes = q.crossJoin(cents)
+      .withColumn("csim", cosineQ(col("qv"), col("qn"), col("cv"), col("cn")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    lists.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", cosineQ(col("qv"), col("qn"), col("v"), col("nrm")))
+      .filter(col("sim") >= threshold)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+  }
+
   // --- Product quantization ----------------------------------------------
 
   /** Exact integer squared-L2 distance between quantized vectors (the PQ

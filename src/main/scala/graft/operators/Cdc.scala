@@ -36,6 +36,26 @@ object Cdc {
     Hashers.repartitionOrdered(
       filtered(s, dir), Hashers.workerWhitelist(idColls, nWorkers), nWorkers)
 
+  /** Deterministic dynamic-document convention for the schema-drift pair
+    * (mirrored 1:1 in the oracles): every effective write carries `_id`
+    * and `k`; `cents` appears only when event_id % 3 == 0 and `src` only
+    * when event_id % 7 == 0 ('web'/'app' by (event_id DIV 7) % 2) — the
+    * field-set growth a schemaless source exhibits as the producing app
+    * evolves (reference §1.3: documents are dynamic BSON; MongoDB never
+    * declares a schema). Bodies are real JSON — to_json drops the absent
+    * (null) fields — so downstream operators read schemas the way a
+    * warehouse ingesting BSON does: schema-on-read.
+    */
+  private[operators] def withBody(df: DataFrame): DataFrame =
+    df.withColumn("body", to_json(struct(
+      col("doc_key").as("_id"),
+      expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("k"),
+      when(col("event_id") % 3 === 0,
+        expr("CAST(round(value * 100) AS BIGINT)")).as("cents"),
+      when(col("event_id") % 7 === 0,
+        when(expr("event_id DIV 7") % 2 === 0, "web").otherwise("app"))
+        .as("src"))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1/P2: raw change records → canonical oplog rows.
     "cdc_normalize" -> ((s, dir) =>
@@ -115,6 +135,68 @@ object Cdc {
         .select(col("ns"), col("doc_key"), col("version"),
           col("ts_packed").as("valid_from"), col("valid_to"), col("value"),
           col("valid_to").isNull.as("is_current"))
+    }),
+
+    // SCHEMA REGISTRY — the longitudinal schema-history a warehouse
+    // ingesting a schemaless source must maintain (Debezium's schema
+    // topic analogue; MongoDB itself never declares one — reference
+    // §1.3, documents are dynamic BSON). Complements cdc_schema_drift's
+    // two-sided deploy diff: this is the full versioned inventory that
+    // cdc_schema_evolution's wide materialization reads its DDL from.
+    // Bodies are real JSON with per-row field sets (see
+    // [[withBody]]); the registry reads them back schema-on-read
+    // (json_object_keys) and reports, per (ns, field): first/last sighting,
+    // doc count, corpus coverage, and the evolution version = dense rank
+    // of first appearance within the namespace. Shape at scale: one
+    // groupBy exchange over (ns, field); the version window runs over the
+    // AGGREGATED registry (|ns|×|fields| rows — schema-sized, not
+    // corpus-sized), and the per-ns totals broadcast.
+    "cdc_schema_registry" -> ((s, dir) => {
+      val eff = withBody(filtered(s, dir).filter(col("op").isin("i", "u")))
+      val reg = eff
+        .select(col("ns"), col("ts_packed"),
+          explode(json_object_keys(col("body"))).as("field"))
+        .groupBy(col("ns"), col("field"))
+        .agg(min(col("ts_packed")).as("first_seen"),
+          max(col("ts_packed")).as("last_seen"),
+          count(lit(1)).as("n_docs"))
+      val tot = eff.groupBy(col("ns")).agg(count(lit(1)).as("_n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ns")).orderBy(col("first_seen"), col("field"))
+      reg.join(broadcast(tot), Seq("ns"))
+        .withColumn("coverage_ppm", expr("n_docs * 1000000 DIV _n"))
+        .withColumn("schema_ver", dense_rank().over(w).cast("long"))
+        .drop("_n")
+    }),
+
+    // SCHEMA EVOLUTION apply — materialize the current state WIDE, under
+    // the union schema the drift registry discovered: last effective
+    // write per (ns, doc_key) (cdc_apply's argmax), then every dynamic
+    // field becomes a column, NULL where the winning document predates
+    // the field's introduction. The column list is data-driven — a
+    // bounded driver-side collect of the field inventory (schema-sized,
+    // like a connector reading its schema registry; NOT corpus-sized),
+    // ordered by first global appearance so the evolved DDL is
+    // deterministic. Values stay strings: schema-on-read widens, it does
+    // not guess types.
+    "cdc_schema_evolution" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ns"), col("doc_key"))
+        .orderBy(col("ts_packed").desc, col("event_id").desc)
+      val eff = withBody(filtered(s, dir).filter(col("op").isin("i", "u", "d")))
+      val win = eff
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "d")
+      val inventory = eff.filter(col("op").isin("i", "u"))
+        .select(explode(json_object_keys(col("body"))).as("field"),
+          col("ts_packed"))
+        .groupBy(col("field")).agg(min(col("ts_packed")).as("fs"))
+        .filter(col("field") =!= "_id")
+        .collect().map(r => (r.getLong(1), r.getString(0))).sorted.map(_._2)
+      val wide = inventory.map(f =>
+        get_json_object(col("body"), s"$$.$f").as(f))
+      win.select(Seq(col("ns"), col("doc_key"),
+        col("ts_packed").as("last_ts")) ++ wide: _*)
     }),
 
     // Point LOOKUP against the bucketed state table — "what is document
@@ -1149,6 +1231,41 @@ object Cdc {
             SELECT ns, doc_key, value, event_id, op,
               ROW_NUMBER() OVER (PARTITION BY ns, doc_key ORDER BY ts_packed DESC, event_id DESC) AS rn,
               COUNT(*) OVER (PARTITION BY ns, doc_key) AS n_ops
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
+          WHERE rn = 1 AND op <> 'd'"""),
+
+    "cdc_schema_registry" -> withOplog(
+      s""", eff AS (
+            SELECT ns, ts_packed, event_id FROM oplog
+            WHERE $chainSql AND op IN ('i','u')),
+          fields AS (
+            SELECT ns, ts_packed, '_id' AS field FROM eff
+            UNION ALL SELECT ns, ts_packed, 'k' FROM eff
+            UNION ALL SELECT ns, ts_packed, 'cents' FROM eff WHERE event_id % 3 = 0
+            UNION ALL SELECT ns, ts_packed, 'src' FROM eff WHERE event_id % 7 = 0),
+          reg AS (
+            SELECT ns, field, MIN(ts_packed) AS first_seen,
+              MAX(ts_packed) AS last_seen, COUNT(*) AS n_docs
+            FROM fields GROUP BY 1, 2),
+          tot AS (SELECT ns, COUNT(*) AS n FROM eff GROUP BY 1)
+          SELECT r.ns, field, first_seen, last_seen, n_docs,
+            n_docs * 1000000 // n AS coverage_ppm,
+            CAST(DENSE_RANK() OVER (PARTITION BY r.ns
+              ORDER BY first_seen, field) AS BIGINT) AS schema_ver
+          FROM reg r JOIN tot t ON r.ns = t.ns"""),
+
+    "cdc_schema_evolution" -> withOplog(
+      s"""SELECT ns, doc_key, ts_packed AS last_ts,
+            CAST(CAST(json_extract_string(props, '$$.k') AS BIGINT) AS VARCHAR) AS k,
+            CASE WHEN event_id % 3 = 0
+              THEN CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) END AS cents,
+            CASE WHEN event_id % 7 = 0
+              THEN (CASE WHEN (event_id // 7) % 2 = 0 THEN 'web' ELSE 'app' END)
+              END AS src
+          FROM (
+            SELECT ns, doc_key, ts_packed, event_id, value, props, op,
+              ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                ORDER BY ts_packed DESC, event_id DESC) AS rn
             FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
           WHERE rn = 1 AND op <> 'd'"""),
 

@@ -135,6 +135,35 @@ object VectorOps {
         corpusPred = pmod(col("label"), lit(2)) === 0)
     }),
 
+    // SEMANTIC decontamination: flag every train vector within cosine
+    // 0.35 of ANY eval-set probe (eval = vec_id % 25 == 0, train = the
+    // rest) — the embedding-level analogue of text_contamination's
+    // n-gram overlap, catching paraphrased eval leakage a literal
+    // n-gram match misses. Built on ivfRange (threshold over the probed
+    // inverted lists, NOT a top-k head — a k-head would silently keep
+    // contaminated docs past rank k). One window over the hit set
+    // yields the per-train-doc verdict: hit count, worst (most similar)
+    // eval probe, and its similarity. Shape at 100 TB: eval probes are
+    // thousands, the corpus is the 100 TB side — probes broadcast into
+    // the list scan and only genuinely-near pairs survive to the window.
+    "sim_decontam" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = KmeansIters)
+      val hits = Similarity.ivfRange(e, col("vec_id"), col("embedding"),
+        cents, queryPred = pmod(col("vec_id"), lit(25)) === 0, threshold = 0.35,
+        corpusPred = pmod(col("vec_id"), lit(25)) =!= 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("query_id"))
+      hits
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_eval_hits", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("doc_id"), col("n_eval_hits"),
+          col("query_id").as("eval_id"), col("sim"))
+    }),
+
     // ANN quality evaluation: recall@3 of the IVF(nprobe = 2) head
     // against the exact brute-force top-3 ground truth, per probe query
     // — the measurement an ANN deployment is tuned by (nprobe/k trade
@@ -519,6 +548,38 @@ object VectorOps {
             JOIN prep p ON p.vec_id = a.vec_id)
           SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
           FROM scored WHERE rank <= 3""",
+
+    "sim_decontam" ->
+      s"""WITH $prepCte, ${kmeansCtes(2)},
+          assigned AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents2 c WHERE p.vec_id % 25 <> 0)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS prn
+              FROM prep q, cents2 c WHERE q.vec_id % 25 = 0)
+            WHERE prn <= 2),
+          hits AS (
+            SELECT pr.query_id, a.vec_id,
+              ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} AS sim
+            FROM probes pr
+            JOIN assigned a ON a.centroid_id = pr.centroid_id AND a.vec_id <> pr.query_id
+            JOIN prep q ON q.vec_id = pr.query_id
+            JOIN prep p ON p.vec_id = a.vec_id
+            WHERE ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} >= 0.35)
+          SELECT vec_id AS doc_id, n_eval_hits, query_id AS eval_id, sim FROM (
+            SELECT vec_id, query_id, sim,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, query_id) AS rn,
+              COUNT(*) OVER (PARTITION BY vec_id) AS n_eval_hits
+            FROM hits)
+          WHERE rn = 1""",
 
     "sim_ivf_search" ->
       s"""WITH $prepCte, ${kmeansCtes(2)},

@@ -351,4 +351,47 @@ class CdcSpec extends AnyFunSuite {
     // final state: k1=7.25, k2=5.0, k3=4.0; app.u empty → no row
     assert(got == Set(("app.t", 3L, 16.25)))
   }
+
+  test("schema registry: universal fields at full coverage, conditional " +
+      "fields partial; versions follow the (first_seen, name) dense rank") {
+    val dir = "/root/testdata/sf0.001"
+    val reg = graft.operators.Cdc.queries("cdc_schema_registry")(spark, dir)
+      .select("ns", "field", "first_seen", "coverage_ppm", "schema_ver")
+      .as[(String, String, Long, Long, Long)].collect()
+    val byNs = reg.groupBy(_._1)
+    assert(byNs.nonEmpty)
+    byNs.foreach { case (_, rows) =>
+      val f = rows.map(r => r._2 -> r).toMap
+      assert(f.keySet == Set("_id", "k", "cents", "src"))
+      // _id and k ride every document: full coverage, tied first_seen
+      assert(f("_id")._4 == 1000000L && f("k")._4 == 1000000L)
+      assert(f("_id")._3 == f("k")._3)
+      // conditional fields: strictly partial coverage
+      assert(f("cents")._4 < 1000000L && f("src")._4 < 1000000L)
+      // version law: dense rank of (first_seen, field-name) — "_id" is
+      // always version 1 (earliest first_seen, lexicographically first)
+      val expected = rows.sortBy(r => (r._3, r._2)).map(_._2).zipWithIndex
+        .map { case (fld, i) => fld -> (i + 1).toLong }.toMap
+      rows.foreach(r => assert(r._5 == expected(r._2), s"field ${r._2}"))
+      assert(f("_id")._5 == 1L)
+    }
+  }
+
+  test("schema evolution: wide union schema over cdc_apply's winners, " +
+      "NULL exactly where the winning doc predates the field") {
+    val dir = "/root/testdata/sf0.001"
+    val evo = graft.operators.Cdc.queries("cdc_schema_evolution")(spark, dir)
+    assert(evo.columns.toSeq == Seq("ns", "doc_key", "last_ts", "k", "cents", "src"))
+    val rows = evo.select("ns", "doc_key", "k", "cents", "src")
+      .as[(String, String, String, Option[String], Option[String])].collect()
+    assert(rows.nonEmpty)
+    // same winner set as the apply materialization
+    val applied = graft.operators.Cdc.queries("cdc_apply")(spark, dir)
+      .select("ns", "doc_key").as[(String, String)].collect().toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == applied)
+    // k is universal; the conditional columns are genuinely mixed
+    assert(rows.forall(_._3 != null))
+    assert(rows.exists(_._4.isDefined) && rows.exists(_._4.isEmpty))
+    assert(rows.flatMap(_._5).toSet.subsetOf(Set("web", "app")))
+  }
 }

@@ -57,6 +57,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljAllowed = Set(
     "sim_knn_brute", // broadcast query set × corpus (baseline brute kNN)
     "sim_ivf_assign", "sim_ivf_search", // broadcast k-means centroid table
+    "sim_decontam", // same centroid broadcast (ivfRange probe assignment)
     "sim_filtered_search", // same centroid broadcast, lists pre-filtered
     "sim_ivfpq", // broadcast centroid table (coarse probe) + broadcast ADC LUT
     "sim_ivf_recall", // composes sim_knn_brute + sim_ivf_search (both above)

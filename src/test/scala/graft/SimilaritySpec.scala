@@ -169,4 +169,59 @@ class SimilaritySpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(out.map(t => (t._1, t._2)).toSet != unf)
   }
+
+  test("ivfRange: all-probe range search ≡ brute-force threshold pairs; " +
+      "fewer probes only ever shrink the hit set") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val evalP = pmod(col("vec_id"), lit(25)) === 0
+    val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+      col("vec_id") < 8, iters = 2)
+    val nCells = cents.count().toInt
+    def rangeHits(nProbe: Int) = Similarity.ivfRange(
+      e, col("vec_id"), col("embedding"), cents,
+      queryPred = evalP, threshold = 0.35, nProbe = nProbe,
+      corpusPred = pmod(col("vec_id"), lit(25)) =!= 0)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val allProbe = rangeHits(nCells)
+    // brute-force ground truth: every eval × train pair at cosine ≥ 0.35
+    val p = Similarity.prepared(e, col("vec_id"), col("embedding"))
+    val q = p.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val brute = p.filter(pmod(col("vec_id"), lit(25)) =!= 0)
+      .crossJoin(q)
+      .withColumn("sim", Similarity.cosineQ(col("qv"), col("qn"), col("v"), col("nrm")))
+      .filter(col("sim") >= 0.35)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(allProbe == brute)
+    assert(brute.nonEmpty)
+    // nProbe = 1 is a subset (IVF trades recall for scan fraction, never adds)
+    assert(rangeHits(1).subsetOf(allProbe))
+  }
+
+  test("sim_decontam flags only train docs, argmaxes the worst eval probe, " +
+      "and its hit counts reconcile with ivfRange") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.VectorOps.queries("sim_decontam")(spark, dir)
+      .select("doc_id", "n_eval_hits", "eval_id", "sim")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (d, _, q, s) => d % 25 != 0 && q % 25 == 0 && s >= 0.35 })
+    // reconcile against the raw range hits: counts and per-doc argmax agree
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+      col("vec_id") < 8, iters = 2)
+    val hits = Similarity.ivfRange(e, col("vec_id"), col("embedding"), cents,
+      queryPred = pmod(col("vec_id"), lit(25)) === 0, threshold = 0.35,
+      corpusPred = pmod(col("vec_id"), lit(25)) =!= 0)
+      .select("vec_id", "query_id", "sim").as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+    assert(got.length == hits.size)
+    got.foreach { case (d, n, q, s) =>
+      val hs = hits(d)
+      assert(hs.length == n)
+      val best = hs.maxBy(h => (h._3, -h._2))
+      assert(best._2 == q && best._3 == s)
+    }
+  }
 }

@@ -67,7 +67,8 @@ object StreamOps {
     "stream_anomaly" -> ((s, dir) => runAnomaly(s, dir)),
     "stream_scd2" -> ((s, dir) => runScd2(s, dir)),
     "stream_asof_enrich" -> ((s, dir) => runAsofEnrich(s, dir)),
-    "stream_late_audit" -> ((s, dir) => runLateAudit(s, dir)))
+    "stream_late_audit" -> ((s, dir) => runLateAudit(s, dir)),
+    "stream_schema_alert" -> ((s, dir) => runSchemaAlert(s, dir)))
 
   /** Stage a multi-file feed whose files must be consumed IN ORDER by a
     * `maxFilesPerTrigger = 1` file source: write each part, then pin
@@ -1778,6 +1779,63 @@ object StreamOps {
     out.iterator
   }
 
+  case class FieldSighting(ns: String, field: String, ts_us: Long)
+  case class AlertSent(sent: Boolean)
+  case class SchemaAlert(ns: String, field: String, first_seen_us: Long,
+    baseline: Boolean)
+
+  /** LIVE schema-change alerts — cdc_schema_registry's first-sighting
+    * rows as a continuous stream: each (ns, field) pair fires exactly
+    * ONE alert, in the micro-batch where the field first appears, with
+    * its true first-seen timestamp (the feed is time-staged, so the
+    * batch-local min IS the global min) and a baseline flag separating
+    * the initial schema (first tercile of the corpus) from genuine
+    * mid-stream drift. State = one boolean per (ns, field) — the state
+    * store holds the REGISTRY, so it is schema-sized by construction
+    * (|namespaces|×|fields|), never corpus-sized: the stateful operator
+    * whose memory a 100 TB deployment never has to think about.
+    */
+  private def runSchemaAlert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = graft.Work.dir("stream_schema_alert_q")
+    IncrSync.deletePath(s, work)
+    val eff = Cdc.withBody(Oplog.fromEvents(s, dir)
+        .filter(OplogFilters.chain(gids, white, black))
+        .filter(col("op").isin("i", "u")))
+      .select(col("ns"), col("ts_us"),
+        explode(json_object_keys(col("body"))).as("field"))
+      .localCheckpoint()
+    val b = eff.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    val c1 = t0 + (t1 - t0) / 3
+    val c2 = t0 + 2 * (t1 - t0) / 3
+    stageOrdered(s, s"$work/feed", Seq(
+      eff.filter(col("ts_us") <= c1),
+      eff.filter(col("ts_us") > c1 && col("ts_us") <= c2),
+      eff.filter(col("ts_us") > c2)))
+
+    val q = s.readStream.schema(eff.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .as[FieldSighting]
+      .groupByKey(r => (r.ns, r.field))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (key: (String, String), rows: Iterator[FieldSighting],
+            state: GroupState[AlertSent]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(AlertSent(true))
+            val first = rows.map(_.ts_us).min
+            Iterator.single(SchemaAlert(key._1, key._2, first, first <= c1))
+          }
+        })
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
   case class AsofRow(event_id: Long, user_id: Long, kind: String,
     ts_us: Long, cents: Long)
   /** `dimEvent == 0` means no dimension version has arrived yet. */
@@ -2146,6 +2204,26 @@ object StreamOps {
             WINDOW w AS (PARTITION BY ns, doc_key
               ORDER BY ts_packed, event_id))
           WHERE op <> 'd' AND valid_to IS NOT NULL"""),
+
+    // Closed form of the one-alert-per-field stream: global first
+    // sighting per (ns, field) under the body convention (see
+    // Cdc.withBody), baseline = first tercile of the corpus timeline.
+    "stream_schema_alert" -> Oplog.withOracleCte(
+      s""", eff AS (
+            SELECT ns, ts_us, event_id FROM oplog
+            WHERE $chainSql AND op IN ('i','u')),
+          b AS (SELECT MIN(ts_us) AS t0, MAX(ts_us) AS t1 FROM eff),
+          fields AS (
+            SELECT ns, ts_us, '_id' AS field FROM eff
+            UNION ALL SELECT ns, ts_us, 'k' FROM eff
+            UNION ALL SELECT ns, ts_us, 'cents' FROM eff WHERE event_id % 3 = 0
+            UNION ALL SELECT ns, ts_us, 'src' FROM eff WHERE event_id % 7 = 0),
+          first AS (
+            SELECT ns, field, MIN(ts_us) AS first_seen_us
+            FROM fields GROUP BY 1, 2)
+          SELECT ns, field, first_seen_us,
+            first_seen_us <= t0 + (t1 - t0) // 3 AS baseline
+          FROM first, b"""),
 
     // Closed form of the running-baseline flag: a strict-prefix window
     // per event_type, the same integer cross-multiplied comparison.

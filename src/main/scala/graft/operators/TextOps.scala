@@ -635,6 +635,27 @@ object TextOps {
           sum(keep.cast("long")).as("n_kept"))
     }),
 
+    // Curriculum staging: EXACT difficulty quartiles with no global
+    // single-partition sort. Difficulty = integer avg word length
+    // (milli-chars per token — exact in both engines); the global rank
+    // is the two-phase distributed prefix sum ([[Relational.prefixSum]])
+    // over difficulty-VALUE-range buckets — a difficulty value maps to
+    // exactly one bucket, so bucket order IS rank order and no tie can
+    // straddle a boundary; stage = (rank−1)·4 DIV total. The exact-ntile
+    // a curriculum-ordered training run needs (approxQuantile would put
+    // boundary docs in different stages on different runs); corpus total
+    // is a 1-row scalar, like pipe_mix_temperature's budget.
+    "pipe_curriculum" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        expr("CAST(length(replace(text, ' ', '')) AS BIGINT) * 1000 DIV " +
+          "size(split(text, ' '))").as("difficulty_milli"))
+      val total = t.count()
+      Relational.prefixSum(t, lit(1L),
+          struct(col("difficulty_milli"), col("doc_id")),
+          expr("difficulty_milli DIV 500"), out = "rank")
+        .withColumn("stage", expr(s"(rank - 1) * 4 DIV ${total}L"))
+    }),
+
     // Winnowing fingerprints (the MOSS local-minimum scheme: k-token
     // shingle hashes, minimum per w-wide window, distinct selections):
     // any shared token run of length ≥ k + w − 1 between two documents
@@ -1642,6 +1663,21 @@ object TextOps {
           SELECT lang, CAST((cum - n) // 2048 AS BIGINT) AS bin,
             COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_tokens
           FROM c GROUP BY 1, 2""",
+
+    "pipe_curriculum" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              (CAST(length(replace(text, ' ', '')) AS BIGINT) * 1000)
+                // CAST(len($toks) AS BIGINT) AS difficulty_milli
+            FROM documents),
+          r AS (
+            SELECT doc_id, difficulty_milli,
+              ROW_NUMBER() OVER (ORDER BY difficulty_milli, doc_id) AS rank,
+              COUNT(*) OVER () AS total
+            FROM t)
+          SELECT doc_id, difficulty_milli, CAST(rank AS BIGINT) AS rank,
+            CAST(((rank - 1) * 4) // total AS BIGINT) AS stage
+          FROM r""",
 
     "text_quota_sample" ->
       s"""SELECT doc_id, lang FROM (

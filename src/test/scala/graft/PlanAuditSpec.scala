@@ -123,7 +123,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // scale-killer the primitive exists to avoid
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    for (name <- Seq("mm_interleave", "q32_concurrency", "text_pack")) {
+    for (name <- Seq("mm_interleave", "q32_concurrency", "text_pack",
+        "pipe_curriculum")) {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
       val bad = plan.collect {
         case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 &&

@@ -977,4 +977,25 @@ class StreamingSpec extends AnyFunSuite {
     val tcut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
     assert(out.exists(_ <= tcut) && out.exists(_ > tcut))
   }
+
+  test("stream_schema_alert: exactly one alert per (ns, field) across a " +
+      "3-batch feed; universal fields are baseline, drift fields can't precede it") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.StreamOps.queries("stream_schema_alert")(spark, dir)
+      .select("ns", "field", "first_seen_us", "baseline")
+      .as[(String, String, Long, Boolean)].collect()
+    // one alert per key, despite every batch re-delivering _id/k sightings
+    assert(got.map(r => (r._1, r._2)).distinct.length == got.length)
+    val byNs = got.groupBy(_._1)
+    assert(byNs.nonEmpty)
+    byNs.foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSet == Set("_id", "k", "cents", "src"))
+      val f = rows.map(r => r._2 -> r).toMap
+      // _id and k ride every document → first batch → baseline
+      assert(f("_id")._4 && f("k")._4)
+      assert(f("_id")._3 == f("k")._3)
+      // no conditional field can be sighted before the universal ones
+      assert(f("cents")._3 >= f("_id")._3 && f("src")._3 >= f("_id")._3)
+    }
+  }
 }

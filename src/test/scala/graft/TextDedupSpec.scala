@@ -276,6 +276,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(allPass > 0)
   }
 
+  test("pipe_curriculum: ranks are the exact sort permutation and the " +
+      "four stages balance to within one document") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.TextOps.queries("pipe_curriculum")(spark, dir)
+      .select("doc_id", "difficulty_milli", "rank", "stage")
+      .as[(Long, Long, Long, Long)].collect()
+    val n = got.length
+    assert(n > 0)
+    // rank is the exact permutation of 1..n in (difficulty, doc_id) order —
+    // the property approxQuantile staging cannot give
+    val sorted = got.sortBy(r => (r._2, r._1))
+    assert(sorted.map(_._3).toSeq == (1L to n.toLong))
+    // stage law and ±1 balance
+    got.foreach(r => assert(r._4 == (r._3 - 1) * 4 / n))
+    val sizes = got.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1)
+  }
+
   test("text_split_leakfree: cluster keying never splits a near-dup family; " +
       "doc keying measurably does") {
     import org.apache.spark.sql.functions.{countDistinct, sum => fsum}

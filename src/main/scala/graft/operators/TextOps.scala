@@ -656,6 +656,68 @@ object TextOps {
         .withColumn("stage", expr(s"(rank - 1) * 4 DIV ${total}L"))
     }),
 
+    // Deterministic per-epoch GLOBAL shuffle — the training-loader
+    // permutation (each epoch visits every document exactly once, in a
+    // different pseudorandom order, reproducibly across reruns and
+    // partitionings) WITHOUT a global sort: the shuffle key is
+    // phash64(doc_id:epoch) and the position is the distributed
+    // prefix-sum rank over key-RANGE buckets (phash64 < 2^60, so
+    // skey DIV 2^52 is 256 order-aligned buckets — and because the
+    // key is a hash, the range buckets are uniformly loaded by
+    // construction: this is the one window family where bucket skew
+    // cannot occur). Both epochs ride one plan; per-epoch position =
+    // global prefix rank − epoch·N.
+    "pipe_epoch_shuffle" -> ((s, dir) => {
+      val keyed = docs(s, dir)
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(1L))).as("epoch"))
+        .withColumn("skey", phash64(concat(col("doc_id").cast("string"),
+          lit(":e"), col("epoch").cast("string"))))
+      val n = docs(s, dir).count()
+      Relational.prefixSum(keyed, lit(1L),
+          struct(col("epoch"), col("skey"), col("doc_id")),
+          struct(col("epoch"), expr("skey DIV 4503599627370496")), out = "gpos")
+        .withColumn("pos", expr(s"gpos - epoch * ${n}L"))
+        .select(col("doc_id"), col("epoch"), col("skey"), col("pos"))
+    }),
+
+    // Release-over-release DRIFT monitor — the distribution-shift report
+    // a corpus release pipeline gates on (did the crawler/filter change
+    // silently skew languages or document lengths?): the corpus split at
+    // its doc_id midpoint into prev/curr releases, each (source, dim,
+    // bucket) cell's share computed in ppm (integer-exact — n·10⁶ DIV
+    // side total), and the per-(source, dim) total-variation distance
+    // Σ|Δppm| DIV 2 carried on every cell. Two dimensions ride ONE scan
+    // (a 2-element explode: lang and a 256-char length bucket); the
+    // shares and TVD are windows over the AGGREGATED cell table
+    // (|sources|×|dims|×|buckets| rows), never the corpus.
+    "pipe_drift_monitor" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val b = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val cells = d.select(col("source"),
+          (col("doc_id") <= mid).as("is_prev"),
+          explode(array(
+            struct(lit("lang").as("dim"), col("lang").as("bucket")),
+            struct(lit("len").as("dim"),
+              expr("CAST(n_chars DIV 256 AS STRING)").as("bucket"))))
+            .as("c"))
+        .groupBy(col("source"), col("c.dim").as("dim"),
+          col("c.bucket").as("bucket"))
+        .agg(sum(when(col("is_prev"), 1L).otherwise(0L)).as("prev_n"),
+          sum(when(!col("is_prev"), 1L).otherwise(0L)).as("curr_n"))
+      val wSide = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("dim"))
+      cells
+        .withColumn("_pt", sum(col("prev_n")).over(wSide))
+        .withColumn("_ct", sum(col("curr_n")).over(wSide))
+        .withColumn("prev_ppm", expr("prev_n * 1000000 DIV nullif(_pt, 0)"))
+        .withColumn("curr_ppm", expr("curr_n * 1000000 DIV nullif(_ct, 0)"))
+        .withColumn("delta_ppm", col("curr_ppm") - col("prev_ppm"))
+        .withColumn("_sd", sum(abs(col("delta_ppm"))).over(wSide))
+        .withColumn("tvd_ppm", expr("_sd DIV 2"))
+        .drop("_pt", "_ct", "_sd")
+    }),
+
     // Winnowing fingerprints (the MOSS local-minimum scheme: k-token
     // shingle hashes, minimum per w-wide window, distinct selections):
     // any shared token run of length ≥ k + w − 1 between two documents
@@ -1663,6 +1725,42 @@ object TextOps {
           SELECT lang, CAST((cum - n) // 2048 AS BIGINT) AS bin,
             COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_tokens
           FROM c GROUP BY 1, 2""",
+
+    "pipe_epoch_shuffle" ->
+      s"""WITH e AS (
+            SELECT doc_id, epoch,
+              ${phash64Sql("CAST(doc_id AS VARCHAR) || ':e' || CAST(epoch AS VARCHAR)")} AS skey
+            FROM documents, (SELECT unnest([0, 1]) AS epoch))
+          SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, skey,
+            CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+              ORDER BY skey, doc_id) AS BIGINT) AS pos
+          FROM e""",
+
+    "pipe_drift_monitor" ->
+      s"""WITH b AS (SELECT MIN(doc_id) AS d0, MAX(doc_id) AS d1 FROM documents),
+          rows_ AS (
+            SELECT source, doc_id <= d0 + (d1 - d0) // 2 AS is_prev,
+              'lang' AS dim, lang AS bucket
+            FROM documents, b
+            UNION ALL
+            SELECT source, doc_id <= d0 + (d1 - d0) // 2,
+              'len', CAST(n_chars // 256 AS VARCHAR)
+            FROM documents, b),
+          cells AS (
+            SELECT source, dim, bucket,
+              CAST(SUM(CASE WHEN is_prev THEN 1 ELSE 0 END) AS BIGINT) AS prev_n,
+              CAST(SUM(CASE WHEN is_prev THEN 0 ELSE 1 END) AS BIGINT) AS curr_n
+            FROM rows_ GROUP BY 1, 2, 3),
+          p AS (
+            SELECT source, dim, bucket, prev_n, curr_n,
+              CAST((prev_n * 1000000) // nullif(SUM(prev_n) OVER w, 0) AS BIGINT) AS prev_ppm,
+              CAST((curr_n * 1000000) // nullif(SUM(curr_n) OVER w, 0) AS BIGINT) AS curr_ppm
+            FROM cells WINDOW w AS (PARTITION BY source, dim))
+          SELECT source, dim, bucket, prev_n, curr_n, prev_ppm, curr_ppm,
+            CAST(curr_ppm - prev_ppm AS BIGINT) AS delta_ppm,
+            CAST((SUM(abs(curr_ppm - prev_ppm))
+              OVER (PARTITION BY source, dim)) // 2 AS BIGINT) AS tvd_ppm
+          FROM p""",
 
     "pipe_curriculum" ->
       s"""WITH t AS (

@@ -295,6 +295,52 @@ class TextDedupSpec extends AnyFunSuite {
     assert(sizes.values.max - sizes.values.min <= 1)
   }
 
+  test("pipe_epoch_shuffle: each epoch is an exact permutation of 1..N " +
+      "and the two epoch orders genuinely differ") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.TextOps.queries("pipe_epoch_shuffle")(spark, dir)
+      .select("doc_id", "epoch", "skey", "pos")
+      .as[(Long, Long, Long, Long)].collect()
+    val byEpoch = got.groupBy(_._2)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    val n = byEpoch(0L).length
+    byEpoch.values.foreach { rows =>
+      assert(rows.length == n)
+      assert(rows.map(_._4).sorted.toSeq == (1L to n.toLong))
+      // pos is the (skey, doc_id) sort rank — the hash IS the order
+      assert(rows.sortBy(r => (r._3, r._1)).map(_._4).toSeq == (1L to n.toLong))
+    }
+    // the permutations differ (hash decorrelates epochs)
+    val ord0 = byEpoch(0L).sortBy(_._4).map(_._1).toSeq
+    val ord1 = byEpoch(1L).sortBy(_._4).map(_._1).toSeq
+    assert(ord0 != ord1)
+    assert(ord0.toSet == ord1.toSet)
+  }
+
+  test("pipe_drift_monitor: per-(source, dim) shares telescope to ~1e6, " +
+      "TVD is the halved L1 and rides every cell") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.TextOps.queries("pipe_drift_monitor")(spark, dir)
+      .select("source", "dim", "bucket", "prev_ppm", "curr_ppm",
+        "delta_ppm", "tvd_ppm")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.map(_._2).toSet == Set("lang", "len"))
+    got.groupBy(r => (r._1, r._2)).foreach { case (_, cells) =>
+      val k = cells.length
+      // floor-division shares: within k of the full million on each side
+      val ps = cells.map(_._4).sum
+      val cs = cells.map(_._5).sum
+      assert(ps <= 1000000L && ps > 1000000L - k)
+      assert(cs <= 1000000L && cs > 1000000L - k)
+      // TVD = Σ|Δ| / 2, constant across the group's cells
+      val tvd = cells.map(r => math.abs(r._6)).sum / 2
+      assert(cells.forall(_._7 == tvd))
+      assert(tvd >= 0 && tvd <= 1000000L)
+    }
+  }
+
   test("text_split_leakfree: cluster keying never splits a near-dup family; " +
       "doc keying measurably does") {
     import org.apache.spark.sql.functions.{countDistinct, sum => fsum}

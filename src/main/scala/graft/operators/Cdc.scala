@@ -592,6 +592,56 @@ object Cdc {
     // G4/G6: per-worker checkpoint watermarks (min acked / newest ts).
     "cdc_checkpoint" -> ((s, dir) => Replay.checkpointByWorker(routed(s, dir))),
 
+    // Oplog WINDOW SIZING — the capacity-planning report behind the
+    // deployment's most consequential knob (reference operations: a
+    // checkpoint that falls off the capped oplog forces a full resync —
+    // `collector/checkpoint.go` guards exactly this). Per worker, from
+    // observable corpus quantities only: op rate, approximate record
+    // volume (payload + envelope bytes), and the projected oplog bytes
+    // needed to tolerate a one-hour apply stall. Integer-exact
+    // throughout (rates scaled to per-1000 s; bytes×3.6e9 stays well
+    // under 2^63). One groupBy exchange; the report is |workers| rows.
+    "cdc_oplog_sizing" -> ((s, dir) =>
+      filtered(s, dir)
+        .withColumn("worker", Hashers.workerWhitelist(idColls, nWorkers))
+        .withColumn("rec_bytes",
+          expr("length(props) + length(ns) + length(doc_key) + 26"))
+        .groupBy(col("worker"))
+        .agg(count(lit(1)).as("n_ops"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+          sum(col("rec_bytes").cast("long")).as("approx_bytes"))
+        .withColumn("ops_per_ksec", expr("n_ops * 1000000000 DIV span_us"))
+        .withColumn("bytes_per_ksec",
+          expr("approx_bytes * 1000000000 DIV span_us"))
+        .withColumn("window_mb_1h",
+          expr("(approx_bytes * 3600000000 DIV span_us) DIV 1048576"))),
+
+    // Journal GAP audit — after an incident, WHICH LSN ranges were lost
+    // (the question the delivery journal exists to answer; pairs with
+    // cdc_compare's state diff by localizing loss in the stream, not
+    // the state). Expected = the filtered feed; delivered = expected
+    // minus a deterministic loss set (event_id % 211 == 0 — the
+    // fixture's incident). Lost rows collapse to contiguous runs per
+    // worker via islands detection (delivery-order rank − row_number
+    // is constant within a run): two windows on the worker exchange,
+    // output is |runs| rows — no self-join, no driver loop.
+    "cdc_journal_gaps" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("worker")).orderBy(col("ts_packed"), col("event_id"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("worker")).orderBy(col("pos"))
+      filtered(s, dir)
+        .withColumn("worker", Hashers.workerWhitelist(idColls, nWorkers))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .filter(col("event_id") % 211 === 0)
+        .withColumn("island", col("pos") - row_number().over(wl))
+        .groupBy(col("worker"), col("island"))
+        .agg(min(col("event_id")).as("from_event"),
+          max(col("event_id")).as("to_event"),
+          count(lit(1)).as("n_missing"))
+        .drop("island")
+    }),
+
     // G2/G3: run-length (ns,op) flush groups in per-worker oplog order.
     "cdc_combine_groups" -> ((s, dir) =>
       Combiner.flushGroups(
@@ -1478,6 +1528,34 @@ object Cdc {
       s"""SELECT $workerSql AS worker,
           MIN(ts_packed) AS lsn_ack_min, MAX(ts_packed) AS lsn_newest, COUNT(*) AS n_logs
           FROM oplog WHERE $chainSql GROUP BY 1"""),
+
+    "cdc_oplog_sizing" -> withOplog(
+      s"""SELECT worker, n_ops, span_us, approx_bytes,
+            CAST(n_ops * 1000000000 // span_us AS BIGINT) AS ops_per_ksec,
+            CAST(approx_bytes * 1000000000 // span_us AS BIGINT) AS bytes_per_ksec,
+            CAST((approx_bytes * 3600000000 // span_us) // 1048576 AS BIGINT) AS window_mb_1h
+          FROM (
+            SELECT $workerSql AS worker, COUNT(*) AS n_ops,
+              MAX(ts_us) - MIN(ts_us) AS span_us,
+              CAST(SUM(length(props) + length(ns) + length(doc_key) + 26) AS BIGINT) AS approx_bytes
+            FROM oplog WHERE $chainSql GROUP BY 1)"""),
+
+    "cdc_journal_gaps" -> withOplog(
+      s""", e AS (
+            SELECT event_id, ts_packed, $workerSql AS worker
+            FROM oplog WHERE $chainSql),
+          p AS (
+            SELECT worker, event_id,
+              ROW_NUMBER() OVER (PARTITION BY worker
+                ORDER BY ts_packed, event_id) AS pos
+            FROM e),
+          l AS (
+            SELECT worker, event_id, pos,
+              pos - ROW_NUMBER() OVER (PARTITION BY worker ORDER BY pos) AS island
+            FROM p WHERE event_id % 211 = 0)
+          SELECT worker, MIN(event_id) AS from_event, MAX(event_id) AS to_event,
+            CAST(COUNT(*) AS BIGINT) AS n_missing
+          FROM l GROUP BY worker, island"""),
 
     "cdc_combine_groups" -> withOplog(
       s""", eff AS (SELECT *, $workerSql AS worker FROM oplog WHERE $chainSql),

@@ -377,6 +377,56 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc_oplog_sizing: per-worker rates are integer-consistent and " +
+      "op totals reconcile with the routing stats") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.Cdc.queries("cdc_oplog_sizing")(spark, dir)
+      .select("worker", "n_ops", "span_us", "approx_bytes",
+        "ops_per_ksec", "bytes_per_ksec", "window_mb_1h")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, span, bytes, opsK, bytesK, mb1h) =>
+      assert(n > 0 && span > 0 && bytes > n * 26)
+      assert(opsK == n * 1000000000L / span)
+      assert(bytesK == bytes * 1000000000L / span)
+      assert(mb1h == (bytes * 3600000000L / span) / 1048576L)
+    }
+    val routed = graft.operators.Cdc.queries("cdc_route_stats")(spark, dir)
+      .select("worker", "n").as[(Long, Long)].collect().toMap
+    assert(got.map(r => r._1 -> r._2).toMap == routed)
+  }
+
+  test("cdc_journal_gaps: runs are exactly the maximal consecutive " +
+      "delivery-position islands of the loss set") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.Cdc.queries("cdc_journal_gaps")(spark, dir)
+      .select("worker", "from_event", "to_event", "n_missing")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._2 % 211 == 0 && r._3 % 211 == 0))
+    // exact local reconstruction from the same feed + routing
+    val feed = graft.operators.Cdc.queries("cdc_checkpoint")(spark, dir) // warm
+    val rows = graft.model.Oplog.fromEvents(spark, dir)
+      .filter(graft.filters.OplogFilters.chain(Seq(""),
+        Seq("^app\\.users_[0-9]+$"), Seq("^app\\.users_3$")))
+      .withColumn("worker",
+        graft.partition.Hashers.workerWhitelist(Seq("users_1"), 8))
+      .select("worker", "ts_packed", "event_id")
+      .as[(Long, Long, Long)].collect()
+    val expect = rows.groupBy(_._1).flatMap { case (w, rs) =>
+      val ordered = rs.sortBy(r => (r._2, r._3)).map(_._3).zipWithIndex
+      val lost = ordered.filter(_._1 % 211 == 0)
+      // group by pos - index-within-lost (maximal consecutive runs)
+      lost.zipWithIndex.groupBy { case ((_, pos), i) => pos - i }
+        .values.map { run =>
+          val es = run.map(_._1._1)
+          (w, es.min, es.max, es.length.toLong)
+        }
+    }.toSet
+    assert(got == expect)
+    assert(feed.count() > 0)
+  }
+
   test("schema evolution: wide union schema over cdc_apply's winners, " +
       "NULL exactly where the winning doc predates the field") {
     val dir = "/root/testdata/sf0.001"

@@ -295,4 +295,30 @@ class PropertySpec extends AnyFunSuite {
     val n = once.values.groupBy(identity).view.mapValues(_.size).toMap
     assert(n("train") > n("val") && n("train") > n("test") && n.values.sum == 500)
   }
+
+  test("prefixSum law: two-phase bucketed cumsum ≡ the global-window cumsum " +
+      "on arbitrary inputs, any order-aligned bucketing, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.listOfN(200, for {
+      key <- Gen.choose(0L, 5000L)
+      v <- Gen.choose(0L, 100L)
+    } yield (key, v))
+    samples(gen, 4).zipWithIndex.foreach { case (rows, i) =>
+      // keys may collide — disambiguate with the index so order is total
+      val df = rows.zipWithIndex.map { case ((k, v), j) => (k, j.toLong, v) }
+        .toDF("k", "j", "v").repartition(7)
+      val got = graft.operators.Relational.prefixSum(df, col("v"),
+          struct(col("k"), col("j")), expr(s"k DIV ${100 << i}"), out = "ps")
+        .select(col("k"), col("j"), col("ps"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => ((r._1, r._2), r._3)).toMap
+      val oracle = df.withColumn("ps", sum(col("v")).over(
+          Window.orderBy(col("k"), col("j"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("k"), col("j"), col("ps"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => ((r._1, r._2), r._3)).toMap
+      assert(got == oracle, s"bucket granularity ${100 << i}")
+    }
+  }
 }

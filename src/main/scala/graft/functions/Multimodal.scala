@@ -44,13 +44,19 @@ object Multimodal {
   /** Magic-number sniff + header parse + payload digest — all codegen'd
     * expressions over the binary column (no UDF, no shuffle).
     */
+  /** Magic-number sniff → modality kind (shared by [[meta]] and the
+    * block-CAS report).
+    */
+  val kindCol: Column =
+    when(hex(substring(col("media"), 1, 4)) === "89504E47", "png")
+      .when(hex(substring(col("media"), 1, 4)) === "FFD8FFE0", "jpeg")
+      .when(hex(substring(col("media"), 1, 4)) === "52494646", "wav")
+      .otherwise("unknown")
+
   def meta(withMedia: DataFrame): DataFrame =
     withMedia.select(
       col("doc_id"),
-      when(hex(substring(col("media"), 1, 4)) === "89504E47", "png")
-        .when(hex(substring(col("media"), 1, 4)) === "FFD8FFE0", "jpeg")
-        .when(hex(substring(col("media"), 1, 4)) === "52494646", "wav")
-        .otherwise("unknown").as("kind"),
+      kindCol.as("kind"),
       conv(hex(substring(col("media"), 5, 2)), 16, 10).cast("bigint").as("width"),
       conv(hex(substring(col("media"), 7, 2)), 16, 10).cast("bigint").as("height"),
       (octet_length(col("media")) - HeaderLen).cast("bigint").as("payload_len"),

@@ -21,6 +21,40 @@ object MmOps {
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(media(s, dir))),
     "mm_resize" -> ((s, dir) => Multimodal.resize(media(s, dir))),
 
+    // BLOCK-level content-addressed storage dedup — the chunked CAS
+    // report (restic/borg-style): payloads cut into 16-char blocks
+    // (tails kept — every content byte is accounted), each block stored
+    // once per modality, savings = 1 − physical/logical in ppm. Whole-
+    // payload CAS would be degenerate here (the corpus has no two
+    // byte-identical payloads); block granularity is also what real
+    // media lakes dedup at, because re-encodes and crops share runs,
+    // not files. Only (kind, digest, len) rows cross the exchange —
+    // payload bytes never move; the digest groupBy collapses map-side,
+    // then a |kinds|-row rollup.
+    "mm_storage_dedup" -> ((s, dir) => {
+      val frames = media(s, dir)
+        .select(Multimodal.kindCol.as("kind"), Multimodal.normPayload.as("norm"))
+        .filter(length(col("norm")) > 0)
+        .select(col("kind"), col("norm"),
+          explode(sequence(lit(0L),
+            ((length(col("norm")) - 1) / 16).cast("long"))).as("fi"))
+        .select(col("kind"),
+          col("norm").substr((col("fi") * 16 + 1).cast("int"), lit(16)).as("fr"))
+        .select(col("kind"), md5(col("fr")).as("block_md5"),
+          length(col("fr")).cast("long").as("len"))
+      frames
+        .groupBy(col("kind"), col("block_md5"))
+        .agg(count(lit(1)).as("n_copies"), sum(col("len")).as("logical"),
+          min(col("len")).as("one"))
+        .groupBy(col("kind"))
+        .agg(sum(col("n_copies")).as("n_blocks"),
+          count(lit(1)).as("n_unique"),
+          sum(col("logical")).as("logical_bytes"),
+          sum(col("one")).as("physical_bytes"))
+        .withColumn("saved_ppm",
+          expr("(logical_bytes - physical_bytes) * 1000000 DIV logical_bytes"))
+    }),
+
     // Training-shard manifest for the media corpus (the WebDataset-style
     // packing step): blobs pack per modality into shards under a byte
     // budget — shard = floor(exclusive-prefix-bytes / budget), so a blob
@@ -149,6 +183,27 @@ object MmOps {
             $sim AS clip_sim, $sim >= 0.1 AS keep
           FROM img JOIN txt USING (pair_id)"""
     },
+
+    "mm_storage_dedup" ->
+      s"""WITH d AS (
+           SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  ELSE 'wav' END AS kind, $normSql AS norm
+           FROM documents WHERE length($normSql) > 0),
+         fr AS (
+           SELECT kind,
+             md5(substring(norm, CAST(i AS INT) * 16 + 1, 16)) AS block_md5,
+             CAST(length(substring(norm, CAST(i AS INT) * 16 + 1, 16)) AS BIGINT) AS len
+           FROM d, LATERAL (SELECT unnest(range((length(norm) - 1) // 16 + 1)) AS i)),
+         g AS (
+           SELECT kind, block_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(SUM(len) AS BIGINT) AS logical, MIN(len) AS one
+           FROM fr GROUP BY 1, 2)
+         SELECT kind, CAST(SUM(n_copies) AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(logical) AS BIGINT) AS logical_bytes,
+           CAST(SUM(one) AS BIGINT) AS physical_bytes,
+           CAST((SUM(logical) - SUM(one)) * 1000000 // SUM(logical) AS BIGINT) AS saved_ppm
+         FROM g GROUP BY 1""",
 
     "mm_meta" ->
       """SELECT doc_id,

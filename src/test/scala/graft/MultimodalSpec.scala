@@ -123,4 +123,31 @@ class MultimodalSpec extends AnyFunSuite {
     // cosine is a similarity: bounded
     assert(out.forall(p => p._4 >= -1.0 - 1e-9 && p._4 <= 1.0 + 1e-9))
   }
+
+  test("mm_storage_dedup: block-CAS savings law — physical ≤ logical, " +
+      "ppm formula exact, logical bytes reconcile with the normalized corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.MmOps.queries("mm_storage_dedup")(spark, dir)
+      .select("kind", "n_blocks", "n_unique", "logical_bytes",
+        "physical_bytes", "saved_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == Set("png", "jpeg", "wav"))
+    got.foreach { case (_, blocks, uniq, logical, physical, ppm) =>
+      assert(uniq <= blocks && physical <= logical && physical > 0)
+      assert(ppm == (logical - physical) * 1000000L / logical)
+    }
+    // blocks genuinely repeat (the same shared runs mm_near_dup banks on)
+    assert(got.forall(r => r._2 > r._3))
+    assert(got.exists(_._6 > 0))
+    // every normalized content byte is accounted exactly once in logical
+    val normLen = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        expr("CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END")
+          .as("kind"),
+        length(lower(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+          .cast("long").as("n"))
+      .groupBy(col("kind")).agg(sum(col("n")).as("total"))
+      .as[(String, Long)].collect().toMap
+    got.foreach(r => assert(normLen(r._1) == r._4))
+  }
 }

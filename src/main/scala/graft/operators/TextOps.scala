@@ -844,6 +844,49 @@ object TextOps {
       Dedup.contamination(docs(s, dir), col("doc_id"), col("text"),
         benchPred = col("doc_id") % 50 === 0)),
 
+    // Per-document NOVELTY profile — how much of each document's 3-gram
+    // vocabulary first enters the corpus WITH that document (doc_id =
+    // ingest order): the memorization/duplication long-tail diagnostic
+    // (a near-copy of anything earlier scores ~0 ppm; genuinely fresh
+    // text ~1e6). Distinct from text_block_dedup (canonical spans) —
+    // this charges each doc for everything ANY earlier doc introduced.
+    // Shape: one explode to (shingle, doc), a min-doc groupBy and a
+    // join back on the same shingle key (one co-partitioned exchange),
+    // then a per-doc rollup — all linear in corpus shingle volume.
+    "text_ngram_novelty" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(transform(Text.shingles(col("text"), 3),
+          x => phash64(x) % lit(4294967296L)))).as("h"))
+      val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_ppm", expr("n_novel * 1000000 DIV n_shingles"))
+    }),
+
+    // Quality-first BUDGET fill — "take the best documents until the
+    // token budget runs out", the selection step that turns a scored
+    // corpus into a fixed-size training set: docs ordered by
+    // (quality DESC, doc_id), the running token total is the
+    // distributed prefix sum over quality-range buckets (a quality
+    // value maps to one bucket — no global sort), and a doc is kept
+    // iff the budget was not already spent when it starts (the
+    // straddling doc closes the budget, exactly like a loader filling
+    // its last batch). Budget = half the corpus' tokens, derived.
+    "pipe_token_budget" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        Text.qualityScore(col("text")).as("q"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val budget = t.agg(sum(col("n_tokens"))).head().getLong(0) / 2
+      Relational.prefixSum(t, col("n_tokens"),
+          struct((-col("q")).as("nq"), col("doc_id")),
+          floor(-col("q") * 20).cast("long"), out = "cum")
+        .filter(col("cum") - col("n_tokens") < budget)
+        .select(col("doc_id"), col("q"), col("n_tokens"), col("cum"))
+    }),
+
     // Bloom-filter decontamination — the fixed-memory form of
     // text_contamination: the benchmark shingle set folds into an m-bit
     // Bloom filter (k = 3 derived positions per 32-bit shingle hash) and
@@ -1981,6 +2024,34 @@ object TextOps {
             CAST((length(c) - length(replace(c, '<PHONE>', ''))) / 7 AS BIGINT) AS n_phone,
             CAST((length(c) - length(replace(c, '<IP>', ''))) / 4 AS BIGINT) AS n_ip
           FROM clean""",
+
+    "text_ngram_novelty" ->
+      s"""WITH sh AS (
+            SELECT doc_id, unnest(${hashedShingleSql(3)}) AS h
+            FROM (SELECT doc_id, $toks AS t FROM documents)),
+          f AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+            CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+            CAST((SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000)
+              // COUNT(*) AS BIGINT) AS novelty_ppm
+          FROM sh JOIN f USING (h) GROUP BY doc_id""",
+
+    "pipe_token_budget" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              0.4 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) / 8.0, 1.0)
+            + 0.3 * (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE))
+            + 0.3 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) AS q,
+              CAST(len($toks) AS BIGINT) AS n_tokens
+            FROM documents),
+          b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM t),
+          c AS (
+            SELECT doc_id, q, n_tokens,
+              CAST(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id)
+                AS BIGINT) AS cum
+            FROM t)
+          SELECT doc_id, q, n_tokens, cum FROM c, b
+          WHERE cum - n_tokens < budget""",
 
     "text_contamination" ->
       s"""WITH sh AS (SELECT doc_id, ${hashedShingleSql(3)} AS s

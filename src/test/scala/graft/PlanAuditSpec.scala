@@ -124,7 +124,7 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     for (name <- Seq("mm_interleave", "q32_concurrency", "text_pack",
-        "pipe_curriculum", "pipe_epoch_shuffle")) {
+        "pipe_curriculum", "pipe_epoch_shuffle", "pipe_token_budget")) {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
       val bad = plan.collect {
         case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 &&

@@ -341,6 +341,58 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("text_ngram_novelty: the first document is fully novel, novelty " +
+      "telescopes to the distinct-shingle count, near-dups score low") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.TextOps.queries("text_ngram_novelty")(spark, dir)
+      .select("doc_id", "n_shingles", "n_novel", "novelty_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, novel, ppm) =>
+      assert(novel >= 0 && novel <= n)
+      assert(ppm == novel * 1000000L / n)
+    }
+    // the earliest doc introduces every one of its shingles
+    val first = got.minBy(_._1)
+    assert(first._4 == 1000000L)
+    // every distinct shingle is charged to exactly one doc
+    val distinctShingles = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(array_distinct(transform(
+        graft.functions.Text.shingles(col("text"), 3),
+        x => graft.functions.Portable.phash64(x) % lit(4294967296L)))).as("h"))
+      .distinct().count()
+    assert(got.map(_._3).sum == distinctShingles)
+    // and the long tail is real: some docs are mostly derivative
+    assert(got.exists(_._4 < 500000L))
+  }
+
+  test("pipe_token_budget: kept set is exactly the quality-ordered prefix " +
+      "and closes the budget with the straddling document") {
+    val dir = "/root/testdata/sf0.001"
+    val kept = graft.operators.TextOps.queries("pipe_token_budget")(spark, dir)
+      .select("doc_id", "q", "n_tokens", "cum")
+      .as[(Long, Double, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.functions.Text.qualityScore(col("text")).as("q"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("n"))
+      .as[(Long, Double, Long)].collect()
+    val budget = all.map(_._3).sum / 2
+    // prefix property: in (q desc, doc_id) order the kept docs form an
+    // exact prefix of the corpus
+    val ordered = all.sortBy(r => (-r._2, r._1)).map(_._1).toSeq
+    val keptSet = kept.map(_._1).toSet
+    assert(ordered.take(kept.length).toSet == keptSet)
+    // budget closure: spent-before-last < budget ≤ spent (straddle kept)
+    val spent = kept.map(_._3).sum
+    val last = kept.maxBy(_._4)
+    assert(spent - last._3 < budget)
+    assert(spent >= budget || kept.length == all.length)
+    // cum is the running total in the same order
+    assert(kept.sortBy(r => (-r._2, r._1)).map(_._3).scanLeft(0L)(_ + _).tail
+      .zip(kept.sortBy(r => (-r._2, r._1)).map(_._4)).forall(p => p._1 == p._2))
+  }
+
   test("text_split_leakfree: cluster keying never splits a near-dup family; " +
       "doc keying measurably does") {
     import org.apache.spark.sql.functions.{countDistinct, sum => fsum}

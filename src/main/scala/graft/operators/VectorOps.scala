@@ -135,6 +135,36 @@ object VectorOps {
         corpusPred = pmod(col("label"), lit(2)) === 0)
     }),
 
+    // Recall@k CURVE (k = 1..10) — the full tuning plot an ANN
+    // deployment reads, not one recall point: a hit at (query,
+    // neighbor) counts toward every k ≥ max(exact rank, IVF rank)
+    // (the standard top-k∩top-k definition), so one join of the two
+    // 10-row heads plus a bounded explode yields the whole curve.
+    // Integer outputs (n_hits, n_possible = k·|queries|) keep the gate
+    // engine-exact; recall is the consumer's quotient. Shape at scale:
+    // identical to sim_ivf_recall — ground truth is one brute pass
+    // over the PROBE set only.
+    "sim_recall_curve" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = KmeansIters)
+      val exact = Similarity.knnBrute(e, col("vec_id"), col("embedding"),
+          col("vec_id") < 10, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("erank"))
+      val ivf = Similarity.ivfSearch(e, col("vec_id"), col("embedding"), cents,
+          queryPred = col("vec_id") < 10, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("irank"))
+      val nq = e.filter(col("vec_id") < 10).count()
+      val hits = exact.join(ivf, Seq("query_id", "neighbor_id"))
+        .select(greatest(col("erank"), col("irank")).as("mk"))
+        .select(explode(sequence(col("mk"), lit(10L))).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_hits"))
+      s.range(1, 11).select(col("id").as("k"))
+        .join(hits, Seq("k"), "left_outer")
+        .select(col("k"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (col("k") * nq).as("n_possible"))
+    }),
+
     // SEMANTIC decontamination: flag every train vector within cosine
     // 0.35 of ANY eval-set probe (eval = vec_id % 25 == 0, train = the
     // rest) — the embedding-level analogue of text_contamination's
@@ -648,6 +678,53 @@ object VectorOps {
           FROM exact e LEFT JOIN ivf i
             ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
           GROUP BY e.query_id""",
+
+    "sim_recall_curve" ->
+      s"""WITH $prepCte, ${kmeansCtes(2)},
+          assigned AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents2 c)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS prn
+              FROM prep q, cents2 c WHERE q.vec_id < 10)
+            WHERE prn <= 2),
+          ivf AS (
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT pr.query_id, a.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY pr.query_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, a.vec_id) AS rank
+              FROM probes pr
+              JOIN assigned a ON a.centroid_id = pr.centroid_id AND a.vec_id <> pr.query_id
+              JOIN prep q ON q.vec_id = pr.query_id
+              JOIN prep p ON p.vec_id = a.vec_id)
+            WHERE rank <= 10),
+          exact AS (
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, p.vec_id) AS rank
+              FROM prep q JOIN prep p ON q.vec_id < 10 AND q.vec_id <> p.vec_id)
+            WHERE rank <= 10),
+          pairs AS (
+            SELECT GREATEST(e.rank, i.rank) AS mk
+            FROM exact e JOIN ivf i
+              ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id),
+          nq AS (SELECT COUNT(*) AS n FROM prep WHERE vec_id < 10),
+          spine AS (SELECT unnest(generate_series(1, 10)) AS k),
+          hits AS (
+            SELECT s.k, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM spine s JOIN pairs p ON p.mk <= s.k GROUP BY 1)
+          SELECT CAST(s.k AS BIGINT) AS k,
+            COALESCE(h.n_hits, 0) AS n_hits,
+            CAST(s.k * (SELECT n FROM nq) AS BIGINT) AS n_possible
+          FROM spine s LEFT JOIN hits h ON s.k = h.k""",
 
     "sim_ivfpq_recall" ->
       s"""WITH $prepCte, ${kmeansCtes(2)}, ${pqCtes(2)}, ${pqEncCte(2)},

@@ -199,6 +199,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rangeHits(1).subsetOf(allProbe))
   }
 
+  test("sim_recall_curve: cumulative hits are monotone, bounded by k·|q|, " +
+      "and the k=3 point reproduces sim_ivf_recall exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.VectorOps.queries("sim_recall_curve")(spark, dir)
+      .select("k", "n_hits", "n_possible")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 10L))
+    got.foreach { case (k, h, p) => assert(h >= 0 && h <= p && p % k == 0) }
+    // cumulative: a hit at k counts at every k' ≥ k
+    assert(got.map(_._2).sliding(2).forall(w => w(0) <= w(1)))
+    // the curve's k=3 point IS sim_ivf_recall's total hit count
+    val r3 = graft.operators.VectorOps.queries("sim_ivf_recall")(spark, dir)
+      .agg(sum(col("n_hit"))).head().getLong(0)
+    assert(got(2)._2 == r3)
+    // the curve is informative: IVF at nProbe=2 misses something by k=10
+    assert(got.last._2 < got.last._3)
+    assert(got.last._2 > 0)
+  }
+
   test("sim_decontam flags only train docs, argmaxes the worst eval probe, " +
       "and its hit counts reconcile with ivfRange") {
     val dir = "/root/testdata/sf0.001"

@@ -622,17 +622,26 @@ object Cdc {
     // the state). Expected = the filtered feed; delivered = expected
     // minus a deterministic loss set (event_id % 211 == 0 — the
     // fixture's incident). Lost rows collapse to contiguous runs per
-    // worker via islands detection (delivery-order rank − row_number
-    // is constant within a run): two windows on the worker exchange,
-    // output is |runs| rows — no self-join, no driver loop.
+    // worker via islands detection (delivery-order rank − loss-order
+    // rank is constant within a run). The delivery rank is NOT a
+    // per-worker window (8 fat partitions would sort the whole history
+    // at scale) — it is the distributed prefix sum over (worker,
+    // ts-second) buckets, rebased per worker by subtracting the
+    // worker's first global position; only the LOSS set (incident-
+    // sized, not history-sized) rides a per-worker window after that.
     "cdc_journal_gaps" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("worker")).orderBy(col("ts_packed"), col("event_id"))
+      val ranked = Relational.prefixSum(
+        filtered(s, dir)
+          .withColumn("worker", Hashers.workerWhitelist(idColls, nWorkers))
+          .select(col("worker"), col("ts_packed"), col("event_id")),
+        lit(1L), struct(col("worker"), col("ts_packed"), col("event_id")),
+        struct(col("worker"), expr("ts_packed DIV 4294967296")), out = "gpos")
+      val base = ranked.groupBy(col("worker"))
+        .agg(min(col("gpos")).as("_first"))
       val wl = org.apache.spark.sql.expressions.Window
         .partitionBy(col("worker")).orderBy(col("pos"))
-      filtered(s, dir)
-        .withColumn("worker", Hashers.workerWhitelist(idColls, nWorkers))
-        .withColumn("pos", row_number().over(w).cast("long"))
+      ranked.join(broadcast(base), Seq("worker"))
+        .withColumn("pos", col("gpos") - col("_first") + 1L)
         .filter(col("event_id") % 211 === 0)
         .withColumn("island", col("pos") - row_number().over(wl))
         .groupBy(col("worker"), col("island"))

@@ -702,6 +702,55 @@ object Relational {
         .select(col("ts"), col("net_delta"), col("concurrency"))
     }),
 
+    // Multi-touch ATTRIBUTION — the marketing-analytics allocation every
+    // event warehouse runs: each purchase splits exactly 1,000,000 ppm
+    // of credit equally across the user's clicks in the trailing
+    // 24-hour window (integer division, remainder to the LAST touch so
+    // credits sum exactly; no-touch purchases convert 'direct' at full
+    // credit). The user×time pairing is the q15 binned-range-join shape
+    // WITH the user in the equi-key (clicks of other users never enter
+    // the join), window membership one-sided-filtered on the pair; the
+    // per-purchase rank/count windows run over the attribution pairs —
+    // bounded by clicks-per-window, never the corpus.
+    "q34_attribution" -> ((s, dir) => {
+      val winUs = 86400000000L
+      val e = Tables.loadEventsNs(s, dir)
+        .select(col("event_id"), expr("ts DIV 1000").as("ts"),
+          col("user_id"), col("event_type"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_event"), col("user_id"),
+          col("ts").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_event"), col("user_id"),
+          col("ts").as("c_ts"))
+      val lp = p.withColumn("_bin", explode(sequence(
+        expr(s"(p_ts - ${winUs}L) DIV ${winUs}L"), expr(s"p_ts DIV ${winUs}L"))))
+      val rc = c.withColumn("_bin", expr(s"c_ts DIV ${winUs}L"))
+      val pairs = lp.join(rc, Seq("user_id", "_bin"))
+        .filter(col("c_ts") <= col("p_ts") && col("c_ts") > col("p_ts") - winUs)
+        .drop("_bin")
+      val wSeq = Window.partitionBy(col("purchase_event"))
+        .orderBy(col("c_ts"), col("click_event"))
+      val attributed = pairs
+        .withColumn("touch_seq", row_number().over(wSeq).cast("long"))
+        .withColumn("n_touch", count(lit(1))
+          .over(Window.partitionBy(col("purchase_event"))))
+        .withColumn("credit_ppm", expr(
+          """CASE WHEN touch_seq = n_touch
+             THEN 1000000 - (n_touch - 1) * (1000000 DIV n_touch)
+             ELSE 1000000 DIV n_touch END"""))
+        .select(col("purchase_event"), col("user_id"), col("p_ts"),
+          col("click_event"), col("touch_seq"), col("n_touch"),
+          col("credit_ppm"))
+      val direct = p.join(pairs.select(col("purchase_event")).distinct(),
+          Seq("purchase_event"), "left_anti")
+        .select(col("purchase_event"), col("user_id"), col("p_ts"),
+          lit(null).cast("long").as("click_event"),
+          lit(0L).as("touch_seq"), lit(0L).as("n_touch"),
+          lit(1000000L).as("credit_ppm"))
+      attributed.unionByName(direct)
+    }),
+
     // Time-weighted aggregation over an irregular series — the financial/
     // IoT average where each observation holds until the next one (a
     // plain AVG over irregular samples over-weights bursts): per
@@ -1221,6 +1270,35 @@ object Relational {
            FROM d1)
          SELECT ts, net_delta, concurrency FROM c
          ORDER BY concurrency DESC, ts LIMIT 10""",
+
+    "q34_attribution" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts)//1000 AS ts, user_id,
+             event_type FROM events),
+         p AS (SELECT event_id AS purchase_event, user_id, ts AS p_ts
+               FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_event, user_id, ts AS c_ts
+               FROM e WHERE event_type = 'click'),
+         pairs AS (
+           SELECT p.purchase_event, p.user_id, p.p_ts, c.click_event, c.c_ts
+           FROM p JOIN c USING (user_id)
+           WHERE c_ts <= p_ts AND c_ts > p_ts - 86400000000),
+         a AS (
+           SELECT purchase_event, user_id, p_ts, click_event,
+             ROW_NUMBER() OVER (PARTITION BY purchase_event
+               ORDER BY c_ts, click_event) AS touch_seq,
+             COUNT(*) OVER (PARTITION BY purchase_event) AS n_touch
+           FROM pairs)
+         SELECT purchase_event, user_id, p_ts, click_event,
+           CAST(touch_seq AS BIGINT) AS touch_seq,
+           CAST(n_touch AS BIGINT) AS n_touch,
+           CAST(CASE WHEN touch_seq = n_touch
+             THEN 1000000 - (n_touch - 1) * (1000000 // n_touch)
+             ELSE 1000000 // n_touch END AS BIGINT) AS credit_ppm
+         FROM a
+         UNION ALL
+         SELECT purchase_event, user_id, p_ts, CAST(NULL AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
+         FROM p WHERE purchase_event NOT IN (SELECT purchase_event FROM pairs)""",
 
     "q33_time_weighted" ->
       """WITH e AS (SELECT event_id, event_type, epoch_ns(ts)//1000 AS ts_us,

@@ -284,4 +284,46 @@ class RelationalJoinSpec extends AnyFunSuite {
       .select("ord", "ps").as[(Long, Long)].collect().toMap
     assert(got2 === Map(5L -> 100L, 25L -> 101L))
   }
+
+  test("q34_attribution: every purchase's credits sum to exactly 1e6 ppm, " +
+      "touches respect the user + window, direct purchases complete the set") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.Relational.queries("q34_attribution")(spark, dir)
+      .select("purchase_event", "user_id", "p_ts", "click_event",
+        "touch_seq", "n_touch", "credit_ppm")
+      .as[(Long, Long, Long, Option[Long], Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // conservation: each purchase allocates exactly one million ppm
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._7).sum == 1000000L)
+      val n = rows.head._6
+      if (n == 0) assert(rows.length == 1 && rows.head._4.isEmpty)
+      else assert(rows.length == n &&
+        rows.map(_._5).sorted.toSeq == (1L to n))
+    }
+    // the attribution set covers every purchase exactly once
+    val ev = graft.Tables.loadEventsNs(spark, dir)
+      .select(col("event_id"), expr("ts DIV 1000").as("ts"),
+        col("user_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val purchases = ev.filter(_._4 == "purchase")
+    assert(got.map(_._1).distinct.length == purchases.length)
+    // window + user membership on every touch, against raw events
+    val clicks = ev.filter(_._4 == "click").map(e => e._1 -> e).toMap
+    val pByEvent = purchases.map(e => e._1 -> e).toMap
+    got.filter(_._4.isDefined).foreach { r =>
+      val cl = clicks(r._4.get)
+      val pu = pByEvent(r._1)
+      assert(cl._3 == pu._3) // same user
+      assert(cl._2 <= pu._2 && cl._2 > pu._2 - 86400000000L)
+    }
+    // directs are genuinely touchless
+    val direct = got.filter(_._4.isEmpty).map(_._1).toSet
+    direct.foreach { pe =>
+      val pu = pByEvent(pe)
+      assert(!ev.exists(e => e._4 == "click" && e._3 == pu._3 &&
+        e._2 <= pu._2 && e._2 > pu._2 - 86400000000L))
+    }
+    assert(direct.nonEmpty && got.exists(_._6 > 1))
+  }
 }

@@ -176,4 +176,46 @@ class StreamingStateScaleSpec extends AnyFunSuite {
     assert(totals.nonEmpty && totals.max == nKeys.toLong,
       s"per-key fold state is not |keys|: $totals")
   }
+
+  test("schema-alert registry state is |ns × fields| — schema-sized, " +
+      "never sighting-volume-sized") {
+    import graft.operators.StreamOps.{AlertSent, FieldSighting, SchemaAlert}
+    val w = work("schema_alert")
+    // adversarial volume: 4 namespaces × 5 fields × 500 re-sightings —
+    // a store that kept sightings would report 10,000 rows; the
+    // registry keeps exactly one boolean per (ns, field) = 20
+    val rows = for (n <- 0 until 4; f <- 0 until 5; i <- 0 until 500)
+      yield (s"app.u$n", s"field_$f", i.toLong * 100)
+    rows.toDF("ns", "field", "ts_us").coalesce(1).write.parquet(s"$w/feed")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ns",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("field",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.schema(schema).parquet(s"$w/feed")
+      .as[FieldSighting]
+      .groupByKey(r => (r.ns, r.field))
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        (key: (String, String), rs: Iterator[FieldSighting],
+            state: org.apache.spark.sql.streaming.GroupState[AlertSent]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(AlertSent(true))
+            Iterator.single(SchemaAlert(key._1, key._2, rs.map(_.ts_us).min,
+              baseline = true))
+          }
+        })
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$w/ckpt").option("path", s"$w/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    val totals = stateTotals(q)
+    assert(totals.nonEmpty && totals.max == 20L,
+      s"registry state is not |ns×fields|: $totals")
+    assert(spark.read.parquet(s"$w/out").count() == 20L)
+  }
 }

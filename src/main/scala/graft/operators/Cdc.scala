@@ -592,6 +592,27 @@ object Cdc {
     // G4/G6: per-worker checkpoint watermarks (min acked / newest ts).
     "cdc_checkpoint" -> ((s, dir) => Replay.checkpointByWorker(routed(s, dir))),
 
+    // DISASTER-RECOVERY rebootstrap drill — seed a brand-new replica
+    // from the MATERIALIZED state, not from the source (the move that
+    // rescues a deployment whose checkpoint fell off the capped oplog —
+    // cdc_oplog_sizing prices exactly that hazard — without re-reading
+    // the primary): every current document becomes one bootstrap insert
+    // carrying its provenance (last_event_id), the insert stream
+    // replays through the SAME apply path (Replay.materialize — no
+    // bespoke bootstrap writer to trust), and diffStates proves the
+    // re-seeded target ≡ the original state document-for-document. The
+    // oracle pins the all-equal verdict, so any divergence in the
+    // round-trip (apply, provenance, or diff) fails the gate. Output:
+    // the per-ns checker counters a real failover drill signs off on.
+    "cdc_rebootstrap" -> ((s, dir) => {
+      val state = Replay.materialize(filtered(s, dir))
+      val bootstrap = state.select(
+        col("last_event_id").as("event_id"), lit(0L).as("ts_packed"),
+        lit("i").as("op"), col("ns"), col("doc_key"),
+        col("last_value").as("value"))
+      Replay.diffStates(state, Replay.materialize(bootstrap))
+    }),
+
     // Oplog WINDOW SIZING — the capacity-planning report behind the
     // deployment's most consequential knob (reference operations: a
     // checkpoint that falls off the capped oplog forces a full resync —
@@ -1537,6 +1558,20 @@ object Cdc {
       s"""SELECT $workerSql AS worker,
           MIN(ts_packed) AS lsn_ack_min, MAX(ts_packed) AS lsn_newest, COUNT(*) AS n_logs
           FROM oplog WHERE $chainSql GROUP BY 1"""),
+
+    "cdc_rebootstrap" -> withOplog(
+      s"""SELECT ns, COUNT(*) AS n_equal,
+            CAST(0 AS BIGINT) AS n_mismatch,
+            CAST(0 AS BIGINT) AS n_src_only,
+            CAST(0 AS BIGINT) AS n_dst_only
+          FROM (
+            SELECT ns, doc_key FROM (
+              SELECT ns, doc_key, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM oplog WHERE $chainSql AND op IN ('i','u','d'))
+            WHERE rn = 1 AND op <> 'd')
+          GROUP BY ns"""),
 
     "cdc_oplog_sizing" -> withOplog(
       s"""SELECT worker, n_ops, span_us, approx_bytes,

@@ -377,6 +377,31 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc_rebootstrap: clean drill verifies every document; a corrupted " +
+      "re-seed flips exactly one counter (the gate is not vacuous)") {
+    val dir = "/root/testdata/sf0.001"
+    val report = graft.operators.Cdc.queries("cdc_rebootstrap")(spark, dir)
+      .select("ns", "n_equal", "n_mismatch", "n_src_only", "n_dst_only")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(report.nonEmpty)
+    assert(report.forall(r => r._2 > 0 && r._3 == 0 && r._4 == 0 && r._5 == 0))
+    // corrupt one bootstrap insert: the drill must SEE it
+    val state = Replay.materialize(
+      graft.model.Oplog.fromEvents(spark, dir)
+        .filter(OplogFilters.chain(Seq(""),
+          Seq("^app\\.users_[0-9]+$"), Seq("^app\\.users_3$"))))
+    val someKey = state.select("doc_key").orderBy("doc_key").head().getString(0)
+    val corrupt = state.select(
+      col("last_event_id").as("event_id"), lit(0L).as("ts_packed"),
+      lit("i").as("op"), col("ns"), col("doc_key"),
+      when(col("doc_key") === someKey, col("last_value") + 1.0)
+        .otherwise(col("last_value")).as("value"))
+    val diff = Replay.diffStates(state, Replay.materialize(corrupt))
+      .agg(sum(col("n_mismatch")), sum(col("n_equal"))).head()
+    assert(diff.getLong(0) >= 1L)
+    assert(diff.getLong(0) + diff.getLong(1) == report.map(_._2).sum)
+  }
+
   test("cdc_oplog_sizing: per-worker rates are integer-consistent and " +
       "op totals reconcile with the routing stats") {
     val dir = "/root/testdata/sf0.001"

@@ -68,7 +68,8 @@ object StreamOps {
     "stream_scd2" -> ((s, dir) => runScd2(s, dir)),
     "stream_asof_enrich" -> ((s, dir) => runAsofEnrich(s, dir)),
     "stream_late_audit" -> ((s, dir) => runLateAudit(s, dir)),
-    "stream_schema_alert" -> ((s, dir) => runSchemaAlert(s, dir)))
+    "stream_schema_alert" -> ((s, dir) => runSchemaAlert(s, dir)),
+    "stream_drift_alert" -> ((s, dir) => runDriftAlert(s, dir)))
 
   /** Stage a multi-file feed whose files must be consumed IN ORDER by a
     * `maxFilesPerTrigger = 1` file source: write each part, then pin
@@ -1779,6 +1780,64 @@ object StreamOps {
     out.iterator
   }
 
+  /** LIVE distribution-drift monitor — pipe_drift_monitor's shift gate
+    * on the ingest stream itself: batch 0 freezes the language-share
+    * baseline, every later micro-batch compares its own shares (integer
+    * ppm) against it and emits one row per (batch, lang) with the
+    * alert verdict (|Δ| > 3%). foreachBatch is the engine-idiomatic
+    * seam (the same two-phase shape IncrSync's apply uses): the
+    * per-batch aggregate is |langs| rows, the baseline a |langs|-row
+    * table — nothing here scales with batch size except the one
+    * codegen'd groupBy.
+    */
+  private def runDriftAlert(s: SparkSession, dir: String): DataFrame = {
+    val work = graft.Work.dir("stream_drift_alert_q")
+    IncrSync.deletePath(s, work)
+    val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"))
+      .localCheckpoint()
+    val b = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (d0, d1) = (b.getLong(0), b.getLong(1))
+    val (c1, c2) = (d0 + (d1 - d0) / 3, d0 + 2 * (d1 - d0) / 3)
+    stageOrdered(s, s"$work/feed", Seq(
+      d.filter(col("doc_id") <= c1),
+      d.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      d.filter(col("doc_id") > c2)))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val agg = batch.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val tot = agg.agg(sum(col("n"))).head().getLong(0)
+        val ppm = agg.select(col("lang"),
+          expr(s"n * 1000000 DIV ${tot}L").as("cur_ppm"))
+        if (batchId == 0L) {
+          ppm.select(col("lang"), col("cur_ppm").as("base_ppm"))
+            .write.parquet(s"$work/baseline")
+        } else {
+          val base = s.read.parquet(s"$work/baseline")
+          ppm.join(base, Seq("lang"), "left_outer")
+            .select(lit(batchId).as("batch_seq"), col("lang"),
+              coalesce(col("base_ppm"), lit(0L)).as("base_ppm"),
+              col("cur_ppm"),
+              (col("cur_ppm") - coalesce(col("base_ppm"), lit(0L)))
+                .as("delta_ppm"))
+            .withColumn("alert", abs(col("delta_ppm")) > 30000L)
+            .write.mode("append").parquet(s"$work/out")
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
   case class FieldSighting(ns: String, field: String, ts_us: Long)
   case class AlertSent(sent: Boolean)
   case class SchemaAlert(ns: String, field: String, first_seen_us: Long,
@@ -2224,6 +2283,30 @@ object StreamOps {
           SELECT ns, field, first_seen_us,
             first_seen_us <= t0 + (t1 - t0) // 3 AS baseline
           FROM first, b"""),
+
+    // Closed form of the baseline-vs-batch share comparison: the corpus
+    // split at its doc_id terciles, shares in integer ppm per tercile,
+    // terciles 1-2 compared against tercile 0.
+    "stream_drift_alert" ->
+      """WITH b AS (SELECT MIN(doc_id) AS d0, MAX(doc_id) AS d1 FROM documents),
+          t AS (
+            SELECT lang,
+              CASE WHEN doc_id <= d0 + (d1 - d0) // 3 THEN 0
+                   WHEN doc_id <= d0 + 2 * (d1 - d0) // 3 THEN 1
+                   ELSE 2 END AS f
+            FROM documents, b),
+          s AS (
+            SELECT f, lang, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(COUNT(*)) OVER (PARTITION BY f) AS BIGINT) AS tot
+            FROM t GROUP BY 1, 2),
+          p AS (SELECT f, lang, CAST(n * 1000000 // tot AS BIGINT) AS ppm FROM s),
+          base AS (SELECT lang, ppm AS base_ppm FROM p WHERE f = 0)
+          SELECT CAST(c.f AS BIGINT) AS batch_seq, c.lang,
+            COALESCE(bb.base_ppm, CAST(0 AS BIGINT)) AS base_ppm,
+            c.ppm AS cur_ppm,
+            c.ppm - COALESCE(bb.base_ppm, CAST(0 AS BIGINT)) AS delta_ppm,
+            abs(c.ppm - COALESCE(bb.base_ppm, CAST(0 AS BIGINT))) > 30000 AS alert
+          FROM p c LEFT JOIN base bb USING (lang) WHERE c.f > 0""",
 
     // Closed form of the running-baseline flag: a strict-prefix window
     // per event_type, the same integer cross-multiplied comparison.

@@ -844,6 +844,24 @@ object TextOps {
       Dedup.contamination(docs(s, dir), col("doc_id"), col("text"),
         benchPred = col("doc_id") % 50 === 0)),
 
+    // Quality-gate threshold CALIBRATION — the sweep a gate threshold is
+    // actually chosen by (what fraction of each language survives at
+    // 0.3 / 0.4 / 0.5 / 0.6 / 0.7?): one scan scores the corpus, a
+    // 5-element explode prices every (threshold, lang) cell with
+    // integer pass counts and pass rate in ppm. text_quality applies
+    // ONE threshold; this is the curve that justifies it — and shows
+    // the per-language bias a single global cut introduces.
+    "text_quality_calibration" -> ((s, dir) => {
+      val ths = Seq(300L, 400L, 500L, 600L, 700L)
+      docs(s, dir)
+        .select(col("lang"), Text.qualityScore(col("text")).as("q"),
+          explode(array(ths.map(lit): _*)).as("th_milli"))
+        .groupBy(col("th_milli"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("q") >= col("th_milli") / 1000.0).cast("long")).as("n_pass"))
+        .withColumn("pass_ppm", expr("n_pass * 1000000 DIV n_docs"))
+    }),
+
     // Per-document NOVELTY profile — how much of each document's 3-gram
     // vocabulary first enters the corpus WITH that document (doc_id =
     // ingest order): the memorization/duplication long-tail diagnostic
@@ -2024,6 +2042,23 @@ object TextOps {
             CAST((length(c) - length(replace(c, '<PHONE>', ''))) / 7 AS BIGINT) AS n_phone,
             CAST((length(c) - length(replace(c, '<IP>', ''))) / 4 AS BIGINT) AS n_ip
           FROM clean""",
+
+    "text_quality_calibration" ->
+      s"""WITH sc AS (
+            SELECT lang,
+              0.4 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) / 8.0, 1.0)
+            + 0.3 * (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE))
+            + 0.3 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) AS q
+            FROM documents),
+          g AS (
+            SELECT th_milli, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN q >= CAST(th_milli AS DOUBLE) / 1000.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+            FROM sc, (SELECT unnest([300, 400, 500, 600, 700]) AS th_milli)
+            GROUP BY 1, 2)
+          SELECT CAST(th_milli AS BIGINT) AS th_milli, lang, n_docs, n_pass,
+            CAST(n_pass * 1000000 // n_docs AS BIGINT) AS pass_ppm
+          FROM g""",
 
     "text_ngram_novelty" ->
       s"""WITH sh AS (

@@ -978,6 +978,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.exists(_ <= tcut) && out.exists(_ > tcut))
   }
 
+  test("stream_drift_alert: every post-baseline batch prices every lang, " +
+      "the 3% gate separates alerts from noise, deltas reconcile exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.StreamOps.queries("stream_drift_alert")(spark, dir)
+      .select("batch_seq", "lang", "base_ppm", "cur_ppm", "delta_ppm", "alert")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+    assert(got.map(_._1).toSet == Set(1L, 2L))
+    got.foreach { r =>
+      assert(r._5 == r._4 - r._3)
+      assert(r._6 == (math.abs(r._5) > 30000L))
+    }
+    // the gate is live in both directions
+    assert(got.exists(_._6) && got.exists(!_._6))
+    // exact reconciliation against the batch tercile recompute
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val (d0, d1) = (d.map(_._1).min, d.map(_._1).max)
+    def tercile(id: Long): Long =
+      if (id <= d0 + (d1 - d0) / 3) 0L
+      else if (id <= d0 + 2 * (d1 - d0) / 3) 1L else 2L
+    val byT = d.groupBy(r => tercile(r._1))
+    def ppm(t: Long): Map[String, Long] = {
+      val rows = byT(t); val tot = rows.length.toLong
+      rows.groupBy(_._2).view.mapValues(_.length * 1000000L / tot).toMap
+    }
+    val base = ppm(0L)
+    got.foreach { r =>
+      assert(r._3 == base.getOrElse(r._2, 0L))
+      assert(r._4 == ppm(r._1)(r._2))
+    }
+  }
+
   test("stream_schema_alert: exactly one alert per (ns, field) across a " +
       "3-batch feed; universal fields are baseline, drift fields can't precede it") {
     val dir = "/root/testdata/sf0.001"

@@ -341,6 +341,28 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("text_quality_calibration: pass counts are monotone in the " +
+      "threshold and the 0.5 column reproduces text_quality exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.TextOps.queries("text_quality_calibration")(spark, dir)
+      .select("th_milli", "lang", "n_docs", "n_pass", "pass_ppm")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == Set(300L, 400L, 500L, 600L, 700L))
+    got.foreach(r => assert(r._5 == r._4 * 1000000L / r._3 && r._4 <= r._3))
+    // per lang: raising the threshold never passes more documents
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val byTh = rows.sortBy(_._1).map(_._4)
+      assert(byTh.sliding(2).forall(w => w(0) >= w(1)))
+      assert(rows.map(_._3).distinct.length == 1)
+    }
+    // the 0.5 cut telescopes to exactly the shipped gate's output
+    val gate = graft.operators.TextOps.queries("text_quality")(spark, dir).count()
+    assert(got.filter(_._1 == 500L).map(_._4).sum == gate)
+    // the sweep is informative: not all thresholds pass the same count
+    assert(got.filter(_._1 == 300L).map(_._4).sum >
+      got.filter(_._1 == 700L).map(_._4).sum)
+  }
+
   test("text_ngram_novelty: the first document is fully novel, novelty " +
       "telescopes to the distinct-shingle count, near-dups score low") {
     val dir = "/root/testdata/sf0.001"

@@ -254,6 +254,75 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
         col("n_inter"), col("jaccard_low"))
 
+  /** COMPLETE threshold-Jaccard self-join via prefix filtering (the
+    * AllPairs/PPJoin principle — Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08): every pair with J ≥ thrNum/thrDen is found, with a
+    * provably-sufficient candidate set far smaller than a full inverted
+    * index. This is the EXACT counterpart to [[minhashLsh]] (probabilistic
+    * recall) and to [[ngramJaccard]]'s df-cutoff (which can miss a pair
+    * whose only shared shingles are common): prefix filtering misses
+    * nothing and needs no recall tuning.
+    *
+    * Principle: order every document's shingles by ONE global total order
+    * (ascending document frequency, ties by hash — rarest first). For
+    * J(A,B) ≥ t, the overlap i satisfies i ≥ ⌈t·|A|⌉ (from i ≥
+    * t(|A|+|B|)/(1+t) and |B| ≥ i), so indexing only each document's
+    * first |A| − ⌈t·|A|⌉ + 1 shingles guarantees any qualifying pair
+    * still collides on ≥1 indexed shingle (prefix-filtering lemma). At
+    * t = 1/2 the index holds ~half of each document's shingles — and the
+    * CORPUS-HOTTEST shingles sort last, so boilerplate n-grams that blow
+    * up a plain inverted index are structurally excluded from prefixes
+    * unless a document consists of almost nothing else.
+    *
+    * Scale shape: one groupBy(shingle) for global df (partial-agg), one
+    * per-document window (partitioned by doc_id — never global) to rank
+    * shingles, the prefix-index equi-join on `shingle`, a size filter
+    * (t·|A| ≤ |B| ≤ |A|/t cross-multiplied) BEFORE pair-dedup, then the
+    * usual verify re-join. All verdicts integer-exact.
+    */
+  def prefixFilterJaccard(docs: DataFrame, id: Column, text: Column,
+      shingleN: Int = 4, thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
+    val sh = docs.select(id.as("doc_id"),
+      array_distinct(transform(shingles(text, shingleN), s => phash64(s))).as("s"))
+      .localCheckpoint()
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+    val df = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // Rank each document's shingles under the single global (df, shingle)
+    // order; keep rank ≤ n − ⌈n·t⌉ + 1. Per-doc window: shuffles by
+    // doc_id, sorts ≤ |doc shingles| rows per key — never a global sort.
+    val ranked = ex.join(df, Seq("shingle"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("shingle"))))
+    val sized = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
+    val pref = ranked.join(sized, Seq("doc_id"))
+      .filter(col("rk") <=
+        col("n") - expr(s"(n * $thrNum + ${thrDen - 1}) DIV $thrDen") + 1)
+      .select(col("doc_id"), col("shingle"), col("n"))
+    // Candidate pairs share an indexed prefix shingle AND pass the size
+    // filter (J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|)) — applied on
+    // the join output BEFORE the distinct, so ineligible-size pairs never
+    // reach the pair exchange.
+    val cand = pref.select(col("doc_id").as("doc_a"), col("shingle"),
+        col("n").as("n_a"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("shingle"),
+        col("n").as("n_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("n_a") * thrNum <= col("n_b") * thrDen &&
+        col("n_b") * thrNum <= col("n_a") * thrDen)
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .withColumn("n_a", size(col("sa")).cast("long"))
+      .withColumn("n_b", size(col("sb")).cast("long"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(col("n_inter") * thrDen >= col("n_union") * thrNum)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+  }
+
   // --- Cluster dedup (connected components) --------------------------------
 
   /** Connected components over a near-dup pair graph: the "keep one doc

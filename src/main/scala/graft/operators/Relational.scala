@@ -773,6 +773,30 @@ object Relational {
           sum(col("cents") * col("hold_us")).as("weighted_cents_us"),
           sum(col("hold_us")).as("span_us"),
           min(col("ts_us")).as("t_first"), max(col("ts_us")).as("t_last"))
+    }),
+
+    // Weighted PAGERANK over the customer↔supplier purchase graph — the
+    // iterative link-analysis class (PageRank / importance propagation) a
+    // corpus-curation or entity-graph pipeline runs on Spark as K rounds
+    // of join + partial-aggregatable groupBy (the Pregel-lite shape; no
+    // GraphX, no driver-side adjacency). Edge weight = lineitem count
+    // between the pair, both directions; rank is integer ppm with
+    // floor division at every step, so the fixpoint prefix is
+    // deterministic and order-independent — the oracle unrolls the SAME
+    // three rounds as CTEs. Damping 85/100, teleport 150000 ppm.
+    "q35_pagerank" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .agg(count(lit(1)).as("w"))
+      val edges = cs.select(concat(lit("c"), col("cust")).as("src"),
+          concat(lit("s"), col("supp")).as("dst"), col("w"))
+        .unionByName(cs.select(concat(lit("s"), col("supp")).as("src"),
+          concat(lit("c"), col("cust")).as("dst"), col("w")))
+      pageRank(edges, iters = 3)
     })
   )
 
@@ -910,6 +934,44 @@ object Relational {
     local.join(broadcast(offs), Seq("_ps_bkt"))
       .withColumn(out, col(out) + col("_ps_off"))
       .drop("_ps_bkt", "_ps_off")
+  }
+
+  /** Fixed-iteration weighted PageRank in integer ppm — K rounds of the
+    * Pregel-lite Spark shape: join(rank ⋈ edges on src) then
+    * groupBy(dst) sum, both hash-partitioned on the SAME key family so
+    * AQE reuses the exchange layout; the edge table (with its out-weight
+    * attached once) is lineage-cut a single time and re-joined each
+    * round, and each round's rank table is lineage-cut so the plan never
+    * nests K joins deep. Contributions floor-divide (`rank·w DIV out_w`)
+    * and the damped update floor-divides again, so every intermediate is
+    * an exact int64 (bounded by 85 · |nodes| · 10⁶ ≪ 2⁶³) and the
+    * result is bit-stable across partitionings — no floating-point
+    * drift, no convergence epsilon: K is part of the operator contract.
+    *
+    * Input contract: `edges(src, dst, w)` where every node occurs as a
+    * `src` at least once (symmetric/undirected constructions guarantee
+    * this; a directed graph with sinks should pre-union reverse edges or
+    * accept sink-mass loss exactly as classic PageRank does).
+    */
+  def pageRank(edgesIn: DataFrame, iters: Int = 3, dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    val teleport = 1000000L - dampNum * 1000000L / dampDen
+    val edges = edgesIn.localCheckpoint()
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val withOut = edges.join(outW, Seq("src")).localCheckpoint()
+    var ranks = outW.select(col("src").as("node"))
+      .withColumn("rank_ppm", lit(1000000L)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = withOut
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(rank_ppm * w) DIV out_w").as("contrib"))
+      ranks = contrib.groupBy(col("node"))
+        .agg(expr(s"$teleport + ($dampNum * sum(contrib)) DIV $dampDen")
+          .as("rank_ppm"))
+        .localCheckpoint()
+    }
+    ranks
   }
 
   private def zorderSql: String =
@@ -1311,6 +1373,36 @@ object Relational {
            CAST(SUM(cents * hold_us) AS BIGINT) AS weighted_cents_us,
            CAST(SUM(hold_us) AS BIGINT) AS span_us,
            MIN(ts_us) AS t_first, MAX(ts_us) AS t_last
-         FROM h WHERE hold_us IS NOT NULL GROUP BY 1"""
+         FROM h WHERE hold_us IS NOT NULL GROUP BY 1""",
+
+    "q35_pagerank" ->
+      """WITH cs AS (
+           SELECT o_custkey AS cust, l_suppkey AS supp, COUNT(*) AS w
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT 'c' || CAST(cust AS VARCHAR) AS src,
+             's' || CAST(supp AS VARCHAR) AS dst, w FROM cs
+           UNION ALL
+           SELECT 's' || CAST(supp AS VARCHAR),
+             'c' || CAST(cust AS VARCHAR), w FROM cs),
+         outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY 1),
+         e2 AS (SELECT e.src, e.dst, e.w, o.out_w
+           FROM edges e JOIN outw o USING (src)),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_ppm
+           FROM outw),
+         r1 AS (SELECT e2.dst AS node,
+             150000 + (85 * SUM((r0.rank_ppm * e2.w) // e2.out_w)) // 100
+               AS rank_ppm
+           FROM e2 JOIN r0 ON r0.node = e2.src GROUP BY 1),
+         r2 AS (SELECT e2.dst AS node,
+             150000 + (85 * SUM((r1.rank_ppm * e2.w) // e2.out_w)) // 100
+               AS rank_ppm
+           FROM e2 JOIN r1 ON r1.node = e2.src GROUP BY 1),
+         r3 AS (SELECT e2.dst AS node,
+             150000 + (85 * SUM((r2.rank_ppm * e2.w) // e2.out_w)) // 100
+               AS rank_ppm
+           FROM e2 JOIN r2 ON r2.node = e2.src GROUP BY 1)
+         SELECT node, CAST(rank_ppm AS BIGINT) AS rank_ppm FROM r3"""
   )
 }

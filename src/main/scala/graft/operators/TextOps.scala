@@ -1193,6 +1193,15 @@ object TextOps {
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(docs(s, dir), col("doc_id"), col("text"))),
 
+    // COMPLETE threshold-Jaccard join via prefix filtering (AllPairs/
+    // PPJoin): rarest-first global shingle order, index only each doc's
+    // first n − ⌈n/2⌉ + 1 shingles, size-filter candidates, verify
+    // exactly. The ORACLE is the brute-force all-pairs join — the gate
+    // literally proves the prefix index loses no pair, the property LSH
+    // (probabilistic) and df-cutoff (heuristic) cannot offer.
+    "dedup_prefix_filter" -> ((s, dir) =>
+      Dedup.prefixFilterJaccard(docs(s, dir), col("doc_id"), col("text"))),
+
     // Dedup-quality evaluation — the recall measurement a banding config
     // is tuned by (bands × rows trade candidate volume for recall, the
     // S-curve): exact 3-shingle Jaccard ≥ 0.5 over a bounded PROBE set
@@ -2360,6 +2369,19 @@ object TextOps {
           SELECT doc_a, doc_b, n_a, n_b, n_inter,
             n_inter * 3 < n_a + n_b AS jaccard_low
           FROM c WHERE n_inter * 5 >= least(n_a, n_b) * 4""",
+
+    "dedup_prefix_filter" ->
+      s"""WITH sh AS (SELECT doc_id, ${hashedShingleSql(4, mod = "")} AS s
+            FROM (SELECT doc_id, $toks AS t FROM documents)),
+          c AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+              CAST(len(a.s) AS BIGINT) + CAST(len(b.s) AS BIGINT)
+                - CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(a.s) > 0 AND len(b.s) > 0)
+          SELECT doc_a, doc_b, n_inter, n_union
+          FROM c WHERE n_inter * 2 >= n_union * 1""",
 
     "dedup_simhash" ->
       s"""WITH sh AS (SELECT doc_id, unnest(s) AS shingle

@@ -326,4 +326,26 @@ class RelationalJoinSpec extends AnyFunSuite {
     }
     assert(direct.nonEmpty && got.exists(_._6 > 1))
   }
+
+  test("pageRank: hand-computed star-graph fixpoint prefix, spoke symmetry, " +
+      "integer determinism across partitionings") {
+    // Star: hub h ↔ spokes s1..s4, all weights 1 (undirected → 8 edges).
+    // K=1: r(h) = 150000 + 85·(4·1e6) DIV 100 = 3550000
+    //      r(s) = 150000 + 85·(1e6 DIV 4) DIV 100 = 362500
+    // K=2: r(h) = 150000 + 85·(4·362500) DIV 100 = 1382500
+    //      r(s) = 150000 + 85·(3550000 DIV 4) DIV 100 = 904375
+    val base = Seq("s1", "s2", "s3", "s4").flatMap(s =>
+      Seq(("h", s, 1L), (s, "h", 1L)))
+    def run(iters: Int, parts: Int) = Relational.pageRank(
+        base.toDF("src", "dst", "w").repartition(parts), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k1 = run(1, 3)
+    assert(k1("h") == 3550000L)
+    assert(Seq("s1", "s2", "s3", "s4").forall(k1(_) == 362500L))
+    val k2 = run(2, 3)
+    assert(k2("h") == 1382500L)
+    assert(Seq("s1", "s2", "s3", "s4").forall(k2(_) == 904375L))
+    // Integer floors make the result bit-stable under any partitioning.
+    assert(run(2, 7) == k2)
+  }
 }

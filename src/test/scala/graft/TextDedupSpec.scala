@@ -535,4 +535,36 @@ class TextDedupSpec extends AnyFunSuite {
     // and the resemblance pass indeed misses it at its 0.5 bar
     assert(Dedup.ngramJaccard(docs, col("doc_id"), col("text")).count() == 0L)
   }
+
+  test("prefixFilterJaccard: equals brute force (completeness), and finds the " +
+      "common-shingle pair that a df-cutoff inverted index structurally misses") {
+    // Docs 1 and 2 are IDENTICAL (J = 1), but every one of their shingles
+    // also appears in docs 3..12 (df = 12 for all of them): a df-cutoff
+    // index with maxDf below 12 drops all their shingles and never pairs
+    // them. The prefix index keeps each doc's rarest-half shingles
+    // regardless of absolute df, so the pair survives by construction.
+    val core = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = (Seq((1L, core), (2L, core)) ++
+      (3L to 12L).map(i => (i, core + " " + (1 to 40).map(j => s"u${i}x$j").mkString(" ")))
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJaccard(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // Brute force over the same hashed 4-shingle sets, J ≥ 1/2 ⟺ 3i ≥ a+b.
+    val sets = docs.select(col("doc_id"), array_distinct(transform(
+        Text.shingles(col("text"), 4),
+        x => graft.functions.Portable.phash64(x))).as("s"))
+      .as[(Long, Seq[Long])].collect().map(t => t._1 -> t._2.toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) & sets(b)).size.toLong
+      u = sets(a).size + sets(b).size - i
+      if sets(a).nonEmpty && sets(b).nonEmpty && i * 2 >= u
+    } yield (a, b, i, u)).toSet
+    assert(got == brute)
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L)) // the planted pair
+    // df-cutoff at maxDf=5 misses it (its shingles all have df 12)…
+    assert(!Dedup.ngramJaccard(docs, col("doc_id"), col("text"), maxDf = 5)
+      .collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    // …while the prefix filter needed no recall knob at all.
+  }
 }

@@ -1897,7 +1897,8 @@ object StreamOps {
 
   case class AsofRow(event_id: Long, user_id: Long, kind: String,
     ts_us: Long, cents: Long)
-  /** `dimEvent == 0` means no dimension version has arrived yet. */
+  /** `hasDim = false` means no dimension version has arrived yet (the
+    * dim fields are then meaningless — event_id 0 is a real event). */
   case class AsofState(hasDim: Boolean, dimEvent: Long, dimTs: Long,
     dimCents: Long)
   case class AsofHit(purchase_event: Long, user_id: Long, ts_us: Long,

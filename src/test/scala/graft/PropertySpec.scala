@@ -321,4 +321,36 @@ class PropertySpec extends AnyFunSuite {
       assert(got == oracle, s"bucket granularity ${100 << i}")
     }
   }
+
+  test("prefix-filter law: prefixFilterJaccard ≡ brute-force threshold join " +
+      "on random corpora with a shared vocabulary, at two thresholds") {
+    // Small shared vocabulary forces heavy shingle collisions across docs —
+    // the regime where the prefix index earns its keep and where a pruning
+    // bug would actually drop pairs.
+    val docGen = Gen.listOfN(14, for {
+      n <- Gen.choose(4, 18)
+      ws <- Gen.listOfN(n, Gen.choose(0, 11).map(i => s"v$i"))
+    } yield ws.mkString(" "))
+    samples(docGen, 3).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").repartition(5)
+      val sets = docs.select(col("doc_id"), array_distinct(transform(
+          graft.functions.Text.shingles(col("text"), 4),
+          x => graft.functions.Portable.phash64(x))).as("s"))
+        .as[(Long, Seq[Long])].collect().map(t => t._1 -> t._2.toSet).toMap
+      for ((tn, td) <- Seq((1, 2), (4, 5))) {
+        val got = graft.functions.Dedup.prefixFilterJaccard(docs,
+            col("doc_id"), col("text"), thrNum = tn, thrDen = td)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        val brute = (for {
+          a <- sets.keys; b <- sets.keys if a < b
+          if sets(a).nonEmpty && sets(b).nonEmpty
+          i = (sets(a) & sets(b)).size.toLong
+          u = sets(a).size + sets(b).size - i
+          if i * td >= u * tn
+        } yield (a, b, i, u)).toSet
+        assert(got == brute, s"threshold $tn/$td")
+      }
+    }
+  }
 }

@@ -57,6 +57,56 @@ object Dedup {
           })
   }
 
+  /** One LSH band-bucket hit for an arriving document: the earliest
+    * already-seen document in that bucket.
+    */
+  case class NearDupCand(doc_id: Long, cand: Long)
+  /** One exploded LSH band row (public: Catalyst's generated encoder
+    * cannot deserialize into a private class).
+    */
+  case class BandRow(doc_id: Long, band: Int, sig: String)
+
+  /** Streaming NEAR-dup marking at ingest — the continuous analogue of
+    * [[minhashLshIncremental]]: each arriving document's LSH bands probe a
+    * STANDING band index held in stream state, emitting (doc, earliest
+    * bucket-mate) candidate hits; the batch path's band self-join never
+    * runs. State per (band, bucket-signature) is ONE long — the minimum
+    * doc_id ever seen in that bucket — so a boilerplate bucket that would
+    * hold 10^6 documents costs the state store 8 bytes, and no bucket cap
+    * is needed at all (the batch op's `maxBandBucket` guard exists
+    * precisely because it must materialize bucket MEMBERSHIP for its
+    * self-join; a min-ledger doesn't).
+    *
+    * Contract: documents arrive in ascending doc_id order (the ingest
+    * sequence number); within a micro-batch each bucket group is folded in
+    * id order, so `cand` is exactly the least earlier document sharing
+    * that bucket. min(cand) over a doc's hits = the least earlier document
+    * sharing ANY band — closed-form in SQL, which is what the oracle
+    * replays. Verification (exact Jaccard on the candidate pair) joins the
+    * signature store downstream, as the incremental batch path does.
+    * Input column contract: `doc_id` (long), `text` (string).
+    */
+  def streamingNearDupCandidates(stream: DataFrame, shingleN: Int = 3,
+      bands: Int = 4, rowsPerBand: Int = 4): Dataset[NearDupCand] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val sig = minhashSignatures(stream, col("doc_id"), col("text"),
+      shingleN, bands * rowsPerBand)
+    bandTable(sig, bands, rowsPerBand).as[BandRow]
+      .groupByKey(r => (r.band, r.sig))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, String), rows: Iterator[BandRow], state: GroupState[Long]) => {
+          val out = scala.collection.mutable.ListBuffer.empty[NearDupCand]
+          var m = if (state.exists) state.get else Long.MaxValue
+          for (id <- rows.map(_.doc_id).toSeq.sorted) {
+            if (m < id) out += NearDupCand(id, m)
+            m = math.min(m, id)
+          }
+          state.update(m)
+          out.iterator
+        })
+  }
+
   // --- MinHash -----------------------------------------------------------
 
   /** Universal-hash permutation family over 32-bit shingle hashes:
@@ -118,21 +168,28 @@ object Dedup {
     verifyPairs(pairs, sig, threshold)
   }
 
-  /** Band table with the quadratic-blowup bucket cap (shared by the batch
-    * self-join and the incremental probe).
+  /** Flat (doc_id, band, sig) band table — a stateless projection +
+    * explode, so it runs identically on batch and STREAMING inputs
+    * (the streaming near-dup ledger keys its state on these rows).
     */
-  private def boundedBands(sig: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBandBucket: Int): DataFrame = {
+  def bandTable(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*).as("sig"))
     }: _*)
     sig.select(col("doc_id"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Band table with the quadratic-blowup bucket cap (shared by the batch
+    * self-join and the incremental probe).
+    */
+  private def boundedBands(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBandBucket: Int): DataFrame =
+    bandTable(sig, bands, rowsPerBand)
       .withColumn("bkt_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
       .filter(col("bkt_n") <= maxBandBucket)
-  }
 
   /** Attach both shingle sets to id-pairs and verify exact Jaccard. */
   private def verifyPairs(pairs: DataFrame, sig: DataFrame,

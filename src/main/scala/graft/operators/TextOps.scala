@@ -1132,6 +1132,53 @@ object TextOps {
       s.read.parquet(s"$work/out").select(col("digest"), col("doc_id"))
     }),
 
+    // Streaming NEAR-dup marking at ingest — the stateful sibling of
+    // dedup_stream_exact and the continuous analogue of
+    // dedup_minhash_incr: arriving docs' LSH bands probe a standing band
+    // index in stream state (ONE long per bucket — the min doc_id seen),
+    // three ordered id-range files prove cross-batch probing, and the
+    // post-drain fold verifies exact Jaccard on each (doc, earliest
+    // band-mate) hit. The oracle replays the ledger closed-form: min
+    // earlier doc sharing any band.
+    "dedup_stream_neardup" -> ((s, dir) => {
+      val work = graft.Work.dir("dedup_stream_neardup_q")
+      graft.streaming.IncrSync.deletePath(s, work)
+      val d = docs(s, dir).select(col("doc_id"), col("text")).localCheckpoint()
+      val b = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      StreamOps.stageOrdered(s, s"$work/feed", Seq(
+        d.filter(col("doc_id") <= c1),
+        d.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        d.filter(col("doc_id") > c2)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      val q = Dedup.streamingNearDupCandidates(stream).writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .option("path", s"$work/out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").start()
+      q.awaitTermination()
+      val dup = s.read.parquet(s"$work/out")
+        .groupBy(col("doc_id")).agg(min(col("cand")).as("dup_of"))
+      val sig = Dedup.minhashSignatures(d, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("s")).localCheckpoint()
+      dup.join(sig.select(col("doc_id"), col("s").as("sa")), Seq("doc_id"))
+        .join(sig.select(col("doc_id").as("dup_of"), col("s").as("sb")),
+          Seq("dup_of"))
+        .withColumn("n_inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("n_union", size(col("sa")).cast("long") +
+          size(col("sb")).cast("long") - col("n_inter"))
+        .select(col("doc_id"), col("dup_of"), col("n_inter"), col("n_union"),
+          (col("n_inter") * 2 >= col("n_union")).as("near_dup"))
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -2227,6 +2274,30 @@ object TextOps {
                 THEN MIN(doc_id) FILTER (WHERE doc_id % 2 = 0)
                 ELSE MIN(doc_id) END AS doc_id
          FROM dg GROUP BY digest""",
+
+    "dedup_stream_neardup" ->
+      s"""WITH base AS (SELECT doc_id, ${hashedShingleSql(3)} AS s
+            FROM (SELECT doc_id, $toks AS t, text FROM documents)),
+          sig AS (SELECT doc_id, s, ${minhashExprs.mkString(", ")} FROM base),
+          banded AS (
+            SELECT doc_id, band,
+              CASE band ${(0 until 4).map(b => s"WHEN $b THEN ${bandSigSql(b)}").mkString(" ")} END AS bsig
+            FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)),
+          cand AS (
+            SELECT late.doc_id AS doc_id, MIN(early.doc_id) AS dup_of
+            FROM banded early JOIN banded late
+              ON early.band = late.band AND early.bsig = late.bsig
+                AND early.doc_id < late.doc_id
+            GROUP BY late.doc_id)
+          SELECT c.doc_id, c.dup_of,
+            CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+            CAST(len(a.s) AS BIGINT) + CAST(len(b.s) AS BIGINT)
+              - CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union,
+            2 * CAST(len(list_intersect(a.s, b.s)) AS BIGINT) >=
+              CAST(len(a.s) AS BIGINT) + CAST(len(b.s) AS BIGINT)
+              - CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS near_dup
+          FROM cand c JOIN sig a ON a.doc_id = c.doc_id
+            JOIN sig b ON b.doc_id = c.dup_of""",
 
     "dedup_minhash_lsh" ->
       s"WITH ${minhashPairCtes()} SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5",

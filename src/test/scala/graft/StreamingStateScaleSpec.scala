@@ -218,4 +218,39 @@ class StreamingStateScaleSpec extends AnyFunSuite {
       s"registry state is not |ns×fields|: $totals")
     assert(spark.read.parquet(s"$w/out").count() == 20L)
   }
+
+  test("near-dup ledger state is one row per band BUCKET, not per document; " +
+      "later batches probe state written by earlier ones") {
+    val w = work("neardup_bound")
+    // 100 byte-identical documents — the adversarial boilerplate bucket
+    // that forces the batch op's maxBandBucket cap. The streaming ledger
+    // must hold exactly 4 rows (one per band bucket, each a single long),
+    // no matter how many documents pass through it.
+    val hot = (0L until 100L).map(i =>
+      (i, "the same boilerplate text repeated for every single document in this corpus"))
+    graft.operators.StreamOps.stageOrdered(spark, s"$w/feed", Seq(
+      hot.filter(_._1 < 50).toDF("doc_id", "text"),
+      hot.filter(_._1 >= 50).toDF("doc_id", "text")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$w/feed")
+    val q = graft.functions.Dedup.streamingNearDupCandidates(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$w/ckpt").option("path", s"$w/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    val totals = stateTotals(q)
+    assert(totals.nonEmpty && totals.max == 4L,
+      s"ledger state is not one row per bucket: $totals")
+    val out = spark.read.parquet(s"$w/out")
+    // every doc except the first hits in all 4 bands, earliest mate = 0
+    assert(out.count() == 99L * 4)
+    assert(out.filter(col("cand") =!= 0L).count() == 0L)
+    // the second file's docs hit STATE (doc 0 arrived a micro-batch earlier)
+    assert(out.filter(col("doc_id") >= 50L).count() == 50L * 4)
+  }
 }

@@ -224,10 +224,28 @@ object Similarity {
     // filtering a k-row head under-fills results wherever the predicate
     // is selective. Queries come from the unfiltered table.
     val corpus = embs.filter(corpusPred)
-    val p = prepared(corpus, id, emb)
-    val lists = p.join(
-      ivfAssign(corpus, id, emb, cents).select(col("vec_id"), col("centroid_id")),
+    ivfSearchOnLists(embs, id, emb, cents, queryPred,
+      ivfLists(corpus, id, emb, cents), nProbe, k)
+  }
+
+  /** Inverted lists as a standalone artifact: each corpus vector with its
+    * assigned centroid — the persisted table an IVF deployment stores.
+    * Exposed so an INCREMENTAL add (new vectors assigned to the STANDING
+    * centroids, lists appended — no retrain, no touch of existing lists)
+    * composes by `unionByName` with the base lists.
+    */
+  def ivfLists(embs: DataFrame, id: Column, emb: Column,
+      cents: DataFrame): DataFrame =
+    prepared(embs, id, emb).join(
+      ivfAssign(embs, id, emb, cents).select(col("vec_id"), col("centroid_id")),
       Seq("vec_id"))
+
+  /** [[ivfSearch]] over PREBUILT inverted lists (see [[ivfLists]]) — the
+    * search path is identical; only list construction is externalized.
+    */
+  def ivfSearchOnLists(embs: DataFrame, id: Column, emb: Column,
+      cents: DataFrame, queryPred: Column, lists: DataFrame,
+      nProbe: Int = 2, k: Int = 3): DataFrame = {
     val q = embs.filter(queryPred).select(id.as("query_id"), quantize(emb).as("qv"))
       .withColumn("qn", sqNorm(col("qv")))
     val wProbe = Window.partitionBy(col("query_id"))

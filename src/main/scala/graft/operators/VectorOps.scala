@@ -118,6 +118,48 @@ object VectorOps {
         cents, queryPred = col("vec_id") < 10)
     }),
 
+    // INCREMENTAL index maintenance — the ADD path every growing vector
+    // deployment runs between retrains: the increment (vec_id % 5 == 0)
+    // is assigned to the STANDING base-trained centroids and its rows
+    // append to the inverted lists (base lists untouched, nothing
+    // retrained, nothing reassigned); a full retrain over base+increment
+    // is built alongside, and both indexes answer the same probe set
+    // against the exact brute-force truth. The output is the measured
+    // recall cost of deferring the retrain — per query, hits@3 from the
+    // stale-centroid index vs the retrained one. Scale shape: the add is
+    // ONE broadcast-assign pass over the increment (the base corpus is
+    // never rescanned); both search arms are the audited one-probe-join.
+    "sim_ivf_incremental" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val isIncr = col("vec_id") % 5 === 0
+      val base = e.filter(!isIncr)
+      val bc = Similarity.kmeansTrain(base, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = KmeansIters).localCheckpoint()
+      // The lists ARE the stored index artifact (base lists persisted,
+      // the add appended) — the lineage cut mirrors that storage boundary.
+      val lists = Similarity.ivfLists(base, col("vec_id"), col("embedding"), bc)
+        .unionByName(Similarity.ivfLists(e.filter(isIncr), col("vec_id"),
+          col("embedding"), bc))
+        .localCheckpoint()
+      val incr = Similarity.ivfSearchOnLists(e, col("vec_id"), col("embedding"),
+        bc, col("vec_id") < 10, lists)
+      val fc = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = KmeansIters).localCheckpoint()
+      val retr = Similarity.ivfSearch(e, col("vec_id"), col("embedding"), fc,
+        col("vec_id") < 10)
+      val exact = Similarity.knnBrute(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 10, k = 3)
+      exact.select(col("query_id"), col("neighbor_id"))
+        .join(incr.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hi", lit(1L)), Seq("query_id", "neighbor_id"), "left_outer")
+        .join(retr.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hr", lit(1L)), Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hi"), lit(0L))).as("hits_incr"),
+          sum(coalesce(col("hr"), lit(0L))).as("hits_retrain"))
+    }),
+
     // FILTERED vector search — the metadata-predicate ANN every vector
     // store ships (WHERE label is even AND nearest-k): the predicate
     // pre-filters the INVERTED LISTS, never the k-row head — post-
@@ -679,6 +721,77 @@ object VectorOps {
             ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
           GROUP BY e.query_id""",
 
+    "sim_ivf_incremental" ->
+      s"""WITH $prepCte,
+          base AS (SELECT * FROM prep WHERE vec_id % 5 <> 0),
+          ${kmeansCtes(2, "base", "b")}, ${kmeansCtes(2)},
+          iasg AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, bcents2 c)
+            WHERE rn = 1),
+          iprobes AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS prn
+              FROM prep q, bcents2 c WHERE q.vec_id < 10)
+            WHERE prn <= 2),
+          iivf AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT pr.query_id, a.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY pr.query_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, a.vec_id) AS rank
+              FROM iprobes pr
+              JOIN iasg a ON a.centroid_id = pr.centroid_id AND a.vec_id <> pr.query_id
+              JOIN prep q ON q.vec_id = pr.query_id
+              JOIN prep p ON p.vec_id = a.vec_id)
+            WHERE rank <= 3),
+          rasg AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents2 c)
+            WHERE rn = 1),
+          rprobes AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS prn
+              FROM prep q, cents2 c WHERE q.vec_id < 10)
+            WHERE prn <= 2),
+          rivf AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT pr.query_id, a.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY pr.query_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, a.vec_id) AS rank
+              FROM rprobes pr
+              JOIN rasg a ON a.centroid_id = pr.centroid_id AND a.vec_id <> pr.query_id
+              JOIN prep q ON q.vec_id = pr.query_id
+              JOIN prep p ON p.vec_id = a.vec_id)
+            WHERE rank <= 3),
+          exact AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, p.vec_id) AS rank
+              FROM prep q JOIN prep p ON q.vec_id < 10 AND q.vec_id <> p.vec_id)
+            WHERE rank <= 3)
+          SELECT e.query_id, COUNT(*) AS n_exact,
+            CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits_incr,
+            CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits_retrain
+          FROM exact e
+          LEFT JOIN iivf i
+            ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+          LEFT JOIN rivf r
+            ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+          GROUP BY e.query_id""",
+
     "sim_recall_curve" ->
       s"""WITH $prepCte, ${kmeansCtes(2)},
           assigned AS (
@@ -955,29 +1068,35 @@ object VectorOps {
     * to its argmax-cosine centroid and re-centers on the quantized grid
     * (round(mean) per dimension of the integer components).
     */
-  private[operators] def kmeansCtes(iters: Int): String = {
+  /** Lloyd's-iteration CTE chain ending in `${pfx}cents$iters`. `src` is
+    * the training-set CTE (default the full `prep`); `pfx` namespaces the
+    * chain so two independently-trained centroid tables (e.g. base-only
+    * vs retrained-on-everything) coexist in one oracle query.
+    */
+  private[operators] def kmeansCtes(iters: Int, src: String = "prep",
+      pfx: String = ""): String = {
     val seed =
-      "cents0 AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM prep WHERE vec_id < 8)"
+      s"${pfx}cents0 AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM $src WHERE vec_id < 8)"
     val steps = (1 to iters).map { t =>
-      s"""asg$t AS (
+      s"""${pfx}asg$t AS (
             SELECT vec_id, centroid_id FROM (
               SELECT p.vec_id, c.centroid_id,
                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
                   ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
-              FROM prep p, cents${t - 1} c) WHERE rn = 1),
-          sums$t AS (
+              FROM $src p, ${pfx}cents${t - 1} c) WHERE rn = 1),
+          ${pfx}sums$t AS (
             SELECT a.centroid_id, i, SUM(p.v[i]) AS sx, COUNT(*) AS n
-            FROM asg$t a JOIN prep p USING (vec_id),
+            FROM ${pfx}asg$t a JOIN $src p USING (vec_id),
                  (SELECT unnest(generate_series(1, 64)) AS i)
             GROUP BY 1, 2),
-          cents$t AS (
+          ${pfx}cents$t AS (
             -- cn > 0: degenerate (zero-vector) centroids die, mirroring
             -- kmeansTrain — NaN cosines order differently in the engines
             SELECT * FROM (
               SELECT centroid_id, cv, list_sum([y*y for y in cv]) AS cn FROM (
                 SELECT centroid_id,
                   list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
-                FROM sums$t GROUP BY 1)) WHERE cn > 0)"""
+                FROM ${pfx}sums$t GROUP BY 1)) WHERE cn > 0)"""
     }
     (seed +: steps).mkString(", ")
   }

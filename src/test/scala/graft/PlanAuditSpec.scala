@@ -61,6 +61,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_filtered_search", // same centroid broadcast, lists pre-filtered
     "sim_ivfpq", // broadcast centroid table (coarse probe) + broadcast ADC LUT
     "sim_ivf_recall", // composes sim_knn_brute + sim_ivf_search (both above)
+    "sim_ivf_incremental", // composes brute + two ivf arms (same broadcasts)
     "sim_recall_curve", // same composition, 10-row heads + a 10-row spine
     "sim_kmeans_quality", // broadcast k-means centroid table (assignment pass)
     "sim_ivfpq_recall", // composes sim_knn_brute + sim_ivfpq (both broadcast)

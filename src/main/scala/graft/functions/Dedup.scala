@@ -410,6 +410,47 @@ object Dedup {
     * merge per-member provenance (`pipe_golden_record`) instead of only
     * counting members.
     */
+  /** INCREMENTAL connected-component maintenance: fold a batch of NEW
+    * near-dup pairs into a STANDING label table without re-running the
+    * fixpoint over the corpus graph. Each standing component is
+    * contracted to its label (a component is connected by construction,
+    * so its label is a complete connectivity proxy); the min-label
+    * fixpoint then runs only over the CONTRACTED touched graph — the new
+    * pairs with endpoints rewritten to their standing labels — whose
+    * size is O(increment), never O(corpus). Components no new pair
+    * touches are structurally excluded and keep their labels verbatim.
+    *
+    * Provably ≡ the full recompute: a standing label IS the minimum
+    * member id of its component, so the min over contracted vertex ids
+    * of a merged group = the min over all merged members' ids — the
+    * exact label the full fixpoint assigns (law-tested in PropertySpec).
+    *
+    * Returns the UPDATED standing table: every previously-labeled vertex
+    * plus every new-pair endpoint, with post-merge labels.
+    */
+  def componentsIncremental(standing: DataFrame, newPairs: DataFrame): DataFrame = {
+    val st = standing.localCheckpoint()
+    val e0 = newPairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val eRep = e0
+      .join(st.select(col("doc_id").as("doc_a"), col("label").as("ra")),
+        Seq("doc_a"), "left_outer")
+      .join(st.select(col("doc_id").as("doc_b"), col("label").as("rb")),
+        Seq("doc_b"), "left_outer")
+      .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
+        coalesce(col("rb"), col("doc_b")).as("doc_b"))
+    val micro = componentLabels(eRep) // vertex ids = standing labels ∪ new ids
+    val baseUpd = st
+      .join(micro.select(col("doc_id").as("label"), col("label").as("nl")),
+        Seq("label"), "left_outer")
+      .select(col("doc_id"), coalesce(col("nl"), col("label")).as("label"))
+    val newVerts = e0.select(col("doc_a").as("doc_id"))
+      .unionByName(e0.select(col("doc_b").as("doc_id"))).distinct()
+      .join(st.select("doc_id"), Seq("doc_id"), "left_anti")
+    val newUpd = newVerts.join(micro, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+    baseUpd.unionByName(newUpd)
+  }
+
   def componentLabels(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -1291,6 +1291,26 @@ object TextOps {
       Dedup.nearDupComponents(
         Dedup.minhashLsh(docs(s, dir), col("doc_id"), col("text")))),
 
+    // INCREMENTAL component maintenance — the batch the corpus fixpoint
+    // must NOT re-run for: the standing label table (built from the base
+    // corpus) absorbs the increment's new pairs by contracting each
+    // touched component to its label and running the min-label fixpoint
+    // over that contracted graph only (O(increment), never O(corpus));
+    // untouched components keep their labels verbatim. The oracle is the
+    // FULL recursive fixpoint over base ∪ increment pairs — the gate
+    // proves the contraction loses nothing.
+    "dedup_components_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isIncr = col("doc_id") % 5 === 0
+      val standing = Dedup.componentLabels(
+        Dedup.minhashLsh(d.filter(!isIncr), col("doc_id"), col("text")))
+      val incrPairs = Dedup.minhashLshIncremental(d, col("doc_id"),
+        col("text"), incrPred = isIncr)
+      Dedup.componentsIncremental(standing, incrPairs)
+        .groupBy(col("label").as("cluster"))
+        .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keep_id"))
+    }),
+
     // Embedding-cosine near-dup over documents: each document joined to
     // its embedding vector (doc_id = vec_id), quantized cosine at
     // threshold 0.4 with the random-hyperplane LSH bucket as the blocking
@@ -1444,29 +1464,31 @@ object TextOps {
   private def bandSigSql(band: Int): String =
     (0 until 4).map(r => s"CAST(mh_${band * 4 + r} AS VARCHAR)").mkString(" || '_' || ")
 
-  /** MinHash-LSH candidate/verify CTE chain ending in `j(doc_a, doc_b,
-    * jaccard)` — shared by the pair query and the cluster-dedup closure.
+  /** MinHash-LSH candidate/verify CTE chain ending in `${pfx}j(doc_a,
+    * doc_b, jaccard)` — shared by the pair query and the cluster-dedup
+    * closure. `pfx` namespaces the chain so two independently-banded pair
+    * tables (e.g. base-corpus-only vs full) coexist in one oracle query.
     */
-  private def minhashPairCtes(src: String = "documents"): String =
-    s"""base AS (SELECT doc_id, ${hashedShingleSql(3)} AS s
+  private def minhashPairCtes(src: String = "documents", pfx: String = ""): String =
+    s"""${pfx}base AS (SELECT doc_id, ${hashedShingleSql(3)} AS s
           FROM (SELECT doc_id, $toks AS t, text FROM $src)),
-        sig AS (SELECT doc_id, s, ${minhashExprs.mkString(", ")} FROM base),
-        banded AS (
+        ${pfx}sig AS (SELECT doc_id, s, ${minhashExprs.mkString(", ")} FROM ${pfx}base),
+        ${pfx}banded AS (
           SELECT doc_id, band,
             CASE band ${(0 until 4).map(b => s"WHEN $b THEN ${bandSigSql(b)}").mkString(" ")} END AS bsig
-          FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)),
-        bounded AS (
+          FROM ${pfx}sig, (SELECT unnest(generate_series(0, 3)) AS band)),
+        ${pfx}bounded AS (
           SELECT * FROM (
             SELECT doc_id, band, bsig, COUNT(*) OVER (PARTITION BY band, bsig) AS bkt_n
-            FROM banded) WHERE bkt_n <= 500),
-        pairs AS (
+            FROM ${pfx}banded) WHERE bkt_n <= 500),
+        ${pfx}pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bounded a JOIN bounded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-        j AS (
+          FROM ${pfx}bounded a JOIN ${pfx}bounded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        ${pfx}j AS (
           SELECT doc_a, doc_b,
             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
               (CAST(len(sa.s) + len(sb.s) AS DOUBLE) - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)) AS jaccard
-          FROM pairs JOIN sig sa ON sa.doc_id = pairs.doc_a JOIN sig sb ON sb.doc_id = pairs.doc_b)"""
+          FROM ${pfx}pairs JOIN ${pfx}sig sa ON sa.doc_id = ${pfx}pairs.doc_a JOIN ${pfx}sig sb ON sb.doc_id = ${pfx}pairs.doc_b)"""
 
   /** BPE train-loop CTE chain mirroring `text_bpe_apply`: v0 = the
     * vocabulary in unit form (chars + '|' terminators, space-joined,
@@ -2329,6 +2351,28 @@ object TextOps {
           edges AS (
             SELECT doc_a AS src, doc_b AS dst FROM good
             UNION SELECT doc_b, doc_a FROM good),
+          verts AS (SELECT DISTINCT src AS doc_id FROM edges)
+          SELECT label AS cluster, COUNT(*) AS n_members, MIN(doc_id) AS keep_id
+          FROM (
+            WITH RECURSIVE cc AS (
+              SELECT doc_id, doc_id AS label FROM verts
+              UNION
+              SELECT e.dst AS doc_id, cc.label FROM cc JOIN edges e ON e.src = cc.doc_id)
+            SELECT doc_id, MIN(label) AS label FROM cc GROUP BY 1) t
+          GROUP BY 1""",
+
+    // The FULL fixpoint over base ∪ increment pairs — what the
+    // incremental maintenance must equal without ever running it.
+    "dedup_components_incr" ->
+      s"""WITH ${minhashPairCtes("(SELECT * FROM documents WHERE doc_id % 5 <> 0)", "b")},
+          ${minhashPairCtes()},
+          bgood AS (SELECT doc_a, doc_b FROM bj WHERE jaccard >= 0.5),
+          igood AS (SELECT doc_a, doc_b FROM j
+            WHERE jaccard >= 0.5 AND (doc_a % 5 = 0 OR doc_b % 5 = 0)),
+          allg AS (SELECT * FROM bgood UNION SELECT * FROM igood),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM allg
+            UNION SELECT doc_b, doc_a FROM allg),
           verts AS (SELECT DISTINCT src AS doc_id FROM edges)
           SELECT label AS cluster, COUNT(*) AS n_members, MIN(doc_id) AS keep_id
           FROM (

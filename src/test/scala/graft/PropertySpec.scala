@@ -322,6 +322,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental-components law: componentsIncremental ≡ the full fixpoint " +
+      "over base ∪ increment edges, on random graphs and random splits") {
+    val gen = for {
+      nBase <- Gen.choose(0, 25)
+      nIncr <- Gen.choose(1, 15)
+      mk = for {
+        a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
+      } yield (math.min(a, b), math.max(a, b))
+      base <- Gen.listOfN(nBase, mk)
+      incr <- Gen.listOfN(nIncr, mk)
+    } yield (base, incr)
+    samples(gen, 6).foreach { case (base, incr) =>
+      val basePairs = base.toDF("doc_a", "doc_b")
+      val incrPairs = incr.toDF("doc_a", "doc_b")
+      val standing = graft.functions.Dedup.componentLabels(basePairs)
+      val got = graft.functions.Dedup
+        .componentsIncremental(standing, incrPairs)
+        .as[(Long, Long)].collect().toSet
+      val want = graft.functions.Dedup
+        .componentLabels(basePairs.unionByName(incrPairs))
+        .as[(Long, Long)].collect().toSet
+      // the full fixpoint labels every base-graph vertex too; restrict to
+      // the same vertex set (incremental returns standing ∪ new endpoints,
+      // which IS the full vertex set here since every base vertex is in
+      // standing)
+      assert(got == want, s"base=$base incr=$incr")
+    }
+  }
+
   test("prefix-filter law: prefixFilterJaccard ≡ brute-force threshold join " +
       "on random corpora with a shared vocabulary, at two thresholds") {
     // Small shared vocabulary forces heavy shingle collisions across docs —

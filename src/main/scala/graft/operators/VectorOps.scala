@@ -118,6 +118,41 @@ object VectorOps {
         cents, queryPred = col("vec_id") < 10)
     }),
 
+    // HOT-LIST SPLITTING — the skew-management move of a live IVF index
+    // (the vector-side sibling of cdc_rebucket): duplicated/boilerplate
+    // content piles one inverted list far past the mean, and every query
+    // probing that centroid scans the pile. Split = local 2-means over
+    // ONLY the hottest list's members (seeds: its two lowest ids, same
+    // integer grid as the global training), children replace the parent
+    // in a disjoint id space (1e6 + seed id), members reassign within
+    // the subtree, and EVERY OTHER LIST IS UNTOUCHED by construction —
+    // the rebalance touches O(hot list), never O(corpus). Output: the
+    // post-split occupancy table. Driver-side: a 1-row argmax + a 2-row
+    // seed head, both bounded.
+    "sim_ivf_split" -> ((s, dir) => {
+      import s.implicits._
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = KmeansIters).localCheckpoint()
+      val asg = Similarity.ivfAssign(e, col("vec_id"), col("embedding"), cents)
+        .select(col("vec_id"), col("centroid_id")).localCheckpoint()
+      val hotId = asg.groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("centroid_id")).limit(1)
+        .head().getLong(0)
+      val m = e.join(asg.filter(col("centroid_id") === lit(hotId))
+        .select("vec_id"), Seq("vec_id")).localCheckpoint()
+      val seeds = m.select(col("vec_id")).orderBy(col("vec_id")).limit(2)
+        .as[Long].collect()
+      val kids = Similarity.kmeansTrain(m, col("vec_id"), col("embedding"),
+        col("vec_id").isin(seeds.map(Long.box): _*), iters = KmeansIters)
+        .localCheckpoint()
+      val reasg = Similarity.ivfAssign(m, col("vec_id"), col("embedding"), kids)
+        .select(col("vec_id"), (col("centroid_id") + lit(1000000L)).as("centroid_id"))
+      asg.filter(col("centroid_id") =!= lit(hotId))
+        .unionByName(reasg)
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_assigned"))
+    }),
+
     // INCREMENTAL index maintenance — the ADD path every growing vector
     // deployment runs between retrains: the increment (vec_id % 5 == 0)
     // is assigned to the STANDING base-trained centroids and its rows
@@ -721,6 +756,36 @@ object VectorOps {
             ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
           GROUP BY e.query_id""",
 
+    "sim_ivf_split" ->
+      s"""WITH $prepCte, ${kmeansCtes(2)},
+          asg AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents2 c)
+            WHERE rn = 1),
+          counts AS (SELECT centroid_id, COUNT(*) AS n FROM asg GROUP BY 1),
+          hot AS (SELECT centroid_id FROM counts ORDER BY n DESC, centroid_id LIMIT 1),
+          hotm AS (
+            SELECT p.* FROM prep p
+            JOIN asg a ON a.vec_id = p.vec_id
+            JOIN hot h ON a.centroid_id = h.centroid_id),
+          seeds AS (SELECT vec_id FROM hotm ORDER BY vec_id LIMIT 2),
+          ${kmeansCtes(2, "hotm", "s", "vec_id IN (SELECT vec_id FROM seeds)")},
+          reasg AS (
+            SELECT vec_id, 1000000 + centroid_id AS centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM hotm p, scents2 c)
+            WHERE rn = 1)
+          SELECT centroid_id, COUNT(*) AS n_assigned FROM (
+            SELECT a.centroid_id, a.vec_id FROM asg a
+            WHERE a.centroid_id NOT IN (SELECT centroid_id FROM hot)
+            UNION ALL SELECT centroid_id, vec_id FROM reasg)
+          GROUP BY 1""",
+
     "sim_ivf_incremental" ->
       s"""WITH $prepCte,
           base AS (SELECT * FROM prep WHERE vec_id % 5 <> 0),
@@ -1074,9 +1139,9 @@ object VectorOps {
     * vs retrained-on-everything) coexist in one oracle query.
     */
   private[operators] def kmeansCtes(iters: Int, src: String = "prep",
-      pfx: String = ""): String = {
+      pfx: String = "", seedWhere: String = "vec_id < 8"): String = {
     val seed =
-      s"${pfx}cents0 AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM $src WHERE vec_id < 8)"
+      s"${pfx}cents0 AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM $src WHERE $seedWhere)"
     val steps = (1 to iters).map { t =>
       s"""${pfx}asg$t AS (
             SELECT vec_id, centroid_id FROM (

@@ -118,6 +118,43 @@ object VectorOps {
         cents, queryPred = col("vec_id") < 10)
     }),
 
+    // CDC-DRIVEN INDEX SYNC — the cross-pillar composition a production
+    // Mongo→vector-store pipeline runs: the operational DB's change feed
+    // (here a deterministic derivation: every vector inserted at t1,
+    // vec_id % 7 == 0 updated to a rotated embedding at t2,
+    // vec_id % 11 == 0 deleted at t3 — delete beats update) MAINTAINS
+    // the standing IVF index instead of rebuilding it: deleted and
+    // stale-version rows anti-join out of the persisted lists, new
+    // versions assign to the STANDING centroids in one broadcast pass —
+    // O(changed vectors), never O(corpus). The gated output is a search
+    // over the MAINTAINED lists; the oracle searches an index rebuilt
+    // from the folded final state — so the gate proves maintenance ≡
+    // rebuild, row for row (SimilaritySpec pins list-level equality too).
+    "cdc_vector_sync" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val isUpd = col("vec_id") % 7 === 0
+      val isDel = col("vec_id") % 11 === 0
+      def rot(c: org.apache.spark.sql.Column) =
+        concat(slice(c, lit(2), size(c) - 1), slice(c, lit(1), lit(1)))
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8, iters = KmeansIters).localCheckpoint()
+      // the standing index after the initial load (the persisted artifact)
+      val baseLists = Similarity.ivfLists(e, col("vec_id"), col("embedding"),
+        cents).localCheckpoint()
+      val changed = e.filter(isUpd || isDel).select(col("vec_id"))
+      val newVersions = e.filter(isUpd && !isDel)
+        .select(col("vec_id"), rot(col("embedding")).as("embedding"))
+      val maintained = baseLists.join(changed, Seq("vec_id"), "left_anti")
+        .unionByName(Similarity.ivfLists(newVersions, col("vec_id"),
+          col("embedding"), cents))
+      val finalState = e.filter(!isDel)
+        .select(col("vec_id"),
+          when(isUpd, rot(col("embedding"))).otherwise(col("embedding"))
+            .as("embedding"))
+      Similarity.ivfSearchOnLists(finalState, col("vec_id"), col("embedding"),
+        cents, col("vec_id") < 10, maintained)
+    }),
+
     // HOT-LIST SPLITTING — the skew-management move of a live IVF index
     // (the vector-side sibling of cdc_rebucket): duplicated/boilerplate
     // content piles one inverted list far past the mean, and every query
@@ -755,6 +792,46 @@ object VectorOps {
           FROM exact e LEFT JOIN ivf i
             ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
           GROUP BY e.query_id""",
+
+    // Index REBUILT from the folded final state — what the maintained
+    // lists must be indistinguishable from.
+    "cdc_vector_sync" ->
+      s"""WITH $prepCte, ${kmeansCtes(2)},
+          prepf AS (
+            SELECT vec_id, label, v, list_sum([y*y for y in v]) AS nrm
+            FROM (SELECT vec_id, label,
+                    CASE WHEN vec_id % 7 = 0
+                         THEN list_concat(v0[2:len(v0)], [v0[1]])
+                         ELSE v0 END AS v
+                  FROM (SELECT vec_id, label,
+                          [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS v0
+                        FROM embeddings)
+                  WHERE vec_id % 11 <> 0)),
+          fassigned AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prepf p, cents2 c)
+            WHERE rn = 1),
+          fprobes AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS prn
+              FROM prepf q, cents2 c WHERE q.vec_id < 10)
+            WHERE prn <= 2),
+          fscored AS (
+            SELECT pr.query_id, a.vec_id AS neighbor_id,
+              ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} AS sim,
+              ROW_NUMBER() OVER (PARTITION BY pr.query_id
+                ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, a.vec_id) AS rank
+            FROM fprobes pr
+            JOIN fassigned a ON a.centroid_id = pr.centroid_id AND a.vec_id <> pr.query_id
+            JOIN prepf q ON q.vec_id = pr.query_id
+            JOIN prepf p ON p.vec_id = a.vec_id)
+          SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+          FROM fscored WHERE rank <= 3""",
 
     "sim_ivf_split" ->
       s"""WITH $prepCte, ${kmeansCtes(2)},

@@ -63,6 +63,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_recall", // composes sim_knn_brute + sim_ivf_search (both above)
     "sim_ivf_incremental", // composes brute + two ivf arms (same broadcasts)
     "sim_ivf_split", // broadcast child-centroid table (hot-list reassign)
+    "cdc_vector_sync", // broadcast standing-centroid table (CDC index sync)
     "sim_recall_curve", // same composition, 10-row heads + a 10-row spine
     "sim_kmeans_quality", // broadcast k-means centroid table (assignment pass)
     "sim_ivfpq_recall", // composes sim_knn_brute + sim_ivfpq (both broadcast)

@@ -243,4 +243,36 @@ class SimilaritySpec extends AnyFunSuite {
       assert(best._2 == q && best._3 == s)
     }
   }
+
+  test("cdc_vector_sync maintenance ≡ a rebuild from the folded final state, " +
+      "list row for list row") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val isUpd = col("vec_id") % 7 === 0
+    val isDel = col("vec_id") % 11 === 0
+    def rot(c: org.apache.spark.sql.Column) =
+      concat(slice(c, lit(2), size(c) - 1), slice(c, lit(1), lit(1)))
+    val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+      col("vec_id") < 8, iters = 2).localCheckpoint()
+    val maintained = Similarity.ivfLists(e, col("vec_id"), col("embedding"), cents)
+      .join(e.filter(isUpd || isDel).select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(Similarity.ivfLists(
+        e.filter(isUpd && !isDel)
+          .select(col("vec_id"), rot(col("embedding")).as("embedding")),
+        col("vec_id"), col("embedding"), cents))
+    val finalState = e.filter(!isDel).select(col("vec_id"),
+      when(isUpd, rot(col("embedding"))).otherwise(col("embedding")).as("embedding"))
+    val rebuilt = Similarity.ivfLists(finalState, col("vec_id"),
+      col("embedding"), cents)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("centroid_id"), col("nrm"),
+          md5(concat_ws(",", col("v"))).as("vh"))
+        .as[(Long, Long, Long, String)].collect().toSet
+    val (m, r) = (key(maintained), key(rebuilt))
+    assert(m == r)
+    // the maintenance really touched something: updates moved or rewrote
+    // rows, deletes removed them
+    assert(m.nonEmpty && e.filter(isDel).count() > 0 &&
+      e.filter(isUpd && !isDel).count() > 0)
+  }
 }

@@ -56,6 +56,7 @@ object StreamOps {
     "cdc_ckpt_api_store" -> ((s, dir) => runCkptStores(s, dir)),
     "cdc_journal_sample" -> ((s, dir) => runJournal(s, dir)),
     "stream_window_late" -> ((s, dir) => runWindowed(s, dir)),
+    "stream_chained" -> ((s, dir) => runChained(s, dir)),
     "stream_topk" -> ((s, dir) => runStreamTopk(s, dir)),
     "stream_join" -> ((s, dir) => runStreamJoin(s, dir)),
     "stream_join_outer" -> ((s, dir) => runStreamJoinOuter(s, dir)),
@@ -1176,6 +1177,56 @@ object StreamOps {
     * Output: (w_start µs, n_events, min_event, max_event) — integer-only
     * aggregates, engine-exact.
     */
+  /** TWO stateful operators CHAINED in one streaming query — watermark
+    * dedup feeding a watermarked window aggregation, the multi-stateful-
+    * operator pipeline Spark ≥ 3.5 plans with a single watermark
+    * propagated between the state stores (an at-least-once feed dedup'd
+    * AT the aggregation, not in a separate job). The feed redelivers a
+    * third of the rows in a second file: without the dedup stage those
+    * windows double-count and the oracle (which counts each event once)
+    * hash-diverges — so the gate proves the chained state really runs.
+    * Same staged watermark discipline as `stream_window_late` (upper
+    * half, then dups, then the max-ts filler that brings the watermark
+    * current; the filler rows are themselves redeliveries and must be
+    * dropped by the dedup state while STILL advancing the watermark —
+    * event-time stats are collected at the watermark node, upstream of
+    * the stores).
+    */
+  private def runChained(s: SparkSession, dir: String): DataFrame = {
+    val work = graft.Work.dir("stream_chained_q")
+    IncrSync.deletePath(s, work)
+    val ev = graft.Tables.loadEventsNs(s, dir)
+      .select(col("event_id"), expr("ts DIV 1000").as("ts_us")).localCheckpoint()
+    val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val tmid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val up = ev.filter(col("ts_us") > tmid)
+    stageOrdered(s, s"$work/feed", Seq(
+      up,
+      up.filter(col("event_id") % 3 === 0),
+      ev.filter(col("ts_us") === b.getLong(1))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+      .select(unix_micros(col("w.start")).as("w_start"), col("n_events"),
+        col("min_event"), col("max_event"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
   private def runWindowed(s: SparkSession, dir: String): DataFrame = {
     val work = graft.Work.dir(s"wm_window_q")
     IncrSync.deletePath(s, work)
@@ -2084,6 +2135,23 @@ object StreamOps {
     // Closed form of the staged watermark run: windows ending at or
     // below (global max − 1 h), counting only upper-half (batch 1) rows.
     "stream_window_late" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts)//1000 AS ts_us FROM events),
+          tt AS (SELECT tmin + (tmax - tmin) // 2 AS tmid,
+                        tmax - 3600000000 AS wm
+                 FROM (SELECT MIN(ts_us) AS tmin, MAX(ts_us) AS tmax FROM e)),
+          up AS (SELECT event_id, ts_us,
+                   ts_us - ts_us % 86400000000 AS w_start
+                 FROM e, tt WHERE ts_us > tmid)
+          SELECT w_start, COUNT(*) AS n_events,
+            MIN(event_id) AS min_event, MAX(event_id) AS max_event
+          FROM up, tt
+          WHERE w_start + 86400000000 <= wm
+          GROUP BY w_start""",
+
+    // Identical closed form to stream_window_late — each event counted
+    // ONCE. The feed redelivers every third event; only the chained
+    // dedup state makes this oracle hold.
+    "stream_chained" ->
       """WITH e AS (SELECT event_id, epoch_ns(ts)//1000 AS ts_us FROM events),
           tt AS (SELECT tmin + (tmax - tmin) // 2 AS tmid,
                         tmax - 3600000000 AS wm

@@ -45,8 +45,19 @@ object Portable {
 
   /** Portable 60-bit hash of a string: first 15 hex chars of MD5 as a long.
     * DuckDB equivalent: ('0x' || substr(md5(x),1,15))::BIGINT
+    *
+    * Evaluated by the native codegen'd [[graft.plans.Phash64]] expression
+    * (one digest, no hex/decimal string round-trips — this is the hottest
+    * scalar in the dedup/text family); [[phash64Legacy]] keeps the
+    * function-composition form the PropertySpec equivalence law compares
+    * against.
     */
-  def phash64(c: Column): Column =
+  def phash64(c: Column): Column = graft.plans.Phash64(c)
+
+  /** The original builtin-composition form of [[phash64]] (hex string →
+    * substring → base-16 parse) — retained as the law-test reference.
+    */
+  private[graft] def phash64Legacy(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** SQL fragment of [[phash64]] for DuckDB oracle strings. */

@@ -38,7 +38,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => MongoComputeHashOid(es.head)),
     (FunctionIdentifier("java_string_hash"),
       info("java_string_hash", "java_string_hash(s) - java.lang.String.hashCode (wire-parity routing)"),
-      (es: Seq[Expression]) => JavaStringHash(es.head)))
+      (es: Seq[Expression]) => JavaStringHash(es.head)),
+    (FunctionIdentifier("phash64"),
+      info("phash64", "phash64(s) - graft's portable 60-bit MD5-prefix hash (shingle hashing)"),
+      (es: Seq[Expression]) => Phash64(es.head)))
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: SparkSession): Unit =

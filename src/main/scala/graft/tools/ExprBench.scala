@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Micro-benchmark for scalar-expression variants, isolated from
+  * query-level noise: one in-memory column, alternating timed sweeps of
+  * each variant in the SAME JVM (so JIT/codegen warmup amortizes
+  * equally). Used to justify (or reject) native-Expression rewrites of
+  * hot scalars — first subject: `Portable.phash64` native digest-bytes
+  * expression vs the builtin composition `conv(substr(md5(x),1,15),16,10)`.
+  *
+  * Usage: `graft.tools.ExprBench [nRows]` — prints one line per sweep.
+  */
+object ExprBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(3000000L)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = spark.range(n)
+      .select(concat(lit("shingle token body "), col("id")).as("s"))
+      .localCheckpoint()
+    def time(tag: String, c: org.apache.spark.sql.Column): Unit = {
+      val t0 = System.nanoTime()
+      val r = df.select(sum(pmod(c, lit(1000003L)))).head().getLong(0)
+      println(f"$tag%8s ${(System.nanoTime() - t0) / 1e9}%6.3f s  sum=$r")
+    }
+    // array path: the HOF-lambda regime every shingle array runs through
+    val arr = spark.range(n / 16)
+      .select(transform(sequence(lit(0), lit(15)),
+        i => concat(lit("tok "), col("id"), lit("_"), i)).as("a"))
+      .localCheckpoint()
+    def timeArr(tag: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
+      val t0 = System.nanoTime()
+      val r = arr.select(sum(aggregate(transform(col("a"), f),
+        lit(0L), (acc, x) => acc + pmod(x, lit(1000003L))))).head().getLong(0)
+      println(f"$tag%8s ${(System.nanoTime() - t0) / 1e9}%6.3f s  sum=$r (array path)")
+    }
+    for (_ <- 1 to 3) {
+      time("native", graft.functions.Portable.phash64(col("s")))
+      time("legacy", graft.functions.Portable.phash64Legacy(col("s")))
+    }
+    for (_ <- 1 to 3) {
+      timeArr("native", x => graft.functions.Portable.phash64(x))
+      timeArr("legacy", x => graft.functions.Portable.phash64Legacy(x))
+    }
+    spark.stop()
+  }
+}

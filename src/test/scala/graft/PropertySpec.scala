@@ -322,6 +322,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("phash64 law: the native codegen expression ≡ the builtin composition " +
+      "conv(substr(md5,1,15),16,10) on arbitrary strings, and in SQL") {
+    val gen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(40)),
+      Gen.listOfN(12, Gen.choose(32, 0x2fff)).map(cs =>
+        new String(cs.map(_.toChar).toArray)), // multi-byte UTF-8
+      Gen.const(""), Gen.const(" "), Gen.const("a b\tc\nd"))
+    val strs = samples(gen, 60).distinct
+    val df = strs.toDF("s").repartition(3)
+      .select(col("s"), graft.functions.Portable.phash64(col("s")).as("h"),
+        graft.functions.Portable.phash64Legacy(col("s")).as("hl"))
+    val rows = df.as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, h, hl) =>
+      assert(h == hl, s"phash64 mismatch on ${s.take(20).map(_.toInt)}")
+      assert(h >= 0L && h < (1L << 60))
+    }
+    // the SQL registration produces the same values
+    graft.plans.GraftExtensions.register(spark)
+    strs.toDF("s").createOrReplaceTempView("phash_law_v")
+    val viaSql = spark.sql(
+      "SELECT s, phash64(s) AS h FROM phash_law_v").as[(String, Long)]
+      .collect().toMap
+    rows.foreach { case (s, h, _) => assert(viaSql(s) == h) }
+  }
+
   test("incremental-components law: componentsIncremental ≡ the full fixpoint " +
       "over base ∪ increment edges, on random graphs and random splits") {
     val gen = for {

@@ -128,6 +128,24 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, numPerms: Int = 16): DataFrame = {
+    // All numPerms minima in ONE fused pass over the shingle array (the
+    // native MinhashSig expression) instead of numPerms separate
+    // transform+array_min sweeps; bit-identical values (PropertySpec law
+    // pins it against [[minhashSignaturesLegacy]]). CollapseProject keeps
+    // the array evaluated once — it refuses to inline a non-cheap alias
+    // referenced numPerms times.
+    val base = docs.select(id.as("doc_id"),
+      array_distinct(transform(shingles(text, shingleN),
+        s => phash64(s) % lit(4294967296L))).as("s"))
+      .withColumn("_mh", graft.plans.MinhashSig(col("s"), numPerms))
+    (0 until numPerms).foldLeft(base) { (df, j) =>
+      df.withColumn(s"mh_$j", element_at(col("_mh"), j + 1))
+    }.drop("_mh")
+  }
+
+  /** The original per-permutation composition — law-test reference. */
+  private[graft] def minhashSignaturesLegacy(docs: DataFrame, id: Column,
+      text: Column, shingleN: Int = 3, numPerms: Int = 16): DataFrame = {
     val base = docs.select(id.as("doc_id"),
       array_distinct(transform(shingles(text, shingleN),
         s => phash64(s) % lit(4294967296L))).as("s"))

@@ -26,8 +26,16 @@ object Similarity {
   def sqNorm(qv: Column): Column =
     aggregate(transform(qv, x => x * x), lit(0L), (acc, v) => acc + v)
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
+  /** Exact integer dot product of two quantized vectors — the native
+    * fused-loop expression ([[graft.plans.DotQ]]; runs once per candidate
+    * PAIR in every scored join, so the zip_with intermediate array the
+    * composition form allocates is the vector family's hottest garbage).
+    * [[dotQLegacy]] keeps the composition for the equivalence law.
+    */
+  def dotQ(a: Column, b: Column): Column = graft.plans.DotQ(a, b)
+
+  /** The original builtin-composition dot product — law-test reference. */
+  private[graft] def dotQLegacy(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Deterministic cosine from quantized vectors + precomputed sq-norms. */

@@ -41,7 +41,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => JavaStringHash(es.head)),
     (FunctionIdentifier("phash64"),
       info("phash64", "phash64(s) - graft's portable 60-bit MD5-prefix hash (shingle hashing)"),
-      (es: Seq[Expression]) => Phash64(es.head)))
+      (es: Seq[Expression]) => Phash64(es.head)),
+    (FunctionIdentifier("dot_q"),
+      info("dot_q", "dot_q(a, b) - exact integer dot product of two quantized long-array vectors"),
+      (es: Seq[Expression]) => DotQ(es.head, es(1))))
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: SparkSession): Unit =

@@ -47,6 +47,46 @@ object ExprBench {
       timeArr("native", x => graft.functions.Portable.phash64(x))
       timeArr("legacy", x => graft.functions.Portable.phash64Legacy(x))
     }
+    // dot-product path: two quantized 64-dim vectors per row, the scored-
+    // join kernel of every vector operator
+    val vecs = spark.range(n / 4)
+      .select(transform(sequence(lit(0), lit(63)),
+          i => pmod(col("id") * (i + lit(7)), lit(2001L)) - lit(1000L)).as("a"),
+        transform(sequence(lit(0), lit(63)),
+          i => pmod(col("id") * (i + lit(13)), lit(2001L)) - lit(1000L)).as("b"))
+      .localCheckpoint()
+    def timeDot(tag: String, f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Unit = {
+      val t0 = System.nanoTime()
+      val r = vecs.select(sum(pmod(f(col("a"), col("b")), lit(1000003L))))
+        .head().getLong(0)
+      println(f"$tag%8s ${(System.nanoTime() - t0) / 1e9}%6.3f s  sum=$r (dot path)")
+    }
+    for (_ <- 1 to 3) {
+      timeDot("native", (a, b) => graft.functions.Similarity.dotQ(a, b))
+      timeDot("legacy", (a, b) => graft.functions.Similarity.dotQLegacy(a, b))
+    }
+    // minhash-signature path: 16 permutation minima over a 32-shingle
+    // array per row — fused single pass vs 16 transform+array_min sweeps
+    val sarr = spark.range(n / 8)
+      .select(transform(sequence(lit(0), lit(31)),
+        i => pmod(col("id") * (i + lit(3)), lit(4294967296L))).as("s"))
+      .localCheckpoint()
+    def timeSig(tag: String, c: org.apache.spark.sql.Column): Unit = {
+      val t0 = System.nanoTime()
+      val r = sarr.select(sum(pmod(c, lit(1000003L)))).head().getLong(0)
+      println(f"$tag%8s ${(System.nanoTime() - t0) / 1e9}%6.3f s  sum=$r (minhash path)")
+    }
+    val fusedSum = aggregate(graft.plans.MinhashSig(col("s"), 16),
+      lit(0L), (acc, x) => acc + x)
+    val legacySum = (0 until 16).map { j =>
+      val (a, b) = graft.functions.Dedup.perm(j)
+      array_min(transform(col("s"),
+        h => (lit(a) * h + lit(b)) % lit(graft.functions.Dedup.MinhashPrime)))
+    }.reduce(_ + _)
+    for (_ <- 1 to 3) {
+      timeSig("native", fusedSum)
+      timeSig("legacy", legacySum)
+    }
     spark.stop()
   }
 }

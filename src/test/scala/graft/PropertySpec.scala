@@ -348,6 +348,49 @@ class PropertySpec extends AnyFunSuite {
     rows.foreach { case (s, h, _) => assert(viaSql(s) == h) }
   }
 
+  test("dotQ law: the native fused-loop expression ≡ aggregate(zip_with) on " +
+      "random vectors, including length mismatches and null elements") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-1000L, 1000L))
+    val pairGen = for {
+      a <- vecGen; b <- vecGen
+      cut <- Gen.oneOf(16, 16, 16, 12) // occasionally unequal lengths
+    } yield (a, b.take(cut))
+    samples(Gen.listOfN(40, pairGen), 2).foreach { pairs =>
+      val df = pairs.toDF("a", "b").repartition(3)
+        .select(graft.functions.Similarity.dotQ(col("a"), col("b")).as("d"),
+          graft.functions.Similarity.dotQLegacy(col("a"), col("b")).as("dl"))
+      df.as[(Option[Long], Option[Long])].collect().foreach { case (d, dl) =>
+        assert(d == dl)
+      }
+    }
+    // null element → null, matching the composition
+    val withNull = Seq((Seq(Some(1L), None, Some(3L)), Seq(Some(2L), Some(2L), Some(2L))))
+      .toDF("a", "b")
+      .select(graft.functions.Similarity.dotQ(col("a"), col("b")).as("d"),
+        graft.functions.Similarity.dotQLegacy(col("a"), col("b")).as("dl"))
+      .as[(Option[Long], Option[Long])].head()
+    assert(withNull._1.isEmpty && withNull._2.isEmpty)
+  }
+
+  test("minhash-signature law: the fused MinhashSig expression ≡ the " +
+      "per-permutation composition, column for column, incl. empty docs") {
+    val docGen = for {
+      n <- Gen.choose(0, 12) // 0..2 words → EMPTY shingle set (null sigs)
+      ws <- Gen.listOfN(n, Gen.choose(0, 9).map(i => s"w$i"))
+    } yield ws.mkString(" ")
+    samples(Gen.listOfN(25, docGen), 3).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").repartition(4)
+      def dump(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val fused = dump(graft.functions.Dedup.minhashSignatures(
+        docs, col("doc_id"), col("text")))
+      val legacy = dump(graft.functions.Dedup.minhashSignaturesLegacy(
+        docs, col("doc_id"), col("text")))
+      assert(fused == legacy)
+    }
+  }
+
   test("incremental-components law: componentsIncremental ≡ the full fixpoint " +
       "over base ∪ increment edges, on random graphs and random splits") {
     val gen = for {

@@ -176,15 +176,40 @@ object Similarity {
 
   /** The bucket id as a plain column over a quantized vector column — for
     * callers that want the bucket inline (e.g. as a blocking key) without
-    * a join back onto the corpus.
+    * a join back onto the corpus. One fused native pass over the vector
+    * ([[graft.plans.LshBucket]]) — the composed form
+    * ([[lshBucketColComposed]]) re-traverses the vector once per plane;
+    * the two are value-pinned equal by a PropertySpec law.
     */
   def lshBucketCol(v: Column, numPlanes: Int = 8, dim: Int = 64): Column =
+    graft.plans.LshBucket(v, numPlanes, dim)
+
+  /** The pre-fusion builtin composition of [[lshBucketCol]] — kept as the
+    * semantic reference the native kernel is property-tested against.
+    */
+  private[graft] def lshBucketColComposed(v: Column, numPlanes: Int = 8,
+      dim: Int = 64): Column =
     (0 until numPlanes).map { j =>
       val signs = typedLit((0 until dim).map(planeSign(j, _, dim)))
       val d = aggregate(zip_with(v, signs, (x, s) => x * s),
         lit(0L), (acc, x) => acc + x)
       when(d > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Hyperplane count that holds expected LSH bucket occupancy — and with
+    * it candidate-pair volume per row — constant as the corpus grows: the
+    * smallest p with 2^p ≥ ⌈n / targetOccupancy⌉, floored at `base`.
+    * This is the knob SCALE_r12.md measured by hand at 10× (8 → 12 planes
+    * cut the scaled wall-clock 1.8×); `dedup_embed_adaptive` turns it from
+    * corpus stats at plan time. Pure integer arithmetic (no float log2),
+    * mirrored exactly by the oracle's `MIN(p) WHERE (1 << p) >= m` scan.
+    */
+  def adaptivePlanes(n: Long, base: Int = 4, targetOccupancy: Long = 16): Int = {
+    val m = (n + targetOccupancy - 1) / targetOccupancy
+    val need =
+      if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(base, need)
+  }
 
   /** ANN top-1 neighbor within the LSH bucket (the scale path: candidate
     * generation is an equi-join on `bucket`, never all-pairs). Buckets

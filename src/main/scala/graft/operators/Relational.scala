@@ -797,6 +797,57 @@ object Relational {
         .unionByName(cs.select(concat(lit("s"), col("supp")).as("src"),
           concat(lit("c"), col("cust")).as("dst"), col("w")))
       pageRank(edges, iters = 3)
+    }),
+
+    // INCREMENTAL CUBE maintenance — the reason a 100 TB warehouse can
+    // keep a materialized CUBE current: every cube cell is an additive
+    // (count, sum) pair, so absorbing a delta batch is cube(Δ) unioned
+    // onto the STANDING cube and re-summed per (grouping_id, keys) — the
+    // re-aggregate touches only cube CELLS (|types|·|buckets| rows, ~66
+    // here), never the base fact rows. The standing cube is built from
+    // the pre-cutoff slice, the delta cube from the post-cutoff slice;
+    // the oracle is one full CUBE over base ∪ delta — the gate proves
+    // merge ≡ recompute. grouping_id travels through the merge so a
+    // rolled-up NULL can never collide with a data NULL.
+    "q36_cube_incr" -> ((s, dir) => {
+      val cutNs = 1705795200000000000L // 2024-01-21T00:00:00Z
+      val e = Tables.loadEventsNs(s, dir)
+        .select(col("ts"), col("event_type"),
+          (col("user_id") % 10).as("user_bucket"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      def cubed(df: DataFrame): DataFrame = df
+        .cube(col("event_type"), col("user_bucket"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"))
+      cubed(e.filter(col("ts") < cutNs))          // standing view V₀
+        .unionByName(cubed(e.filter(col("ts") >= cutNs))) // cube(Δ) only
+        .groupBy(col("gid"), col("event_type"), col("user_bucket"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+    }),
+
+    // Mergeable-sketch set cardinality — the 100 TB distinct-count
+    // workflow: each day builds its own HLL sketch ONCE (one map-side-
+    // mergeable pass, like q19/q20's sketches), and every downstream
+    // consumer answers "distinct users over any day range" by UNIONING
+    // sketches — never rescanning the facts. The gate attests the union
+    // estimate against the exact month-wide distinct (HLL++ at
+    // lgConfigK=12 is well inside 5%), plus the exact per-day counts the
+    // sketches were built from; a sketch that lost members or a union
+    // that double-collapsed days flips within_bound.
+    "q37_sketch_union" -> ((s, dir) => {
+      val e = Tables.loadEventsNs(s, dir)
+        .select(expr("ts DIV 86400000000000").as("day"), col("user_id"))
+      val daily = e.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+          countDistinct(col("user_id")).as("n_exact"))
+      val merged = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"),
+        sum(col("n_exact")).as("sum_daily_exact"))
+      val exact = e.agg(countDistinct(col("user_id")).as("n_users_exact"))
+      exact.crossJoin(merged)
+        .select(col("n_users_exact"), col("sum_daily_exact"),
+          (abs(col("_est") - col("n_users_exact")).cast("double") /
+            col("n_users_exact") <= 0.05).as("within_bound"))
     })
   )
 
@@ -1403,6 +1454,26 @@ object Relational {
              150000 + (85 * SUM((r2.rank_ppm * e2.w) // e2.out_w)) // 100
                AS rank_ppm
            FROM e2 JOIN r2 ON r2.node = e2.src GROUP BY 1)
-         SELECT node, CAST(rank_ppm AS BIGINT) AS rank_ppm FROM r3"""
+         SELECT node, CAST(rank_ppm AS BIGINT) AS rank_ppm FROM r3""",
+
+    // The oracle recomputes the cube over base ∪ delta in one shot — the
+    // incremental merge must equal the full recompute cell for cell.
+    "q36_cube_incr" ->
+      """SELECT CAST(GROUPING(event_type) * 2 + GROUPING(user_bucket) AS BIGINT) AS gid,
+           event_type, user_bucket,
+           COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+         FROM (SELECT event_type, user_id % 10 AS user_bucket,
+                 CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         GROUP BY CUBE(event_type, user_bucket)""",
+
+    "q37_sketch_union" ->
+      """WITH e AS (
+           SELECT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events)
+         SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           CAST((SELECT SUM(cnt) FROM (
+             SELECT COUNT(DISTINCT user_id) AS cnt FROM e GROUP BY day)) AS BIGINT)
+             AS sum_daily_exact,
+           TRUE AS within_bound
+         FROM e"""
   )
 }

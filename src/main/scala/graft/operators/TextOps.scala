@@ -196,6 +196,39 @@ object TextOps {
             x => x.getField("blk")), " ")).as("kept_fp"))
     }),
 
+    // Boilerplate strip — the C4/CCNet "repeated passage" rule, distinct
+    // from text_block_dedup's canonical-first dedup: a block seen in ≥ 3
+    // DISTINCT documents is template boilerplate (headers, footers,
+    // navigation chrome) and EVERY occurrence is dropped — no canonical
+    // survivor. Dataflow is two hash aggregations (block df, then per-doc
+    // reassembly) + one equi-join on the block key; the df aggregate
+    // collapses map-side, nothing is sorted corpus-wide. The per-doc md5
+    // of the re-stitched retained text hash-pins both the drop decisions
+    // and the stitch order.
+    "text_boilerplate" -> ((s, dir) => {
+      val b = docs(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), ceil(size(col("t")) / lit(8.0)).cast("int")),
+            i => struct(i.cast("long").as("pos"),
+              slice(col("t"), (i - 1) * 8 + 1, lit(8)).as("blk")))).as("u"))
+        .select(col("doc_id"), col("u.pos").as("pos"),
+          array_join(col("u.blk"), " ").as("blk"),
+          size(col("u.blk")).cast("long").as("blk_len"))
+      val df = b.groupBy(col("blk"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      b.join(df, Seq("blk"))
+        .withColumn("keep", col("df") < 3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum((!col("keep")).cast("long")).as("n_boiler"),
+          sum(when(col("keep"), col("blk_len")).otherwise(lit(0L))).as("n_kept_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("blk"))))),
+            x => x.getField("blk")), " ")).as("kept_fp"))
+    }),
+
     // Sequence-length histogram — the planning input for context-window
     // packing and truncation policy: doc counts and token budgets per
     // fixed-width 16-token bucket, with the running token budget up to
@@ -618,6 +651,27 @@ object TextOps {
     // across engines, runs, and partitionings. Shape at scale: one
     // |sources|-row count aggregate broadcast back into a codegen'd
     // filter; no shuffle of document data at all.
+    // Preference-pair construction — the DPO/RLHF data-prep shape: within
+    // each candidate group (here (lang, source) stands in for the prompt
+    // id), the highest- and lowest-quality candidates become the
+    // (chosen, rejected) pair with their score margin. One hash aggregate
+    // with two struct-argmax accumulators — both merge map-side, so the
+    // pair table costs one pass at any corpus size; ties break on doc_id
+    // through the struct ordering, deterministic across engines and
+    // partitionings. Groups with a single candidate produce no pair.
+    "pipe_pref_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        Text.qualityScore(col("text")).as("q"))
+      d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_cands"),
+          max(struct(col("q"), col("doc_id"))).as("ch"),
+          min(struct(col("q"), col("doc_id"))).as("rj"))
+        .filter(col("n_cands") >= 2)
+        .select(col("lang"), col("source"), col("n_cands"),
+          col("ch.doc_id").as("chosen_id"), col("rj.doc_id").as("rejected_id"),
+          (col("ch.q") - col("rj.q")).as("margin"))
+    }),
+
     "pipe_mix_temperature" -> ((s, dir) => {
       val d = docs(s, dir).select(col("source"), col("doc_id"))
       val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
@@ -1318,7 +1372,35 @@ object TextOps {
     // bucket id, like sim_ann_lsh), not a data label that could be absent
     // or degenerate at corpus scale. Then connected components pick ONE
     // survivor per near-dup cluster, carrying its language.
-    "dedup_embed_cosine" -> ((s, dir) => embedCosineClusters(s, dir))
+    "dedup_embed_cosine" -> ((s, dir) => embedCosineClusters(s, dir)),
+
+    // SELF-TUNED embedding near-dup: the hyperplane count is derived from
+    // the corpus count at plan time (planes = min p with 2^p ≥ ⌈n/16⌉,
+    // floor 4) so expected bucket occupancy — and with it candidate-pair
+    // volume per row — stays constant as the corpus grows. This turns the
+    // occupancy counter-measure SCALE_r12.md measured BY HAND at 10×
+    // (planes 8 → 12 cut the scaled wall-clock 1.8×) into something the
+    // engine does itself: sf0.01 resolves to 5 planes, the 10× corpus to
+    // 12, with zero config. The oracle derives the identical plane count
+    // from its own COUNT(*) (integer min-power-of-two scan, no float
+    // log2), so the gate proves the formula end to end.
+    "dedup_embed_adaptive" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val joined = d.join(Tables.load(s, dir, "embeddings"),
+        d("doc_id") === col("vec_id"))
+      // One count job at plan time — the stats read a production run gets
+      // from catalog statistics instead of a scan.
+      val planes = Similarity.adaptivePlanes(joined.count())
+      val withBucket = joined.withColumn("bucket",
+        Similarity.lshBucketCol(Similarity.quantize(col("embedding")),
+          numPlanes = planes))
+      val pairs = Similarity.thresholdPairs(withBucket,
+          d("doc_id"), col("embedding"), col("bucket"), threshold = 0.4)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.nearDupComponents(pairs)
+        .select(lit(planes.toLong).as("planes"), col("cluster"),
+          col("n_members"), col("keep_id"))
+    })
   )
 
   /** `dedup_embed_cosine`'s dataflow with the LSH hyperplane count
@@ -1613,6 +1695,31 @@ object TextOps {
             FROM b JOIN counts USING (blk))
           SELECT doc_id, COUNT(*) AS n_blocks,
             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+            CAST(SUM(CASE WHEN keep THEN blk_len ELSE 0 END) AS BIGINT) AS n_kept_tokens,
+            md5(COALESCE(string_agg(CASE WHEN keep THEN blk END, ' '
+              ORDER BY pos), '')) AS kept_fp
+          FROM k GROUP BY doc_id""",
+
+    "text_boilerplate" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+          b AS (
+            SELECT doc_id, u.pos AS pos,
+              array_to_string(u.blk, ' ') AS blk,
+              CAST(len(u.blk) AS BIGINT) AS blk_len
+            FROM (
+              SELECT doc_id,
+                unnest([{'pos': CAST(i AS BIGINT),
+                         'blk': t[(i-1)*8+1 : i*8]}
+                        for i in generate_series(1,
+                          CAST(ceil(len(t) / 8.0) AS BIGINT))]) AS u
+              FROM tk)),
+          dfreq AS (
+            SELECT blk, COUNT(DISTINCT doc_id) AS df FROM b GROUP BY 1),
+          k AS (
+            SELECT b.*, (df < 3) AS keep
+            FROM b JOIN dfreq USING (blk))
+          SELECT doc_id, COUNT(*) AS n_blocks,
+            CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
             CAST(SUM(CASE WHEN keep THEN blk_len ELSE 0 END) AS BIGINT) AS n_kept_tokens,
             md5(COALESCE(string_agg(CASE WHEN keep THEN blk END, ' '
               ORDER BY pos), '')) AS kept_fp
@@ -1953,6 +2060,23 @@ object TextOps {
               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
           FROM documents d JOIN r ON d.source = r.source
           GROUP BY d.source""",
+
+    "pipe_pref_pairs" ->
+      s"""WITH scored AS (
+            SELECT doc_id, lang, source,
+              0.4 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) / 8.0, 1.0)
+            + 0.3 * (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE))
+            + 0.3 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) AS q
+            FROM documents),
+          g AS (
+            SELECT lang, source, COUNT(*) AS n_cands,
+              MAX(struct_pack(q := q, doc_id := doc_id)) AS ch,
+              MIN(struct_pack(q := q, doc_id := doc_id)) AS rj
+            FROM scored GROUP BY 1, 2)
+          SELECT lang, source, n_cands,
+            ch.doc_id AS chosen_id, rj.doc_id AS rejected_id,
+            ch.q - rj.q AS margin
+          FROM g WHERE n_cands >= 2""",
 
     "text_winnow" ->
       s"""WITH base AS (SELECT doc_id, $toks AS l FROM documents),
@@ -2557,6 +2681,38 @@ object TextOps {
               SELECT doc_id, MIN(label) AS label FROM cc GROUP BY 1) t
             GROUP BY 1)
           SELECT cluster, n_members, keep_id, d.lang AS keep_lang
-          FROM cls JOIN documents d ON d.doc_id = keep_id"""
+          FROM cls JOIN documents d ON d.doc_id = keep_id""",
+
+    "dedup_embed_adaptive" ->
+      s"""WITH prep AS (
+            SELECT vec_id, v, list_sum([y*y for y in v]) AS nrm
+            FROM (SELECT vec_id,
+                    [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS v
+                  FROM embeddings JOIN documents ON doc_id = vec_id)),
+          ${VectorOps.adaptiveBucketCte(4, 16)},
+          bounded AS (
+            SELECT * FROM (
+              SELECT p.*, b.bucket, COUNT(*) OVER (PARTITION BY b.bucket) AS blk_n
+              FROM prep p JOIN buck b USING (vec_id))
+            WHERE blk_n <= 10000),
+          good AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM bounded a JOIN bounded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE ${VectorOps.simSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.4),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM good
+            UNION SELECT doc_b, doc_a FROM good),
+          verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+          cls AS (
+            SELECT label AS cluster, COUNT(*) AS n_members, MIN(doc_id) AS keep_id
+            FROM (
+              WITH RECURSIVE cc AS (
+                SELECT doc_id, doc_id AS label FROM verts
+                UNION
+                SELECT e.dst AS doc_id, cc.label FROM cc JOIN edges e ON e.src = cc.doc_id)
+              SELECT doc_id, MIN(label) AS label FROM cc GROUP BY 1) t
+            GROUP BY 1)
+          SELECT (SELECT planes FROM planecnt) AS planes, cluster, n_members, keep_id
+          FROM cls"""
   )
 }

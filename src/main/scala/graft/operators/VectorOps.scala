@@ -508,6 +508,34 @@ object VectorOps {
             SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS bucket
           FROM dots GROUP BY 1)"""
 
+  /** [[bucketCte]] with the hyperplane count DERIVED from the corpus count
+    * in-query (`dedup_embed_adaptive`): planes = max(base, min p with
+    * 2^p ≥ ⌈count/targetOcc⌉) — the exact integer mirror of
+    * [[graft.functions.Similarity.adaptivePlanes]]. The LCG sign product
+    * is cast to BIGINT up front: adaptive plane counts push the flattened
+    * index past the 32-bit-safe 511 the fixed 8-plane CTE stays under
+    * (DuckDB raises on INTEGER overflow rather than wrapping).
+    */
+  private[operators] def adaptiveBucketCte(base: Int, targetOcc: Int): String =
+    s"""planecnt AS (
+          SELECT CAST(GREATEST($base, (
+            SELECT MIN(p) FROM generate_series(0, 62) AS g(p)
+            WHERE (CAST(1 AS BIGINT) << p) >=
+              (SELECT (COUNT(*) + ${targetOcc - 1}) // $targetOcc FROM prep))) AS BIGINT) AS planes),
+        pe AS (
+          SELECT vec_id, i, v[i] AS q, j
+          FROM prep, (SELECT unnest(generate_series(1, 64)) AS i),
+               (SELECT unnest(generate_series(0, (SELECT planes FROM planecnt) - 1)) AS j)),
+        dots AS (
+          SELECT vec_id, j,
+            SUM(CASE WHEN ((CAST(1664525 AS BIGINT) * (j * 64 + (i - 1)) + 1013904223) >> 15) % 2 = 0
+                     THEN q ELSE -q END) AS d
+          FROM pe GROUP BY 1, 2),
+        buck AS (
+          SELECT vec_id,
+            SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS bucket
+          FROM dots GROUP BY 1)"""
+
   def oracles: Map[String, String] = Map(
     "sim_knn_brute" ->
       s"""WITH $prepCte

@@ -44,7 +44,18 @@ object GraftExtensions {
       (es: Seq[Expression]) => Phash64(es.head)),
     (FunctionIdentifier("dot_q"),
       info("dot_q", "dot_q(a, b) - exact integer dot product of two quantized long-array vectors"),
-      (es: Seq[Expression]) => DotQ(es.head, es(1))))
+      (es: Seq[Expression]) => DotQ(es.head, es(1))),
+    (FunctionIdentifier("lsh_bucket"),
+      info("lsh_bucket", "lsh_bucket(v, planes, dim) - random-hyperplane LSH bucket id of a quantized vector"),
+      (es: Seq[Expression]) => LshBucket(es.head, intLit(es(1)), intLit(es(2)))))
+
+  private def intLit(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other =>
+      throw new IllegalArgumentException(
+        s"lsh_bucket expects integer literals for planes/dim, got $other")
+  }
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: SparkSession): Unit =

@@ -32,14 +32,14 @@ case class MinhashSig(child: Expression, numPerms: Int)
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
-    MinhashSig.eval(input.asInstanceOf[ArrayData], numPerms)
+    MinhashSig.compute(input.asInstanceOf[ArrayData], numPerms)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val out = ctx.freshName("out")
       s"""
          |org.apache.spark.sql.catalyst.util.ArrayData $out =
-         |  graft.plans.MinhashSig.eval($c, $numPerms);
+         |  graft.plans.MinhashSig.compute($c, $numPerms);
          |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
        """.stripMargin
     })
@@ -56,7 +56,7 @@ object MinhashSig {
   private def permA(j: Int): Long = 2L * j + 1
   private def permB(j: Int): Long = 101L * j + 17
 
-  def eval(s: ArrayData, numPerms: Int): ArrayData = {
+  def compute(s: ArrayData, numPerms: Int): ArrayData = {
     val n = s.numElements()
     val mins = Array.fill(numPerms)(Long.MaxValue)
     var seen = false

@@ -87,6 +87,19 @@ object ExprBench {
       timeSig("native", fusedSum)
       timeSig("legacy", legacySum)
     }
+    // lsh-bucket path: all plane sign bits from one 64-dim quantized
+    // vector per row — fused single pass vs numPlanes aggregate(zip_with)
+    // sweeps (8 planes so the two forms are value-identical; the fused
+    // win grows with the plane count the adaptive sizing turns up)
+    def timeBkt(tag: String, c: org.apache.spark.sql.Column): Unit = {
+      val t0 = System.nanoTime()
+      val r = vecs.select(sum(pmod(c, lit(1000003L)))).head().getLong(0)
+      println(f"$tag%8s ${(System.nanoTime() - t0) / 1e9}%6.3f s  sum=$r (lsh-bucket path)")
+    }
+    for (_ <- 1 to 3) {
+      timeBkt("native", graft.functions.Similarity.lshBucketCol(col("a"), 8))
+      timeBkt("legacy", graft.functions.Similarity.lshBucketColComposed(col("a"), 8))
+    }
     spark.stop()
   }
 }

@@ -74,7 +74,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "snap_orphan_compound", // broadcast chunk bounds, BSON-order range semi-join
     "snap_range_pieces", // broadcast piece bounds × table rows
     "snap_sharded_fullsync", // same piece-bounds broadcast, one per shard arm
-    "cdc_qos_reload" // broadcast sentinel control table, as-of range join on ticks
+    "cdc_qos_reload", // broadcast sentinel control table, as-of range join on ticks
+    "q37_sketch_union" // 1-row exact agg × 1-row merged-sketch agg (both global aggregates)
   )
 
   /** Shuffle-count ceiling. The audited maximum today is 8 (multi-stage

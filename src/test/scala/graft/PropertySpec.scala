@@ -391,6 +391,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("lsh-bucket law: the fused LshBucket expression ≡ the per-plane " +
+      "composition, incl. wrong-length and null-element vectors") {
+    val vecGen = Gen.frequency(
+      (8, Gen.listOfN(64, Gen.choose(-2000L, 2000L).map(Option(_)))),
+      (1, Gen.listOfN(63, Gen.choose(-2000L, 2000L).map(Option(_)))), // len ≠ dim → bucket 0
+      (1, Gen.listOfN(64, Gen.option(Gen.choose(-2000L, 2000L))))) // null elems → bucket 0
+    samples(Gen.listOfN(30, vecGen), 3).foreach { vecs =>
+      for (planes <- Seq(4, 8)) {
+        val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "v").repartition(4)
+          .select(col("id"),
+            graft.functions.Similarity.lshBucketCol(col("v"), planes).as("b"),
+            graft.functions.Similarity.lshBucketColComposed(col("v"), planes).as("bc"))
+        df.as[(Long, Long, Long)].collect().foreach { case (id, b, bc) =>
+          assert(b == bc, s"planes=$planes id=$id")
+        }
+      }
+    }
+    // Beyond 8 planes the 64-bit LCG IS the definition (the 32-bit composed
+    // form would overflow past flat index 511) — pin against a direct
+    // Scala reference at 12 planes.
+    def refSign(idx: Int): Long =
+      if ((((1664525L * idx + 1013904223L) >> 15) % 2) == 0) 1L else -1L
+    samples(Gen.listOfN(64, Gen.choose(-2000L, 2000L)), 5).foreach { v =>
+      val want = (0 until 12).map { j =>
+        val d = v.indices.map(i => v(i) * refSign(j * 64 + i)).sum
+        if (d > 0) 1L << j else 0L
+      }.sum
+      val got = Seq(Tuple1(v)).toDF("v")
+        .select(graft.functions.Similarity.lshBucketCol(col("v"), 12).as("b"))
+        .as[Long].head()
+      assert(got == want)
+    }
+  }
+
+  test("adaptive-planes law: smallest p with 2^p ≥ ⌈n/occ⌉, floored at base " +
+      "— matches a brute scan over p for random corpus sizes") {
+    val gen = for {
+      n <- Gen.choose(0L, 3000000L)
+      occ <- Gen.oneOf(1L, 4L, 16L, 64L)
+      base <- Gen.oneOf(0, 4, 8)
+    } yield (n, occ, base)
+    samples(gen, 200).foreach { case (n, occ, base) =>
+      val m = (n + occ - 1) / occ
+      val brute = (0 to 62).find(p => (1L << p) >= math.max(m, 1L)).get
+      val want = math.max(base, brute)
+      assert(graft.functions.Similarity.adaptivePlanes(n, base, occ) == want,
+        s"n=$n occ=$occ base=$base")
+    }
+    // the documented corpus anchors: sf0.01 → 5 planes, 10×-sf0.1 → 12
+    assert(graft.functions.Similarity.adaptivePlanes(500) == 5)
+    assert(graft.functions.Similarity.adaptivePlanes(50000) == 12)
+  }
+
   test("incremental-components law: componentsIncremental ≡ the full fixpoint " +
       "over base ∪ increment edges, on random graphs and random splits") {
     val gen = for {

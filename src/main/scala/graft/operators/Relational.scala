@@ -825,6 +825,38 @@ object Relational {
         .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
     }),
 
+    // Conversation packing — the SFT data-prep shape: gap-sessionized
+    // event streams become ordered multi-turn training rows (turn
+    // sequence, context-window truncation at 16 turns, per-example value
+    // budget). Sessionization is q10's two-window pass inside the
+    // user_id partitioning; the per-session collect_list is bounded by
+    // the session gap (state = one open session per user, never the
+    // user's history), and the array_sort runs on that bounded list —
+    // the md5-free analogue of text_pack's deterministic packing.
+    "pipe_conversation_pack" -> ((s, dir) => {
+      val gapUs = 1800000000L // 30 min
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = Tables.loadEventsNs(s, dir)
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts"),
+          col("event_type"), expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") - lag(col("ts"), 1).over(w) > gapUs, 1).otherwise(0))
+        .withColumn("sess_seq", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy(col("user_id"), col("sess_seq"))
+        .agg(count(lit(1)).as("n_turns_total"),
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type"), col("cents")))).as("arr"))
+        .select(col("user_id"), col("sess_seq").cast("long").as("sess_seq"),
+          col("n_turns_total"),
+          least(col("n_turns_total"), lit(16L)).as("n_turns_kept"),
+          array_join(transform(slice(col("arr"), 1, 16),
+            x => x.getField("event_type")), "|").as("turns"),
+          aggregate(slice(col("arr"), 1, 16), lit(0L),
+            (acc, x) => acc + x.getField("cents")).as("kept_cents"))
+    }),
+
     // Mergeable-sketch set cardinality — the 100 TB distinct-count
     // workflow: each day builds its own HLL sketch ONCE (one map-side-
     // mergeable pass, like q19/q20's sketches), and every downstream
@@ -1465,6 +1497,27 @@ object Relational {
          FROM (SELECT event_type, user_id % 10 AS user_bucket,
                  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
          GROUP BY CUBE(event_type, user_bucket)""",
+
+    "pipe_conversation_pack" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+           m AS (SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           s AS (SELECT *,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess_seq
+             FROM m),
+           r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess_seq
+                 ORDER BY ts, event_id) AS rn
+             FROM s)
+         SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+           COUNT(*) AS n_turns_total,
+           CAST(LEAST(COUNT(*), 16) AS BIGINT) AS n_turns_kept,
+           string_agg(CASE WHEN rn <= 16 THEN event_type END, '|' ORDER BY rn) AS turns,
+           CAST(SUM(CASE WHEN rn <= 16 THEN cents ELSE 0 END) AS BIGINT) AS kept_cents
+         FROM r GROUP BY 1, 2""",
 
     "q37_sketch_union" ->
       """WITH e AS (

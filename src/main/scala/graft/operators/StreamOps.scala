@@ -67,6 +67,7 @@ object StreamOps {
     "stream_join_semi" -> ((s, dir) => runStreamJoinSemi(s, dir)),
     "stream_anomaly" -> ((s, dir) => runAnomaly(s, dir)),
     "stream_scd2" -> ((s, dir) => runScd2(s, dir)),
+    "stream_mview_delta" -> ((s, dir) => runMviewDelta(s, dir)),
     "stream_asof_enrich" -> ((s, dir) => runAsofEnrich(s, dir)),
     "stream_late_audit" -> ((s, dir) => runLateAudit(s, dir)),
     "stream_schema_alert" -> ((s, dir) => runSchemaAlert(s, dir)),
@@ -1831,6 +1832,78 @@ object StreamOps {
     out.iterator
   }
 
+  case class MviewOp(b: Long, event_type: String, ub: Long, cents: Long)
+  case class MviewState(n: Long, c: Long)
+  case class MviewRow(b: Long, event_type: String, ub: Long, op: String,
+      n: Long, sum_cents: Long)
+
+  /** Streaming materialized view with a RETRACT changelog — the Flink-
+    * style upsert/retract stream a downstream consumer (cache, serving
+    * index, second aggregation) needs to stay consistent with a
+    * continuously-maintained aggregate: each micro-batch emits, per
+    * TOUCHED key, a '-' row retracting the previous (count, sum) and a
+    * '+' row asserting the new one. State is exactly one (n, c) pair per
+    * key (the current view row — never batch history), and the changelog
+    * volume is O(keys touched per batch). Batch boundaries are the
+    * deterministic staged thirds, so the full changelog — not just the
+    * final view — is oracle-checkable: the '+' stream at each key's last
+    * batch IS the view, and replaying +/− deltas telescopes to it.
+    */
+  private def runMviewDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = graft.Work.dir("stream_mview_delta_q")
+    IncrSync.deletePath(s, work)
+    val e = graft.Tables.loadEventsNs(s, dir)
+      .select(expr("ts DIV 1000").as("ts"), col("event_type"),
+        (col("user_id") % 10).as("ub"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .localCheckpoint()
+    val mm = e.agg(min(col("ts")), max(col("ts"))).head()
+    val (t0, t1) = (mm.getLong(0), mm.getLong(1))
+    val (c1, c2) = (t0 + (t1 - t0) / 3, t0 + 2 * (t1 - t0) / 3)
+    stageOrdered(s, s"$work/feed", Seq(
+      e.filter(col("ts") <= c1).withColumn("b", lit(0L)),
+      e.filter(col("ts") > c1 && col("ts") <= c2).withColumn("b", lit(1L)),
+      e.filter(col("ts") > c2).withColumn("b", lit(2L))))
+    val q = s.readStream.schema(e.withColumn("b", lit(0L)).schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .select(col("b"), col("event_type"), col("ub"), col("cents"))
+      .as[MviewOp]
+      .groupByKey(o => (o.event_type, o.ub))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        mviewGroup)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
+  /** Per-key view maintenance (see [[runMviewDelta]]): retract the old
+    * aggregate, fold the batch delta, assert the new one. Every staged
+    * row in one invocation carries the same batch marker (file-per-
+    * trigger), so the emitted rows are stamped with it.
+    */
+  private[graft] def mviewGroup(key: (String, Long), ops: Iterator[MviewOp],
+      state: GroupState[MviewState]): Iterator[MviewRow] = {
+    val rows = ops.toSeq
+    val b = rows.map(_.b).max
+    val dn = rows.size.toLong
+    val dc = rows.map(_.cents).sum
+    val out = scala.collection.mutable.ListBuffer.empty[MviewRow]
+    if (state.exists) {
+      val st = state.get
+      out += MviewRow(b, key._1, key._2, "-", st.n, st.c)
+      state.update(MviewState(st.n + dn, st.c + dc))
+    } else {
+      state.update(MviewState(dn, dc))
+    }
+    val st = state.get
+    out += MviewRow(b, key._1, key._2, "+", st.n, st.c)
+    out.iterator
+  }
+
   /** LIVE distribution-drift monitor — pipe_drift_monitor's shift gate
     * on the ingest stream itself: batch 0 freezes the language-share
     * baseline, every later micro-batch compares its own shares (integer
@@ -2352,6 +2425,38 @@ object StreamOps {
           SELECT ns, field, first_seen_us,
             first_seen_us <= t0 + (t1 - t0) // 3 AS baseline
           FROM first, b"""),
+
+    // Closed form of the retract changelog: per (key, staged third), the
+    // '+' row is the cumulative (count, cents) through that third and the
+    // '-' row (from the second appearance on) the cumulative before it.
+    "stream_mview_delta" ->
+      """WITH e AS (SELECT event_type, user_id % 10 AS ub,
+              CAST(round(value * 100) AS BIGINT) AS cents,
+              epoch_ns(ts)//1000 AS ts FROM events),
+          mm AS (SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM e),
+          eb AS (
+            SELECT event_type, ub, cents,
+              CASE WHEN ts <= t0 + (t1 - t0) // 3 THEN 0
+                   WHEN ts <= t0 + 2 * (t1 - t0) // 3 THEN 1
+                   ELSE 2 END AS b
+            FROM e, mm),
+          per AS (
+            SELECT event_type, ub, b, COUNT(*) AS dn,
+              CAST(SUM(cents) AS BIGINT) AS dc
+            FROM eb GROUP BY 1, 2, 3),
+          cum AS (
+            SELECT event_type, ub, b, dn, dc,
+              SUM(dn) OVER w AS n_new, SUM(dc) OVER w AS c_new,
+              ROW_NUMBER() OVER w AS rn
+            FROM per WINDOW w AS (PARTITION BY event_type, ub ORDER BY b
+              ROWS UNBOUNDED PRECEDING))
+          SELECT CAST(b AS BIGINT) AS b, event_type, ub, '+' AS op,
+            CAST(n_new AS BIGINT) AS n, CAST(c_new AS BIGINT) AS sum_cents
+          FROM cum
+          UNION ALL
+          SELECT CAST(b AS BIGINT), event_type, ub, '-',
+            CAST(n_new - dn AS BIGINT), CAST(c_new - dc AS BIGINT)
+          FROM cum WHERE rn > 1""",
 
     // Closed form of the baseline-vs-batch share comparison: the corpus
     // split at its doc_id terciles, shares in integer ppm per tercile,

@@ -640,17 +640,6 @@ object TextOps {
           sum(col("_fp")).as("fingerprint"))
     }),
 
-    // Temperature-resampled source mixing (weights ∝ n^α, α = 0.5 — the
-    // multi-source rebalancing step of corpus assembly: lift rare
-    // sources, damp dominant ones, land on a target budget of half the
-    // corpus). All cross-source math is INTEGER once sqrt is taken
-    // (sqrt is exactly rounded in every IEEE engine; the scaled floor
-    // makes the cross-source sum exact, where a double sum's addend
-    // order would not be), so the per-document keep decision —
-    // phash64(doc_id) mod 1e6 < rate_ppm(source) — is bit-identical
-    // across engines, runs, and partitionings. Shape at scale: one
-    // |sources|-row count aggregate broadcast back into a codegen'd
-    // filter; no shuffle of document data at all.
     // Preference-pair construction — the DPO/RLHF data-prep shape: within
     // each candidate group (here (lang, source) stands in for the prompt
     // id), the highest- and lowest-quality candidates become the
@@ -672,6 +661,17 @@ object TextOps {
           (col("ch.q") - col("rj.q")).as("margin"))
     }),
 
+    // Temperature-resampled source mixing (weights ∝ n^α, α = 0.5 — the
+    // multi-source rebalancing step of corpus assembly: lift rare
+    // sources, damp dominant ones, land on a target budget of half the
+    // corpus). All cross-source math is INTEGER once sqrt is taken
+    // (sqrt is exactly rounded in every IEEE engine; the scaled floor
+    // makes the cross-source sum exact, where a double sum's addend
+    // order would not be), so the per-document keep decision —
+    // phash64(doc_id) mod 1e6 < rate_ppm(source) — is bit-identical
+    // across engines, runs, and partitionings. Shape at scale: one
+    // |sources|-row count aggregate broadcast back into a codegen'd
+    // filter; no shuffle of document data at all.
     "pipe_mix_temperature" -> ((s, dir) => {
       val d = docs(s, dir).select(col("source"), col("doc_id"))
       val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -19,6 +20,45 @@ object VectorOps {
     "sim_knn_brute" -> ((s, dir) =>
       Similarity.knnBrute(embs(s, dir), col("vec_id"), col("embedding"),
         col("vec_id") < 10, k = 5)),
+
+    // Dimension pruning (matryoshka-style truncation eval): rank the 64
+    // dimensions by corpus variance (n·Σx² − (Σx)², BIGINT-exact), keep
+    // the top 16, and attest the pruned cosine's top-5 recall against the
+    // full cosine per probe. The variance pass is one map-side-mergeable
+    // aggregate to a 64-row table; the 16 chosen dims are a bounded
+    // driver read inlined as projection literals, so the pruned corpus
+    // pass is a pure codegen'd projection — the 4× scan-width/FLOP cut a
+    // production deployment actually banks. Probes broadcast as in
+    // sim_knn_brute.
+    "sim_dim_prune" -> ((s, dir) => {
+      val p = Similarity.prepared(embs(s, dir), col("vec_id"), col("embedding"))
+      val comps = p.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      val topDims = comps.groupBy(col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("i"), (col("n") * col("sxx") - col("sx") * col("sx")).as("varn"))
+        .orderBy(col("varn").desc, col("i").asc).limit(16)
+        .select(col("i")).collect().map(_.getInt(0)).sorted // |dims| = 16, bounded
+      def pruneV(v: Column): Column =
+        array(topDims.map(d => element_at(v, d + 1)): _*)
+      val pp = p.select(col("vec_id"), pruneV(col("v")).as("pv"))
+        .withColumn("pnrm", Similarity.sqNorm(col("pv")))
+      val q = broadcast(pp.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("pv").as("qv"), col("pnrm").as("qn")))
+      val wP = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+      val prunedTop = q.join(pp, col("query_id") =!= col("vec_id"))
+        .withColumn("sim", Similarity.cosineQ(col("qv"), col("qn"), col("pv"), col("pnrm")))
+        .withColumn("rank", row_number().over(wP))
+        .filter(col("rank") <= 5).select(col("query_id"), col("vec_id"))
+      val fullTop = Similarity.knnBrute(embs(s, dir), col("vec_id"),
+          col("embedding"), col("vec_id") < 10, k = 5)
+        .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      fullTop.join(prunedTop.withColumn("hit", lit(1L)),
+          Seq("query_id", "vec_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
+    }),
 
     // Diversified rerank (MMR, λ = 0.5) of the cosine top-20 for the
     // fixed query vector: the retrieval head reranked so near-duplicate
@@ -546,6 +586,39 @@ object VectorOps {
               ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} AS sim
             FROM prep q JOIN prep p ON q.vec_id < 10 AND q.vec_id <> p.vec_id)
           WHERE rank <= 5""",
+
+    "sim_dim_prune" ->
+      s"""WITH $prepCte,
+          comp AS (
+            SELECT vec_id, i, v[i] AS x
+            FROM prep, (SELECT unnest(generate_series(1, 64)) AS i)),
+          vstat AS (
+            SELECT i, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx
+            FROM comp GROUP BY 1),
+          topd AS (
+            SELECT i FROM (SELECT i, n*sxx - sx*sx AS varn FROM vstat)
+            ORDER BY varn DESC, i LIMIT 16),
+          pp AS (
+            SELECT vec_id, list(x ORDER BY i) AS pv, CAST(SUM(x*x) AS BIGINT) AS pnrm
+            FROM comp WHERE i IN (SELECT i FROM topd) GROUP BY vec_id),
+          fullt AS (
+            SELECT query_id, vec_id FROM (
+              SELECT q.vec_id AS query_id, p.vec_id AS vec_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, p.vec_id) AS rank
+              FROM prep q JOIN prep p ON q.vec_id < 10 AND q.vec_id <> p.vec_id)
+            WHERE rank <= 5),
+          prunedt AS (
+            SELECT query_id, vec_id FROM (
+              SELECT q.vec_id AS query_id, p.vec_id AS vec_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.pv", "q.pnrm", "p.pv", "p.pnrm")} DESC, p.vec_id) AS rank
+              FROM pp q JOIN pp p ON q.vec_id < 10 AND q.vec_id <> p.vec_id)
+            WHERE rank <= 5)
+          SELECT f.query_id, COUNT(*) AS n_true,
+            CAST(SUM(CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+          FROM fullt f LEFT JOIN prunedt pr USING (query_id, vec_id)
+          GROUP BY 1""",
 
     // MMR unrolled: k = 5 greedy selections as five chained CTE layers
     // (no recursion — each picks the argmax of 0.5·rel − 0.5·max-sim-to-

@@ -56,6 +56,7 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val bnljAllowed = Set(
     "sim_knn_brute", // broadcast query set × corpus (baseline brute kNN)
+    "sim_dim_prune", // broadcast probe set × corpus, full + pruned arms
     "sim_ivf_assign", "sim_ivf_search", // broadcast k-means centroid table
     "sim_decontam", // same centroid broadcast (ivfRange probe assignment)
     "sim_filtered_search", // same centroid broadcast, lists pre-filtered

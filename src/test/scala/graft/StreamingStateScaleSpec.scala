@@ -177,6 +177,55 @@ class StreamingStateScaleSpec extends AnyFunSuite {
       s"per-key fold state is not |keys|: $totals")
   }
 
+  test("mview retract changelog: state is one (n, c) row per KEY, and the " +
+      "changelog telescopes — replaying +/− deltas equals the final view") {
+    import graft.operators.StreamOps.{MviewOp, MviewRow}
+    val w = work("mview")
+    // adversarial volume skew: 20 keys × 300 events across 3 batches — a
+    // view that buffered batch history would report 6k state rows
+    val nKeys = 20
+    def part(b: Long) =
+      (for (k <- 0 until nKeys; i <- 0 until 100)
+        yield (b, s"t$k", (k % 10).toLong, 10L + i % 5))
+        .toDF("b", "event_type", "ub", "cents")
+    graft.operators.StreamOps.stageOrdered(spark, s"$w/feed",
+      Seq(part(0), part(1), part(2)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ub",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$w/feed")
+      .as[MviewOp]
+      .groupByKey(o => (o.event_type, o.ub))
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        graft.operators.StreamOps.mviewGroup)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$w/ckpt").option("path", s"$w/out")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination()
+    val totals = stateTotals(q)
+    assert(totals.nonEmpty && totals.max == nKeys.toLong,
+      s"mview state is not |keys|: $totals")
+    // telescoping: Σ(+n) − Σ(−n) per key = the key's final view count,
+    // and the last '+' row per key IS the full fold of its input
+    val log = spark.read.parquet(s"$w/out").as[MviewRow].collect()
+    for (key <- log.map(r => (r.event_type, r.ub)).distinct) {
+      val rows = log.filter(r => (r.event_type, r.ub) == key)
+      val net = rows.map(r => if (r.op == "+") r.n else -r.n).sum
+      val fin = rows.filter(_.op == "+").maxBy(_.b)
+      assert(net == fin.n, s"$key: net $net vs final ${fin.n}")
+      assert(fin.n == 300L, s"$key: final view count ${fin.n}")
+    }
+  }
+
   test("schema-alert registry state is |ns × fields| — schema-sized, " +
       "never sighting-volume-sized") {
     import graft.operators.StreamOps.{AlertSent, FieldSighting, SchemaAlert}

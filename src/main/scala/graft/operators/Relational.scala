@@ -825,6 +825,25 @@ object Relational {
         .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
     }),
 
+    // Semi-additive roll-up — the balance/inventory measure class: value
+    // is additive across USERS but not across TIME, so the roll-up is
+    // "sum over users of each user's LAST observation", never a plain
+    // SUM. Shape: one struct-argmax per (user, type) — a map-side-
+    // mergeable aggregate, no per-user window sort — then a |users×types|-
+    // row re-aggregate; both stages collapse before anything shuffles
+    // wide. Ties on ts break by event_id through the struct ordering.
+    "q38_semi_additive" -> ((s, dir) => {
+      val e = Tables.loadEventsNs(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("ts_us"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      e.groupBy(col("user_id"), col("event_type"))
+        .agg(max(struct(col("ts_us"), col("event_id"), col("cents"))).as("last"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("last.cents")).as("sum_last_cents"))
+    }),
+
     // Conversation packing — the SFT data-prep shape: gap-sessionized
     // event streams become ordered multi-turn training rows (turn
     // sequence, context-window truncation at 16 turns, per-example value
@@ -1497,6 +1516,16 @@ object Relational {
          FROM (SELECT event_type, user_id % 10 AS user_bucket,
                  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
          GROUP BY CUBE(event_type, user_bucket)""",
+
+    "q38_semi_additive" ->
+      """WITH last AS (
+           SELECT user_id, event_type,
+             MAX(struct_pack(ts_us := epoch_ns(ts)//1000, event_id := event_id,
+               cents := CAST(round(value * 100) AS BIGINT))) AS l
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, COUNT(*) AS n_users,
+           CAST(SUM(l.cents) AS BIGINT) AS sum_last_cents
+         FROM last GROUP BY 1""",
 
     "pipe_conversation_pack" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts, event_type,

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CatalystBridge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-stage-codegen COMPILATION lock for the native kernels.
+  *
+  * Correctness gates cannot catch a broken `doGenCode`: Spark swallows
+  * the Janino CompileException at execution time and silently falls back
+  * to interpreted eval — values stay right, whole-stage codegen silently
+  * dies for the whole stage. Round 13 found exactly that had happened to
+  * `MinhashSig` (no static forwarder for a companion method named
+  * `eval`). This spec force-compiles the generated source for a plan
+  * containing each native kernel, so the regression class fails loudly.
+  */
+class CodegenSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+
+  private def assertCompiles(df: org.apache.spark.sql.DataFrame,
+      tag: String): Unit = {
+    val n = CatalystBridge.compileWholeStage(df)
+    assert(n >= 1, s"$tag: no WholeStageCodegen subtree in the plan — " +
+      "the kernel fell out of codegen entirely:\n" +
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("every native kernel compiles inside whole-stage codegen") {
+    // range scans, not local Seqs — ConvertToLocalRelation would fold a
+    // LocalRelation projection away and leave no codegen subtree to prove
+    val r = spark.range(8)
+    assertCompiles(r.select(
+      graft.functions.Portable.phash64(concat(lit("tok "), col("id"))).as("h"),
+      graft.plans.JavaStringHash(col("id").cast("string")).as("jh")),
+      "phash64+java_string_hash")
+
+    val vecs = r.select(
+      transform(sequence(lit(0L), lit(63L)), j => col("id") * j).as("a"),
+      transform(sequence(lit(0L), lit(63L)), j => col("id") + j).as("b"))
+    assertCompiles(vecs.select(
+      graft.functions.Similarity.dotQ(col("a"), col("b")).as("d"),
+      graft.functions.Similarity.lshBucketCol(col("a"), 12).as("bkt")),
+      "dot_q+lsh_bucket")
+
+    val sigs = r.select(
+      transform(sequence(lit(0L), lit(31L)), j => col("id") * 31 + j).as("s"))
+    assertCompiles(sigs.select(
+      graft.plans.MinhashSig(col("s"), 16).as("sig")), "minhash_sig")
+
+    assertCompiles(r.select(
+      graft.plans.MongoComputeHash(col("id")).as("mh")), "mongo_hash")
+  }
+}

@@ -348,4 +348,71 @@ class RelationalJoinSpec extends AnyFunSuite {
     // Integer floors make the result bit-stable under any partitioning.
     assert(run(2, 7) == k2)
   }
+
+  test("q36_cube_incr: the incremental merge equals a one-shot CUBE, cell " +
+      "for cell, and the grand-total cell carries the full corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val merged = graft.operators.Relational.queries("q36_cube_incr")(spark, dir)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.toString.toLong), r.getLong(3), r.getLong(4)))
+      .toSet
+    val full = graft.Tables.loadEventsNs(spark, dir)
+      .select(col("event_type"), (col("user_id") % 10).as("user_bucket"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .cube(col("event_type"), col("user_bucket"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"))
+      .select(col("gid"), col("event_type"), col("user_bucket"), col("n"),
+        col("sum_cents"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.toString.toLong), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(merged == full)
+    // gid=3 is the grand total: exactly one cell, n = |events|
+    val grand = merged.filter(_._1 == 3L)
+    assert(grand.size == 1 &&
+      grand.head._4 == graft.Tables.loadEventsNs(spark, dir).count())
+  }
+
+  test("q37's union gate has teeth: dropping day sketches loses their " +
+      "users' cardinality, and the sf gate passes for real") {
+    import spark.implicits._
+    // day-partitioned users (day d owns users d·100..d·100+99) so partial
+    // unions MUST under-estimate — the fixture corpus can't show this
+    // (its 15 users all appear every day)
+    val e = (for (d <- 0L until 10L; u <- 0L until 100L)
+      yield (d, d * 100 + u)).toDF("day", "user_id").repartition(4)
+    val daily = e.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .localCheckpoint()
+    def unionEst(pred: org.apache.spark.sql.Column): Long =
+      daily.filter(pred)
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    val full = unionEst(lit(true))
+    val half = unionEst(col("day") % 2 === 0)
+    assert(math.abs(full - 1000L).toDouble / 1000 <= 0.05) // complete union ≈ exact
+    assert(math.abs(half - 500L).toDouble / 500 <= 0.05) // partial union = its days only
+    // and the gated query itself passes on the fixture corpus
+    val out = graft.operators.Relational.queries("q37_sketch_union")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Boolean]("within_bound"))
+  }
+
+  test("q38_semi_additive matches an independent sequential fold of " +
+      "last-observation-per-user") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.loadEventsNs(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"), expr("cast(round(value * 100) as bigint)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val want = rows.groupBy(t => (t._1, t._2)).view.mapValues(
+        _.maxBy(t => (t._3, t._4))._5).toSeq
+      .groupBy(_._1._2)
+      .map { case (tpe, vs) => tpe -> (vs.size.toLong, vs.map(_._2).sum) }
+    val got = graft.operators.Relational.queries("q38_semi_additive")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
 }

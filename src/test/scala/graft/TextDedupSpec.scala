@@ -567,4 +567,63 @@ class TextDedupSpec extends AnyFunSuite {
       .collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
     // …while the prefix filter needed no recall knob at all.
   }
+
+  test("text_boilerplate golden: df ≥ 3 drops EVERY occurrence (no canonical " +
+      "survivor, repeats within one doc included); df = 2 keeps both") {
+    val header = (1 to 8).map(i => s"h$i").mkString(" ") // df = 4 → boiler
+    val pair = (1 to 8).map(i => s"p$i").mkString(" ") // df = 2 → kept
+    def uniq(tag: String) = (1 to 8).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$header ${uniq("a")}"),
+      (2L, s"$header ${uniq("b")}"),
+      (3L, header), // boiler only → empty reassembly
+      (4L, s"$pair ${uniq("c")}"),
+      (5L, s"$pair ${uniq("d")}"),
+      (6L, s"$header $header")) // boiler twice IN ONE DOC → both dropped
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_boiler_golden"
+    graft.streaming.IncrSync.deletePath(spark, dir)
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextOps.queries("text_boilerplate")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.emptyByteArray).map("%02x".format(_)).mkString
+    assert(out(1L) == (2L, 1L, 8L, md5Of(uniq("a"))))
+    assert(out(2L) == (2L, 1L, 8L, md5Of(uniq("b"))))
+    assert(out(3L) == (1L, 1L, 0L, emptyMd5))
+    assert(out(4L) == (2L, 0L, 16L, md5Of(s"$pair ${uniq("c")}")))
+    assert(out(5L) == (2L, 0L, 16L, md5Of(s"$pair ${uniq("d")}")))
+    assert(out(6L) == (2L, 2L, 0L, emptyMd5))
+  }
+
+  private def md5Of(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("pipe_pref_pairs law: chosen is the group's quality argmax, rejected " +
+      "the argmin (ties on doc_id via struct order), singletons absent") {
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.Text.qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3)))
+    val groups = d.groupBy(t => (t._2, t._3))
+    val out = graft.operators.TextOps.queries("pipe_pref_pairs")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    for ((key, members) <- groups) {
+      if (members.size >= 2) {
+        val ch = members.maxBy(t => (t._4, t._1))
+        val rj = members.minBy(t => (t._4, t._1))
+        val (gotCh, gotRj, margin) = out(key)
+        assert(gotCh == ch._1 && gotRj == rj._1, s"$key")
+        assert(margin == ch._4 - rj._4 && margin >= 0.0, s"$key margin")
+      } else assert(!out.contains(key), s"singleton $key must be absent")
+    }
+    assert(out.keySet == groups.filter(_._2.size >= 2).keySet)
+  }
 }

@@ -825,6 +825,29 @@ object Relational {
         .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
     }),
 
+    // Forward-fill gap repair — the time-series staple: a reading whose
+    // measurement is missing (here: 'error' events stand in for failed
+    // reads) carries the key's LAST good value forward. One
+    // last(ignoreNulls) over the per-user ordered frame — linear inside
+    // the user partitioning, no self-join, no as-of probe per gap; rows
+    // before any good reading stay null and are counted as unfillable.
+    "q39_forward_fill" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.loadEventsNs(s, dir)
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+          when(col("event_type") =!= "error",
+            expr("cast(round(value * 100) as bigint)")).as("cents"))
+        .withColumn("filled", last(col("cents"), ignoreNulls = true).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents").isNull.cast("long")).as("n_gaps"),
+          sum((col("cents").isNull && col("filled").isNotNull).cast("long"))
+            .as("n_filled"),
+          sum(coalesce(col("filled"), lit(0L))).as("sum_filled_cents"))
+    }),
+
     // Semi-additive roll-up — the balance/inventory measure class: value
     // is additive across USERS but not across TIME, so the roll-up is
     // "sum over users of each user's LAST observation", never a plain
@@ -1516,6 +1539,24 @@ object Relational {
          FROM (SELECT event_type, user_id % 10 AS user_bucket,
                  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
          GROUP BY CUBE(event_type, user_bucket)""",
+
+    "q39_forward_fill" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us,
+             CASE WHEN event_type <> 'error'
+                  THEN CAST(round(value * 100) AS BIGINT) END AS cents
+           FROM events),
+         f AS (
+           SELECT *, last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS filled
+           FROM e)
+         SELECT user_id, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN cents IS NULL AND filled IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(SUM(COALESCE(filled, 0)) AS BIGINT) AS sum_filled_cents
+         FROM f GROUP BY 1""",
 
     "q38_semi_additive" ->
       """WITH last AS (

@@ -55,6 +55,42 @@ object MmOps {
           expr("(logical_bytes - physical_bytes) * 1000000 DIV logical_bytes"))
     }),
 
+    // CAS garbage collection — the sweep the block store (mm_storage_dedup)
+    // needs once documents get DELETED: mark = the distinct (kind, block)
+    // set still referenced by live docs (deletions here: doc_id % 5 == 0,
+    // the CDC delete feed's shape), sweep = the standing CAS anti-joined
+    // against the mark set; a block survives while ANY live doc still
+    // references it (shared blocks with one deleted referrer are NOT
+    // reclaimed — the refcount trap a naive per-doc delete hits). Only
+    // (kind, digest, len) rows move; mark is a distinct projection,
+    // sweep one equi-join.
+    "mm_cas_gc" -> ((s, dir) => {
+      val fr = media(s, dir)
+        .select(col("doc_id"), Multimodal.kindCol.as("kind"),
+          Multimodal.normPayload.as("norm"))
+        .filter(length(col("norm")) > 0)
+        .select(col("doc_id"), col("kind"), col("norm"),
+          explode(sequence(lit(0L),
+            ((length(col("norm")) - 1) / 16).cast("long"))).as("fi"))
+        .select(col("doc_id"), col("kind"),
+          md5(col("norm").substr((col("fi") * 16 + 1).cast("int"), lit(16)))
+            .as("block_md5"),
+          length(col("norm").substr((col("fi") * 16 + 1).cast("int"), lit(16)))
+            .cast("long").as("len"))
+      val cas = fr.groupBy(col("kind"), col("block_md5"))
+        .agg(min(col("len")).as("stored_len"))
+      val live = fr.filter(col("doc_id") % 5 =!= 0)
+        .select(col("kind"), col("block_md5")).distinct()
+      cas.join(live.withColumn("live", lit(1L)),
+          Seq("kind", "block_md5"), "left_outer")
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("live").isNotNull, 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("live").isNull, 1L).otherwise(0L)).as("n_reclaimed"),
+          sum(when(col("live").isNull, col("stored_len")).otherwise(lit(0L)))
+            .as("reclaimed_bytes"))
+    }),
+
     // Training-shard manifest for the media corpus (the WebDataset-style
     // packing step): blobs pack per modality into shards under a byte
     // budget — shard = floor(exclusive-prefix-bytes / budget), so a blob
@@ -204,6 +240,29 @@ object MmOps {
            CAST(SUM(one) AS BIGINT) AS physical_bytes,
            CAST((SUM(logical) - SUM(one)) * 1000000 // SUM(logical) AS BIGINT) AS saved_ppm
          FROM g GROUP BY 1""",
+
+    "mm_cas_gc" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  ELSE 'wav' END AS kind, $normSql AS norm
+           FROM documents WHERE length($normSql) > 0),
+         fr AS (
+           SELECT doc_id, kind,
+             md5(substring(norm, CAST(i AS INT) * 16 + 1, 16)) AS block_md5,
+             CAST(length(substring(norm, CAST(i AS INT) * 16 + 1, 16)) AS BIGINT) AS len
+           FROM d, LATERAL (SELECT unnest(range((length(norm) - 1) // 16 + 1)) AS i)),
+         cas AS (
+           SELECT kind, block_md5, MIN(len) AS stored_len
+           FROM fr GROUP BY 1, 2),
+         live AS (
+           SELECT DISTINCT kind, block_md5 FROM fr WHERE doc_id % 5 <> 0)
+         SELECT c.kind, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN l.block_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN l.block_md5 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reclaimed,
+           CAST(SUM(CASE WHEN l.block_md5 IS NULL THEN c.stored_len ELSE 0 END) AS BIGINT) AS reclaimed_bytes
+         FROM cas c LEFT JOIN live l USING (kind, block_md5)
+         GROUP BY 1""",
 
     "mm_meta" ->
       """SELECT doc_id,

@@ -68,6 +68,7 @@ object StreamOps {
     "stream_anomaly" -> ((s, dir) => runAnomaly(s, dir)),
     "stream_scd2" -> ((s, dir) => runScd2(s, dir)),
     "stream_mview_delta" -> ((s, dir) => runMviewDelta(s, dir)),
+    "stream_quarantine" -> ((s, dir) => runQuarantine(s, dir)),
     "stream_asof_enrich" -> ((s, dir) => runAsofEnrich(s, dir)),
     "stream_late_audit" -> ((s, dir) => runLateAudit(s, dir)),
     "stream_schema_alert" -> ((s, dir) => runSchemaAlert(s, dir)),
@@ -1832,6 +1833,71 @@ object StreamOps {
     out.iterator
   }
 
+  /** Dead-letter-queue ingestion — the bad-record pattern every
+    * production feed needs: rows whose payload fails schema-on-read
+    * (malformed JSON, missing required key — planted deterministically on
+    * event_id moduli) route to a QUARANTINE sink with a reason, good rows
+    * continue, and NOTHING is dropped silently: the read-back reconciles
+    * per (batch, reason) and the oracle replays the same classification
+    * closed-form, so a detector that missed a planted corruption (or
+    * quarantined a good row) hash-diverges. foreachBatch is the
+    * two-sink seam — the same shape the apply path uses; per batch the
+    * only work is one codegen'd from_json + two appends.
+    */
+  private def runQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val work = graft.Work.dir("stream_quarantine_q")
+    IncrSync.deletePath(s, work)
+    val e = graft.Tables.loadEventsNs(s, dir)
+      .select(col("event_id"), expr("ts DIV 1000").as("ts"),
+        when(col("event_id") % 13 === 0, lit("{bad"))
+          .when(col("event_id") % 17 === 0, lit("{}"))
+          .otherwise(col("props")).as("props"))
+      .localCheckpoint()
+    val mm = e.agg(min(col("ts")), max(col("ts"))).head()
+    val (t0, t1) = (mm.getLong(0), mm.getLong(1))
+    val (c1, c2) = (t0 + (t1 - t0) / 3, t0 + 2 * (t1 - t0) / 3)
+    stageOrdered(s, s"$work/feed", Seq(
+      e.filter(col("ts") <= c1).withColumn("b", lit(0L)),
+      e.filter(col("ts") > c1 && col("ts") <= c2).withColumn("b", lit(1L)),
+      e.filter(col("ts") > c2).withColumn("b", lit(2L))))
+    // PERMISSIVE from_json yields a row of nulls (not a null struct) on a
+    // parse failure — the corrupt-record column is the documented way to
+    // tell "unparseable" apart from "parsed but the key is absent"
+    val kSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val jsonOpts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt_record")
+    val q = s.readStream.schema(e.withColumn("b", lit(0L)).schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val parsed = batch
+          .withColumn("p", from_json(col("props"), kSchema, jsonOpts))
+          .withColumn("reason",
+            when(col("p").isNull || col("p._corrupt_record").isNotNull,
+              "malformed")
+              .when(col("p.k").isNull, "missing_key"))
+        parsed.filter(col("reason").isNotNull)
+          .select(col("b"), col("event_id"), col("reason"), col("props"))
+          .write.mode("append").parquet(s"$work/dlq")
+        parsed.filter(col("reason").isNull)
+          .select(col("b"), col("event_id"))
+          .write.mode("append").parquet(s"$work/good")
+        ()
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/dlq")
+      .groupBy(col("b"), col("reason")).agg(count(lit(1)).as("n"))
+      .unionByName(s.read.parquet(s"$work/good")
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+        .select(col("b"), lit("ok").as("reason"), col("n")))
+  }
+
   case class MviewOp(b: Long, event_type: String, ub: Long, cents: Long)
   case class MviewState(n: Long, c: Long)
   case class MviewRow(b: Long, event_type: String, ub: Long, op: String,
@@ -2425,6 +2491,25 @@ object StreamOps {
           SELECT ns, field, first_seen_us,
             first_seen_us <= t0 + (t1 - t0) // 3 AS baseline
           FROM first, b"""),
+
+    // Closed form of the DLQ classification: the corruption is planted on
+    // event_id moduli, so the oracle classifies arithmetically what the
+    // engine must detect by actually parsing the payload.
+    "stream_quarantine" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts)//1000 AS ts FROM events),
+          mm AS (SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM e),
+          eb AS (
+            SELECT event_id,
+              CASE WHEN ts <= t0 + (t1 - t0) // 3 THEN 0
+                   WHEN ts <= t0 + 2 * (t1 - t0) // 3 THEN 1
+                   ELSE 2 END AS b
+            FROM e, mm)
+          SELECT CAST(b AS BIGINT) AS b,
+            CASE WHEN event_id % 13 = 0 THEN 'malformed'
+                 WHEN event_id % 17 = 0 THEN 'missing_key'
+                 ELSE 'ok' END AS reason,
+            COUNT(*) AS n
+          FROM eb GROUP BY 1, 2""",
 
     // Closed form of the retract changelog: per (key, staged third), the
     // '+' row is the cumulative (count, cents) through that third and the

@@ -640,6 +640,32 @@ object TextOps {
           sum(col("_fp")).as("fingerprint"))
     }),
 
+    // Release-over-release corpus DIFF — the dataset-versioning audit a
+    // reproducible training run needs: version A and version B (derived
+    // deterministically: B drops doc_id % 5, A drops % 7, B edits % 11)
+    // full-outer-joined on doc id, each doc classified
+    // added/removed/changed/unchanged by CONTENT HASH — never by byte
+    // comparison of the payloads, so only (id, source, md5) rows cross
+    // the exchange. One join + one |sources×4|-row aggregate.
+    "pipe_dataset_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vA = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source").as("source_a"),
+          md5(col("text")).as("ha"))
+      val vB = d.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("source").as("source_b"),
+          md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("hb"))
+      vA.join(vB, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("source_a"), col("source_b")).as("source"),
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") === col("hb"), "unchanged")
+            .otherwise("changed").as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Preference-pair construction — the DPO/RLHF data-prep shape: within
     // each candidate group (here (lang, source) stands in for the prompt
     // id), the highest- and lowest-quality candidates become the
@@ -2060,6 +2086,23 @@ object TextOps {
               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
           FROM documents d JOIN r ON d.source = r.source
           GROUP BY d.source""",
+
+    "pipe_dataset_diff" ->
+      """WITH a AS (
+           SELECT doc_id, source, md5(text) AS ha
+           FROM documents WHERE doc_id % 7 <> 0),
+         b AS (
+           SELECT doc_id, source, md5(CASE WHEN doc_id % 11 = 0
+             THEN text || ' v2' ELSE text END) AS hb
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT COALESCE(a.source, b.source) AS source,
+           CASE WHEN ha IS NULL THEN 'added'
+                WHEN hb IS NULL THEN 'removed'
+                WHEN ha = hb THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           COUNT(*) AS n_docs
+         FROM a FULL OUTER JOIN b USING (doc_id)
+         GROUP BY 1, 2""",
 
     "pipe_pref_pairs" ->
       s"""WITH scored AS (

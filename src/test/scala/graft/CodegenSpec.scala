@@ -50,4 +50,52 @@ class CodegenSpec extends AnyFunSuite {
     assertCompiles(r.select(
       graft.plans.MongoComputeHash(col("id")).as("mh")), "mongo_hash")
   }
+
+  test("the lock has teeth: an expression whose doGenCode references a " +
+      "missing method fails the compile check loudly") {
+    val bad = CatalystBridge.column(BrokenCodegen(
+      CatalystBridge.expression(col("id"))))
+    val df = spark.range(4).select(bad.as("x"))
+    val e = intercept[Exception] {
+      CatalystBridge.compileWholeStage(df)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(
+      _.getClass.getName.contains("CompileException")),
+      s"expected a Janino CompileException in the cause chain, got $e")
+  }
+
+  test("lsh_bucket on the SQL surface matches the Column API") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = spark.range(8).select(
+      transform(sequence(lit(0L), lit(63L)), j => col("id") * j - 32).as("v"))
+    df.createOrReplaceTempView("lshb_v")
+    val viaSql = spark.sql(
+      "SELECT lsh_bucket(v, 12, 64) AS b FROM lshb_v").collect().map(_.getLong(0))
+    val viaCol = df.select(
+      graft.functions.Similarity.lshBucketCol(col("v"), 12).as("b"))
+      .collect().map(_.getLong(0))
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+}
+
+/** Deliberately-broken codegen (test-only): the generated call targets a
+  * method that does not exist, reproducing the missing-static-forwarder
+  * failure class CodegenSpec exists to catch.
+  */
+case class BrokenCodegen(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override protected def nullSafeEval(input: Any): Any = 0L
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.CodegenSpecNoSuchObject.noSuchMethod($c);")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): BrokenCodegen =
+    copy(child = newChild)
 }

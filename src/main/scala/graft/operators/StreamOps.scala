@@ -1860,42 +1860,59 @@ object StreamOps {
       e.filter(col("ts") <= c1).withColumn("b", lit(0L)),
       e.filter(col("ts") > c1 && col("ts") <= c2).withColumn("b", lit(1L)),
       e.filter(col("ts") > c2).withColumn("b", lit(2L))))
-    // PERMISSIVE from_json yields a row of nulls (not a null struct) on a
-    // parse failure — the corrupt-record column is the documented way to
-    // tell "unparseable" apart from "parsed but the key is absent"
-    val kSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("k",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("_corrupt_record",
-        org.apache.spark.sql.types.StringType)))
-    val jsonOpts = Map("mode" -> "PERMISSIVE",
-      "columnNameOfCorruptRecord" -> "_corrupt_record")
     val q = s.readStream.schema(e.withColumn("b", lit(0L)).schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$work/feed")
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val parsed = batch
-          .withColumn("p", from_json(col("props"), kSchema, jsonOpts))
-          .withColumn("reason",
-            when(col("p").isNull || col("p._corrupt_record").isNotNull,
-              "malformed")
-              .when(col("p.k").isNull, "missing_key"))
-        parsed.filter(col("reason").isNotNull)
-          .select(col("b"), col("event_id"), col("reason"), col("props"))
-          .write.mode("append").parquet(s"$work/dlq")
-        parsed.filter(col("reason").isNull)
-          .select(col("b"), col("event_id"))
-          .write.mode("append").parquet(s"$work/good")
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        quarantineBatch(batch, batchId, work)
       }
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.read.parquet(s"$work/dlq")
+    s.read.option("basePath", s"$work/dlq").parquet(s"$work/dlq/batch=*")
       .groupBy(col("b"), col("reason")).agg(count(lit(1)).as("n"))
-      .unionByName(s.read.parquet(s"$work/good")
+      .unionByName(s.read.option("basePath", s"$work/good")
+        .parquet(s"$work/good/batch=*")
         .groupBy(col("b")).agg(count(lit(1)).as("n"))
         .select(col("b"), lit("ok").as("reason"), col("n")))
+  }
+
+  /** PERMISSIVE from_json yields a row of nulls (not a null struct) on a
+    * parse failure — the corrupt-record column is the documented way to
+    * tell "unparseable" apart from "parsed but the key is absent".
+    */
+  private val QuarantineSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("_corrupt_record",
+      org.apache.spark.sql.types.StringType)))
+  private val QuarantineJsonOpts = Map("mode" -> "PERMISSIVE",
+    "columnNameOfCorruptRecord" -> "_corrupt_record")
+
+  /** One quarantine micro-batch (see [[runQuarantine]]). foreachBatch is
+    * the AT-LEAST-ONCE seam: a crash after one sink's write and before
+    * the offset commit re-runs the whole batch, so plain appends would
+    * double-deliver into whichever sink already wrote. BatchId-
+    * deterministic OVERWRITE directories make the retry rewrite the same
+    * data instead (the standard idempotent-foreachBatch recipe — the
+    * same contract TargetWriter keeps for the apply). Retry-idempotency
+    * is pinned in StreamingSpec by invoking this twice for one batch.
+    */
+  private[graft] def quarantineBatch(batch: DataFrame, batchId: Long,
+      work: String): Unit = {
+    val parsed = batch
+      .withColumn("p", from_json(col("props"), QuarantineSchema,
+        QuarantineJsonOpts))
+      .withColumn("reason",
+        when(col("p").isNull || col("p._corrupt_record").isNotNull,
+          "malformed")
+          .when(col("p.k").isNull, "missing_key"))
+    parsed.filter(col("reason").isNotNull)
+      .select(col("b"), col("event_id"), col("reason"), col("props"))
+      .write.mode("overwrite").parquet(s"$work/dlq/batch=$batchId")
+    parsed.filter(col("reason").isNull)
+      .select(col("b"), col("event_id"))
+      .write.mode("overwrite").parquet(s"$work/good/batch=$batchId")
   }
 
   case class MviewOp(b: Long, event_type: String, ub: Long, cents: Long)

@@ -1412,8 +1412,11 @@ object TextOps {
     // log2), so the gate proves the formula end to end.
     "dedup_embed_adaptive" -> ((s, dir) => {
       val d = docs(s, dir)
+      // Lineage cut: the stats count AND the bucket/pair passes reuse one
+      // materialized join — without it the count job and the main query
+      // each scan and join both tables.
       val joined = d.join(Tables.load(s, dir, "embeddings"),
-        d("doc_id") === col("vec_id"))
+        d("doc_id") === col("vec_id")).localCheckpoint()
       // One count job at plan time — the stats read a production run gets
       // from catalog statistics instead of a scan.
       val planes = Similarity.adaptivePlanes(joined.count())

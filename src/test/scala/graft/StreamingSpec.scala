@@ -1030,4 +1030,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(f("cents")._3 >= f("_id")._3 && f("src")._3 >= f("_id")._3)
     }
   }
+
+  test("quarantine foreachBatch is retry-idempotent: re-running one batch " +
+      "rewrites its directories, never double-delivers") {
+    import spark.implicits._
+    val w = s"${System.getProperty("java.io.tmpdir")}/graft_quarantine_retry"
+    IncrSync.deletePath(spark, w)
+    val batch = Seq(
+      (0L, 13L, "{bad"), // malformed
+      (0L, 17L, "{}"), // missing key
+      (0L, 1L, """{"k": 5}"""), // good
+      (0L, 2L, """{"k": 7}""")) // good
+      .toDF("b", "event_id", "props")
+    graft.operators.StreamOps.quarantineBatch(batch, 0L, w)
+    graft.operators.StreamOps.quarantineBatch(batch, 0L, w) // the RETRY
+    val dlq = spark.read.option("basePath", s"$w/dlq")
+      .parquet(s"$w/dlq/batch=*")
+      .select(col("event_id"), col("reason"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val good = spark.read.option("basePath", s"$w/good")
+      .parquet(s"$w/good/batch=*")
+      .select(col("event_id")).as[Long].collect().sorted.toSeq
+    // an append-mode sink would hold 4 dlq + 4 good rows after the retry
+    assert(dlq == Seq((13L, "malformed"), (17L, "missing_key")))
+    assert(good == Seq(1L, 2L))
+  }
 }

@@ -2023,9 +2023,12 @@ object StreamOps {
         val tot = agg.agg(sum(col("n"))).head().getLong(0)
         val ppm = agg.select(col("lang"),
           expr(s"n * 1000000 DIV ${tot}L").as("cur_ppm"))
+        // batchId-deterministic overwrite targets: foreachBatch is
+        // at-least-once, and a retried batch must rewrite its own output,
+        // not append a second copy (same recipe as quarantineBatch)
         if (batchId == 0L) {
           ppm.select(col("lang"), col("cur_ppm").as("base_ppm"))
-            .write.parquet(s"$work/baseline")
+            .write.mode("overwrite").parquet(s"$work/baseline")
         } else {
           val base = s.read.parquet(s"$work/baseline")
           ppm.join(base, Seq("lang"), "left_outer")
@@ -2035,14 +2038,15 @@ object StreamOps {
               (col("cur_ppm") - coalesce(col("base_ppm"), lit(0L)))
                 .as("delta_ppm"))
             .withColumn("alert", abs(col("delta_ppm")) > 30000L)
-            .write.mode("append").parquet(s"$work/out")
+            .write.mode("overwrite").parquet(s"$work/out/batch=$batchId")
         }
         ()
       }
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.read.parquet(s"$work/out")
+    s.read.option("basePath", s"$work/out").parquet(s"$work/out/batch=*")
+      .drop("batch")
   }
 
   case class FieldSighting(ns: String, field: String, ts_us: Long)

@@ -270,6 +270,36 @@ object Cdc {
       Replay.materialize(eff.filter(col("ts_packed") <= t))
     }),
 
+    // Referential-integrity audit across replicated namespaces — the
+    // eventual-consistency check a CDC target needs: children applied
+    // before their parents (different namespaces replicate through
+    // independent per-key orderings, so mid-stream the target is only
+    // PER-DOCUMENT consistent) show up as dangling references. The audit
+    // materializes the state at a mid-stream LSN and at the final LSN
+    // (the same truncated fold as cdc_time_travel) and counts users_1
+    // children whose parent key (child − 1, the corpus' FK convention)
+    // is absent from users_0 — one equi-join per snapshot on the derived
+    // parent key, counters only.
+    "cdc_fk_consistency" -> ((s, dir) => {
+      val eff = filtered(s, dir).filter(col("op").isin("i", "u", "d"))
+        .localCheckpoint()
+      val b = eff.agg(min(col("ts_packed")), max(col("ts_packed"))).head()
+      val t = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      def audit(st: DataFrame, tag: String): DataFrame = {
+        val parents = st.filter(col("ns") === "app.users_0")
+          .select(col("doc_key").cast("long").as("pk"))
+        val children = st.filter(col("ns") === "app.users_1")
+          .select(col("doc_key").cast("long").as("ck"))
+        children.join(parents, col("ck") - 1 === col("pk"), "left_outer")
+          .agg(count(lit(1)).as("n_children"),
+            coalesce(sum(col("pk").isNull.cast("long")), lit(0L))
+              .as("n_dangling"))
+          .select(lit(tag).as("lsn_tag"), col("n_children"), col("n_dangling"))
+      }
+      audit(Replay.materialize(eff.filter(col("ts_packed") <= t)), "mid")
+        .unionByName(audit(Replay.materialize(eff), "final"))
+    }),
+
     // K1's core contract as a GATED artifact (the reference relies on
     // idempotence for at-least-once delivery, `README.md:55`): a feed
     // where EVERY record is re-delivered (the at-least-once worst case —
@@ -1360,6 +1390,41 @@ object Cdc {
             FROM oplog WHERE $chainSql AND op IN ('i','u','d')
             WINDOW w AS (PARTITION BY ns, doc_key ORDER BY ts_packed, event_id))
           WHERE op <> 'd'"""),
+
+    "cdc_fk_consistency" -> withOplog(
+      s""", eff AS (
+            SELECT event_id, ts_packed, op, ns, doc_key, value
+            FROM oplog WHERE $chainSql AND op IN ('i','u','d')),
+          pin AS (
+            SELECT MIN(ts_packed) + (MAX(ts_packed) - MIN(ts_packed)) // 2 AS t
+            FROM eff),
+          stmid AS (
+            SELECT ns, doc_key FROM (
+              SELECT ns, doc_key, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff WHERE ts_packed <= (SELECT t FROM pin))
+            WHERE rn = 1 AND op <> 'd'),
+          stfin AS (
+            SELECT ns, doc_key FROM (
+              SELECT ns, doc_key, op,
+                ROW_NUMBER() OVER (PARTITION BY ns, doc_key
+                  ORDER BY ts_packed DESC, event_id DESC) AS rn
+              FROM eff)
+            WHERE rn = 1 AND op <> 'd')
+          SELECT 'mid' AS lsn_tag, COUNT(*) AS n_children,
+            CAST(COALESCE(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dangling
+          FROM (SELECT CAST(doc_key AS BIGINT) AS ck FROM stmid
+                WHERE ns = 'app.users_1') c
+          LEFT JOIN (SELECT CAST(doc_key AS BIGINT) AS pk FROM stmid
+                WHERE ns = 'app.users_0') p ON c.ck - 1 = p.pk
+          UNION ALL
+          SELECT 'final', COUNT(*),
+            CAST(COALESCE(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM (SELECT CAST(doc_key AS BIGINT) AS ck FROM stfin
+                WHERE ns = 'app.users_1') c
+          LEFT JOIN (SELECT CAST(doc_key AS BIGINT) AS pk FROM stfin
+                WHERE ns = 'app.users_0') p ON c.ck - 1 = p.pk"""),
 
     "cdc_time_travel" -> withOplog(
       s""", eff AS (

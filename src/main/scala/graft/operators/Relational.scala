@@ -825,6 +825,42 @@ object Relational {
         .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
     }),
 
+    // Bitmap-index segment intersection — the OLAP accelerator for
+    // audience/segment overlap: per (event_type, 63-user word) one LONG
+    // holds the presence bitmap (bit_or collapses map-side and is
+    // idempotent under duplicate events), so "users who did A and B"
+    // is Σ bit_count(a & b) over an equi-join on the word id — set
+    // algebra at 63 users per long (bit 63 stays clear: a 1 << 63 is an
+    // overflow ERROR in engines that check, and the sign bit buys
+    // nothing), never a distinct-user self-join.
+    // n_either comes from inclusion-exclusion (n_a + n_b − n_both), so
+    // no outer join over the word domain is needed. Bitmaps are
+    // mergeable across partitions/corpora like the q37 sketches, but
+    // EXACT.
+    "q40_bitmap_segments" -> ((s, dir) => {
+      val b = Tables.loadEventsNs(s, dir)
+        .select(col("event_type"), expr("user_id DIV 63").as("w"),
+          expr("shiftleft(1L, cast(user_id % 63 as int))").as("bit"))
+        .groupBy(col("event_type"), col("w"))
+        .agg(expr("bit_or(bit)").as("bits"))
+      val counts = b.groupBy(col("event_type"))
+        .agg(sum(expr("bit_count(bits)")).as("n"))
+      val a2 = b.select(col("event_type").as("type_a"), col("w"),
+        col("bits").as("ba"))
+      val b2 = b.select(col("event_type").as("type_b"), col("w").as("w2"),
+        col("bits").as("bb"))
+      a2.join(b2, col("w") === col("w2") && col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(sum(expr("bit_count(ba & bb)")).as("n_both"))
+        .join(counts.select(col("event_type").as("type_a"), col("n").as("n_a")),
+          Seq("type_a"))
+        .join(counts.select(col("event_type").as("type_b"), col("n").as("n_b")),
+          Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          (col("n_a") + col("n_b") - col("n_both")).as("n_either"))
+    }),
+
     // Forward-fill gap repair — the time-series staple: a reading whose
     // measurement is missing (here: 'error' events stand in for failed
     // reads) carries the key's LAST good value forward. One
@@ -1539,6 +1575,26 @@ object Relational {
          FROM (SELECT event_type, user_id % 10 AS user_bucket,
                  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
          GROUP BY CUBE(event_type, user_bucket)""",
+
+    "q40_bitmap_segments" ->
+      """WITH b AS (
+           SELECT event_type, user_id // 63 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS bits
+           FROM events GROUP BY 1, 2),
+         counts AS (
+           SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n
+           FROM b GROUP BY 1),
+         pairs AS (
+           SELECT a.event_type AS type_a, b2.event_type AS type_b,
+             CAST(SUM(bit_count(a.bits & b2.bits)) AS BIGINT) AS n_both
+           FROM b a JOIN b b2
+             ON a.w = b2.w AND a.event_type < b2.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b, n_both,
+           ca.n + cb.n - n_both AS n_either
+         FROM pairs
+         JOIN counts ca ON ca.event_type = type_a
+         JOIN counts cb ON cb.event_type = type_b""",
 
     "q39_forward_fill" ->
       """WITH e AS (

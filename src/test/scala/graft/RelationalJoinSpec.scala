@@ -398,6 +398,68 @@ class RelationalJoinSpec extends AnyFunSuite {
     assert(out.getAs[Boolean]("within_bound"))
   }
 
+  test("q40's bitmap algebra law: n_both/n_either equal direct distinct-set " +
+      "intersection/union on random event sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(40913)
+    val types = Seq("a", "b", "c")
+    // users span several 63-bit words, with duplicates (bit_or must be
+    // idempotent) and sparse high ids (empty words must not phantom-count)
+    val rows = (0 until 600).map { _ =>
+      (types(rnd.nextInt(3)), rnd.nextInt(40) match {
+        case u if u < 35 => rnd.nextInt(200).toLong
+        case _ => 1000L + rnd.nextInt(50)
+      })
+    }
+    val df = rows.toDF("event_type", "user_id").repartition(4)
+    val b = df
+      .select(col("event_type"), expr("user_id DIV 63").as("w"),
+        expr("shiftleft(1L, cast(user_id % 63 as int))").as("bit"))
+      .groupBy(col("event_type"), col("w")).agg(expr("bit_or(bit)").as("bits"))
+    val counts = b.groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(bits)")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val both = b.select(col("event_type").as("ta"), col("w"), col("bits").as("ba"))
+      .join(b.select(col("event_type").as("tb"), col("w").as("w2"),
+        col("bits").as("bb")), col("w") === col("w2") && col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(sum(expr("bit_count(ba & bb)")).as("n_both"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sets = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (t <- types) assert(counts(t) == sets(t).size.toLong, s"count $t")
+    for (ta <- types; tb <- types if ta < tb) {
+      val want = (sets(ta) intersect sets(tb)).size.toLong
+      assert(both.getOrElse((ta, tb), 0L) == want, s"both $ta $tb")
+      val either = counts(ta) + counts(tb) - both.getOrElse((ta, tb), 0L)
+      assert(either == (sets(ta) union sets(tb)).size.toLong, s"either $ta $tb")
+    }
+  }
+
+  test("q39's forward fill matches a sequential per-user fold on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.loadEventsNs(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("event_id"),
+        col("event_type"), expr("cast(round(value * 100) as bigint)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    val want = rows.groupBy(_._1).map { case (uid, es) =>
+      var lastGood: Option[Long] = None
+      var (gaps, filled, sumFilled) = (0L, 0L, 0L)
+      for (e <- es.sortBy(t => (t._2, t._3))) {
+        if (e._4 == "error") { // the planted missing-measurement class
+          gaps += 1
+          if (lastGood.isDefined) filled += 1
+        } else lastGood = Some(e._5)
+        sumFilled += lastGood.getOrElse(0L)
+      }
+      uid -> (es.size.toLong, gaps, filled, sumFilled)
+    }
+    val got = graft.operators.Relational.queries("q39_forward_fill")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+  }
+
   test("q38_semi_additive matches an independent sequential fold of " +
       "last-observation-per-user") {
     val dir = "/root/testdata/sf0.001"

@@ -48,6 +48,46 @@ object SnapshotOps {
       s.read.schema(schema).json(s"$work/dump")
     }),
 
+    // CSV ingest round-trip — the other raw-dump format corpora arrive
+    // in, and the one with the sharpest escaping hazard: the props
+    // payload is JSON, so every row embeds quotes inside a quoted CSV
+    // field (RFC 4180 doubling via escape = quote — Spark's DEFAULT
+    // escape is backslash, which a standards-compliant consumer would
+    // misread). Schema-on-read like the JSONL twin; the oracle is the
+    // original projection, so a quoting defect hash-diverges.
+    "snap_csv_roundtrip" -> ((s, dir) => {
+      val work = graft.Work.dir(s"csv_q")
+      graft.streaming.IncrSync.deletePath(s, work)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("props",
+          org.apache.spark.sql.types.StringType)))
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("props"))
+        .write.mode("overwrite").option("header", "true")
+        .option("quoteAll", "true").option("escape", "\"")
+        .csv(s"$work/dump")
+      s.read.option("header", "true").option("escape", "\"")
+        .schema(schema).csv(s"$work/dump")
+    }),
+
+    // ORC ingest round-trip — warehouse interop with the other columnar
+    // format (Spark ships the ORC reader/writer in core). Same contract
+    // as the parquet path: types and values survive bit-exact.
+    "snap_orc_roundtrip" -> ((s, dir) => {
+      val work = graft.Work.dir(s"orc_q")
+      graft.streaming.IncrSync.deletePath(s, work)
+      Tables.loadEventsNs(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"),
+          expr("ts DIV 1000").as("ts_us"))
+        .write.mode("overwrite").orc(s"$work/dump")
+      s.read.orc(s"$work/dump")
+    }),
+
     // S6: catalog scan — discover collections from storage (Hadoop FS
     // walk), apply ns filters, surface collStats row counts. The oracle
     // pins the expected counts: a discovery regression shows as a row
@@ -263,6 +303,15 @@ object SnapshotOps {
   def oracles: Map[String, String] = Map(
     "snap_jsonl_roundtrip" ->
       "SELECT event_id, event_type, props FROM events",
+
+    "snap_csv_roundtrip" ->
+      "SELECT event_id, event_type, props FROM events",
+
+    "snap_orc_roundtrip" ->
+      """SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           epoch_ns(ts)//1000 AS ts_us
+         FROM events""",
 
     "snap_range_pieces" ->
       """WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem)

@@ -112,16 +112,25 @@ object Bench {
       s""","load_avg":${math.max(loadPre, loadPost)},"load_pre":$loadPre""" +
       s""","probe_spread":$probeSpread,"contended":$contended}"""
     println(json)
-    // Stdout has been observed truncated in driver capture (BENCH_r* with
-    // "parsed": null); the file is the machine-readable source of truth.
-    // FULL-suite runs only: a filtered dev run (args given) must never
-    // clobber the promoted capture — the drift arm compares against this
-    // file, and a 2-query overwrite would poison every later comparison.
+    // Raw captures always land on a /tmp scratch path; the repo capture
+    // (`bench_latest.json`, the drift-comparison anchor) is only touched
+    // when the run is a FULL suite AND self-judged clean, or when the
+    // caller explicitly points SPARK_GRAFT_BENCH_OUT at it. This is the
+    // r13 finding: a contended raw run overwrote the promoted capture and
+    // shadowed the honest number for a whole round.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (args.isEmpty) "/root/repo/bench_latest.json"
-      else "/tmp/graft_bench_partial.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+      if (args.isEmpty) "/tmp/graft_bench_raw.json" else "/tmp/graft_bench_partial.json")
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      if (args.isEmpty && !contended && !sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/root/repo/bench_latest.json"), json + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    // LAST stdout line: a compact, truncation-proof summary (the full
+    // 250-query JSON above has been observed truncated in driver capture,
+    // leaving "parsed": null). A last-line parser always gets metric,
+    // value, the contention verdict, and the path to the full capture.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","contended":$contended,"probe_spread":$probeSpread,"load_pre":$loadPre,"path":"$out"}""")
     spark.stop()
   }
 }

@@ -1847,11 +1847,19 @@ object StreamOps {
   private def runQuarantine(s: SparkSession, dir: String): DataFrame = {
     val work = graft.Work.dir("stream_quarantine_q")
     IncrSync.deletePath(s, work)
+    // The feed is planted end-to-end: malformed = unparseable prefix,
+    // missing_key = valid JSON without `k`, ok = a constructed payload
+    // that provably CONTAINS `k`. The ok-arm is synthesized (not the raw
+    // corpus props) so the oracle's modulus closed-form and the engine's
+    // parse-based detector agree BY CONSTRUCTION — a corpus variant whose
+    // props happened to lack `k` must not flip genuine rows to
+    // missing_key while the oracle still calls them ok.
     val e = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), expr("ts DIV 1000").as("ts"),
         when(col("event_id") % 13 === 0, lit("{bad"))
           .when(col("event_id") % 17 === 0, lit("{}"))
-          .otherwise(col("props")).as("props"))
+          .otherwise(concat(lit("{\"k\":"), col("event_id").cast("string"), lit("}")))
+          .as("props"))
       .localCheckpoint()
     val mm = e.agg(min(col("ts")), max(col("ts"))).head()
     val (t0, t1) = (mm.getLong(0), mm.getLong(1))

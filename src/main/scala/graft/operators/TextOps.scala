@@ -171,6 +171,11 @@ object TextOps {
     "text_block_dedup" -> ((s, dir) => {
       val b = docs(s, dir)
         .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        // zero-token guard: Spark's sequence(1, 0) yields the DESCENDING
+        // [1, 0] (two phantom blocks) while the oracle's generate_series
+        // is empty — an empty/whitespace-only doc must emit no blocks on
+        // both sides (same guard as text_dup_spans / text_boilerplate)
+        .filter(size(col("t")) > 0)
         .select(col("doc_id"),
           explode(transform(sequence(lit(1), ceil(size(col("t")) / lit(16.0)).cast("int")),
             i => struct(i.cast("long").as("pos"),
@@ -208,6 +213,8 @@ object TextOps {
     "text_boilerplate" -> ((s, dir) => {
       val b = docs(s, dir)
         .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        // zero-token guard — see text_block_dedup: sequence(1,0) descends
+        .filter(size(col("t")) > 0)
         .select(col("doc_id"),
           explode(transform(sequence(lit(1), ceil(size(col("t")) / lit(8.0)).cast("int")),
             i => struct(i.cast("long").as("pos"),

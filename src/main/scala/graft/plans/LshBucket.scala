@@ -3,11 +3,14 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.CatalystBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** All `numPlanes` random-hyperplane sign bits in ONE pass over the
   * quantized vector — the bucket-id kernel of the embedding-LSH family
@@ -33,22 +36,49 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * arithmetic with no wrap emulation. Pinned against the composed form by
   * a PropertySpec law and the full oracle gate.
   *
-  * Null semantics mirror the composition exactly: a NULL input row yields
-  * NULL; a row whose vector length ≠ `dim` or with any NULL element makes
-  * every plane's zip_with/aggregate sum NULL, and `when(d > 0, bit)
-  * .otherwise(0)` then contributes 0 for every plane — bucket 0.
+  * Null semantics mirror the composition exactly: a NULL input vector, a
+  * vector whose length ≠ `dim`, or any NULL element makes every plane's
+  * zip_with/aggregate sum NULL, and `when(d > 0, bit).otherwise(0)` then
+  * contributes 0 for every plane — bucket 0, never NULL (the expression is
+  * non-nullable, so null-vector rows still land in a bucket equi-join
+  * exactly as the composed form groups them). Input type is checked at
+  * analysis (`array<bigint>` only): a wrong-typed SQL call to
+  * `lsh_bucket(v, p, d)` fails analysis instead of reading garbage bytes
+  * off the unsafe array.
   */
 case class LshBucket(child: Expression, numPlanes: Int, dim: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  // Analysis-time input validation (ExpectsInputTypes' AbstractDataType is
+  // private[sql] in Spark 4): anything but array<bigint> would reach
+  // ArrayData.getLong and silently read wrong bytes off an unsafe array.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.simpleString}")
+  }
   override def prettyName: String = "lsh_bucket"
 
-  override protected def nullSafeEval(input: Any): Any =
-    LshBucket.compute(input.asInstanceOf[ArrayData], numPlanes, dim)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else LshBucket.compute(v.asInstanceOf[ArrayData], numPlanes, dim)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.LshBucket.compute($c, $numPlanes, $dim);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val nullGuard =
+      if (child.nullable) s"${childGen.isNull} ? 0L : " else ""
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        long ${ev.value} = $nullGuard
+          graft.plans.LshBucket.compute(${childGen.value}, $numPlanes, $dim);
+      """,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
     copy(child = newChild)

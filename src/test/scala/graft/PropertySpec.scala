@@ -409,6 +409,24 @@ class PropertySpec extends AnyFunSuite {
         }
       }
     }
+    // Intended NULL-vector behavior: a top-level NULL vector lands in
+    // bucket 0, same as the composition's when(NULL > 0, ...).otherwise(0)
+    // per-plane sum — NOT NULL (a null bucket would silently drop the row
+    // from every bucket equi-join). The expression is non-nullable.
+    locally {
+      val df = Seq((0L, Option.empty[Seq[Long]]),
+          (1L, Option(Seq.fill(64)(7L))))
+        .toDF("id", "v")
+        .select(col("id"),
+          graft.functions.Similarity.lshBucketCol(col("v"), 8).as("b"),
+          graft.functions.Similarity.lshBucketColComposed(col("v"), 8).as("bc"))
+      val rows = df.orderBy("id").collect()
+      assert(!rows(0).isNullAt(1), "fused bucket of NULL vector must not be NULL")
+      assert(rows(0).getLong(1) == 0L, "NULL vector lands in bucket 0")
+      val composedNull = if (rows(0).isNullAt(2)) 0L else rows(0).getLong(2)
+      assert(composedNull == 0L)
+      assert(rows(1).getLong(1) == rows(1).getLong(2))
+    }
     // Beyond 8 planes the 64-bit LCG IS the definition (the 32-bit composed
     // form would overflow past flat index 511) — pin against a direct
     // Scala reference at 12 planes.

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cdc, ControlOps, DdlOps, MmOps, Relational, SinkOps, SnapshotOps, StreamOps, TextOps, VectorOps}
+import graft.operators.{Cdc, ControlOps, DdlOps, LiveCorpus, MmOps, Relational, SinkOps, SnapshotOps, StreamOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
       (SinkOps.queries, SinkOps.oracles),
       (MmOps.queries, MmOps.oracles),
       (ControlOps.queries, ControlOps.oracles),
-      (StreamOps.queries, StreamOps.oracles)
+      (StreamOps.queries, StreamOps.oracles),
+      (LiveCorpus.queries, LiveCorpus.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

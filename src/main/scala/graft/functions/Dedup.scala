@@ -109,6 +109,39 @@ object Dedup {
 
   // --- MinHash -----------------------------------------------------------
 
+  /** SELF-TUNED (bands, rowsPerBand) from the corpus count — the
+    * [[graft.functions.Similarity.adaptivePlanes]] move for the lexical
+    * family. Two constraints, both integer-exact:
+    *
+    *  1. Rows per band bound the sub-threshold candidate mass: a pair at
+    *     exactly the verify threshold t = 1/2 collides in one band with
+    *     probability t^r, so expected at-threshold hits per document stay
+    *     ≤ `targetOccupancy` when t^r ≤ occ/n — i.e. the smallest r with
+    *     2^r · occ ≥ n (floored at `baseRows`). Each corpus doubling adds
+    *     one row per band, splitting every near-miss bucket in half — the
+    *     fixed-(4,4) config's bucket caps become the fallback for
+    *     degenerate exact-dup mass, not the primary defense.
+    *  2. Bands restore recall at the must-catch threshold t_hi = 4/5:
+    *     1−(1−t_hi^r)^b ≥ 95% needs b ≥ ln(20)/t_hi^r ≈ 3·(5/4)^r,
+    *     computed as ⌈3·5^r / 4^r⌉ in pure int64 (exact while r ≤ 22,
+    *     i.e. corpora up to occ·2^22 docs per the r-rule — `maxRows` caps
+    *     there and is the documented re-shard point).
+    *
+    * sf0.01 (500 docs) resolves to r=5, b=10; a 10× corpus to r=9, b=23 —
+    * sub-threshold leakage per band falls 16× while the 0.8-Jaccard catch
+    * rate stays ≥ 95% at both scales (`dedup_minhash_adaptive` gates the
+    * derivation and the recall attestation end-to-end).
+    */
+  def adaptiveBanding(n: Long, targetOccupancy: Long = 16, baseRows: Int = 4,
+      maxRows: Int = 22): (Int, Int) = {
+    var r = baseRows
+    while (r < maxRows && (1L << r) * targetOccupancy < n) r += 1
+    var p5 = 1L; var p4 = 1L
+    (1 to r).foreach { _ => p5 *= 5L; p4 *= 4L }
+    val b = ((3L * p5 + p4 - 1L) / p4).toInt
+    (b, r)
+  }
+
   /** Universal-hash permutation family over 32-bit shingle hashes:
     * h_j(s) = (a_j · (phash64(s) mod 2^32) + b_j) mod p, p prime > 2^32.
     * Products stay < 2^38 — no overflow in either engine.

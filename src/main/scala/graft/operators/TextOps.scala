@@ -1346,6 +1346,46 @@ object TextOps {
     // quotients, the gate stays engine-exact. Scale shape: the truth is
     // one broadcast probe×corpus pass (the eval runs on a sampled probe
     // set, never all pairs), mirroring sim_ivf_recall's design.
+    // SELF-TUNED banding: (bands, rows) derived from the corpus count at
+    // plan time (Dedup.adaptiveBanding — rows bound sub-threshold bucket
+    // occupancy, bands restore the 0.8-Jaccard catch rate; the fixed
+    // config's bucket caps drop to fallback duty). Gated with the same
+    // recall attestation as dedup_lsh_recall PLUS the derived (r, b) as
+    // output rows, so the oracle pins the derivation formula itself —
+    // the DuckDB side re-derives (r, b) from its own COUNT(*) and builds
+    // the variable-width signature with list comprehensions.
+    "dedup_minhash_adaptive" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).localCheckpoint()
+      val (bands, rows) = Dedup.adaptiveBanding(d.count())
+      val sh = d.select(col("doc_id"),
+        array_distinct(transform(Text.shingles(col("text"), 3),
+          x => phash64(x) % lit(4294967296L))).as("s"))
+        .localCheckpoint()
+      val probes = sh.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      val corpus = sh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+      val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+      val truth = broadcast(probes).join(corpus, col("doc_a") < col("doc_b"))
+        .filter(inter / uni >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val lshPairs = Dedup.minhashLsh(d, col("doc_id"), col("text"),
+          shingleN = 3, bands = bands, rowsPerBand = rows)
+        .filter(col("doc_a") < 50).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val t2 = truth.join(lshPairs.withColumn("h", lit(1L)),
+        Seq("doc_a", "doc_b"), "left_outer")
+      t2.agg(count(lit(1)).as("v")).select(lit("n_true").as("metric"), col("v"))
+        .unionByName(t2.agg(coalesce(sum(col("h")), lit(0L)).as("v"))
+          .select(lit("n_hit").as("metric"), col("v")))
+        .unionByName(lshPairs.agg(count(lit(1)).as("v"))
+          .select(lit("n_cand").as("metric"), col("v")))
+        .unionByName(Seq(("rows_r", rows.toLong), ("bands_b", bands.toLong))
+          .toDF("metric", "v"))
+    }),
+
     "dedup_lsh_recall" -> ((s, dir) => {
       val d = docs(s, dir)
       val sh = Dedup.minhashSignatures(d, col("doc_id"), col("text"), 3, 16)
@@ -1587,7 +1627,7 @@ object TextOps {
     * closure. `pfx` namespaces the chain so two independently-banded pair
     * tables (e.g. base-corpus-only vs full) coexist in one oracle query.
     */
-  private def minhashPairCtes(src: String = "documents", pfx: String = ""): String =
+  private[operators] def minhashPairCtes(src: String = "documents", pfx: String = ""): String =
     s"""${pfx}base AS (SELECT doc_id, ${hashedShingleSql(3)} AS s
           FROM (SELECT doc_id, $toks AS t, text FROM $src)),
         ${pfx}sig AS (SELECT doc_id, s, ${minhashExprs.mkString(", ")} FROM ${pfx}base),
@@ -2505,6 +2545,71 @@ object TextOps {
       s"""WITH ${minhashPairCtes()}
           SELECT doc_a, doc_b, jaccard FROM j
           WHERE jaccard >= 0.5 AND (doc_a % 5 = 0 OR doc_b % 5 = 0)""",
+
+    // The adaptive derivation re-done natively: r = smallest in [4,22]
+    // with 2^r·16 ≥ COUNT(*), b = ⌈3·5^r/4^r⌉ (both integer-exact —
+    // power(5,r) is a double but exact below 2^53, r ≤ 22), then the
+    // variable-width signature via list comprehensions over j <
+    // b·r and 1-based band slices mh[k·r+1 : (k+1)·r].
+    "dedup_minhash_adaptive" ->
+      s"""WITH nr AS (SELECT COUNT(*) AS n FROM documents),
+          par AS (
+            SELECT COALESCE(MIN(r), 22) AS r
+            FROM generate_series(4, 22) AS g(r), nr
+            WHERE (CAST(1 AS BIGINT) << r) * 16 >= n),
+          bpar AS (
+            SELECT r,
+              (3 * CAST(round(power(5, r)) AS BIGINT)
+                 + CAST(round(power(4, r)) AS BIGINT) - 1)
+                // CAST(round(power(4, r)) AS BIGINT) AS b
+            FROM par),
+          abase AS (SELECT doc_id, ${hashedShingleSql(3)} AS s
+            FROM (SELECT doc_id, $toks AS t, text FROM documents)),
+          msig AS (
+            SELECT doc_id, s,
+              [list_min([((2*j+1) * x + (101*j+17)) % ${Dedup.MinhashPrime}
+                for x in s])
+               for j in generate_series(0, (SELECT b*r FROM bpar) - 1)] AS mh
+            FROM abase),
+          abanded AS (
+            SELECT doc_id,
+              array_to_string(
+                mh[k*(SELECT r FROM bpar)+1 : (k+1)*(SELECT r FROM bpar)],
+                '_') AS bsig, k AS band
+            FROM msig,
+              (SELECT unnest(generate_series(0, (SELECT b FROM bpar) - 1)) AS k)),
+          abounded AS (
+            SELECT * FROM (
+              SELECT doc_id, band, bsig,
+                COUNT(*) OVER (PARTITION BY band, bsig) AS bkt_n
+              FROM abanded) WHERE bkt_n <= 500),
+          apairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+            FROM abounded a JOIN abounded b2
+              ON a.band = b2.band AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id),
+          av AS (
+            SELECT doc_a, doc_b,
+              CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                (CAST(len(sa.s) + len(sb.s) AS DOUBLE)
+                  - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)) AS jaccard
+            FROM apairs
+            JOIN abase sa ON sa.doc_id = apairs.doc_a
+            JOIN abase sb ON sb.doc_id = apairs.doc_b),
+          lsh AS (
+            SELECT doc_a, doc_b FROM av WHERE jaccard >= 0.5 AND doc_a < 50),
+          truth AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM abase a JOIN abase b ON a.doc_id < 50 AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              (CAST(len(a.s) + len(b.s) AS DOUBLE)
+                - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.5)
+          SELECT 'n_true' AS metric, COUNT(*) AS v FROM truth
+          UNION ALL
+          SELECT 'n_hit', COUNT(*) FROM truth JOIN lsh USING (doc_a, doc_b)
+          UNION ALL
+          SELECT 'n_cand', COUNT(*) FROM lsh
+          UNION ALL SELECT 'rows_r', CAST(r AS BIGINT) FROM bpar
+          UNION ALL SELECT 'bands_b', CAST(b AS BIGINT) FROM bpar""",
 
     "dedup_lsh_recall" ->
       s"""WITH ${minhashPairCtes()},

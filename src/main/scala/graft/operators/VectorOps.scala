@@ -509,7 +509,7 @@ object VectorOps {
       hist.unionByName(ivf).unionByName(adc)
     }))
 
-  private val KmeansIters = 2
+  private[operators] val KmeansIters = 2
 
   // ---- oracle fragments -----------------------------------------------------
 

@@ -63,12 +63,15 @@ object ScaleSmoke {
       .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    // rotation index mod dim: replicas past r = dim wrap (slice with a
+    // start beyond the array, or a negative length, breaks at reps > 64)
     emb.select(col("*"), rCol)
+      .withColumn("rr", pmod(col("r"), size(col("embedding"))))
       .select((col("vec_id") + col("r") * docLift).as("vec_id"),
         concat(
-          slice(col("embedding"), col("r") + 1,
-            size(col("embedding")) - col("r")),
-          slice(col("embedding"), lit(1), col("r"))).as("embedding"),
+          slice(col("embedding"), col("rr") + 1,
+            size(col("embedding")) - col("rr")),
+          slice(col("embedding"), lit(1), col("rr"))).as("embedding"),
         col("label"))
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 

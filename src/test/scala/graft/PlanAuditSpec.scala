@@ -46,7 +46,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sink_receiver_live", // continuous-trigger receiver soak: 4 polled phases
     "cdc_sharded_fanout", // three concurrent live shard queries + crash/resume
     "cdc_token_resume", // two full streaming queries over the token cursor
-    "cdc_tail_admission" // 16-batch admission-bounded streaming drain
+    "cdc_tail_admission", // 16-batch admission-bounded streaming drain
+    "pipe_live_corpus" // full maintenance pipeline: 3 triggers + crash/resume (LiveCorpusSpec covers the maintainer)
   )
 
   /** Broadcast nested-loop joins that ARE the operator's semantics: a

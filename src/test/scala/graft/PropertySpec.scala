@@ -444,6 +444,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive-banding law: rows = smallest r in [base, 22] with 2^r·occ ≥ n, " +
+      "bands = ⌈3·5^r/4^r⌉ — matches a brute BigInt scan for random corpus sizes") {
+    val gen = for {
+      n <- Gen.choose(0L, 100000000L)
+      occ <- Gen.oneOf(1L, 4L, 16L, 64L)
+    } yield (n, occ)
+    samples(gen, 200).foreach { case (n, occ) =>
+      val r = (4 to 22).find(r => (BigInt(1) << r) * occ >= n).getOrElse(22)
+      val b = ((BigInt(3) * BigInt(5).pow(r) + BigInt(4).pow(r) - 1) / BigInt(4).pow(r)).toInt
+      assert(graft.functions.Dedup.adaptiveBanding(n, occ) == (b, r), s"n=$n occ=$occ")
+    }
+    // documented corpus anchors: sf0.01 → (b=10, r=5), 10×-sf0.1 → (b=23, r=9)
+    assert(graft.functions.Dedup.adaptiveBanding(500) == (10, 5))
+    assert(graft.functions.Dedup.adaptiveBanding(5000) == (23, 9))
+    // the 0.8-Jaccard catch rate the b-formula guarantees: ≥ 95% at both
+    (Seq(500L, 5000L, 50000000L)).foreach { n =>
+      val (b, r) = graft.functions.Dedup.adaptiveBanding(n)
+      val p = 1.0 - math.pow(1.0 - math.pow(0.8, r), b)
+      assert(p >= 0.95, s"n=$n (b=$b, r=$r) catch=$p")
+    }
+  }
+
   test("adaptive-planes law: smallest p with 2^p ≥ ⌈n/occ⌉, floored at base " +
       "— matches a brute scan over p for random corpus sizes") {
     val gen = for {

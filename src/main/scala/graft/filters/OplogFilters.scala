@@ -31,6 +31,18 @@ object OplogFilters {
   val notAutologous: Column =
     !col("db").isin(systemDbs: _*) || col("ns") === "admin.$cmd"
 
+  /** F3 with `filter.pass.special.db` (`doc_filter.go:30-40` InitNs): the
+    * configured special databases are REMOVED from the ignore set — their
+    * records replicate like user namespaces. The reference mutates a
+    * global map at sanitize time; here the pass-list parameterizes the
+    * predicate ([[graft.streaming.GraftConfig.passSpecialDb]] feeds it).
+    */
+  def notAutologousWithPass(passSpecialDb: Seq[String]): Column = {
+    val ignored = systemDbs.filterNot(passSpecialDb.contains)
+    if (ignored.isEmpty) lit(true)
+    else !col("db").isin(ignored: _*) || col("ns") === "admin.$cmd"
+  }
+
   /** F5 NamespaceFilter (`oplog_filter.go:98-291`): user white/black regex
     * lists; whitelist empty ⇒ pass-all, blacklist wins over whitelist.
     */

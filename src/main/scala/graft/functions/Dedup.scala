@@ -127,19 +127,38 @@ object Dedup {
     *     i.e. corpora up to occ·2^22 docs per the r-rule — `maxRows` caps
     *     there and is the documented re-shard point).
     *
-    * sf0.01 (500 docs) resolves to r=5, b=10; a 10× corpus to r=9, b=23 —
-    * sub-threshold leakage per band falls 16× while the 0.8-Jaccard catch
-    * rate stays ≥ 95% at both scales (`dedup_minhash_adaptive` gates the
-    * derivation and the recall attestation end-to-end).
+    * The third constraint is the one the 30× measurement added
+    * (SCALE_r14.md): the signature pass is O(n · b·r) — every permutation
+    * is an affine sweep over every document's shingle set — so b·r is a
+    * COST BUDGET, not a free recall knob. Unbounded, the formula resolves
+    * 280 permutations at a 30× corpus and the whole operator grows 11×
+    * where fixed-(4,4) grows 1.15×: unlike `adaptivePlanes` (whose 2^p
+    * bucket space genuinely coarsens as the corpus outgrows it, and whose
+    * extra planes cost one add each), minhash band space never coarsens —
+    * random collisions are ~0 at ANY r, and exact-duplicate buckets are
+    * r-invariant. `maxPerms` (default 128) caps b·r: rows shrink from the
+    * occupancy-derived value until the budget holds. Past the cap the
+    * bucket caps + the streaming min-ledger stay the primary defense for
+    * degenerate buckets, which the signature-space argument says they
+    * must be regardless.
+    *
+    * sf0.01 (500 docs) resolves to r=5, b=10 (50 perms); a 10× corpus to
+    * r=7, b=15 (105 — the occupancy formula's r=9, b=23 = 207 trims to
+    * the budget); the 0.8-Jaccard catch rate stays ≥ 95% at every r this
+    * can emit (`dedup_minhash_adaptive` gates derivation + recall
+    * end-to-end).
     */
   def adaptiveBanding(n: Long, targetOccupancy: Long = 16, baseRows: Int = 4,
-      maxRows: Int = 22): (Int, Int) = {
+      maxRows: Int = 22, maxPerms: Int = 128): (Int, Int) = {
     var r = baseRows
     while (r < maxRows && (1L << r) * targetOccupancy < n) r += 1
-    var p5 = 1L; var p4 = 1L
-    (1 to r).foreach { _ => p5 *= 5L; p4 *= 4L }
-    val b = ((3L * p5 + p4 - 1L) / p4).toInt
-    (b, r)
+    def bandsFor(r: Int): Int = {
+      var p5 = 1L; var p4 = 1L
+      (1 to r).foreach { _ => p5 *= 5L; p4 *= 4L }
+      ((3L * p5 + p4 - 1L) / p4).toInt
+    }
+    while (r > baseRows && bandsFor(r) * r > maxPerms) r -= 1
+    (bandsFor(r), r)
   }
 
   /** Universal-hash permutation family over 32-bit shingle hashes:

@@ -1031,15 +1031,22 @@ object StreamOps {
     * reference's in-order DirectWriter replay.
     */
   private[graft] def runSoak(s: SparkSession, dir: String,
-      ttlMs: Long = 15000L): DataFrame = {
+      ttlMs: Long = 0L): DataFrame = {
     // TTL margin: the cross-chain window is batch-1 processing alone (see
     // the staging note below), normally < 2 s — but on a contended host
     // query init + the first file can take several seconds, and a TTL the
     // window overruns purges cross chains before their commit (a flaked
-    // oracle, not a flaked assertion). 15 s default keeps the orphan
-    // phase bounded while sitting well above observed worst-case batch-1
-    // latency; StreamingSpec's faster 6 s variant was raised for the same
-    // reason.
+    // oracle, not a flaked assertion). ttlMs = 0 (the default) SELF-
+    // CALIBRATES from this box, right now: the harness prep below (a
+    // corpus scan + localCheckpoint, five counts, three staged writes) is
+    // a strictly heavier workload than batch-1 processing, so 2× its
+    // measured wall-clock upper-bounds the purge window with margin —
+    // floor 5 s (the old StreamingSpec setting plus headroom), ceiling
+    // 15 s (the previous fixed default; a loaded box converges to the old
+    // behavior). A quiet box pays ~6-8 s of orphan phase instead of a
+    // flat 16.5, with the same proof: the TTL value never enters the
+    // oracle — only purge-before-orphan-commit / retain-cross does.
+    val tPrep0 = System.currentTimeMillis()
     val work = graft.Work.dir(s"soak_live_q")
     IncrSync.deletePath(s, work)
     val keep = OplogFilters.chain(gids, white, black)
@@ -1123,16 +1130,19 @@ object StreamOps {
         .unionByName(entryRows(
           chains.filter(!col("orphan") && col("rn") === col("n") - 1)))))
 
+    val prepMs = System.currentTimeMillis() - tPrep0
+    val ttl = if (ttlMs > 0) ttlMs
+              else math.max(5000L, math.min(15000L, 2L * prepMs))
     val q = IncrSync.startOplogFrom(s,
       graft.streaming.ParquetDirSource(feedDir, IncrSync.oplogSchema, maxFilesPerTrigger = 1),
       s"$work/target", s"$work/ckpt",
-      gids = gids, white = white, black = black, txnTtlMs = ttlMs,
+      gids = gids, white = white, black = black, txnTtlMs = ttl,
       trigger = Trigger.ProcessingTime("250 milliseconds"), nBuckets = 16)
     try {
       awaitTotal(nP1 + nP2 + nCross)
       // the orphan deadline (batch-1 start + ttl) is certainly behind us
       // after this sleep: the anchor (now) is at or after batch 2's end
-      Thread.sleep(ttlMs + 1500)
+      Thread.sleep(ttl + 1500)
       sentinel.coalesce(1).write.mode("append").parquet(feedDir)
       awaitTotal(nP1 + nP2 + nCross + 1)
       feedify(plainRows.filter(col("ts_packed") > t2))
@@ -1441,7 +1451,15 @@ object StreamOps {
     * save/restore: streaming partitioning is captured at query start, so
     * the session conf is restored right after `start()` returns.
     */
-  private val StreamJoinStatePartitions = 8
+  /** Stream-join state partitions — the r11 sizing rule's knob
+    * (rows-per-partition FIRST, provider second): 8 fits sf0.1's ~12k
+    * state rows comfortably; a scaled corpus re-sizes via the env
+    * override (SCALE_r14.md measures the 30× re-size; the value is fixed
+    * at stream start because state partitioning is permanent for the
+    * checkpoint's lifetime).
+    */
+  private val StreamJoinStatePartitions =
+    sys.env.get("GRAFT_STREAM_JOIN_PARTS").map(_.toInt).getOrElse(8)
 
   private def streamJoinRunner(s: SparkSession, dir: String, tag: String,
       joinType: String, out: DataFrame => DataFrame): DataFrame = {

@@ -2546,17 +2546,25 @@ object TextOps {
           SELECT doc_a, doc_b, jaccard FROM j
           WHERE jaccard >= 0.5 AND (doc_a % 5 = 0 OR doc_b % 5 = 0)""",
 
-    // The adaptive derivation re-done natively: r = smallest in [4,22]
-    // with 2^r·16 ≥ COUNT(*), b = ⌈3·5^r/4^r⌉ (both integer-exact —
+    // The adaptive derivation re-done natively: r0 = smallest in [4,22]
+    // with 2^r·16 ≥ COUNT(*), then r = largest in [4,r0] whose perm
+    // budget b(r)·r ≤ 128 (b(r) = ⌈3·5^r/4^r⌉ — integer-exact:
     // power(5,r) is a double but exact below 2^53, r ≤ 22), then the
     // variable-width signature via list comprehensions over j <
     // b·r and 1-based band slices mh[k·r+1 : (k+1)·r].
     "dedup_minhash_adaptive" ->
       s"""WITH nr AS (SELECT COUNT(*) AS n FROM documents),
-          par AS (
-            SELECT COALESCE(MIN(r), 22) AS r
+          par0 AS (
+            SELECT COALESCE(MIN(r), 22) AS r0
             FROM generate_series(4, 22) AS g(r), nr
             WHERE (CAST(1 AS BIGINT) << r) * 16 >= n),
+          par AS (
+            SELECT COALESCE(MAX(r), 4) AS r
+            FROM generate_series(4, 22) AS g(r)
+            WHERE r <= (SELECT r0 FROM par0)
+              AND ((3 * CAST(round(power(5, r)) AS BIGINT)
+                     + CAST(round(power(4, r)) AS BIGINT) - 1)
+                   // CAST(round(power(4, r)) AS BIGINT)) * r <= 128),
           bpar AS (
             SELECT r,
               (3 * CAST(round(power(5, r)) AS BIGINT)

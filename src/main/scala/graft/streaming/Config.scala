@@ -22,12 +22,17 @@ package graft.streaming
   */
 final case class GraftConfig(
     id: String = "",
+    logLevel: String = "", // {debug, info, warning, error}
+    logFileName: String = "",
+    connectMode: String = "", // mongo_connect_mode
     syncMode: String = "", // {all, full, incr}
     sourceUrls: Seq[String] = Nil, // mongo_urls
     mongosUrl: String = "", // mongo_s_url
     configServerUrl: String = "", // mongo_cs_url
     checkpointStorage: String = "", // {database, api}
     checkpointStorageUrl: String = "",
+    checkpointStorageDb: String = "", // checkpoint.storage.db
+    checkpointStorageCollection: String = "", // checkpoint.storage.collection
     checkpointStartPositionSec: Long = 0,
     checkpointIntervalMs: Long = 0,
     fetchMethod: String = "", // {oplog, change_stream}
@@ -49,8 +54,22 @@ final case class GraftConfig(
     targetDelaySec: Long = 0,
     batchingMaxSize: Int = 0,
     fetcherBufferCapacity: Int = 0,
+    workerBatchQueueSize: Int = 0, // incr_sync.worker.batch_queue_size
+    readerFetchBatchSize: Int = 0, // incr_sync.reader.fetch_batch_size
+    readerBufferTimeSec: Int = 0, // incr_sync.reader.buffer_time
+    readerDebug: String = "", // incr_sync.reader.debug {"", discard, print}
+    specialSourceDbFlag: String = "", // {"", aliyun_serverless}
+    passSpecialDb: Seq[String] = Nil, // filter.pass.special.db → OplogFilters.notAutologousWithPass
     fullSyncParallelThread: Int = 0,
+    fullSyncCollectionParallel: Int = 0, // full_sync.reader.collection_parallel
+    fullSyncDocumentParallel: Int = 0, // full_sync.reader.write_document_parallel
+    fullSyncParallelIndex: String = "", // full_sync.reader.parallel_index
+    fullSyncDocumentBatchSize: Int = 0, // full_sync.reader.document_batch_size
+    fullSyncFetchBatchSize: Int = 0, // full_sync.reader.fetch_batch_size
+    fullSyncCreateIndex: String = "", // {none, foreground, background}
+    fullSyncHttpPort: Int = -1, // full_sync.http_port; −1 = disabled (dev flag)
     oplogStoreDisk: Boolean = false,
+    oplogStoreDiskMaxSize: Long = 0, // full_sync.reader.oplog_store_disk_max_size (MB)
     masterQuorum: Boolean = false,
     nBuckets: Int = IncrSync.StateBuckets,
     trigger: String = "", // {available_now, processing_time}
@@ -63,6 +82,18 @@ final case class GraftConfig(
     * reference computes rather than validates (`sanitize.go:420`).
     */
   def collisionEnable: Boolean = executors != 1
+
+  /** Derived storage namespaces (`sanitize.go:272-275` AppDatabase /
+    * APPConflictDatabase): the checkpoint home and the conflict-dump
+    * database the autologous filter must ignore. The reference's sprintf
+    * quirk ("%s_%s" of "mongoshake" and "_conflict" →
+    * "mongoshake__conflict", contradicting its own `common.go:43`
+    * constant) is NOT reproduced — graft matches the constant, which is
+    * what `OplogFilters`' ignore set and the conflict sink actually use.
+    */
+  def appDatabase: String =
+    if (checkpointStorageDb.nonEmpty) checkpointStorageDb else "mongoshake"
+  def conflictDatabase: String = appDatabase + "_conflict"
 
   def sanitize: Either[String, GraftConfig] = {
     var c = this
@@ -78,11 +109,20 @@ final case class GraftConfig(
 
     // ---- checkDefaultValue (`sanitize.go:73-267`): fill, then gate ----
     if (c.id.isEmpty) c = c.copy(id = "graft")
+    if (c.logLevel.isEmpty) c = c.copy(logLevel = "info")
+    if (!Set("debug", "info", "warning", "error")(c.logLevel))
+      return Left("log.level should in {debug, info, warning, error}")
+    if (c.logFileName.isEmpty) c = c.copy(logFileName = "graft.log")
     if (c.syncMode.isEmpty) c = c.copy(syncMode = "incr")
     if (!Set("all", "full", "incr")(c.syncMode))
       return Left("sync_mode should in {all, full, incr}")
     if (c.mongosUrl.isEmpty && c.sourceUrls.isEmpty)
       return Left("mongo_s_url and mongo_urls cannot be empty at the same time")
+    if (c.connectMode.isEmpty) c = c.copy(connectMode = "secondaryPreferred")
+    if (!Set("primary", "secondaryPreferred", "secondary", "nearest",
+        "standalone")(c.connectMode))
+      return Left("mongo_connect_mode should in {primary, secondaryPreferred, " +
+        "secondary, nearest, standalone}")
 
     if (c.fetchMethod.isEmpty) c = c.copy(fetchMethod = "oplog")
     if (!Set("oplog", "change_stream")(c.fetchMethod))
@@ -91,12 +131,25 @@ final case class GraftConfig(
     if (c.checkpointStorage.isEmpty) c = c.copy(checkpointStorage = "database")
     if (!Set("database", "api")(c.checkpointStorage))
       return Left("checkpoint.storage should in {database, api}")
+    if (c.checkpointStorageDb.isEmpty) c = c.copy(checkpointStorageDb = "mongoshake")
+    if (c.checkpointStorageCollection.isEmpty)
+      c = c.copy(checkpointStorageCollection = "ckpt_default")
     if (c.checkpointStartPositionSec <= 0) c = c.copy(checkpointStartPositionSec = 1)
     if (c.checkpointIntervalMs <= 0) c = c.copy(checkpointIntervalMs = 5000)
 
+    // full-sync reader knobs (`sanitize.go:152-182`)
+    if (c.fullSyncCollectionParallel <= 0) c = c.copy(fullSyncCollectionParallel = 6)
+    if (c.fullSyncDocumentParallel <= 0) c = c.copy(fullSyncDocumentParallel = 8)
     if (c.fullSyncParallelThread <= 0) c = c.copy(fullSyncParallelThread = 1)
     else if (c.fullSyncParallelThread > 128)
       return Left("full_sync.reader.parallel_thread should <= 128")
+    if (c.fullSyncParallelIndex.isEmpty) c = c.copy(fullSyncParallelIndex = "_id")
+    if (c.fullSyncDocumentBatchSize <= 0) c = c.copy(fullSyncDocumentBatchSize = 128)
+    if (c.fullSyncFetchBatchSize <= 0) c = c.copy(fullSyncFetchBatchSize = 1024)
+    if (c.fullSyncCreateIndex.isEmpty) c = c.copy(fullSyncCreateIndex = "foreground")
+    if (!Set("none", "foreground", "background")(c.fullSyncCreateIndex))
+      return Left("full_sync.create_index should in {none, foreground, background}")
+    if (c.oplogStoreDiskMaxSize <= 0) c = c.copy(oplogStoreDiskMaxSize = 256000)
 
     if (c.shardKey.isEmpty) c = c.copy(shardKey = "collection")
     if (!Set("auto", "id", "collection")(c.shardKey))
@@ -117,8 +170,11 @@ final case class GraftConfig(
     if (!Set("none", "gzip", "zlib", "deflate", "snappy")(c.compressor))
       return Left("incr_sync.worker.oplog_compressor in {none, gzip, zlib, deflate, snappy}")
     if (c.targetDelaySec < 0) c = c.copy(targetDelaySec = 0)
+    if (c.workerBatchQueueSize <= 0) c = c.copy(workerBatchQueueSize = 64)
     if (c.batchingMaxSize <= 0) c = c.copy(batchingMaxSize = 1024)
     if (c.fetcherBufferCapacity <= 0) c = c.copy(fetcherBufferCapacity = 256)
+    if (c.readerFetchBatchSize <= 0) c = c.copy(readerFetchBatchSize = 1024)
+    if (c.readerBufferTimeSec <= 0) c = c.copy(readerBufferTimeSec = 1)
 
     if (c.tunnel.isEmpty) c = c.copy(tunnel = "direct")
     if (!Set("direct", "rpc", "tcp", "file", "kafka", "mock")(c.tunnel))
@@ -132,6 +188,14 @@ final case class GraftConfig(
       return Left("incr_sync.conflict_write_to in {none, db, sdk}")
 
     // ---- checkConflict (`sanitize.go:338-482`): cross-field gates ----
+    // Distinct REST ports for the two sync stages (`sanitize.go:341-345`).
+    // Adapted to graft's port conventions: −1 = monitor disabled, 0 =
+    // ephemeral bind (the reference's MayBeRandom analogue) — the
+    // inequality gate applies only to two FIXED bindings.
+    if (c.fullSyncHttpPort > 65535)
+      return Left(s"full_sync.http_port[${c.fullSyncHttpPort}] should be <= 65535")
+    if (c.fullSyncHttpPort > 0 && c.fullSyncHttpPort == c.httpPort)
+      return Left("full_sync.http_port should not equal to incr_sync.http_port")
     if (c.configServerUrl.isEmpty && c.sourceUrls.length > 1)
       return Left("mongo_cs_url be config server address when source MongoDB is sharding")
     if (c.checkpointStorageUrl.isEmpty) {
@@ -145,6 +209,11 @@ final case class GraftConfig(
       return Left("context storage should set to 'database' while master election enabled")
     if (c.black.nonEmpty && c.white.nonEmpty)
       return Left("at most one of {filter.namespace.black, filter.namespace.white} can be given")
+    if (c.specialSourceDbFlag.nonEmpty && c.specialSourceDbFlag != "aliyun_serverless")
+      return Left("special.source.db.flag should be empty or 'aliyun_serverless'")
+    if (c.specialSourceDbFlag == "aliyun_serverless" && c.fetchMethod != "change_stream")
+      return Left("incr_sync.mongo_fetch_method must be 'change_stream' when " +
+        "special.source.db.flag is set")
 
     if (c.sourceUrls.length > 1) {
       // sharded source over oplog tails one reader per shard
@@ -172,6 +241,9 @@ final case class GraftConfig(
     if (c.watchFullDocument && c.tunnel == "direct")
       c = c.copy(watchFullDocument = false)
     if (c.syncMode != "incr") c = c.copy(checkpointStartPositionSec = 1)
+    // inner debug vocabulary (`sanitize.go:475-479`)
+    if (!Set("", "discard", "print")(c.readerDebug))
+      return Left(s"incr_sync.reader.debug[${c.readerDebug}] invalid")
 
     // ---- graft state/stream knobs ----
     if (c.nBuckets <= 0 || c.nBuckets > (1 << 20))

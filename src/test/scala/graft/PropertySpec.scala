@@ -450,14 +450,19 @@ class PropertySpec extends AnyFunSuite {
       n <- Gen.choose(0L, 100000000L)
       occ <- Gen.oneOf(1L, 4L, 16L, 64L)
     } yield (n, occ)
+    def bandsFor(r: Int): Int =
+      ((BigInt(3) * BigInt(5).pow(r) + BigInt(4).pow(r) - 1) / BigInt(4).pow(r)).toInt
     samples(gen, 200).foreach { case (n, occ) =>
-      val r = (4 to 22).find(r => (BigInt(1) << r) * occ >= n).getOrElse(22)
-      val b = ((BigInt(3) * BigInt(5).pow(r) + BigInt(4).pow(r) - 1) / BigInt(4).pow(r)).toInt
-      assert(graft.functions.Dedup.adaptiveBanding(n, occ) == (b, r), s"n=$n occ=$occ")
+      val r0 = (4 to 22).find(r => (BigInt(1) << r) * occ >= n).getOrElse(22)
+      // perm budget: largest r ≤ r0 with b(r)·r ≤ 128 (b·r is monotone in r)
+      val r = (4 to r0).filter(r => bandsFor(r) * r <= 128).lastOption.getOrElse(4)
+      assert(graft.functions.Dedup.adaptiveBanding(n, occ) == (bandsFor(r), r),
+        s"n=$n occ=$occ")
     }
-    // documented corpus anchors: sf0.01 → (b=10, r=5), 10×-sf0.1 → (b=23, r=9)
+    // documented corpus anchors: sf0.01 → (b=10, r=5, 50 perms); 10×-sf0.1
+    // → (b=15, r=7, 105 perms — the occupancy formula's 207 trims to budget)
     assert(graft.functions.Dedup.adaptiveBanding(500) == (10, 5))
-    assert(graft.functions.Dedup.adaptiveBanding(5000) == (23, 9))
+    assert(graft.functions.Dedup.adaptiveBanding(5000) == (15, 7))
     // the 0.8-Jaccard catch rate the b-formula guarantees: ≥ 95% at both
     (Seq(500L, 5000L, 50000000L)).foreach { n =>
       val (b, r) = graft.functions.Dedup.adaptiveBanding(n)

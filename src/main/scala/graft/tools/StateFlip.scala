@@ -35,22 +35,52 @@ object StateFlip {
       if (args.nonEmpty) args.toSeq.map(_.toLong)
       else Seq(100000L, 400000L, 1600000L, 6400000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def build(): SparkSession = {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    // An over-heap HDFS-backed run kills the whole local SparkContext
+    // (executor OOM → context shutdown) — that death IS the flip
+    // evidence, so the harness rebuilds the session and keeps measuring.
+    var spark = build()
     val heapGb = Runtime.getRuntime.maxMemory() / (1024.0 * 1024 * 1024)
     // JVM/session warmup so the first timed drain isn't the cold one
     runOne(spark, 20000L, "hdfs")
 
     val lines = sizes.flatMap { n =>
-      Seq("hdfs", "rocksdb").map { prov =>
-        val dt = runOne(spark, n, prov)
-        val j = f"""{"rows_per_side":$n,"provider":"$prov","drain_s":$dt%.2f,""" +
-          f""""heap_gb":$heapGb%.1f,"batches":$Batches,"partitions":$cpus}"""
+      // GRAFT_STATEFLIP_PROVIDERS limits the arms (e.g. "rocksdb") so an
+      // over-heap HDFS run — which can take the whole local JVM down with
+      // a driver OOM — can be isolated in its own process by the caller.
+      sys.env.getOrElse("GRAFT_STATEFLIP_PROVIDERS", "hdfs,rocksdb")
+        .split(",").toSeq.map { prov =>
+        // A provider that cannot HOLD the state is itself the measurement
+        // (the HDFS-backed provider dies with HDFS_STORE_PROVIDER_OUT_OF_
+        // MEMORY once a partition's map outgrows heap) — record it as the
+        // flip evidence instead of dying with it.
+        if (spark.sparkContext.isStopped) spark = build()
+        val res = try Right(runOne(spark, n, prov)) catch {
+          case e: Throwable =>
+            val root = Option(e.getCause).getOrElse(e)
+            Left(root.getClass.getSimpleName +
+              Option(root.getMessage).map(m => ": " + m.take(120)).getOrElse(""))
+        }
+        val j = res match {
+          case Right(dt) =>
+            f"""{"rows_per_side":$n,"provider":"$prov","drain_s":$dt%.2f,""" +
+              f""""heap_gb":$heapGb%.1f,"batches":$Batches,"partitions":$cpus}"""
+          case Left(err) =>
+            s"""{"rows_per_side":$n,"provider":"$prov","drain_s":-1,""" +
+              f""""heap_gb":$heapGb%.1f,"batches":$Batches,"partitions":$cpus,""" +
+              s""""failed":${ujsonStr(err)}}"""
+        }
         println(j)
         j
       }
@@ -62,6 +92,10 @@ object StateFlip {
     catch { case e: Throwable => System.err.println(s"[stateflip] write failed: ${e.getMessage}") }
     spark.stop()
   }
+
+  private def ujsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
 
   /** One (size, provider) drain; returns wall-clock seconds. */
   def runOne(spark: SparkSession, rows: Long, provider: String): Double = {

@@ -408,6 +408,61 @@ object TextOps {
     // may differ in the last ulp).
     "text_bm25" -> ((s, dir) => bm25Scores(s, dir)),
 
+    // CDC-MAINTAINED BM25 INDEX — the lexical sibling of cdc_vector_sync:
+    // the operational DB's change feed (every doc present at t1,
+    // doc_id % 7 == 0 updated in place to text+" v2" at t2, % 11 == 0
+    // deleted at t3 — delete beats update) maintains the persisted
+    // search-index artifacts instead of rebuilding them. TWO artifacts,
+    // both maintained by anti-join + append, O(changed docs) per sync:
+    // the postings table (term, doc_id, tf — stats-FREE, the trick that
+    // makes incremental maintenance possible at all: df/N/avgdl change
+    // with every batch, so anything score-bearing would need a full
+    // rewrite) and the doc-length table (doc_id, dl). Global stats are
+    // computed AT QUERY TIME from the maintained artifacts (one
+    // aggregate over the thin dl table — a read, not a rewrite), then
+    // scoring is the audited text_bm25 join. The oracle rebuilds
+    // postings from the folded final state and scores identically — so
+    // the gate proves maintenance ≡ rebuild for the lexical index the
+    // way cdc_vector_sync proves it for the vector index.
+    "cdc_bm25_sync" -> ((s, dir) => {
+      val qTerms = Seq("spark", "join", "window", "stream")
+      val d = docs(s, dir)
+      val isUpd = col("doc_id") % 7 === 0
+      val isDel = col("doc_id") % 11 === 0
+      def lengths(src: DataFrame): DataFrame = src.select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("double").as("dl"))
+      def postings(src: DataFrame): DataFrame = src
+        .select(col("doc_id"),
+          filter(Text.tokens(col("text")), t => t.isin(qTerms: _*)).as("hits"))
+        .select(col("doc_id"), explode(col("hits")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      // the persisted artifacts after the initial load (lineage cut =
+      // the storage boundary, as in cdc_vector_sync's baseLists)
+      val baseDl = lengths(d).localCheckpoint()
+      val basePost = postings(d).localCheckpoint()
+      val changed = d.filter(isUpd || isDel).select(col("doc_id"))
+      val newVersions = d.filter(isUpd && !isDel)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+      val dlM = baseDl.join(changed, Seq("doc_id"), "left_anti")
+        .unionByName(lengths(newVersions))
+        .localCheckpoint() // feeds the stats aggregate AND the score join
+      val postM = basePost.join(changed, Seq("doc_id"), "left_anti")
+        .unionByName(postings(newVersions))
+      val st = dlM.agg(count(lit(1)).cast("double").as("n"),
+        avg(col("dl")).as("avgdl")).head()
+      val (nDocs, avgdl) = (st.getDouble(0), st.getDouble(1))
+      val dfreq = postM.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      postM.join(broadcast(dfreq), Seq("term"))
+        .join(dlM, Seq("doc_id"))
+        .withColumn("idf",
+          log(((lit(nDocs) - col("df")) + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("contrib", col("idf") * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl))))))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.Portable.detSum6(col("contrib")).as("bm25"))
+    }),
+
     // Bigram language-model perplexity scoring (the CCNet-style LM
     // quality filter): train add-one-smoothed bigram probabilities on
     // the corpus itself, then score every document's total negative
@@ -1579,8 +1634,14 @@ object TextOps {
   /** BM25 CTE chain ending in `lexall(doc_id, bm25)` — shared by the
     * `text_bm25` oracle and the hybrid-RRF fusion oracle.
     */
-  private lazy val bm25Ctes: String =
-    s"""d AS (SELECT doc_id, $toks AS tk FROM documents),
+  private lazy val bm25Ctes: String = bm25CtesOver("documents")
+
+  /** The BM25 CTE chain over an arbitrary (doc_id, text) relation —
+    * shared by the corpus query and the CDC-maintained index's
+    * folded-state rebuild oracle.
+    */
+  private def bm25CtesOver(src: String): String =
+    s"""d AS (SELECT doc_id, $toks AS tk FROM $src),
         dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM d),
         stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
         tf AS (
@@ -1860,6 +1921,16 @@ object TextOps {
     // the identical parenthesization, and the per-doc sum is the
     // Portable.detSum6 decimal aggregate.
     "text_bm25" -> s"WITH $bm25Ctes SELECT * FROM lexall",
+
+    // Index REBUILT from the folded final state — what the maintained
+    // postings + length artifacts must be indistinguishable from.
+    "cdc_bm25_sync" ->
+      s"""WITH fold AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 0),
+          ${bm25CtesOver("fold")}
+          SELECT * FROM lexall""",
 
     // Same smoothing arithmetic and parenthesization as the Spark plan;
     // the per-doc aggregate is detSum6 (round 6dp → DECIMAL(28,6) sum).

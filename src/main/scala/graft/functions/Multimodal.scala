@@ -118,6 +118,39 @@ object Multimodal {
         md5(col("norm").substr((col("frame_idx") * frameLen + 1).cast("int"), lit(frameLen))).as("frame_md5"),
         length(col("norm").substr((col("frame_idx") * frameLen + 1).cast("int"), lit(frameLen))).cast("bigint").as("frame_len"))
 
+  /** Audio-path analogue — windowed ENERGY + silence-trim offsets, the
+    * VAD/segmentation step an audio ingest pipeline runs before
+    * transcription. The PCM decode is a DECLARED DETERMINISTIC STUB
+    * (sample(i) = ascii(payload[i]) − 110 — the real codec is
+    * sandbox-blocked, as with `resize`'s pixels); everything around it is
+    * the real Spark dataflow: per-window sample explode → one hash
+    * aggregate for window energy (Σ sample², exact integers) → one
+    * per-doc aggregate deriving the trim [first, last] over-threshold
+    * window and the silent-window count. Linear in payload bytes, two
+    * partial-aggregatable shuffles, no per-doc sort.
+    */
+  def audioEnergy(withMedia: DataFrame, win: Int = 16,
+      threshold: Long = 3000L): DataFrame = {
+    val winEnergy = withMedia
+      .select(col("doc_id"), normPayload.as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), col("norm"),
+        explode(sequence(lit(0L), ((length(col("norm")) - 1) / win).cast("long"))).as("w"))
+      .select(col("doc_id"), col("w"), explode(expr(
+        s"""transform(sequence(1, length(substring(norm, cast(w * $win + 1 as int), $win))),
+            p -> ascii(substring(substring(norm, cast(w * $win + 1 as int), $win), p, 1)) - 110)"""))
+        .as("smp"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(sum(col("smp") * col("smp")).as("energy"))
+    val loud = col("energy") >= threshold
+    winEnergy.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum((!loud).cast("long")).as("n_silent"),
+        min(when(loud, col("w"))).as("first_loud"),
+        max(when(loud, col("w"))).as("last_loud"),
+        sum(col("energy")).as("total_energy"))
+  }
+
   /** Resize analogue: halve the header dims and downsample the payload to
     * every 2nd byte (the pixel-skip resample a real decoder would do per
     * axis) — header parse, payload slice, and digest all on the binary

@@ -20,6 +20,7 @@ object MmOps {
     "mm_near_dup" -> ((s, dir) => Multimodal.nearDup(media(s, dir))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(media(s, dir))),
     "mm_resize" -> ((s, dir) => Multimodal.resize(media(s, dir))),
+    "mm_audio_energy" -> ((s, dir) => Multimodal.audioEnergy(media(s, dir))),
 
     // BLOCK-level content-addressed storage dedup — the chunked CAS
     // report (restic/borg-style): payloads cut into 16-char blocks
@@ -183,6 +184,30 @@ object MmOps {
   private val normSql = "lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))"
 
   def oracles: Map[String, String] = Map(
+    // Same stub decode (sample = ascii − 110), same windowing, exact
+    // integer energies.
+    "mm_audio_energy" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents
+            WHERE length($normSql) > 0),
+          w AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS w,
+              substring(norm, CAST(i AS INT) * 16 + 1, 16) AS chunk
+            FROM d, LATERAL (SELECT unnest(range((length(norm) - 1) // 16 + 1)) AS i)),
+          e AS (
+            SELECT doc_id, w,
+              CAST(list_sum([(ascii(substring(chunk, p, 1)) - 110)
+                             * (ascii(substring(chunk, p, 1)) - 110)
+                             for p in generate_series(1, length(chunk))])
+                AS BIGINT) AS energy
+            FROM w)
+          SELECT doc_id, COUNT(*) AS n_windows,
+            CAST(SUM(CASE WHEN energy < 3000 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_silent,
+            MIN(CASE WHEN energy >= 3000 THEN w END) AS first_loud,
+            MAX(CASE WHEN energy >= 3000 THEN w END) AS last_loud,
+            CAST(SUM(energy) AS BIGINT) AS total_energy
+          FROM e GROUP BY doc_id""",
+
     "mm_interleave" ->
       s"""WITH m AS (
             SELECT doc_id,

@@ -837,6 +837,109 @@ object Relational {
     // no outer join over the word domain is needed. Bitmaps are
     // mergeable across partitions/corpora like the q37 sketches, but
     // EXACT.
+    // Bounded-depth BFS REACHABILITY over the (sparse: l_quantity ≥ 48)
+    // customer↔supplier purchase graph — the supply-chain blast-radius
+    // question ("everything within 3 hops of these accounts"), and the
+    // third iterative-graph shape next to q35's Pregel-lite PageRank and
+    // the dedup family's min-label fixpoint: a BFS FRONTIER expansion
+    // where each level is one equi-join of the frontier against the edge
+    // table plus one anti-join against the visited set (first-seen level
+    // is deterministic by construction — BFS visits a node at its
+    // minimum distance). The graph stays BIPARTITE end to end: levels
+    // alternate node types and traversal is always an equi-join on the
+    // edge key — the co-purchase projection (customers sharing a
+    // supplier), which goes quadratic in a supplier's degree at corpus
+    // scale, is never materialized. Oracle: the same four levels as
+    // set-difference CTEs.
+    "q42_reachability" -> ((s, dir) => {
+      val edges = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem").filter(col("l_quantity") >= 48),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct().localCheckpoint() // one edge scan feeds all four levels
+      val c0 = edges.filter(col("c") < 10).select(col("c")).distinct()
+        .localCheckpoint()
+      val s1 = edges.join(c0, Seq("c")).select(col("s")).distinct()
+        .localCheckpoint()
+      val c2 = edges.join(s1, Seq("s")).select(col("c")).distinct()
+        .join(c0, Seq("c"), "left_anti").localCheckpoint()
+      val s3 = edges.join(c2, Seq("c")).select(col("s")).distinct()
+        .join(s1, Seq("s"), "left_anti")
+      def lvl(df: DataFrame, tpe: String, idCol: String, l: Int): DataFrame =
+        df.select(lit(tpe).as("node_type"), col(idCol).as("node_id"),
+          lit(l.toLong).as("level"))
+      lvl(c0, "customer", "c", 0).unionByName(lvl(s1, "supplier", "s", 1))
+        .unionByName(lvl(c2, "customer", "c", 2))
+        .unionByName(lvl(s3, "supplier", "s", 3))
+    }),
+
+    // Declarative DATA-QUALITY EXPECTATIONS (the Great-Expectations /
+    // dbt-tests surface a production pipeline gates loads on): a rule
+    // table of uniqueness / not-null / range / referential-integrity
+    // checks evaluated as ONE conditional-aggregate scan per table plus
+    // one anti-join count per foreign key, reported as (rule, checked,
+    // violations, pass). The corpus is deterministically DIRTIED first
+    // (nulled FK for o_orderkey % 97, negated price % 103, orphaned
+    // lineitems % 101) so the checks MEASURE planted rates instead of
+    // vacuously passing on clean synthetic data — the oracle replays the
+    // same derivation closed-form, so a check that over- or under-counts
+    // hash-diverges. Scale shape: rule evaluation never adds passes —
+    // each table's rules share its single scan (struct-array explode off
+    // a 1-row aggregate), referential checks are the audited anti-join,
+    // and the report is |rules| rows.
+    "q41_dq_expectations" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+        .withColumn("o_custkey", when(col("o_orderkey") % 97 === 0,
+          lit(null).cast("long")).otherwise(col("o_custkey")))
+        .withColumn("o_totalprice", when(col("o_orderkey") % 103 === 0,
+          -col("o_totalprice")).otherwise(col("o_totalprice")))
+        .localCheckpoint()
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("l_orderkey",
+          when(col("l_orderkey") % 101 === 0 && col("l_linenumber") === 1,
+            col("l_orderkey") + lit(1000000007L)).otherwise(col("l_orderkey")))
+        .localCheckpoint()
+      val cust = Tables.load(s, dir, "customer")
+      def rows(agg: DataFrame, rules: Seq[(String, Column, Column)]): DataFrame =
+        agg.select(explode(array(rules.map { case (name, checked, viol) =>
+            struct(lit(name).as("rule"), checked.as("n_checked"),
+              viol.as("n_violations"))
+          }: _*)).as("r"))
+          .select(col("r.rule"), col("r.n_checked"), col("r.n_violations"))
+      val ordRules = rows(
+        ord.agg(count(lit(1)).as("n"), countDistinct(col("o_orderkey")).as("nd"),
+          sum(col("o_custkey").isNull.cast("long")).as("nulls"),
+          sum((col("o_totalprice") <= 0).cast("long")).as("nonpos")),
+        Seq(("orders_pk_unique", col("n"), col("n") - col("nd")),
+          ("orders_custkey_not_null", col("n"), col("nulls")),
+          ("orders_price_positive", col("n"), col("nonpos"))))
+      val liRules = rows(
+        li.agg(count(lit(1)).as("n"),
+          sum((col("l_quantity") < 1 || col("l_quantity") > 50).cast("long"))
+            .as("oob")),
+        Seq(("lineitem_qty_in_1_50", col("n"), col("oob"))))
+      val custRules = rows(
+        cust.agg(count(lit(1)).as("n"), countDistinct(col("c_custkey")).as("nd")),
+        Seq(("customer_pk_unique", col("n"), col("n") - col("nd"))))
+      val liFk = rows(
+        li.agg(count(lit(1)).as("n")).crossJoin(
+          li.join(ord.select(col("o_orderkey").as("l_orderkey")).distinct(),
+            Seq("l_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("orphans"))),
+        Seq(("lineitem_fk_orders", col("n"), col("orphans"))))
+      val ordFk = rows(
+        ord.filter(col("o_custkey").isNotNull).agg(count(lit(1)).as("n"))
+          .crossJoin(ord.filter(col("o_custkey").isNotNull)
+            .join(cust.select(col("c_custkey").as("o_custkey")).distinct(),
+              Seq("o_custkey"), "left_anti")
+            .agg(count(lit(1)).as("orphans"))),
+        Seq(("orders_fk_customer", col("n"), col("orphans"))))
+      ordRules.unionByName(liRules).unionByName(custRules)
+        .unionByName(liFk).unionByName(ordFk)
+        .withColumn("pass",
+          when(col("n_violations") === 0, "pass").otherwise("fail"))
+    }),
+
     "q40_bitmap_segments" -> ((s, dir) => {
       val b = Tables.loadEventsNs(s, dir)
         .select(col("event_type"), expr("user_id DIV 63").as("w"),
@@ -1575,6 +1678,67 @@ object Relational {
          FROM (SELECT event_type, user_id % 10 AS user_bucket,
                  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
          GROUP BY CUBE(event_type, user_bucket)""",
+
+    "q42_reachability" ->
+      """WITH edges AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE l_quantity >= 48),
+         c0 AS (SELECT DISTINCT c FROM edges WHERE c < 10),
+         s1 AS (SELECT DISTINCT s FROM edges JOIN c0 USING (c)),
+         c2 AS (SELECT DISTINCT c FROM edges JOIN s1 USING (s)
+                WHERE c NOT IN (SELECT c FROM c0)),
+         s3 AS (SELECT DISTINCT s FROM edges JOIN c2 USING (c)
+                WHERE s NOT IN (SELECT s FROM s1))
+         SELECT 'customer' AS node_type, c AS node_id, CAST(0 AS BIGINT) AS level FROM c0
+         UNION ALL SELECT 'supplier', s, 1 FROM s1
+         UNION ALL SELECT 'customer', c, 2 FROM c2
+         UNION ALL SELECT 'supplier', s, 3 FROM s3""",
+
+    // Same planted derivations, closed-form counts.
+    "q41_dq_expectations" ->
+      """WITH ord AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+             CASE WHEN o_orderkey % 103 = 0 THEN -o_totalprice
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders),
+         li AS (
+           SELECT CASE WHEN l_orderkey % 101 = 0 AND l_linenumber = 1
+                       THEN l_orderkey + 1000000007 ELSE l_orderkey END AS l_orderkey,
+             l_quantity
+           FROM lineitem),
+         rep AS (
+           SELECT 'orders_pk_unique' AS rule, COUNT(*) AS n_checked,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM ord
+           UNION ALL
+           SELECT 'orders_custkey_not_null', COUNT(*),
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM ord
+           UNION ALL
+           SELECT 'orders_price_positive', COUNT(*),
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM ord
+           UNION ALL
+           SELECT 'lineitem_qty_in_1_50', COUNT(*),
+             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+               AS BIGINT)
+           FROM li
+           UNION ALL
+           SELECT 'customer_pk_unique', COUNT(*),
+             COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
+           UNION ALL
+           SELECT 'lineitem_fk_orders', (SELECT COUNT(*) FROM li),
+             (SELECT COUNT(*) FROM li
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ord))
+           UNION ALL
+           SELECT 'orders_fk_customer',
+             (SELECT COUNT(*) FROM ord WHERE o_custkey IS NOT NULL),
+             (SELECT COUNT(*) FROM ord WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer)))
+         SELECT rule, n_checked, n_violations,
+           CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS pass
+         FROM rep""",
 
     "q40_bitmap_segments" ->
       """WITH b AS (

@@ -1327,6 +1327,54 @@ object TextOps {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), col("doc_id"), col("text"))),
 
+    // COMPLETE edit-distance self-join via pigeonhole segment blocking
+    // (the PassJoin principle — Li et al., VLDB'11): dedup on the
+    // normalized fixed-width key (the 64-char '~'-padded text prefix —
+    // fixed width makes the segment boundaries plan literals). If
+    // ed(A, B) ≤ k, any partition of A into k+1 segments leaves at least
+    // one segment UNTOUCHED by edits, so it occurs in B verbatim with
+    // its start shifted by at most k — candidates are therefore an
+    // equi-join of A-side segments against B-side windows (6 segments ×
+    // ≤11 shifts ≈ 60 thin rows per string, the documented price of
+    // PROVABLY complete ed-k blocking; no recall knob, no df cutoff),
+    // then exact levenshtein ≤ k on the deduped id-pairs. The oracle is
+    // the BRUTE all-pairs levenshtein — the gate proves the blocking
+    // lost nothing, the same completeness contract as
+    // dedup_prefix_filter. Catches the short-header/near-identical-
+    // prefix duplication class that token-set methods dilute away.
+    "dedup_edit_distance" -> ((s, dir) => {
+      val k = 5; val W = 64; val nseg = k + 1
+      val bnd = (0 to nseg).map(i => i * W / nseg) // 0,10,21,32,42,53,64
+      val base = docs(s, dir).select(col("doc_id"),
+          rpad(substring(col("text"), 1, W), W, "~").as("s"))
+        .localCheckpoint() // one scan feeds both sides + the verify joins
+      val segCols = (0 until nseg).map { i =>
+        struct(lit(i).as("i"),
+          substring(col("s"), bnd(i) + 1, bnd(i + 1) - bnd(i)).as("g"))
+      }
+      val aSide = base.select(col("doc_id").as("doc_a"),
+          explode(array(segCols: _*)).as("seg"))
+        .select(col("doc_a"), col("seg.i").as("i"), col("seg.g").as("g"))
+      val winCols = for {
+        i <- 0 until nseg
+        d <- -k to k
+        p = bnd(i) + d
+        if p >= 0 && p + (bnd(i + 1) - bnd(i)) <= W
+      } yield struct(lit(i).as("i"),
+        substring(col("s"), p + 1, bnd(i + 1) - bnd(i)).as("g"))
+      val bSide = base.select(col("doc_id").as("doc_b"),
+          explode(array(winCols: _*)).as("w"))
+        .select(col("doc_b"), col("w.i").as("i"), col("w.g").as("g"))
+      aSide.join(bSide, Seq("i", "g"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .join(base.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+        .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
+        .filter(col("dist") <= k)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -2743,6 +2791,17 @@ object TextOps {
               SELECT e.dst AS doc_id, cc.label FROM cc JOIN edges e ON e.src = cc.doc_id)
             SELECT doc_id, MIN(label) AS label FROM cc GROUP BY 1) t
           GROUP BY 1""",
+
+    // BRUTE all-pairs ground truth: the engine's pigeonhole blocking must
+    // lose nothing (completeness, not recall).
+    "dedup_edit_distance" ->
+      """WITH p AS (
+           SELECT doc_id, rpad(substring(text, 1, 64), 64, '~') AS s
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM p a JOIN p b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.s, b.s) <= 5""",
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, ${hashedShingleSql(4, mod = "")} AS s

@@ -77,6 +77,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "snap_range_pieces", // broadcast piece bounds × table rows
     "snap_sharded_fullsync", // same piece-bounds broadcast, one per shard arm
     "cdc_qos_reload", // broadcast sentinel control table, as-of range join on ticks
+    "q41_dq_expectations", // two 1-ROW aggregate frames (total, orphan count) combined per FK rule — no key exists, both sides single-row by construction
+    "dedup_minhash_adaptive", // broadcast probe set × corpus (eval ground truth, same as dedup_lsh_recall)
     "q37_sketch_union" // 1-row exact agg × 1-row merged-sketch agg (both global aggregates)
   )
 

@@ -41,17 +41,44 @@ object Bench {
       spark.range(100000000L).selectExpr("sum(id * 3 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // IO probe: the CPU probes CANNOT see host-level I/O throttling (the
+    // r14 finding: two same-code captures read 470 s and 577 s three
+    // hours apart with CLEAN CPU probes — the streaming/checkpoint-heavy
+    // queries inflated while pure compute stayed flat). A small
+    // write+fsync+read loop samples the filesystem the state stores and
+    // staged feeds actually live on; reported alongside the CPU series
+    // so a downstream reader can classify that capture class. Min of 3,
+    // same rationale as the CPU probe.
+    val ioDir = java.nio.file.Files.createTempDirectory("graft_ioprobe")
+    def ioProbe(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      (0 until 20).foreach { i =>
+        val p = ioDir.resolve(s"f$i")
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        ch.write(java.nio.ByteBuffer.wrap(Array.fill[Byte](65536)(i.toByte)))
+        ch.force(true)
+        ch.close()
+        java.nio.file.Files.readAllBytes(p)
+        java.nio.file.Files.delete(p)
+      }
+      (System.nanoTime() - t0) / 1e9
+    }.min
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val probeEvery = 12
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val loadPre = loadAvg()
     // Warm the probe plan itself (untimed): the first few executions JIT
     // the codegen'd sum loop — without this the series drifts ~3x from
     // first to last on a perfectly quiet box, which is exactly the
     // signature the spread check treats as contention.
     (1 to 3).foreach(_ => probe())
+    ioProbe() // warm the temp dir / dentry cache
     probes += probe()
+    ioProbes += ioProbe()
     // Optional args = query-name filter (dev iteration); driver passes none.
     val selected = if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
                    else SparkEntry.queries
@@ -85,10 +112,11 @@ object Bench {
         } catch { case _: Throwable => () }
       }
       // Untimed interleave: lands between query timings, charged to none.
-      if ((i + 1) % probeEvery == 0) probes += probe()
+      if ((i + 1) % probeEvery == 0) { probes += probe(); ioProbes += ioProbe() }
       name -> dt
     }
     probes += probe()
+    ioProbes += ioProbe()
     val loadPost = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -104,11 +132,18 @@ object Bench {
     val sortedProbes = probes.sorted
     val probeMed = sortedProbes(sortedProbes.length / 2)
     val probeSpread = if (probeMed > 0) probes.max / probeMed else 1.0
+    val sortedIo = ioProbes.sorted
+    val ioMed = sortedIo(sortedIo.length / 2)
+    val ioSpread = if (ioMed > 0) ioProbes.max / ioMed else 1.0
     val cleanFloor = sys.env.getOrElse("GRAFT_CLEAN_FLOOR", "0.25").toDouble
+    // io_spread is observability only for now (the r14 host-IO-drift
+    // class): it joins the `contended` verdict once a quiet-box IO
+    // baseline exists to calibrate against.
     val contended = probeSpread > 2.0 || probes.min > cleanFloor || loadPre > 2.5
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","probe_pre":${probes.head},"probe_post":${probes.last}""" +
       s""","probes":${probes.mkString("[", ",", "]")},"probe_every":$probeEvery""" +
+      s""","io_probes":${ioProbes.mkString("[", ",", "]")},"io_spread":$ioSpread""" +
       s""","load_avg":${math.max(loadPre, loadPost)},"load_pre":$loadPre""" +
       s""","probe_spread":$probeSpread,"contended":$contended}"""
     println(json)

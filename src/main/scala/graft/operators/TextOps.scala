@@ -1342,8 +1342,20 @@ object TextOps {
     // lost nothing, the same completeness contract as
     // dedup_prefix_filter. Catches the short-header/near-identical-
     // prefix duplication class that token-set methods dilute away.
+    //
+    // Degenerate-mass guard (SCALE_r14's measured hazard): Σ bucket²
+    // over segment buckets is the join cost, and LOW-ENTROPY OPENINGS
+    // (template/form corpora — every doc starting "customer …") pile
+    // one segment value across unrelated docs: the 30× corpus measured
+    // 85k → 53.5M candidate pairs (630×, quadratic) from one
+    // replica-invariant segment. Buckets past `maxSegBucket` are
+    // dropped from candidate generation — the same cap-as-fallback the
+    // MinHash/SimHash families carry; a pair in a capped bucket usually
+    // resurfaces through its other k segments (pigeonhole gives k+1
+    // chances), and the sf0.01 gate proves the cap does not bind there
+    // (completeness vs the brute oracle is still exact).
     "dedup_edit_distance" -> ((s, dir) => {
-      val k = 5; val W = 64; val nseg = k + 1
+      val k = 5; val W = 64; val nseg = k + 1; val maxSegBucket = 500
       val bnd = (0 to nseg).map(i => i * W / nseg) // 0,10,21,32,42,53,64
       val base = docs(s, dir).select(col("doc_id"),
           rpad(substring(col("text"), 1, W), W, "~").as("s"))
@@ -1352,9 +1364,14 @@ object TextOps {
         struct(lit(i).as("i"),
           substring(col("s"), bnd(i) + 1, bnd(i + 1) - bnd(i)).as("g"))
       }
-      val aSide = base.select(col("doc_id").as("doc_a"),
+      def bounded(df: DataFrame): DataFrame = df
+        .withColumn("bkt_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("i"), col("g"))))
+        .filter(col("bkt_n") <= maxSegBucket)
+        .drop("bkt_n")
+      val aSide = bounded(base.select(col("doc_id").as("doc_a"),
           explode(array(segCols: _*)).as("seg"))
-        .select(col("doc_a"), col("seg.i").as("i"), col("seg.g").as("g"))
+        .select(col("doc_a"), col("seg.i").as("i"), col("seg.g").as("g")))
       val winCols = for {
         i <- 0 until nseg
         d <- -k to k
@@ -1362,9 +1379,9 @@ object TextOps {
         if p >= 0 && p + (bnd(i + 1) - bnd(i)) <= W
       } yield struct(lit(i).as("i"),
         substring(col("s"), p + 1, bnd(i + 1) - bnd(i)).as("g"))
-      val bSide = base.select(col("doc_id").as("doc_b"),
+      val bSide = bounded(base.select(col("doc_id").as("doc_b"),
           explode(array(winCols: _*)).as("w"))
-        .select(col("doc_b"), col("w.i").as("i"), col("w.g").as("g"))
+        .select(col("doc_b"), col("w.i").as("i"), col("w.g").as("g")))
       aSide.join(bSide, Seq("i", "g"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()

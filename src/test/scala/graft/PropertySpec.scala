@@ -444,6 +444,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pigeonhole-blocking law: every pair within ed ≤ k shares a segment-window " +
+      "match under dedup_edit_distance's blocking, on random perturbed strings") {
+    val k = 5; val W = 64; val nseg = k + 1
+    val bnd = (0 to nseg).map(i => i * W / nseg)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def blocked(a: String, b: String): Boolean =
+      (0 until nseg).exists { i =>
+        val seg = a.substring(bnd(i), bnd(i + 1))
+        val len = bnd(i + 1) - bnd(i)
+        (math.max(0, bnd(i) - k) to math.min(bnd(i) + k, W - len)).exists { p =>
+          b.substring(p, p + len) == seg
+        }
+      }
+    val strGen = for {
+      n <- Gen.choose(20, 64)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' '))
+    } yield cs.mkString.padTo(W, '~')
+    // perturbations within k edits of the base: the MUST-CATCH side
+    val pairGen = for {
+      a <- strGen
+      nEdits <- Gen.choose(0, k)
+      ops <- Gen.listOfN(nEdits, for {
+        pos <- Gen.choose(0, 50); kind <- Gen.choose(0, 2); c <- Gen.oneOf('x', 'y')
+      } yield (pos, kind, c))
+    } yield (a, ops.foldLeft(a.take(W)) { case (s, (pos, kind, c)) =>
+      val p = math.min(pos, s.length - 1)
+      (kind match {
+        case 0 => s.updated(p, c) // substitute
+        case 1 => s.take(p) + c + s.drop(p) // insert
+        case _ => s.take(p) + s.drop(p + 1) // delete
+      }).padTo(W, '~').take(W)
+    })
+    samples(pairGen, 300).foreach { case (a, b) =>
+      if (lev(a, b) <= k)
+        assert(blocked(a, b) || blocked(b, a),
+          s"pair within ed ${lev(a, b)} missed by the blocking:\n$a\n$b")
+    }
+  }
+
   test("adaptive-banding law: rows = smallest r in [base, 22] with 2^r·occ ≥ n, " +
       "bands = ⌈3·5^r/4^r⌉ — matches a brute BigInt scan for random corpus sizes") {
     val gen = for {

@@ -136,10 +136,14 @@ object Bench {
     val ioMed = sortedIo(sortedIo.length / 2)
     val ioSpread = if (ioMed > 0) ioProbes.max / ioMed else 1.0
     val cleanFloor = sys.env.getOrElse("GRAFT_CLEAN_FLOOR", "0.25").toDouble
-    // io_spread is observability only for now (the r14 host-IO-drift
-    // class): it joins the `contended` verdict once a quiet-box IO
-    // baseline exists to calibrate against.
-    val contended = probeSpread > 2.0 || probes.min > cleanFloor || loadPre > 2.5
+    // io_spread joined the verdict the same evening it was added: the
+    // r14 host-drift capture read 709 s with CPU spread 1.94 (just under
+    // the old bar → wrongly stamped clean and promoted) while the IO
+    // series read spread 2.98 against a ~20 ms quiet-box floor — the
+    // drifting resource was finally visible. 2.5 sits between the quiet
+    // captures (≈1.0-1.6) and the caught drift.
+    val contended = probeSpread > 2.0 || probes.min > cleanFloor ||
+      loadPre > 2.5 || ioSpread > 2.5
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","probe_pre":${probes.head},"probe_post":${probes.last}""" +
       s""","probes":${probes.mkString("[", ",", "]")},"probe_every":$probeEvery""" +

@@ -129,21 +129,9 @@ object Bench {
     // a downstream reader (driver, judge, compare) can discount a
     // contended capture from the JSON alone, without re-deriving the
     // probe math.
-    val sortedProbes = probes.sorted
-    val probeMed = sortedProbes(sortedProbes.length / 2)
-    val probeSpread = if (probeMed > 0) probes.max / probeMed else 1.0
-    val sortedIo = ioProbes.sorted
-    val ioMed = sortedIo(sortedIo.length / 2)
-    val ioSpread = if (ioMed > 0) ioProbes.max / ioMed else 1.0
     val cleanFloor = sys.env.getOrElse("GRAFT_CLEAN_FLOOR", "0.25").toDouble
-    // io_spread joined the verdict the same evening it was added: the
-    // r14 host-drift capture read 709 s with CPU spread 1.94 (just under
-    // the old bar → wrongly stamped clean and promoted) while the IO
-    // series read spread 2.98 against a ~20 ms quiet-box floor — the
-    // drifting resource was finally visible. 2.5 sits between the quiet
-    // captures (≈1.0-1.6) and the caught drift.
-    val contended = probeSpread > 2.0 || probes.min > cleanFloor ||
-      loadPre > 2.5 || ioSpread > 2.5
+    val (probeSpread, ioSpread, contended) =
+      Bench.verdict(probes.toSeq, ioProbes.toSeq, loadPre, cleanFloor)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","probe_pre":${probes.head},"probe_post":${probes.last}""" +
       s""","probes":${probes.mkString("[", ",", "]")},"probe_every":$probeEvery""" +
@@ -171,5 +159,38 @@ object Bench {
     // value, the contention verdict, and the path to the full capture.
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","contended":$contended,"probe_spread":$probeSpread,"load_pre":$loadPre,"path":"$out"}""")
     spark.stop()
+  }
+
+  /** The contention verdict as a pure function, so the thresholds are
+    * spec-locked rows (`BenchVerdictSpec`) instead of inline magic:
+    *
+    *  - CPU probe spread (max/median) > 2.0 — external load inside the
+    *    capture window (r6/r7's artifacts);
+    *  - CPU probe floor above `cleanFloor` (quiet-box ≈ 0.05-0.1 s,
+    *    default bar 0.25 s) — the box was never quiet at all;
+    *  - start load average > 2.5 — the capture began on a busy box
+    *    (r15's driver capture: load 8.63);
+    *  - IO probe spread > 2.5 — host-level I/O throttling the CPU
+    *    probes cannot see (the r14 finding: a 709 s capture with CPU
+    *    spread 1.94 — wrongly clean under the old rule — read IO spread
+    *    2.98 against the ~10-20 ms quiet-box floor pinned in
+    *    BASELINE.md). 2.5 sits between the quiet captures (≈1.0-1.6)
+    *    and the caught drift.
+    *
+    * Returns (probeSpread, ioSpread, contended).
+    */
+  def verdict(probes: Seq[Double], ioProbes: Seq[Double], loadPre: Double,
+      cleanFloor: Double = 0.25): (Double, Double, Boolean) = {
+    def spread(xs: Seq[Double]): Double = {
+      if (xs.isEmpty) return 1.0
+      val med = xs.sorted.apply(xs.length / 2)
+      if (med > 0) xs.max / med else 1.0
+    }
+    val probeSpread = spread(probes)
+    val ioSpread = spread(ioProbes)
+    val contended = probeSpread > 2.0 ||
+      (probes.nonEmpty && probes.min > cleanFloor) ||
+      loadPre > 2.5 || ioSpread > 2.5
+    (probeSpread, ioSpread, contended)
   }
 }

@@ -122,14 +122,44 @@ object Multimodal {
     * VAD/segmentation step an audio ingest pipeline runs before
     * transcription. The PCM decode is a DECLARED DETERMINISTIC STUB
     * (sample(i) = ascii(payload[i]) − 110 — the real codec is
-    * sandbox-blocked, as with `resize`'s pixels); everything around it is
-    * the real Spark dataflow: per-window sample explode → one hash
-    * aggregate for window energy (Σ sample², exact integers) → one
-    * per-doc aggregate deriving the trim [first, last] over-threshold
-    * window and the silent-window count. Linear in payload bytes, two
-    * partial-aggregatable shuffles, no per-doc sort.
+    * sandbox-blocked, as with `resize`'s pixels).
+    *
+    * Dataflow: ONE fused codegen kernel ([[graft.plans.AudioEnergies]])
+    * emits every window's Σ sample² per document in a single byte pass,
+    * and the trim stats (first/last over-threshold window, silent count,
+    * total energy) fold over that array per row — ZERO exchanges, no row
+    * amplification. The previous composition (per-window explode →
+    * per-sample explode → two hash aggregates) pushed `len(payload)` rows
+    * per document through two shuffles and was SCALE_r14's worst
+    * non-dedup grower (5.53× wall at 30×); it survives as
+    * [[audioEnergyComposed]], the law partner `MultimodalSpec` pins the
+    * kernel against on the real corpus.
     */
   def audioEnergy(withMedia: DataFrame, win: Int = 16,
+      threshold: Long = 3000L): DataFrame = {
+    val loudIdx = zip_with(col("e"),
+      sequence(lit(0L), size(col("e")).cast("long") - 1),
+      (x, i) => when(x >= threshold, i))
+    withMedia
+      .select(col("doc_id"), normPayload.as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), graft.plans.AudioEnergies(col("norm"), win).as("e"))
+      .select(col("doc_id"),
+        size(col("e")).cast("long").as("n_windows"),
+        aggregate(col("e"), lit(0L),
+          (a, x) => a + (x < threshold).cast("long")).as("n_silent"),
+        array_min(loudIdx).as("first_loud"),
+        array_max(loudIdx).as("last_loud"),
+        aggregate(col("e"), lit(0L), (a, x) => a + x).as("total_energy"))
+  }
+
+  /** The pre-kernel COMPOSITION of [[audioEnergy]] — per-window explode →
+    * per-sample explode → two partial-aggregatable hash aggregates. Kept
+    * as the executable specification the fused kernel is law-tested
+    * against (the `MinhashSig` pattern): same outputs, built from
+    * independent builtins.
+    */
+  def audioEnergyComposed(withMedia: DataFrame, win: Int = 16,
       threshold: Long = 3000L): DataFrame = {
     val winEnergy = withMedia
       .select(col("doc_id"), normPayload.as("norm"))

@@ -65,6 +65,7 @@ object StreamOps {
     "stream_enrich" -> ((s, dir) => runStreamEnrich(s, dir)),
     "stream_pattern" -> ((s, dir) => runPattern(s, dir)),
     "stream_join_semi" -> ((s, dir) => runStreamJoinSemi(s, dir)),
+    "stream_join_autosize" -> ((s, dir) => runJoinAutosize(s, dir)),
     "stream_anomaly" -> ((s, dir) => runAnomaly(s, dir)),
     "stream_scd2" -> ((s, dir) => runScd2(s, dir)),
     "stream_mview_delta" -> ((s, dir) => runMviewDelta(s, dir)),
@@ -1451,15 +1452,55 @@ object StreamOps {
     * save/restore: streaming partitioning is captured at query start, so
     * the session conf is restored right after `start()` returns.
     */
-  /** Stream-join state partitions — the r11 sizing rule's knob
-    * (rows-per-partition FIRST, provider second): 8 fits sf0.1's ~12k
-    * state rows comfortably; a scaled corpus re-sizes via the env
-    * override (SCALE_r14.md measures the 30× re-size; the value is fixed
-    * at stream start because state partitioning is permanent for the
-    * checkpoint's lifetime).
+  /** Stream-join state partitions, AUTO-SIZED from projected state volume
+    * at query birth (the `adaptivePlanes` move applied to the r11 sizing
+    * rule — SCALE_r14 measured the fixed-8 default hitting its re-size
+    * point at 100×: 31.7 s vs 16.2 s at 32 partitions, and the r15/r14
+    * verdicts asked for the knob to turn itself).
+    *
+    * Two measured cost terms pull in opposite directions:
+    *  - commit fan-out, LINEAR in partition count: each shuffle partition
+    *    carries four join state stores, each paying a fixed per-batch
+    *    commit (delta create + fsync + rename) — 32 partitions = 128
+    *    stores ≈ 76 s cumulative commit per batch vs ~3 s at 8 on the
+    *    sf0.1 feed (PROFILE_r11);
+    *  - per-store size, ~LINEAR in rows per partition past heap comfort
+    *    (GC pressure, then the SCALE_r14 availability cliff).
+    * Balancing `α·p + β·rows/p` gives `p* ∝ sqrt(rows)`; the coefficient
+    * is anchored on the two measured optima (sf0.1: 50k rows/side → 8
+    * beats 32; 100×: ~5-6.4M rows/side → 32 beats both 8 and 64 —
+    * SCALE_r16 A/B) as the smallest power of two `p ≥ 8` with
+    * `p² · 6400 ≥ maxRowsPerSide`. Anchor walk: 50k → 8, 30×'s ~1.5M →
+    * 16, 100×'s ~5-6.4M → 32, then doubling per 4× rows up to the 4096
+    * cap (a 1000-executor deployment's ceiling; past it, per-store volume
+    * is RocksDB territory — `GraftConfig.sanitize`'s provider gate).
+    *
+    * CHECKPOINT MIGRATION: the count is derived once at query birth and
+    * FREEZES into the checkpoint (Spark pins the state-partition count
+    * for the checkpoint's lifetime). Re-sizing a live deployment is the
+    * `cdc_rebucket` move: drain the old query, start a fresh checkpoint
+    * with the re-derived count, and replay from the last committed
+    * offset — state rebuilds from the sources' retained window. The
+    * `GRAFT_STREAM_JOIN_PARTS` env remains an explicit deployment
+    * override (reference parallel: `cmd/collector/sanitize.go:206`'s
+    * worker bounds — computed default, operator-overridable).
     */
-  private val StreamJoinStatePartitions =
-    sys.env.get("GRAFT_STREAM_JOIN_PARTS").map(_.toInt).getOrElse(8)
+  def stateJoinPartitions(maxRowsPerSide: Long): Int = {
+    var p = 8
+    while (p < 4096 && p.toLong * p * 6400L < maxRowsPerSide) p *= 2
+    p
+  }
+
+  /** Per-side projected state rows for the events-derived join feed —
+    * one aggregate job at plan time over the already-checkpointed feed
+    * (the stats a production run reads from catalog statistics).
+    */
+  private def joinSideCounts(ev: DataFrame): (Long, Long) = {
+    val r = ev.agg(
+      sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)),
+      sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
 
   private def streamJoinRunner(s: SparkSession, dir: String, tag: String,
       joinType: String, out: DataFrame => DataFrame): DataFrame = {
@@ -1468,6 +1509,12 @@ object StreamOps {
     val ev = graft.Tables.loadEventsNs(s, dir)
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
       .localCheckpoint()
+    val (nViews, nBuys) = joinSideCounts(ev)
+    val derivedParts = stateJoinPartitions(math.max(nViews, nBuys))
+    val joinParts = sys.env.get("GRAFT_STREAM_JOIN_PARTS")
+      .map(_.toInt).getOrElse(derivedParts)
+    println(s"""{"stream_join_parts":$joinParts,"derived":$derivedParts,""" +
+      s""""n_views":$nViews,"n_buys":$nBuys,"tag":"$tag"}""")
     ev.filter(col("event_id") % 2 === 0).write.parquet(s"$work/views")
     ev.filter(col("event_id") % 2 === 1).write.parquet(s"$work/buys")
 
@@ -1490,7 +1537,7 @@ object StreamOps {
     val spKey = "spark.sql.shuffle.partitions"
     val prevSp = s.conf.get(spKey)
     try {
-      s.conf.set(spKey, StreamJoinStatePartitions)
+      s.conf.set(spKey, joinParts)
       val q = out(joined)
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$work/ckpt")
@@ -1536,6 +1583,24 @@ object StreamOps {
     streamJoinRunner(s, dir, tag = "semi", joinType = "leftSemi",
       _.select(col("v_event").as("view_event"), col("v_user").as("user_id"),
         unix_micros(col("v_ts")).as("ts_view")))
+
+  /** The state-partition AUTO-SIZING derivation, exposed as a gated query
+    * (the `dedup_embed_adaptive` pattern applied to the r11 sizing rule):
+    * one row with the projected per-side state volumes and the partition
+    * count [[stateJoinPartitions]] derives from them — the SAME code path
+    * [[streamJoinRunner]] pins into every stream-join checkpoint at query
+    * birth. The oracle re-derives the count from its own COUNT(*) with an
+    * integer power-of-two scan (no float sqrt/log2), so the gate proves
+    * the formula end to end: a corpus 100× this one resolves 32 instead
+    * of 8 with zero config (SCALE_r16 measures that A/B).
+    */
+  private def runJoinAutosize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.loadEventsNs(s, dir).select(col("event_id"))
+    val (nViews, nBuys) = joinSideCounts(ev)
+    val parts = stateJoinPartitions(math.max(nViews, nBuys))
+    Seq((nViews, nBuys, parts.toLong)).toDF("n_views", "n_buys", "parts")
+  }
 
   /** Streaming gap sessionization via Spark's NATIVE `session_window`
     * aggregate — the merging-window state operator no other query
@@ -2446,6 +2511,21 @@ object StreamOps {
           WHERE EXISTS (SELECT 1 FROM b
             WHERE b.user_id = v.user_id
               AND b.ts_us >= v.ts_us AND b.ts_us <= v.ts_us + 3600000000)""",
+
+    // The auto-sizing formula re-derived closed-form: smallest power of
+    // two p >= 8 with p*p*6400 >= max side volume (integer-exact scan,
+    // no float sqrt), capped at 4096.
+    "stream_join_autosize" ->
+      """WITH sides AS (
+           SELECT CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+                  CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_buys
+           FROM events),
+         cand AS (SELECT CAST(UNNEST([8,16,32,64,128,256,512,1024,2048,4096])
+                    AS BIGINT) AS p),
+         pick AS (SELECT CAST(COALESCE(MIN(p), 4096) AS BIGINT) AS parts
+                  FROM cand, sides
+                  WHERE p * p * 6400 >= GREATEST(n_views, n_buys))
+         SELECT n_views, n_buys, parts FROM sides, pick""",
 
     // Closed form of the greedy sequence machine: first view, first click
     // strictly after it, first purchase strictly after that (row-value

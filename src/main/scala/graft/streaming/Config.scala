@@ -74,6 +74,9 @@ final case class GraftConfig(
     nBuckets: Int = IncrSync.StateBuckets,
     trigger: String = "", // {available_now, processing_time}
     txnTtlMs: Long = 0,
+    stateStoreProvider: String = "", // {"", default, rocksdb}; "" = auto-select
+    streamStateRows: Long = 0, // projected TOTAL live state rows (all stores)
+    executorHeapMb: Long = 0, // 0 = detect from Runtime.maxMemory
     journal: String = "", // {none, sampling, all} — sentinel OplogDump 0/1/2
     httpPort: Int = -1, // incr_sync.http_port; −1 = monitor disabled (dev flag)
     confVersion: Int = Fcv.Configuration.currentVersion) {
@@ -264,6 +267,61 @@ final case class GraftConfig(
         "drain never schedules the no-data batches that fire processing-time " +
         "timeouts, so the query would not terminate")
 
+    // ---- state-store availability cliff (SCALE_r14 `tools/StateFlip`) ----
+    // The HDFS-backed (default) provider holds every partition's full
+    // UnsafeRow map PLUS maintenance-retained versions on heap: measured
+    // ~150 B/row × ~2.5 overhead on the join shape, and at 12.8M rows/side
+    // on an 8 GB heap it does not degrade — it DIES
+    // (`HDFS_STORE_PROVIDER_OUT_OF_MEMORY`, the executor OOM kills the
+    // JVM), while RocksDB keeps draining off-heap. So the provider choice
+    // is a cross-field availability gate, not a tuning preference: fill it
+    // from projected live state vs executor heap when unset, and REFUSE a
+    // hand-forced default that the projection says cannot survive —
+    // first-error-wins like every other rule in this sweep
+    // (`cmd/collector/sanitize.go:93-365` is the reference's analogue
+    // shape for computed-vs-declared conflicts).
+    if (c.executorHeapMb <= 0)
+      c = c.copy(executorHeapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L))
+    val projectedStateMb = GraftConfig.projectedStateMb(c.streamStateRows)
+    if (c.stateStoreProvider.isEmpty)
+      c = c.copy(stateStoreProvider =
+        if (projectedStateMb < c.executorHeapMb) "default" else "rocksdb")
+    if (!Set("default", "rocksdb")(c.stateStoreProvider))
+      return Left("state_store.provider should in {default, rocksdb}")
+    if (c.stateStoreProvider == "default" && c.streamStateRows > 0 &&
+        projectedStateMb >= c.executorHeapMb)
+      return Left(s"state_store.provider 'default' cannot hold the projected " +
+        s"live state: ${c.streamStateRows} rows x ${GraftConfig.StateBytesPerRow} B " +
+        s"x 2.5 heap factor = ${projectedStateMb} MB >= " +
+        s"executor heap ${c.executorHeapMb} MB - the HDFS-backed provider dies with " +
+        "HDFS_STORE_PROVIDER_OUT_OF_MEMORY past this point (SCALE_r14 StateFlip: " +
+        "12.8M rows/side on an 8 GB heap); repartition first (halving rows per " +
+        "partition moves the boundary linearly) or set state_store.provider = 'rocksdb'")
+
     Right(c)
   }
+}
+
+object GraftConfig {
+  /** Measured per-row live-state footprint on the stream-join shape
+    * (~96 B payload + key/version framing — SCALE_r14 StateFlip).
+    */
+  val StateBytesPerRow: Long = 150L
+
+  /** Projected on-heap MB for `rows` live state rows under the default
+    * provider: ~150 B/row raw x ~2.5 heap amplification (the in-heap
+    * UnsafeRow map plus maintenance-retained versions — SCALE_r14), as
+    * exact integer math (x5/2). Both measured StateFlip points land on
+    * the right side of the `>= heap` gate: 12.8M total rows → 4.6 GB
+    * (healthy at 16.2 s on 8 GB) vs 25.6M total → 9.2 GB (dead).
+    */
+  def projectedStateMb(rows: Long): Long =
+    rows * StateBytesPerRow * 5L / 2L / (1024L * 1024L)
+
+  /** Spark conf value for the sanitized provider choice. */
+  def providerClass(provider: String): String =
+    if (provider == "rocksdb")
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    else
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
 }

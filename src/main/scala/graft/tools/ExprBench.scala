@@ -100,6 +100,33 @@ object ExprBench {
       timeBkt("native", graft.functions.Similarity.lshBucketCol(col("a"), 8))
       timeBkt("legacy", graft.functions.Similarity.lshBucketColComposed(col("a"), 8))
     }
+    // audio-energy path: every 16-byte window's Σ sample² from one
+    // ~256-char payload per row — fused single byte pass vs the scalar
+    // composition (per-window transform + per-sample aggregate; the
+    // QUERY-level composition additionally explodes rows through two
+    // exchanges, so this scalar-vs-scalar ratio is its lower bound)
+    val pays = spark.range(n / 16)
+      .select(concat(lit("audio payload 0123456789 "),
+        lpad(col("id").cast("string"), 230, "x7 ")).as("s"))
+      .localCheckpoint()
+    def timeAud(tag: String, c: org.apache.spark.sql.Column): Unit = {
+      val t0 = System.nanoTime()
+      val r = pays.select(sum(pmod(aggregate(c, lit(0L), (acc, x) => acc + x),
+        lit(1000003L)))).head().getLong(0)
+      println(f"$tag%8s ${(System.nanoTime() - t0) / 1e9}%6.3f s  sum=$r (audio path)")
+    }
+    def winChunk(w: org.apache.spark.sql.Column) =
+      substr(col("s"), (w * 16 + 1).cast("int"), lit(16))
+    val composedEnergies = transform(
+      sequence(lit(0L), ((length(col("s")) - 1) / 16).cast("long")),
+      w => aggregate(
+        transform(sequence(lit(1), length(winChunk(w))),
+          p => ascii(substr(winChunk(w), p, lit(1))) - 110),
+        lit(0L), (acc, d) => acc + d.cast("long") * d.cast("long")))
+    for (_ <- 1 to 3) {
+      timeAud("native", graft.plans.AudioEnergies(col("s"), 16))
+      timeAud("legacy", composedEnergies)
+    }
     spark.stop()
   }
 }

@@ -143,10 +143,14 @@ object ScaleSmoke {
       clearDebris(spark)
       dt
     }
+    // GRAFT_SCALE_ONLY=1 skips the base-scale runs (A/B sweeps over a
+    // knob at ONE scale don't need the ratio denominator re-measured per
+    // arm; ratio reports -1 so a reader can't mistake it for a growth)
+    val scaledOnly = sys.env.get("GRAFT_SCALE_ONLY").contains("1")
     val rows = queries.map { name =>
-      val b = Seq(time(name, base), time(name, base))
+      val b = if (scaledOnly) Seq(-1.0) else Seq(time(name, base), time(name, base))
       val s = Seq(time(name, out), time(name, out))
-      val ratio = s.min / math.max(b.min, 1e-9)
+      val ratio = if (scaledOnly) -1.0 else s.min / math.max(b.min, 1e-9)
       val j = f"""{"query":"$name","base_s":[${b.map(x => f"$x%.2f").mkString(",")}],""" +
         f""""scaled_s":[${s.map(x => f"$x%.2f").mkString(",")}],""" +
         f""""ratio":$ratio%.2f,"reps":$reps}"""

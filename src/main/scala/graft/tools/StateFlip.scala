@@ -97,8 +97,30 @@ object StateFlip {
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
 
-  /** One (size, provider) drain; returns wall-clock seconds. */
-  def runOne(spark: SparkSession, rows: Long, provider: String): Double = {
+  /** One (size, provider) drain; returns wall-clock seconds.
+    *
+    * `provider = "auto"` routes the choice through
+    * [[graft.streaming.GraftConfig.sanitize]]'s availability gate — the
+    * projected live state (2 sides x `rows` x ~150 B x ~2.5) against this
+    * JVM's heap picks default-vs-RocksDB exactly as a production config
+    * would, so the 12.8M-row shape that kills a hand-configured default
+    * provider survives with ZERO hand configuration (the r15 verdict's
+    * task-2 done bar).
+    */
+  def runOne(spark: SparkSession, rows: Long, providerArg: String): Double = {
+    val provider =
+      if (providerArg != "auto") providerArg
+      else {
+        val cfg = graft.streaming.GraftConfig(
+          sourceUrls = Seq("mongodb://src"), tunnel = "mock",
+          streamStateRows = 2L * rows).sanitize
+          .getOrElse(sys.error("sanitize rejected the auto-provider config"))
+        val chosen = if (cfg.stateStoreProvider == "rocksdb") "rocksdb" else "hdfs"
+        println(s"""{"auto_provider":"$chosen","rows_per_side":$rows,""" +
+          s""""projected_mb":${graft.streaming.GraftConfig.projectedStateMb(2L * rows)},""" +
+          s""""heap_mb":${cfg.executorHeapMb}}""")
+        chosen
+      }
     val work = graft.Work.dir(s"stateflip_${rows}_$provider")
     graft.streaming.IncrSync.deletePath(spark, work)
     val per = rows / Batches

@@ -49,6 +49,11 @@ class CodegenSpec extends AnyFunSuite {
 
     assertCompiles(r.select(
       graft.plans.MongoComputeHash(col("id")).as("mh")), "mongo_hash")
+
+    val pays = r.select(
+      concat(lit("audio payload 0123 "), col("id").cast("string")).as("s"))
+    assertCompiles(pays.select(
+      graft.plans.AudioEnergies(col("s"), 16).as("e")), "audio_energies")
   }
 
   test("the lock has teeth: an expression whose doGenCode references a " +

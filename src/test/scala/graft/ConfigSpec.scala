@@ -166,6 +166,49 @@ class ConfigSpec extends AnyFunSuite {
     assert(ok(base.copy(fullSyncHttpPort = 0, httpPort = 0)).fullSyncHttpPort == 0)
   }
 
+  test("state-store availability cliff: auto-select, refuse, and vocabulary") {
+    // Heap pinned so the rows are deterministic across JVMs: 8192 MB —
+    // the SCALE_r14 StateFlip heap, so the measured points ARE the rows.
+    val heap = base.copy(executorHeapMb = 8192)
+
+    // (a) auto-select, small state: 6.4M rows/side (12.8M total) was the
+    // largest size the default provider survived (16.2 s) — projection
+    // 12.8M x 150 B x 2.5 = 4577 MB < 8192 MB keeps the faster default.
+    val small = ok(heap.copy(streamStateRows = 12800000L))
+    assert(small.stateStoreProvider == "default")
+    assert(GraftConfig.projectedStateMb(12800000L) == 4577L)
+
+    // (b) auto-select, big state: 12.8M rows/side (25.6M total) killed the
+    // JVM under the default provider (HDFS_STORE_PROVIDER_OUT_OF_MEMORY);
+    // projection 9155 MB >= 8192 MB flips to RocksDB with no hand config.
+    val big = ok(heap.copy(streamStateRows = 25600000L))
+    assert(big.stateStoreProvider == "rocksdb")
+    assert(GraftConfig.projectedStateMb(25600000L) == 9155L)
+
+    // (c) a hand-forced default past the cliff is REFUSED with the
+    // measured numbers (first-error-wins, like every sanitize rule)
+    val reason = reject(heap.copy(streamStateRows = 25600000L,
+      stateStoreProvider = "default"))
+    assert(reason.contains("HDFS_STORE_PROVIDER_OUT_OF_MEMORY")
+      && reason.contains("9155 MB") && reason.contains("8192 MB"), reason)
+
+    // (d) vocabulary + explicit choices pass through
+    assert(reject(heap.copy(stateStoreProvider = "leveldb")) ==
+      "state_store.provider should in {default, rocksdb}")
+    assert(ok(heap.copy(streamStateRows = 25600000L,
+      stateStoreProvider = "rocksdb")).stateStoreProvider == "rocksdb")
+    // explicit default BELOW the cliff is honored (the gate only refuses
+    // what the projection says cannot survive)
+    assert(ok(heap.copy(streamStateRows = 12800000L,
+      stateStoreProvider = "default")).stateStoreProvider == "default")
+    // unknown state volume (0) never blocks a forced default
+    assert(ok(heap.copy(stateStoreProvider = "default")).stateStoreProvider
+      == "default")
+    // provider-class mapping used by the streaming harnesses
+    assert(GraftConfig.providerClass("rocksdb").endsWith("RocksDBStateStoreProvider"))
+    assert(GraftConfig.providerClass("default").endsWith("HDFSBackedStateStoreProvider"))
+  }
+
   test("filter.pass.special.db removes the configured dbs from the ignore set") {
     import org.apache.spark.sql.functions.col
     val spark = SparkTest.spark

@@ -53,6 +53,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio energy: fused kernel ≡ the explode/aggregate composition " +
+      "(values, trim offsets, silence counts — incl. all-silent and tails)") {
+    val rnd = new scala.util.Random(20260815)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    val generated = (10L until 70L).map { i =>
+      val len = 1 + rnd.nextInt(140)
+      (i, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val edges = Seq(
+      (0L, "n" * 48), // sample == 0 everywhere: all-silent, null trim offsets
+      (1L, "n" * 33), // all-silent with a 1-char tail window
+      (2L, "0000000000000000"), // exactly one window, loud (d² = 3844 > 3000/16·…)
+      (3L, "nnnnnnnnnnnnnnnn00000000000000000nnnnnnnnnnnnnnnn"), // loud mid-span
+      (4L, "z")) // single sample
+    val media = Multimodal.withBinary((edges ++ generated).toDF("doc_id", "text"))
+    for (win <- Seq(16, 7)) {
+      val fused = Multimodal.audioEnergy(media, win = win)
+      val composed = Multimodal.audioEnergyComposed(media, win = win)
+      assert(fused.schema.map(f => (f.name, f.dataType)) ==
+        composed.schema.map(f => (f.name, f.dataType)))
+      assert(fused.count() == composed.count())
+      assert(fused.exceptAll(composed).isEmpty && composed.exceptAll(fused).isEmpty,
+        s"win=$win: fused and composed diverge")
+    }
+    // the all-silent doc really exercises the null-trim arm
+    val row = Multimodal.audioEnergy(media).filter(col("doc_id") === 0L).head()
+    assert(row.isNullAt(row.fieldIndex("first_loud"))
+      && row.isNullAt(row.fieldIndex("last_loud")))
+    assert(row.getAs[Long]("n_silent") == row.getAs[Long]("n_windows"))
+  }
+
   test("frame sampling: every 3rd fixed-width frame, tail frame short") {
     val one = Seq((7L, "a" * 70)).toDF("doc_id", "text")
     val got = Multimodal.frameSample(Multimodal.withBinary(one))

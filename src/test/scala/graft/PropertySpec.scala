@@ -445,7 +445,8 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("pigeonhole-blocking law: every pair within ed ≤ k shares a segment-window " +
-      "match under dedup_edit_distance's blocking, on random perturbed strings") {
+      "match under dedup_edit_distance's MULTI-MATCH-AWARE blocking (shift bound " +
+      "min(i, k−i) per segment index, Li et al. VLDB'11 §4), on random perturbed strings") {
     val k = 5; val W = 64; val nseg = k + 1
     val bnd = (0 to nseg).map(i => i * W / nseg)
     def lev(a: String, b: String): Int = {
@@ -461,7 +462,8 @@ class PropertySpec extends AnyFunSuite {
       (0 until nseg).exists { i =>
         val seg = a.substring(bnd(i), bnd(i + 1))
         val len = bnd(i + 1) - bnd(i)
-        (math.max(0, bnd(i) - k) to math.min(bnd(i) + k, W - len)).exists { p =>
+        val w = math.min(i, k - i) // the implementation's tightened window
+        (math.max(0, bnd(i) - w) to math.min(bnd(i) + w, W - len)).exists { p =>
           b.substring(p, p + len) == seg
         }
       }

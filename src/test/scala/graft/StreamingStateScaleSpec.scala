@@ -302,4 +302,26 @@ class StreamingStateScaleSpec extends AnyFunSuite {
     // the second file's docs hit STATE (doc 0 arrived a micro-batch earlier)
     assert(out.filter(col("doc_id") >= 50L).count() == 50L * 4)
   }
+
+  test("stream-join state partitions auto-size to projected volume — the " +
+      "measured anchors are regression-locked") {
+    import graft.operators.StreamOps.stateJoinPartitions
+    // floor: every corpus up to the r11 anchor (sf0.1, 50k rows/side)
+    // stays at 8 — the measured base optimum (8 beat 32: 3.34 vs 7.19 s)
+    assert(stateJoinPartitions(0) == 8)
+    assert(stateJoinPartitions(5000) == 8) // sf0.01
+    assert(stateJoinPartitions(50000) == 8) // sf0.1
+    assert(stateJoinPartitions(409600) == 8) // the exact 8→16 boundary
+    // 30× corpus (~1.5M rows/side) → 16
+    assert(stateJoinPartitions(409601) == 16)
+    assert(stateJoinPartitions(1500000) == 16)
+    // 100× corpus (~5-6.4M rows/side) → 32, the measured 100× optimum
+    // (SCALE_r14: 32 = 16.2 s vs 8 = 31.7 s; SCALE_r16 A/B re-confirms
+    // with 64 measured too)
+    assert(stateJoinPartitions(5000000) == 32)
+    assert(stateJoinPartitions(6400000) == 32)
+    // doubles per 4× rows past the anchors; hard cap 4096
+    assert(stateJoinPartitions(26000000L) == 64)
+    assert(stateJoinPartitions(Long.MaxValue) == 4096)
+  }
 }

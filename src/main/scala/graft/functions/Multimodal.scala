@@ -63,9 +63,18 @@ object Multimodal {
       md5(substring(col("media"), HeaderLen + 1, Int.MaxValue)).as("payload_md5"))
 
   /** Payload decoded to normalized ASCII (lower over an ASCII-stripped
-    * alphabet, so char and byte offsets agree across engines).
+    * alphabet, so char and byte offsets agree across engines). Runs as
+    * the [[graft.plans.AsciiNormalize]] byte-pass kernel — value-equal to
+    * `lower(regexp_replace(…, "[^A-Za-z0-9 ]", ""))` (the form the DuckDB
+    * oracle keeps, law-pinned in MultimodalSpec), but immune to the
+    * measured Filter-vs-Project regex pathology the kernel documents.
     */
   val normPayload: Column =
+    graft.plans.AsciiNormalize(
+      decode(substring(col("media"), HeaderLen + 1, Int.MaxValue), "UTF-8"))
+
+  /** The regex composition [[normPayload]] is law-tested against. */
+  val normPayloadComposed: Column =
     lower(regexp_replace(
       decode(substring(col("media"), HeaderLen + 1, Int.MaxValue), "UTF-8"),
       "[^A-Za-z0-9 ]", ""))
@@ -136,6 +145,22 @@ object Multimodal {
     * kernel against on the real corpus.
     */
   def audioEnergy(withMedia: DataFrame, win: Int = 16,
+      threshold: Long = 3000L): DataFrame =
+    withMedia
+      .select(col("doc_id"), normPayload.as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), graft.plans.AudioTrimStats(
+        graft.plans.AudioEnergies(col("norm"), win), threshold).as("st"))
+      .select(col("doc_id"), col("st.n_windows"), col("st.n_silent"),
+        col("st.first_loud"), col("st.last_loud"), col("st.total_energy"))
+
+  /** [[audioEnergy]]'s stats fold as HOF builtins over the energies array
+    * — the intermediate law partner between the fused kernels and the
+    * explode composition (`aggregate`/`zip_with` are Catalyst-interpreted
+    * lambdas: correct, shuffle-free, but measured ~5× the kernel's wall
+    * at 30× — kept for the three-way MultimodalSpec law only).
+    */
+  def audioEnergyHof(withMedia: DataFrame, win: Int = 16,
       threshold: Long = 3000L): DataFrame = {
     val loudIdx = zip_with(col("e"),
       sequence(lit(0L), size(col("e")).cast("long") - 1),

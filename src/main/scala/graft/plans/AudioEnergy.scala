@@ -52,6 +52,129 @@ case class AudioEnergies(child: Expression, win: Int)
     copy(child = newChild)
 }
 
+/** `lower(regexp_replace(s, "[^A-Za-z0-9 ]", ""))` as ONE compiled byte
+  * pass — the payload-normalization kernel every multimodal operator runs
+  * before windowing/chunking ([[graft.functions.Multimodal.normPayload]]).
+  *
+  * Exists because of a MEASURED Spark 4.1 pathology, not ordinary regex
+  * cost: the identical negated-char-class `regexp_replace` evaluates
+  * ~25× slower inside a `Filter` than inside a `Project` (100× corpus,
+  * 253 MB of text: 0.3 s projected vs 37 s filtered, positive classes
+  * unaffected) — and `filter(length(norm) > 0)` pushes the regex into
+  * exactly that Filter shape through alias substitution. A byte-walk
+  * kernel is immune and ~regex-fast even in the Project case.
+  *
+  * Byte-exact equivalence with the regex+lower composition for ANY UTF-8
+  * input: the kept class [A-Za-z0-9 ] is pure ASCII, and every byte of a
+  * multibyte UTF-8 character is ≥ 0x80, so dropping non-class BYTES drops
+  * exactly the non-class CHARACTERS the regex drops, and ASCII lower is
+  * the +32 byte map. `MultimodalSpec` pins the law on random strings
+  * including multibyte input; the DuckDB oracle keeps the regex form.
+  */
+case class AsciiNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+  override def prettyName: String = "ascii_normalize"
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    AsciiNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.AsciiNormalize.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiNormalize =
+    copy(child = newChild)
+}
+
+object AsciiNormalize {
+  def compute(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val n = b.length
+    val out = new Array[Byte](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ') {
+        out(m) = c; m += 1
+      } else if (c >= 'A' && c <= 'Z') {
+        out(m) = (c + 32).toByte; m += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, m)
+  }
+
+  def apply(c: Column): Column =
+    CatalystBridge.column(AsciiNormalize(CatalystBridge.expression(c)))
+}
+
+/** The per-document trim statistics folded over an [[AudioEnergies]]
+  * array in compiled code: (n_windows, n_silent, first_loud, last_loud,
+  * total_energy) in ONE array pass. The HOF composition
+  * (`aggregate`/`zip_with`/`array_min`) computes the same five folds but
+  * through Catalyst's INTERPRETED lambda machinery — measured at 30×
+  * (~150k docs × ~200-window arrays) the lambda dispatch dominated the
+  * whole query after the explode was fused away, so the stats fold gets
+  * the same native treatment as the energy pass. `MultimodalSpec`'s law
+  * pins kernel ≡ HOF-composition ≡ explode-composition.
+  *
+  * first_loud/last_loud are null when no window clears the threshold
+  * (the all-silent document), exactly like `min(when(loud, w))`.
+  */
+case class AudioTrimStats(child: Expression, threshold: Long)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_windows", LongType, nullable = false),
+    StructField("n_silent", LongType, nullable = false),
+    StructField("first_loud", LongType, nullable = true),
+    StructField("last_loud", LongType, nullable = true),
+    StructField("total_energy", LongType, nullable = false)))
+  override def prettyName: String = "audio_trim_stats"
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioTrimStats.compute(input.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.AudioTrimStats.compute($c, ${threshold}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): AudioTrimStats =
+    copy(child = newChild)
+}
+
+object AudioTrimStats {
+  def compute(e: ArrayData, threshold: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = e.numElements()
+    var silent = 0L
+    var first = -1L
+    var last = -1L
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val x = e.getLong(i)
+      total += x
+      if (x < threshold) silent += 1
+      else { if (first < 0) first = i; last = i }
+      i += 1
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(5)
+    row.update(0, n.toLong)
+    row.update(1, silent)
+    row.update(2, if (first < 0) null else java.lang.Long.valueOf(first))
+    row.update(3, if (last < 0) null else java.lang.Long.valueOf(last))
+    row.update(4, total)
+    row
+  }
+
+  def apply(c: Column, threshold: Long): Column =
+    CatalystBridge.column(AudioTrimStats(CatalystBridge.expression(c), threshold))
+}
+
 object AudioEnergies {
   def compute(s: UTF8String, win: Int): ArrayData = {
     val b = s.getBytes

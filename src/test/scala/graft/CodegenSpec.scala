@@ -53,7 +53,11 @@ class CodegenSpec extends AnyFunSuite {
     val pays = r.select(
       concat(lit("audio payload 0123 "), col("id").cast("string")).as("s"))
     assertCompiles(pays.select(
-      graft.plans.AudioEnergies(col("s"), 16).as("e")), "audio_energies")
+      graft.plans.AudioEnergies(col("s"), 16).as("e"),
+      graft.plans.AudioTrimStats(
+        graft.plans.AudioEnergies(col("s"), 16), 3000L).as("st"),
+      graft.plans.AsciiNormalize(col("s")).as("norm")),
+      "audio_energies+audio_trim_stats+ascii_normalize")
   }
 
   test("the lock has teeth: an expression whose doGenCode references a " +

@@ -53,6 +53,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("ascii-normalize kernel ≡ lower(regexp_replace) on arbitrary UTF-8 " +
+      "(multibyte chars strip whole, ASCII case folds, class survives)") {
+    val rnd = new scala.util.Random(16)
+    val pool = "AZaz09 ,.!?~é中😀ß\n\tXq3"
+    val texts = (0L until 200L).map { i =>
+      (i, (0 until rnd.nextInt(80)).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    } :+ (999L, "") :+ (998L, "é中") // empty + all-multibyte
+    val media = Multimodal.withBinary(texts.toDF("doc_id", "text"))
+    val got = media.select(col("doc_id"),
+        Multimodal.normPayload.as("k"),
+        Multimodal.normPayloadComposed.as("r"))
+      .filter(col("k") =!= col("r") ||
+        col("k").isNull =!= col("r").isNull)
+    assert(got.count() == 0, got.collect().take(3).mkString("; "))
+  }
+
   test("audio energy: fused kernel ≡ the explode/aggregate composition " +
       "(values, trim offsets, silence counts — incl. all-silent and tails)") {
     val rnd = new scala.util.Random(20260815)
@@ -70,12 +86,15 @@ class MultimodalSpec extends AnyFunSuite {
     val media = Multimodal.withBinary((edges ++ generated).toDF("doc_id", "text"))
     for (win <- Seq(16, 7)) {
       val fused = Multimodal.audioEnergy(media, win = win)
+      val hof = Multimodal.audioEnergyHof(media, win = win)
       val composed = Multimodal.audioEnergyComposed(media, win = win)
-      assert(fused.schema.map(f => (f.name, f.dataType)) ==
-        composed.schema.map(f => (f.name, f.dataType)))
-      assert(fused.count() == composed.count())
-      assert(fused.exceptAll(composed).isEmpty && composed.exceptAll(fused).isEmpty,
-        s"win=$win: fused and composed diverge")
+      for (other <- Seq(hof, composed)) {
+        assert(fused.schema.map(f => (f.name, f.dataType)) ==
+          other.schema.map(f => (f.name, f.dataType)))
+        assert(fused.count() == other.count())
+        assert(fused.exceptAll(other).isEmpty && other.exceptAll(fused).isEmpty,
+          s"win=$win: variants diverge")
+      }
     }
     // the all-silent doc really exercises the null-trim arm
     val row = Multimodal.audioEnergy(media).filter(col("doc_id") === 0L).head()

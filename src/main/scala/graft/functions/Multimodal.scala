@@ -206,6 +206,29 @@ object Multimodal {
         sum(col("energy")).as("total_energy"))
   }
 
+  /** Voice-activity SEGMENTS — the islands step after [[audioEnergy]]'s
+    * trim bounds: each maximal run of consecutive over-threshold windows
+    * becomes one segment row (the unit an audio pipeline actually
+    * transcribes; trim alone cannot skip mid-payload silence). Dataflow:
+    * the [[graft.plans.AudioEnergies]] → [[graft.plans.AudioVadSegments]]
+    * kernel chain emits the per-doc segment array in one byte pass +
+    * one array pass, then `posexplode` yields ~segments-per-doc thin
+    * rows — no shuffle, no per-window row amplification; an all-silent
+    * document emits nothing. seg_idx is the within-doc rank by position
+    * (deterministic: segments emit in window order).
+    */
+  def vadSegments(withMedia: DataFrame, win: Int = 16,
+      threshold: Long = 3000L): DataFrame =
+    withMedia
+      .select(col("doc_id"), normPayload.as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), posexplode(graft.plans.AudioVadSegments(
+        graft.plans.AudioEnergies(col("norm"), win), threshold)))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+        col("col.w_start"), col("col.w_end"),
+        (col("col.w_end") - col("col.w_start") + 1L).as("n_windows"),
+        col("col.seg_energy"))
+
   /** Resize analogue: halve the header dims and downsample the payload to
     * every 2nd byte (the pixel-skip resample a real decoder would do per
     * axis) — header parse, payload slice, and digest all on the binary

@@ -21,6 +21,7 @@ object MmOps {
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(media(s, dir))),
     "mm_resize" -> ((s, dir) => Multimodal.resize(media(s, dir))),
     "mm_audio_energy" -> ((s, dir) => Multimodal.audioEnergy(media(s, dir))),
+    "mm_vad_segments" -> ((s, dir) => Multimodal.vadSegments(media(s, dir))),
 
     // BLOCK-level content-addressed storage dedup — the chunked CAS
     // report (restic/borg-style): payloads cut into 16-char blocks
@@ -207,6 +208,39 @@ object MmOps {
             MAX(CASE WHEN energy >= 3000 THEN w END) AS last_loud,
             CAST(SUM(energy) AS BIGINT) AS total_energy
           FROM e GROUP BY doc_id""",
+
+    // Same per-window energies, then textbook gaps-and-islands
+    // (w − row_number) over the loud windows — maximal runs, within-doc
+    // rank by position.
+    "mm_vad_segments" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents
+            WHERE length($normSql) > 0),
+          w AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS w,
+              substring(norm, CAST(i AS INT) * 16 + 1, 16) AS chunk
+            FROM d, LATERAL (SELECT unnest(range((length(norm) - 1) // 16 + 1)) AS i)),
+          e AS (
+            SELECT doc_id, w,
+              CAST(list_sum([(ascii(substring(chunk, p, 1)) - 110)
+                             * (ascii(substring(chunk, p, 1)) - 110)
+                             for p in generate_series(1, length(chunk))])
+                AS BIGINT) AS energy
+            FROM w),
+          loud AS (SELECT doc_id, w, energy FROM e WHERE energy >= 3000),
+          isl AS (
+            SELECT doc_id, w, energy,
+              w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+            FROM loud),
+          seg AS (
+            SELECT doc_id, grp, MIN(w) AS w_start, MAX(w) AS w_end,
+              CAST(COUNT(*) AS BIGINT) AS n_windows,
+              CAST(SUM(energy) AS BIGINT) AS seg_energy
+            FROM isl GROUP BY doc_id, grp)
+          SELECT doc_id,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w_start) - 1
+              AS seg_idx,
+            w_start, w_end, n_windows, seg_energy
+          FROM seg""",
 
     "mm_interleave" ->
       s"""WITH m AS (

@@ -1491,6 +1491,17 @@ object StreamOps {
     p
   }
 
+  // NOTE (r16, measured): scoping the CDC pipelines' shuffle partitions
+  // down to the r11 sizing rule (8 at sf0.1 feed volume) was A/B'd on
+  // cdc_token_resume and does NOT move its wall (32.5 s scoped-8 vs
+  // 33.5 s at 32, inside run noise at 32 cores) — unlike the stream-
+  // stream join, these harnesses' walls are apply/lifecycle cost
+  // (bucketed target merges, query start/stop, driver staging), not
+  // state-commit fan-out: the txn-assembler state is near-empty on
+  // these feeds, so its per-partition commits are cheap. The knob was
+  // therefore NOT wired here; the join family keeps it where it is
+  // measured to matter.
+
   /** Per-side projected state rows for the events-derived join feed —
     * one aggregate job at plan time over the already-checkpointed feed
     * (the stats a production run reads from catalog statistics).

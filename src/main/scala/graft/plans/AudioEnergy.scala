@@ -175,6 +175,72 @@ object AudioTrimStats {
     CatalystBridge.column(AudioTrimStats(CatalystBridge.expression(c), threshold))
 }
 
+/** Maximal over-threshold RUNS of an [[AudioEnergies]] array — the
+  * voice-activity segments an audio pipeline transcribes (the islands
+  * step after [[AudioTrimStats]]'s trim bounds): one compiled pass
+  * emitting `struct(w_start, w_end, seg_energy)` per maximal run of
+  * consecutive windows with energy ≥ threshold. A document with no loud
+  * window yields an EMPTY array (its explode emits nothing — the
+  * "all silence, skip transcription" arm). The law partner in
+  * `MultimodalSpec` derives the same islands independently with Spark
+  * window functions (w − row_number gaps-and-islands) over the exploded
+  * energies.
+  */
+case class AudioVadSegments(child: Expression, threshold: Long)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w_start", LongType, nullable = false),
+    StructField("w_end", LongType, nullable = false),
+    StructField("seg_energy", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "audio_vad_segments"
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioVadSegments.compute(input.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.AudioVadSegments.compute($c, ${threshold}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): AudioVadSegments =
+    copy(child = newChild)
+}
+
+object AudioVadSegments {
+  def compute(e: ArrayData, threshold: Long): ArrayData = {
+    val n = e.numElements()
+    val segs = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    var start = -1L
+    var energy = 0L
+    var i = 0
+    while (i < n) {
+      val x = e.getLong(i)
+      if (x >= threshold) {
+        if (start < 0) { start = i; energy = 0L }
+        energy += x
+      } else if (start >= 0) {
+        segs += seg(start, i - 1L, energy); start = -1L
+      }
+      i += 1
+    }
+    if (start >= 0) segs += seg(start, n - 1L, energy)
+    new GenericArrayData(segs.toArray[Any])
+  }
+
+  private def seg(s: Long, e: Long, en: Long)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+    r.update(0, s); r.update(1, e); r.update(2, en)
+    r
+  }
+
+  def apply(c: Column, threshold: Long): Column =
+    CatalystBridge.column(AudioVadSegments(CatalystBridge.expression(c), threshold))
+}
+
 object AudioEnergies {
   def compute(s: UTF8String, win: Int): ArrayData = {
     val b = s.getBytes

@@ -56,8 +56,10 @@ class CodegenSpec extends AnyFunSuite {
       graft.plans.AudioEnergies(col("s"), 16).as("e"),
       graft.plans.AudioTrimStats(
         graft.plans.AudioEnergies(col("s"), 16), 3000L).as("st"),
-      graft.plans.AsciiNormalize(col("s")).as("norm")),
-      "audio_energies+audio_trim_stats+ascii_normalize")
+      graft.plans.AsciiNormalize(col("s")).as("norm"),
+      graft.plans.AudioVadSegments(
+        graft.plans.AudioEnergies(col("s"), 16), 3000L).as("vad")),
+      "audio_energies+audio_trim_stats+ascii_normalize+vad_segments")
   }
 
   test("the lock has teeth: an expression whose doGenCode references a " +

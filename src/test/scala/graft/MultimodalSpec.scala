@@ -103,6 +103,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_silent") == row.getAs[Long]("n_windows"))
   }
 
+  test("vad segments: kernel islands ≡ window-function gaps-and-islands " +
+      "over the exploded energies (incl. all-silent → empty, tail run)") {
+    val rnd = new scala.util.Random(777)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    val generated = (10L until 80L).map { i =>
+      val len = 1 + rnd.nextInt(200)
+      (i, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val edges = Seq(
+      (0L, "n" * 64), // all silent → NO rows
+      (1L, "0" * 64), // all loud → one segment spanning every window
+      (2L, ("n" * 16) + ("0" * 16) + ("n" * 16) + ("0" * 16)), // two islands, tail loud
+      (3L, ("0" * 16) + ("n" * 16) + ("0" * 16))) // loud at both edges
+    val media = Multimodal.withBinary((edges ++ generated).toDF("doc_id", "text"))
+    val fused = Multimodal.vadSegments(media)
+    // independent derivation: explode energies → filter loud → islands
+    // via w − row_number, then re-rank — Spark window functions only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("w"))
+    val exploded = media
+      .select(col("doc_id"), Multimodal.normPayload.as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), posexplode(
+        graft.plans.AudioEnergies(col("norm"), 16)))
+      .select(col("doc_id"), col("pos").cast("long").as("w"),
+        col("col").as("energy"))
+      .filter(col("energy") >= 3000L)
+      .withColumn("grp", col("w") - row_number().over(w))
+    val seg = exploded.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("w")).as("w_start"), max(col("w")).as("w_end"),
+        count(lit(1)).as("n_windows"), sum(col("energy")).as("seg_energy"))
+    val composed = seg.select(col("doc_id"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("w_start"))) - 1L)
+          .cast("long").as("seg_idx"),
+        col("w_start"), col("w_end"), col("n_windows"), col("seg_energy"))
+    assert(fused.count() == composed.count())
+    assert(fused.exceptAll(composed).isEmpty && composed.exceptAll(fused).isEmpty)
+    // the edge docs pin the shapes directly
+    assert(fused.filter(col("doc_id") === 0L).count() == 0)
+    val allLoud = fused.filter(col("doc_id") === 1L).collect()
+    assert(allLoud.length == 1 && allLoud(0).getAs[Long]("w_start") == 0L
+      && allLoud(0).getAs[Long]("n_windows") == 4L)
+    assert(fused.filter(col("doc_id") === 2L).count() == 2)
+  }
+
   test("frame sampling: every 3rd fixed-width frame, tail frame short") {
     val one = Seq((7L, "a" * 70)).toDF("doc_id", "text")
     val got = Multimodal.frameSample(Multimodal.withBinary(one))

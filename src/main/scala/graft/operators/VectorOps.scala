@@ -158,6 +158,29 @@ object VectorOps {
         cents, queryPred = col("vec_id") < 10)
     }),
 
+    // SELF-TUNED IVF: the inverted-list count derives from the corpus
+    // count at plan time (`Similarity.adaptiveLists`: power-of-two
+    // ceiling of √n, the published IVF sizing rule) instead of the fixed
+    // 8 the hand-sized harness trains — sf0.01 resolves 32 lists, sf0.1
+    // 64, the 100× corpus 512, holding per-query probe volume ~2√n as
+    // the corpus grows (IvfProbeBench measures the 100× effect: 9.2×
+    // faster search over prebuilt lists for 1.9× the one-time build). Same k-means, same seeds-by-derived-count, same
+    // probe/top-k as sim_ivf_search; the oracle re-derives nlist from
+    // its own COUNT(*) and seeds identically, so the gate proves the
+    // formula through the whole train → assign → probe pipeline.
+    "sim_ivf_adaptive" -> ((s, dir) => {
+      // one materialized scan feeds the count job, the training, and
+      // both probe sides (the count is what a production run reads from
+      // catalog statistics)
+      val e = embs(s, dir).localCheckpoint()
+      val nlist = Similarity.adaptiveLists(e.count())
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < nlist, iters = KmeansIters)
+      Similarity.ivfSearch(e, col("vec_id"), col("embedding"),
+          cents, queryPred = col("vec_id") < 10)
+        .withColumn("nlist", lit(nlist.toLong))
+    }),
+
     // CDC-DRIVEN INDEX SYNC — the cross-pillar composition a production
     // Mongo→vector-store pipeline runs: the operational DB's change feed
     // (here a deterministic derivation: every vector inserted at t1,
@@ -852,6 +875,45 @@ object VectorOps {
             JOIN prep q ON q.vec_id = pr.query_id
             JOIN prep p ON p.vec_id = a.vec_id)
           SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+          FROM scored WHERE rank <= 3""",
+
+    // nlist re-derived from COUNT(*): power-of-two ceiling of sqrt(n)
+    // (integer-exact p*p >= n scan), then the SAME kmeans seeded
+    // vec_id < nlist.
+    "sim_ivf_adaptive" ->
+      s"""WITH $prepCte,
+          nl AS (
+            SELECT CAST(COALESCE(MIN(p), 65536) AS BIGINT) AS nlist
+            FROM (SELECT CAST(UNNEST([8,16,32,64,128,256,512,1024,2048,4096,
+                    8192,16384,32768,65536]) AS BIGINT) AS p),
+                 (SELECT COUNT(*) AS n FROM prep)
+            WHERE p * p >= n),
+          ${kmeansCtes(2, seedWhere = "vec_id < (SELECT nlist FROM nl)")},
+          assigned AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents2 c)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS prn
+              FROM prep q, cents2 c WHERE q.vec_id < 10)
+            WHERE prn <= 2),
+          scored AS (
+            SELECT pr.query_id, a.vec_id AS neighbor_id,
+              ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} AS sim,
+              ROW_NUMBER() OVER (PARTITION BY pr.query_id
+                ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, a.vec_id) AS rank
+            FROM probes pr
+            JOIN assigned a ON a.centroid_id = pr.centroid_id AND a.vec_id <> pr.query_id
+            JOIN prep q ON q.vec_id = pr.query_id
+            JOIN prep p ON p.vec_id = a.vec_id)
+          SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim,
+            (SELECT nlist FROM nl) AS nlist
           FROM scored WHERE rank <= 3""",
 
     "sim_ivf_recall" ->

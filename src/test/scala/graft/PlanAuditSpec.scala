@@ -59,6 +59,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_knn_brute", // broadcast query set × corpus (baseline brute kNN)
     "sim_dim_prune", // broadcast probe set × corpus, full + pruned arms
     "sim_ivf_assign", "sim_ivf_search", // broadcast k-means centroid table
+    "sim_ivf_adaptive", // same probe crossJoin vs the derived-count centroid table
     "sim_decontam", // same centroid broadcast (ivfRange probe assignment)
     "sim_filtered_search", // same centroid broadcast, lists pre-filtered
     "sim_ivfpq", // broadcast centroid table (coarse probe) + broadcast ADC LUT

@@ -539,6 +539,22 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.functions.Similarity.adaptivePlanes(50000) == 12)
   }
 
+  test("adaptive-lists law: smallest power of two p ≥ 8 with p² ≥ n " +
+      "(the √n IVF sizing rule), capped at 65536 — matches a brute scan") {
+    samples(Gen.choose(0L, 5000000000L), 200).foreach { n =>
+      val brute = Iterator.iterate(8L)(_ * 2)
+        .find(p => p * p >= n || p >= 65536L).get.toInt
+      assert(graft.functions.Similarity.adaptiveLists(n) == brute, s"n=$n")
+    }
+    // corpus anchors (embeddings counts): sf0.01 (500) → 32,
+    // sf0.1 (2000) → 64, 100× (200k) → 512; floor + cap
+    assert(graft.functions.Similarity.adaptiveLists(500) == 32)
+    assert(graft.functions.Similarity.adaptiveLists(2000) == 64)
+    assert(graft.functions.Similarity.adaptiveLists(200000) == 512)
+    assert(graft.functions.Similarity.adaptiveLists(0) == 8)
+    assert(graft.functions.Similarity.adaptiveLists(Long.MaxValue) == 65536)
+  }
+
   test("incremental-components law: componentsIncremental ≡ the full fixpoint " +
       "over base ∪ increment edges, on random graphs and random splits") {
     val gen = for {

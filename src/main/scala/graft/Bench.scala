@@ -152,6 +152,15 @@ object Bench {
       if (args.isEmpty && !contended && !sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("/root/repo/bench_latest.json"), json + "\n")
+      // Side-channel for capture paths that mangle stdout (four rounds of
+      // the driver's `parsed: null` through bare sbt): EVERY run — clean
+      // or contended, full or partial — leaves its full capture at a
+      // fixed repo path, self-describing (`contended`, `partial`) so a
+      // reader can discount it without the stdout line. The promoted
+      // clean anchor stays `bench_latest.json`, untouched by this.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/bench_summary.json"),
+        json.dropRight(1) + s""","partial":${args.nonEmpty},"n_queries":${results.size}}""" + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     // LAST stdout line: a compact, truncation-proof summary (the full
     // 250-query JSON above has been observed truncated in driver capture,

@@ -1507,9 +1507,11 @@ object StreamOps {
     * (the stats a production run reads from catalog statistics).
     */
   private def joinSideCounts(ev: DataFrame): (Long, Long) = {
+    // coalesce: sum over an EMPTY feed returns NULL, and an unguarded
+    // getLong would crash every join runner on an empty corpus (ADVICE r16)
     val r = ev.agg(
-      sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)),
-      sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L))).head()
+      coalesce(sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L)), lit(0L))).head()
     (r.getLong(0), r.getLong(1))
   }
 

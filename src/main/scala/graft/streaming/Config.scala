@@ -76,7 +76,7 @@ final case class GraftConfig(
     txnTtlMs: Long = 0,
     stateStoreProvider: String = "", // {"", default, rocksdb}; "" = auto-select
     streamStateRows: Long = 0, // projected TOTAL live state rows (all stores)
-    executorHeapMb: Long = 0, // 0 = detect from Runtime.maxMemory
+    executorHeapMb: Long = 0, // 0 = detect (spark.executor.memory, else Runtime.maxMemory)
     journal: String = "", // {none, sampling, all} — sentinel OplogDump 0/1/2
     httpPort: Int = -1, // incr_sync.http_port; −1 = monitor disabled (dev flag)
     confVersion: Int = Fcv.Configuration.currentVersion) {
@@ -281,11 +281,19 @@ final case class GraftConfig(
     // (`cmd/collector/sanitize.go:93-365` is the reference's analogue
     // shape for computed-vs-declared conflicts).
     if (c.executorHeapMb <= 0)
-      c = c.copy(executorHeapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L))
+      c = c.copy(executorHeapMb = GraftConfig.detectedExecutorHeapMb)
     val projectedStateMb = GraftConfig.projectedStateMb(c.streamStateRows)
+    // Auto-select applies a safety factor (62.5% of heap): the measured
+    // anchors are 56% of heap HEALTHY and 112% DEAD — nothing in between
+    // is measured, and the JVM's non-state memory (shuffle, execution,
+    // code cache) needs headroom, so auto never picks the on-heap
+    // provider into the unmeasured 63-99% band (ADVICE r16). The hard
+    // REFUSAL below stays at >= heap: an operator may knowingly force
+    // the default into the band, but not past the measured cliff.
     if (c.stateStoreProvider.isEmpty)
       c = c.copy(stateStoreProvider =
-        if (projectedStateMb < c.executorHeapMb) "default" else "rocksdb")
+        if (projectedStateMb * 8L < c.executorHeapMb * 5L) "default"
+        else "rocksdb")
     if (!Set("default", "rocksdb")(c.stateStoreProvider))
       return Left("state_store.provider should in {default, rocksdb}")
     if (c.stateStoreProvider == "default" && c.streamStateRows > 0 &&
@@ -317,6 +325,23 @@ object GraftConfig {
     */
   def projectedStateMb(rows: Long): Long =
     rows * StateBytesPerRow * 5L / 2L / (1024L * 1024L)
+
+  /** Executor heap for the state-store gate when the config leaves it
+    * unset: prefer `spark.executor.memory` from the live session's conf
+    * (what a REAL cluster's executors get), falling back to the current
+    * JVM's `Runtime.maxMemory`. The fallback is correct only in local
+    * mode — there the driver JVM IS the executor; on a cluster whose
+    * driver heap exceeds executor heap it would understate risk, which
+    * is why the conf value wins when present (ADVICE r16).
+    */
+  def detectedExecutorHeapMb: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .flatMap(s => s.conf.getOption("spark.executor.memory"))
+      .flatMap(v => scala.util.Try(
+        org.apache.spark.network.util.JavaUtils.byteStringAsMb(v)).toOption)
+      .filter(_ > 0)
+      .getOrElse(Runtime.getRuntime.maxMemory() / (1024L * 1024L))
 
   /** Spark conf value for the sanitized provider choice. */
   def providerClass(provider: String): String =

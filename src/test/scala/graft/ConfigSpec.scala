@@ -185,6 +185,20 @@ class ConfigSpec extends AnyFunSuite {
     assert(big.stateStoreProvider == "rocksdb")
     assert(GraftConfig.projectedStateMb(25600000L) == 9155L)
 
+    // (b2) the UNMEASURED band (62.5%..100% of heap): auto-select plays
+    // safe and picks RocksDB (the 56%-healthy / 112%-dead anchors leave
+    // no measured headroom there), but a hand-forced default is still
+    // honored — the hard refusal only starts at >= heap. 16M total rows
+    // → 5722 MB = 69.8% of the 8192 MB heap.
+    assert(GraftConfig.projectedStateMb(16000000L) == 5722L)
+    val band = ok(heap.copy(streamStateRows = 16000000L))
+    assert(band.stateStoreProvider == "rocksdb")
+    assert(ok(heap.copy(streamStateRows = 16000000L,
+      stateStoreProvider = "default")).stateStoreProvider == "default")
+    // heap detection never returns a non-positive value (local mode:
+    // Runtime.maxMemory fallback; cluster: spark.executor.memory)
+    assert(GraftConfig.detectedExecutorHeapMb > 0)
+
     // (c) a hand-forced default past the cliff is REFUSED with the
     // measured numbers (first-error-wins, like every sanitize rule)
     val reason = reject(heap.copy(streamStateRows = 25600000L,

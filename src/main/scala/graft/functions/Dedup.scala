@@ -261,6 +261,51 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
       .filter(col("bkt_n") <= maxBandBucket)
 
+  /** No-silent-caps accounting (BASELINE.md's rule: `log()` what was
+    * dropped): collapse a keyed row table to ONE audit row — how many
+    * key-groups exceed `cap` and how many member rows those groups hold
+    * (the mass the cap removes from candidate generation). On a corpus
+    * where the cap does not bind this reads (site, cap, 0, 0); where it
+    * binds, the report stops silently claiming completeness. One
+    * hash-groupBy over the same keys the capped operator already groups
+    * on — partial-aggregatable, no new shuffle class at scale.
+    */
+  def capAuditRow(rows: DataFrame, keys: Seq[Column], cap: Long,
+      site: String): DataFrame =
+    rows.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .agg(count(lit(1)).as("nb"), coalesce(sum(col("n")), lit(0L)).as("nr"))
+      .select(lit(site).as("site"), lit(cap).as("cap"),
+        col("nb").as("n_buckets_capped"), col("nr").as("n_rows_dropped"))
+
+  /** [[capAuditRow]] over [[minhashLsh]]'s band buckets — the mass its
+    * `maxBandBucket` guard drops.
+    */
+  def minhashBandAudit(docs: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      maxBandBucket: Int = 500): DataFrame =
+    capAuditRow(
+      bandTable(minhashSignatures(docs, id, text, shingleN, bands * rowsPerBand),
+        bands, rowsPerBand),
+      Seq(col("band"), col("sig")), maxBandBucket, "minhash_band")
+
+  /** [[capAuditRow]] over [[simhashPairs]]' band buckets. */
+  def simhashBandAudit(docs: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, maxBandBucket: Int = 500): DataFrame =
+    capAuditRow(simhashBanded(simhashSig(docs, id, text, shingleN)),
+      Seq(col("band"), col("bkt")), maxBandBucket, "simhash_band")
+
+  /** [[capAuditRow]] over the inverted shingle index's document
+    * frequencies — the shingles [[ngramJaccard]]/[[containmentPairs]]'
+    * `maxDf` cutoff drops (mass = their total posting rows).
+    */
+  def shingleDfAudit(docs: DataFrame, id: Column, text: Column,
+      shingleN: Int = 4, maxDf: Int = 1000): DataFrame =
+    capAuditRow(
+      hashedShingleSets(docs, id, text, shingleN)
+        .select(col("doc_id"), explode(col("s")).as("shingle")),
+      Seq(col("shingle")), maxDf, "shingle_df")
+
   /** Attach both shingle sets to id-pairs and verify exact Jaccard. */
   private def verifyPairs(pairs: DataFrame, sig: DataFrame,
       threshold: Double): DataFrame = {
@@ -335,14 +380,20 @@ object Dedup {
     * identical subplan → one hash-partition(shingle) exchange, reused),
     * pair generation on that exchange, then the per-side set joins.
     */
+  /** Distinct 60-bit-hashed shingle set per document — the shared
+    * representation of the inverted-index family and its df audit.
+    * Hashing up front means the index exchange and the verification
+    * arrays carry fixed-width longs, not n-gram strings (~8 bytes vs
+    * ~30+ per shingle at corpus scale).
+    */
+  private def hashedShingleSets(docs: DataFrame, id: Column, text: Column,
+      shingleN: Int): DataFrame =
+    docs.select(id.as("doc_id"),
+      array_distinct(transform(shingles(text, shingleN), s => phash64(s))).as("s"))
+
   private def shingleCandidates(docs: DataFrame, id: Column, text: Column,
       shingleN: Int, maxDf: Int): DataFrame = {
-    // Hash shingles to 60-bit longs up front: the inverted-index exchange
-    // and the verification arrays carry fixed-width longs, not n-gram
-    // strings (~8 bytes vs ~30+ per shingle at corpus scale).
-    val sh = docs.select(id.as("doc_id"),
-      array_distinct(transform(shingles(text, shingleN), s => phash64(s))).as("s"))
-      .localCheckpoint()
+    val sh = hashedShingleSets(docs, id, text, shingleN).localCheckpoint()
     val ex = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
     val rare = ex.withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
@@ -600,6 +651,15 @@ object Dedup {
       .select(col("doc_id"), simhash.as("simhash"))
   }
 
+  /** SimHash band rows (doc_id, simhash, band, bkt) — the blocking table
+    * [[simhashPairs]] self-joins and [[simhashBandAudit]] accounts.
+    */
+  def simhashBanded(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+      .withColumn("bkt",
+        expr(s"shiftright(simhash, band * $SimhashBandBits) % ${1 << SimhashBandBits}"))
+
   /** SimHash near-dup pairs: 12-bit-band blocking (pairs agreeing on any
     * of the 5 signature bands are candidates), verified by Hamming
     * distance.
@@ -621,11 +681,7 @@ object Dedup {
     // signature table — without it each side re-runs the full
     // scan→explode→60-sum aggregate (the dominant cost, twice).
     val sig = simhashSig(docs, id, text, shingleN).localCheckpoint()
-    val banded = sig.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
-      .withColumn("bkt",
-        expr(s"shiftright(simhash, band * $SimhashBandBits) % ${1 << SimhashBandBits}"))
-    val bounded = banded
+    val bounded = simhashBanded(sig)
       .withColumn("bkt_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkt"))))
       .filter(col("bkt_n") <= maxBandBucket)

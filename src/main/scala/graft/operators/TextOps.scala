@@ -1365,34 +1365,16 @@ object TextOps {
     // chances), and the sf0.01 gate proves the cap does not bind there
     // (completeness vs the brute oracle is still exact).
     "dedup_edit_distance" -> ((s, dir) => {
-      val k = 5; val W = 64; val nseg = k + 1; val maxSegBucket = 500
-      val bnd = (0 to nseg).map(i => i * W / nseg) // 0,10,21,32,42,53,64
-      val base = docs(s, dir).select(col("doc_id"),
-          rpad(substring(col("text"), 1, W), W, "~").as("s"))
+      val base = editBase(docs(s, dir))
         .localCheckpoint() // one scan feeds both sides + the verify joins
-      val segCols = (0 until nseg).map { i =>
-        struct(lit(i).as("i"),
-          substring(col("s"), bnd(i) + 1, bnd(i + 1) - bnd(i)).as("g"))
-      }
       def bounded(df: DataFrame): DataFrame = df
         .withColumn("bkt_n", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("i"), col("g"))))
-        .filter(col("bkt_n") <= maxSegBucket)
+        .filter(col("bkt_n") <= EditMaxSegBucket)
         .drop("bkt_n")
-      val aSide = bounded(base.select(col("doc_id").as("doc_a"),
-          explode(array(segCols: _*)).as("seg"))
-        .select(col("doc_a"), col("seg.i").as("i"), col("seg.g").as("g")))
-      val winCols = for {
-        i <- 0 until nseg
-        w = math.min(i, k - i) // multi-match-aware shift bound (Li §4)
-        d <- -w to w
-        p = bnd(i) + d
-        if p >= 0 && p + (bnd(i + 1) - bnd(i)) <= W
-      } yield struct(lit(i).as("i"),
-        substring(col("s"), p + 1, bnd(i + 1) - bnd(i)).as("g"))
-      val bSide = bounded(base.select(col("doc_id").as("doc_b"),
-          explode(array(winCols: _*)).as("w"))
-        .select(col("doc_b"), col("w.i").as("i"), col("w.g").as("g")))
+      val aSide = bounded(editSegRows(base)).withColumnRenamed("doc_id", "doc_a")
+      val bSide = bounded(editWinRows(base)).withColumnRenamed("doc_id", "doc_b")
+      val k = EditK
       aSide.join(bSide, Seq("i", "g"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
@@ -1457,6 +1439,39 @@ object TextOps {
     // 0.5) would have MISSED. Integer-exact end to end.
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(docs(s, dir), col("doc_id"), col("text"))),
+
+    // NO-SILENT-CAPS audit (BASELINE.md's own rule — `log()` what was
+    // dropped): every quadratic-blowup cap in the dedup/similarity
+    // family emits its dropped-mass accounting as a first-class output —
+    // one row per cap site: how many blocking buckets exceed the cap and
+    // the row mass those buckets hold. On this corpus every counter is
+    // ZERO (the gates' completeness claims really are complete below the
+    // caps — proven, not asserted); on a corpus where a cap binds, the
+    // report reads "N buckets / M rows dropped" instead of silently
+    // complete (ScaleGuardSpec pins the firing path on an adversarial
+    // corpus). Each site's bucket table is the SAME construction its
+    // operator caps (shared builders / same keyed grouping), so audit
+    // and cap cannot drift. Scale shape: six partial-aggregatable
+    // groupBys over tables the operators already build — no new shuffle
+    // class, output is six rows.
+    "dedup_cap_audit" -> ((s, dir) => {
+      val d = docs(s, dir).localCheckpoint()
+      val base = editBase(d)
+      val embBlocks = d.join(Tables.load(s, dir, "embeddings"),
+          d("doc_id") === col("vec_id"))
+        .select(col("vec_id"),
+          Similarity.lshBucketCol(Similarity.quantize(col("embedding")),
+            numPlanes = 8).as("blk"))
+      Dedup.capAuditRow(editSegRows(base), Seq(col("i"), col("g")),
+          EditMaxSegBucket, "edit_seg")
+        .unionByName(Dedup.capAuditRow(editWinRows(base),
+          Seq(col("i"), col("g")), EditMaxSegBucket, "edit_win"))
+        .unionByName(Dedup.minhashBandAudit(d, col("doc_id"), col("text")))
+        .unionByName(Dedup.simhashBandAudit(d, col("doc_id"), col("text")))
+        .unionByName(Dedup.shingleDfAudit(d, col("doc_id"), col("text")))
+        .unionByName(Dedup.capAuditRow(embBlocks, Seq(col("blk")),
+          10000L, "embed_block"))
+    }),
 
     // COMPLETE threshold-Jaccard join via prefix filtering (AllPairs/
     // PPJoin): rarest-first global shingle order, index only each doc's
@@ -1684,6 +1699,60 @@ object TextOps {
 
   private val toks = "string_split(text, ' ')"
 
+  // --- edit-distance blocking geometry -------------------------------------
+  // Shared by `dedup_edit_distance` and `dedup_cap_audit` (and their
+  // oracles), so the audited buckets are BY CONSTRUCTION the buckets the
+  // query caps — the no-silent-caps counters cannot drift from the cap.
+  private[operators] val EditK = 5
+  private[operators] val EditW = 64
+  private[operators] val EditNseg = EditK + 1
+  private[operators] val EditMaxSegBucket = 500
+  private[operators] val EditBnd: IndexedSeq[Int] =
+    (0 to EditNseg).map(i => i * EditW / EditNseg) // 0,10,21,32,42,53,64
+
+  /** (i, start0, len) of the k+1 disjoint segments. */
+  private[operators] val EditSegs: Seq[(Int, Int, Int)] =
+    (0 until EditNseg).map(i => (i, EditBnd(i), EditBnd(i + 1) - EditBnd(i)))
+
+  /** (i, start0, len) of the multi-match-aware position windows (Li §4):
+    * segment i may shift by at most min(i, k−i) — 18 windows total.
+    */
+  private[operators] val EditWins: Seq[(Int, Int, Int)] = for {
+    i <- 0 until EditNseg
+    w = math.min(i, EditK - i)
+    d <- -w to w
+    p = EditBnd(i) + d
+    if p >= 0 && p + (EditBnd(i + 1) - EditBnd(i)) <= EditW
+  } yield (i, p, EditBnd(i + 1) - EditBnd(i))
+
+  /** The normalized fixed-width join key (64-char '~'-padded prefix). */
+  private def editBase(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), rpad(substring(col("text"), 1, EditW), EditW, "~").as("s"))
+
+  private def editPieceRows(base: DataFrame,
+      pieces: Seq[(Int, Int, Int)]): DataFrame = {
+    val cols = pieces.map { case (i, p, len) =>
+      struct(lit(i).as("i"), substring(col("s"), p + 1, len).as("g"))
+    }
+    base.select(col("doc_id"), explode(array(cols: _*)).as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
+  }
+
+  /** A-side segment rows (doc_id, i, g). */
+  private def editSegRows(base: DataFrame): DataFrame =
+    editPieceRows(base, EditSegs)
+
+  /** B-side windowed-substring rows (doc_id, i, g). */
+  private def editWinRows(base: DataFrame): DataFrame =
+    editPieceRows(base, EditWins)
+
+  /** `(VALUES ...) AS alias(i, st, ln)` for a piece list — the oracle's
+    * mirror of [[editPieceRows]].
+    */
+  private def piecesValuesSql(pieces: Seq[(Int, Int, Int)], alias: String): String =
+    pieces.map { case (i, st, ln) => s"($i,$st,$ln)" }
+      .mkString("(VALUES ", ",", s") AS $alias(i, st, ln)")
+
   /** Bigram-LM CTEs (mirror of [[lmScores]]): same smoothing arithmetic
     * and parenthesization as the Spark plan; the per-doc aggregate is
     * detSum6 (round 6dp → DECIMAL(28,6) sum).
@@ -1745,6 +1814,30 @@ object TextOps {
 
   private def langScoreSql(lang: String): String =
     Text.langMarkers.toMap.apply(lang).map(occSql).mkString("(", " + ", ")")
+
+  /** SimHash signature + band-bucket CTE chain ending in
+    * `${pfx}banded(doc_id, simhash, band, bkt)` — shared by the
+    * `dedup_simhash` oracle and the cap audit (`pfx` namespaces it
+    * alongside the minhash chain in one query).
+    */
+  private def simhashBandedCtes(pfx: String = ""): String =
+    s"""${pfx}sh AS (SELECT doc_id, unnest(s) AS shingle
+          FROM (SELECT doc_id, ${shingleSql(3)} AS s
+                FROM (SELECT doc_id, $toks AS t FROM documents))),
+        ${pfx}hb AS (SELECT doc_id, ${phash64Sql("shingle")} AS h FROM ${pfx}sh),
+        ${pfx}bits AS (
+          SELECT doc_id, bit,
+            SUM(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS v
+          FROM ${pfx}hb, (SELECT unnest(generate_series(0, ${Dedup.SimhashBits - 1})) AS bit)
+          GROUP BY 1, 2),
+        ${pfx}sig AS (
+          SELECT doc_id,
+            SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+          FROM ${pfx}bits GROUP BY 1),
+        ${pfx}banded AS (
+          SELECT doc_id, simhash, band,
+            (simhash >> (band * ${Dedup.SimhashBandBits})) % ${1 << Dedup.SimhashBandBits} AS bkt
+          FROM ${pfx}sig, (SELECT unnest(generate_series(0, ${Dedup.SimhashBands - 1})) AS band))"""
 
   /** Distinct 32-bit-hashed shingle set (mirrors minhashSignatures' `s`). */
   private def hashedShingleSql(n: Int, mod: String = " % 4294967296"): String =
@@ -2933,6 +3026,58 @@ object TextOps {
             n_inter * 3 < n_a + n_b AS jaccard_low
           FROM c WHERE n_inter * 5 >= least(n_a, n_b) * 4""",
 
+    // Each site's bucket table re-derived from scratch, grouped on the
+    // operator's own blocking keys; counters are COUNTED, never literal
+    // zeros — a corpus where a cap binds fails the gate loudly.
+    "dedup_cap_audit" ->
+      s"""WITH p AS (
+            SELECT doc_id, rpad(substring(text, 1, $EditW), $EditW, '~') AS s
+            FROM documents),
+          segs AS (SELECT doc_id, i, substring(s, st + 1, ln) AS g
+            FROM p, ${piecesValuesSql(EditSegs, "seg")}),
+          wins AS (SELECT doc_id, i, substring(s, st + 1, ln) AS g
+            FROM p, ${piecesValuesSql(EditWins, "win")}),
+          ${minhashPairCtes(pfx = "m")},
+          ${simhashBandedCtes("sm")},
+          sh4 AS (SELECT doc_id, ${hashedShingleSql(4, mod = "")} AS s
+            FROM (SELECT doc_id, $toks AS t FROM documents)),
+          ex4 AS (SELECT doc_id, unnest(s) AS shingle FROM sh4),
+          prep AS (
+            SELECT vec_id,
+              [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS v
+            FROM embeddings JOIN documents ON doc_id = vec_id),
+          ${VectorOps.bucketCte}
+          SELECT 'edit_seg' AS site, CAST($EditMaxSegBucket AS BIGINT) AS cap,
+            COUNT(*) AS n_buckets_capped,
+            CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows_dropped
+          FROM (SELECT COUNT(*) AS n FROM segs GROUP BY i, g)
+          WHERE n > $EditMaxSegBucket
+          UNION ALL
+          SELECT 'edit_win', CAST($EditMaxSegBucket AS BIGINT), COUNT(*),
+            CAST(COALESCE(SUM(n), 0) AS BIGINT)
+          FROM (SELECT COUNT(*) AS n FROM wins GROUP BY i, g)
+          WHERE n > $EditMaxSegBucket
+          UNION ALL
+          SELECT 'minhash_band', CAST(500 AS BIGINT), COUNT(*),
+            CAST(COALESCE(SUM(n), 0) AS BIGINT)
+          FROM (SELECT COUNT(*) AS n FROM mbanded GROUP BY band, bsig)
+          WHERE n > 500
+          UNION ALL
+          SELECT 'simhash_band', CAST(500 AS BIGINT), COUNT(*),
+            CAST(COALESCE(SUM(n), 0) AS BIGINT)
+          FROM (SELECT COUNT(*) AS n FROM smbanded GROUP BY band, bkt)
+          WHERE n > 500
+          UNION ALL
+          SELECT 'shingle_df', CAST(1000 AS BIGINT), COUNT(*),
+            CAST(COALESCE(SUM(n), 0) AS BIGINT)
+          FROM (SELECT COUNT(*) AS n FROM ex4 GROUP BY shingle)
+          WHERE n > 1000
+          UNION ALL
+          SELECT 'embed_block', CAST(10000 AS BIGINT), COUNT(*),
+            CAST(COALESCE(SUM(n), 0) AS BIGINT)
+          FROM (SELECT COUNT(*) AS n FROM buck GROUP BY bucket)
+          WHERE n > 10000""",
+
     "dedup_prefix_filter" ->
       s"""WITH sh AS (SELECT doc_id, ${hashedShingleSql(4, mod = "")} AS s
             FROM (SELECT doc_id, $toks AS t FROM documents)),
@@ -2947,23 +3092,7 @@ object TextOps {
           FROM c WHERE n_inter * 2 >= n_union * 1""",
 
     "dedup_simhash" ->
-      s"""WITH sh AS (SELECT doc_id, unnest(s) AS shingle
-            FROM (SELECT doc_id, ${shingleSql(3)} AS s
-                  FROM (SELECT doc_id, $toks AS t FROM documents))),
-          hb AS (SELECT doc_id, ${phash64Sql("shingle")} AS h FROM sh),
-          bits AS (
-            SELECT doc_id, bit,
-              SUM(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS v
-            FROM hb, (SELECT unnest(generate_series(0, ${Dedup.SimhashBits - 1})) AS bit)
-            GROUP BY 1, 2),
-          sig AS (
-            SELECT doc_id,
-              SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
-            FROM bits GROUP BY 1),
-          banded AS (
-            SELECT doc_id, simhash, band,
-              (simhash >> (band * ${Dedup.SimhashBandBits})) % ${1 << Dedup.SimhashBandBits} AS bkt
-            FROM sig, (SELECT unnest(generate_series(0, ${Dedup.SimhashBands - 1})) AS band)),
+      s"""WITH ${simhashBandedCtes()},
           bounded AS (
             SELECT * FROM (
               SELECT doc_id, simhash, band, bkt,

@@ -95,7 +95,11 @@ class PlanAuditSpec extends AnyFunSuite {
     * multiplies the count by the arm count.
     */
   private val maxExchangesOverride = Map(
-    "snap_sharded_fullsync" -> 24 // 3 shard arms x (chunks + pieces + orphans)
+    "snap_sharded_fullsync" -> 24, // 3 shard arms x (chunks + pieces + orphans)
+    // six independent cap sites x (keyed groupBy + single-row collapse);
+    // each arm alone is 2-3 exchanges over tables the operators already
+    // build — the union is the proof plan, not a scale dataflow
+    "dedup_cap_audit" -> 16
   )
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted if !slowHarness(name)) {

@@ -132,6 +132,39 @@ class ScaleGuardSpec extends AnyFunSuite {
     (cl, pairs.count() - cl)
   }
 
+  test("cap audits: dropped-mass counters FIRE on the adversarial corpus") {
+    // The no-silent-caps rule's other half: dedup_cap_audit reads all
+    // zeros on the green sf corpora, so this is the only place the
+    // firing path is exercised — the same oversized cluster the guards
+    // drop must show up in the counters, bucket count and row mass.
+    def one(df: DataFrame): (String, Long, Long, Long) = {
+      val r = df.head()
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // generic collapse: one 300-row group over cap, one small group
+    val keyed = (0 until C).map(i => ("hot", i)) ++ Seq(("cold", 0), ("cold", 1))
+    val (_, cap0, nb0, nr0) = one(Dedup.capAuditRow(
+      keyed.toDF("k", "x"), Seq(col("k")), Cap, "t"))
+    assert((cap0, nb0, nr0) == (Cap.toLong, 1L, C.toLong))
+
+    // site audits: the identical-doc cluster floods every band/shingle
+    val (_, _, mhB, mhR) = one(Dedup.minhashBandAudit(docs, col("doc_id"),
+      col("text"), maxBandBucket = Cap))
+    assert(mhB >= 4 && mhR >= 4L * C, s"minhash audit silent: $mhB/$mhR")
+    val (_, _, shB, shR) = one(Dedup.simhashBandAudit(docs, col("doc_id"),
+      col("text"), maxBandBucket = Cap))
+    assert(shB >= 5 && shR >= 5L * C, s"simhash audit silent: $shB/$shR")
+    val (_, _, dfB, dfR) = one(Dedup.shingleDfAudit(docs, col("doc_id"),
+      col("text"), maxDf = Cap))
+    assert(dfB >= 20 && dfR >= 20L * C, s"shingle-df audit silent: $dfB/$dfR")
+
+    // and the quiet side: distinct background alone reads 0 / 0
+    val bg = docs.filter(col("doc_id") >= 10 && col("doc_id") < 1000)
+    val (_, _, qB, qR) = one(Dedup.minhashBandAudit(bg, col("doc_id"),
+      col("text"), maxBandBucket = Cap))
+    assert((qB, qR) == (0L, 0L))
+  }
+
   test("thresholdPairs: maxBlock drops the degenerate block") {
     val guarded = Similarity.thresholdPairs(embs, col("vec_id"), col("embedding"),
       col("label"), threshold = 0.9, maxBlock = Cap)

@@ -238,6 +238,32 @@ object Similarity {
     p
   }
 
+  /** IVF probe count derived WITH the list count (r16 verdict task 1 —
+    * the `adaptiveLists` headline was unpriced in recall while nProbe
+    * stayed a fixed 2): the smallest power of two p ≥ 4 with p³ ≥ nlist,
+    * i.e. the power-of-two ceiling of nlist^(1/3).
+    *
+    * Anchored on the measured recall/cost curve (IvfProbeBench, 100×
+    * corpus, 200k vectors, nlist = 512, 500-query brute ground truth):
+    * recall@3 at the adaptive geometry is 0.993 at even 2 probes (the
+    * fixed-(8,2) geometry the old gates attested reads 0.689 — 8 coarse
+    * cells cover this space far worse than 512 tight ones), and the
+    * knee of the curve is 4-8 probes (search 0.97-1.07 s, recall@3
+    * 0.995-0.996, vs 2.4-4.7 s at 16-64 probes for ≤ +0.003). The cube
+    * root lands on that knee at every measured scale — nlist 32/64
+    * (sf0.01/sf0.1) → 4, 512 (100×) → 8 — and keeps probe volume
+    * sub-linear at any scale: with nlist = √n, scored vectors per query
+    * = nlist + nProbe·n/nlist ≈ n^(1/6)·√n = n^(2/3) (200k → 3.6k
+    * scored, 55× under brute). Pure integer arithmetic; oracles
+    * re-derive the identical count from nlist with a `MIN(p) WHERE
+    * p*p*p >= nlist` scan, so the gates prove the formula end to end.
+    */
+  def adaptiveProbes(nlist: Int): Int = {
+    var p = 4
+    while (p < 256 && p.toLong * p * p < nlist) p *= 2
+    p
+  }
+
   /** ANN top-1 neighbor within the LSH bucket (the scale path: candidate
     * generation is an equi-join on `bucket`, never all-pairs). Buckets
     * above `maxBucket` members are excluded — the quadratic-blowup guard

@@ -171,14 +171,50 @@ object VectorOps {
     "sim_ivf_adaptive" -> ((s, dir) => {
       // one materialized scan feeds the count job, the training, and
       // both probe sides (the count is what a production run reads from
-      // catalog statistics)
+      // catalog statistics). nProbe derives WITH nlist since r17
+      // (`Similarity.adaptiveProbes`: po2 ceiling of nlist^(1/3), the
+      // measured recall/cost knee) — both knobs re-derived by the oracle.
       val e = embs(s, dir).localCheckpoint()
       val nlist = Similarity.adaptiveLists(e.count())
+      val nProbe = Similarity.adaptiveProbes(nlist)
       val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
         col("vec_id") < nlist, iters = KmeansIters)
       Similarity.ivfSearch(e, col("vec_id"), col("embedding"),
-          cents, queryPred = col("vec_id") < 10)
+          cents, queryPred = col("vec_id") < 10, nProbe = nProbe)
         .withColumn("nlist", lit(nlist.toLong))
+        .withColumn("n_probe", lit(nProbe.toLong))
+    }),
+
+    // RECALL AT THE ADAPTIVE GEOMETRY (r16 verdict task 1): the recall
+    // eval `sim_ivf_recall` runs on the fixed-(8, 2) index, so the
+    // self-tuned (nlist, nProbe) pair shipped unpriced in recall. This
+    // gate grades the DERIVED geometry — nlist from COUNT(*), nProbe
+    // from nlist, both re-derived independently by the oracle — against
+    // the exact brute-force top-3, the same integer (n_exact, n_hit)
+    // contract as sim_ivf_recall. The 100× recall curve behind the
+    // derivation (adaptive 0.993-0.996 recall@3 vs fixed-geometry
+    // 0.689) is IvfProbeBench's measured artifact; this gate pins the
+    // formula + plumbing at the sf scales.
+    "sim_ivf_adaptive_recall" -> ((s, dir) => {
+      val e = embs(s, dir).localCheckpoint()
+      val nlist = Similarity.adaptiveLists(e.count())
+      val nProbe = Similarity.adaptiveProbes(nlist)
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < nlist, iters = KmeansIters)
+      val ivf = Similarity.ivfSearch(e, col("vec_id"), col("embedding"),
+        cents, queryPred = col("vec_id") < 10, nProbe = nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Similarity.knnBrute(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 10, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(ivf.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .withColumn("nlist", lit(nlist.toLong))
+        .withColumn("n_probe", lit(nProbe.toLong))
     }),
 
     // CDC-DRIVEN INDEX SYNC — the cross-pillar composition a production
@@ -544,6 +580,23 @@ object VectorOps {
                  [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS v
                FROM embeddings))"""
 
+  /** The self-tuned IVF geometry, re-derived natively: `nl.nlist` =
+    * power-of-two ceiling of √COUNT(*) ([[Similarity.adaptiveLists]]'
+    * p*p >= n scan), `npl.np` = power-of-two ceiling of nlist^(1/3)
+    * ([[Similarity.adaptiveProbes]]' p*p*p >= nlist scan, floor 4).
+    */
+  private[operators] val adaptiveGeomCtes: String =
+    """nl AS (
+         SELECT CAST(COALESCE(MIN(p), 65536) AS BIGINT) AS nlist
+         FROM (SELECT CAST(UNNEST([8,16,32,64,128,256,512,1024,2048,4096,
+                 8192,16384,32768,65536]) AS BIGINT) AS p),
+              (SELECT COUNT(*) AS n FROM prep)
+         WHERE p * p >= n),
+       npl AS (
+         SELECT CAST(COALESCE(MIN(p), 256) AS BIGINT) AS np
+         FROM (SELECT CAST(UNNEST([4,8,16,32,64,128,256]) AS BIGINT) AS p), nl
+         WHERE p * p * p >= nlist)"""
+
   /** Deterministic cosine between prepared rows a/b (aliases in scope).
     * Shared with [[TextOps]]'s embedding-cosine dedup oracle so the two
     * stay in lockstep with [[Similarity.cosineQ]].
@@ -878,16 +931,11 @@ object VectorOps {
           FROM scored WHERE rank <= 3""",
 
     // nlist re-derived from COUNT(*): power-of-two ceiling of sqrt(n)
-    // (integer-exact p*p >= n scan), then the SAME kmeans seeded
-    // vec_id < nlist.
+    // (integer-exact p*p >= n scan), then nProbe from nlist (po2 ceiling
+    // of its cube root, p*p*p >= nlist scan), then the SAME kmeans
+    // seeded vec_id < nlist.
     "sim_ivf_adaptive" ->
-      s"""WITH $prepCte,
-          nl AS (
-            SELECT CAST(COALESCE(MIN(p), 65536) AS BIGINT) AS nlist
-            FROM (SELECT CAST(UNNEST([8,16,32,64,128,256,512,1024,2048,4096,
-                    8192,16384,32768,65536]) AS BIGINT) AS p),
-                 (SELECT COUNT(*) AS n FROM prep)
-            WHERE p * p >= n),
+      s"""WITH $prepCte, $adaptiveGeomCtes,
           ${kmeansCtes(2, seedWhere = "vec_id < (SELECT nlist FROM nl)")},
           assigned AS (
             SELECT vec_id, centroid_id FROM (
@@ -902,7 +950,7 @@ object VectorOps {
                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
                   ORDER BY ${simSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS prn
               FROM prep q, cents2 c WHERE q.vec_id < 10)
-            WHERE prn <= 2),
+            WHERE prn <= (SELECT np FROM npl)),
           scored AS (
             SELECT pr.query_id, a.vec_id AS neighbor_id,
               ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} AS sim,
@@ -913,8 +961,53 @@ object VectorOps {
             JOIN prep q ON q.vec_id = pr.query_id
             JOIN prep p ON p.vec_id = a.vec_id)
           SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim,
-            (SELECT nlist FROM nl) AS nlist
+            (SELECT nlist FROM nl) AS nlist, (SELECT np FROM npl) AS n_probe
           FROM scored WHERE rank <= 3""",
+
+    // The derived-geometry recall gate: same (nlist, nProbe) derivation
+    // as sim_ivf_adaptive, graded against the brute top-3 ground truth
+    // with sim_ivf_recall's integer contract.
+    "sim_ivf_adaptive_recall" ->
+      s"""WITH $prepCte, $adaptiveGeomCtes,
+          ${kmeansCtes(2, seedWhere = "vec_id < (SELECT nlist FROM nl)")},
+          assigned AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents2 c)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS prn
+              FROM prep q, cents2 c WHERE q.vec_id < 10)
+            WHERE prn <= (SELECT np FROM npl)),
+          ivf AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT pr.query_id, a.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY pr.query_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, a.vec_id) AS rank
+              FROM probes pr
+              JOIN assigned a ON a.centroid_id = pr.centroid_id AND a.vec_id <> pr.query_id
+              JOIN prep q ON q.vec_id = pr.query_id
+              JOIN prep p ON p.vec_id = a.vec_id)
+            WHERE rank <= 3),
+          exact AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, p.vec_id) AS rank
+              FROM prep q JOIN prep p ON q.vec_id < 10 AND q.vec_id <> p.vec_id)
+            WHERE rank <= 3)
+          SELECT e.query_id, COUNT(*) AS n_exact,
+            CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit,
+            (SELECT nlist FROM nl) AS nlist, (SELECT np FROM npl) AS n_probe
+          FROM exact e LEFT JOIN ivf i
+            ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+          GROUP BY e.query_id""",
 
     "sim_ivf_recall" ->
       s"""WITH $prepCte, ${kmeansCtes(2)},

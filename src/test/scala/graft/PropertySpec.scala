@@ -555,6 +555,25 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.functions.Similarity.adaptiveLists(Long.MaxValue) == 65536)
   }
 
+  test("adaptive-probes law: smallest power of two p ≥ 4 with p³ ≥ nlist " +
+      "(the cube-root probe rule), capped at 256 — matches a brute scan") {
+    samples(Gen.choose(0, 65536), 200).foreach { nlist =>
+      val brute = Iterator.iterate(4L)(_ * 2)
+        .find(p => p * p * p >= nlist || p >= 256L).get.toInt
+      assert(graft.functions.Similarity.adaptiveProbes(nlist) == brute,
+        s"nlist=$nlist")
+    }
+    // geometry anchors: sf0.01 (nlist 32) → 4, sf0.1 (64) → 4,
+    // 100× (512) → 8 — the measured recall/cost knee (IvfProbeBench:
+    // recall@3 0.996 at 8 probes vs 0.689 at the old fixed-(8,2));
+    // floor + cap
+    assert(graft.functions.Similarity.adaptiveProbes(32) == 4)
+    assert(graft.functions.Similarity.adaptiveProbes(64) == 4)
+    assert(graft.functions.Similarity.adaptiveProbes(512) == 8)
+    assert(graft.functions.Similarity.adaptiveProbes(0) == 4)
+    assert(graft.functions.Similarity.adaptiveProbes(65536) == 64)
+  }
+
   test("incremental-components law: componentsIncremental ≡ the full fixpoint " +
       "over base ∪ increment edges, on random graphs and random splits") {
     val gen = for {

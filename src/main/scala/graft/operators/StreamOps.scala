@@ -1134,6 +1134,20 @@ object StreamOps {
     val prepMs = System.currentTimeMillis() - tPrep0
     val ttl = if (ttlMs > 0) ttlMs
               else math.max(5000L, math.min(15000L, 2L * prepMs))
+    // State-partition scoping, the same birth-time sizing the stream-join
+    // family applies — here the measured driver is the TRIGGER SCHEDULE,
+    // not state volume: the 250 ms processing-time trigger fires ~26
+    // micro-batches (most empty — they exist to advance the TTL clock),
+    // and EVERY batch commits EVERY state partition. HarnessProfile
+    // measured 478 s cumulative state-store commit across 26 batches at
+    // the session default 32 partitions (~15 s of this harness's wall on
+    // 32 threads) over assembler/apply state of a few hundred rows; 8
+    // partitions cut the per-batch fan-out 4× with partitions still far
+    // emptier than any heap bound. Scoped set/restore: the count freezes
+    // into this query's checkpoint at birth, nothing else is affected.
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = s.conf.get(spKey)
+    s.conf.set(spKey, 8)
     val q = IncrSync.startOplogFrom(s,
       graft.streaming.ParquetDirSource(feedDir, IncrSync.oplogSchema, maxFilesPerTrigger = 1),
       s"$work/target", s"$work/ckpt",
@@ -1150,7 +1164,7 @@ object StreamOps {
         .unionByName(entryRows(chains.filter(col("orphan") && col("rn") === col("n") - 1)))
         .coalesce(1).write.mode("append").parquet(feedDir)
       awaitTotal(nP1 + nP2 + nCross + 1 + nP3 + nOrphanChains)
-    } finally q.stop()
+    } finally { q.stop(); s.conf.set(spKey, prevSp) }
 
     val state = IncrSync.readOrEmpty(s, s"$work/target/state")
       .select(lit("state").as("section"), col("ns").as("a"), col("doc_key").as("b"),

@@ -461,6 +461,38 @@ object VectorOps {
           coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
     }),
 
+    // The IVF-PQ composition at the ADAPTIVE geometry — closes the other
+    // half of the r16 recall gap (sim_ivfpq_recall grades the fixed-8
+    // coarse index): the coarse quantizer derives (nlist, nProbe) like
+    // sim_ivf_adaptive_recall while the PQ codec keeps its own fixed
+    // 8-codeword-per-subspace codebook (the codec's resolution is a
+    // storage choice, not a corpus-size function). Both coarse-probe
+    // misses AND 4-byte ADC ranking errors cost recall here, at the
+    // geometry that actually ships.
+    "sim_ivfpq_adaptive_recall" -> ((s, dir) => {
+      val e = embs(s, dir).localCheckpoint()
+      val nlist = Similarity.adaptiveLists(e.count())
+      val nProbe = Similarity.adaptiveProbes(nlist)
+      val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < nlist, iters = KmeansIters)
+      val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 8)
+      val adc = Similarity.ivfPqSearch(e, col("vec_id"), col("embedding"),
+        cents, cb, queryPred = col("vec_id") < 10, nProbe = nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Similarity.knnBrute(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 10, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(adc.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .withColumn("nlist", lit(nlist.toLong))
+        .withColumn("n_probe", lit(nProbe.toLong))
+    }),
+
     // Clustering-quality report — the diagnostic that decides whether an
     // IVF index needs retraining or more centroids: per-cluster member
     // count and inertia (summed squared L2 distance to the assigned
@@ -1280,6 +1312,59 @@ object VectorOps {
           SELECT e.query_id, COUNT(*) AS n_exact,
             CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS n_hit
+          FROM exact e LEFT JOIN ivfpq i
+            ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+          GROUP BY e.query_id""",
+
+    // Same CTE chain as sim_ivfpq_recall with the coarse geometry
+    // re-derived (seeds vec_id < nlist, probes prn <= np); the PQ
+    // codebook CTEs are untouched.
+    "sim_ivfpq_adaptive_recall" ->
+      s"""WITH $prepCte, $adaptiveGeomCtes,
+          ${kmeansCtes(2, seedWhere = "vec_id < (SELECT nlist FROM nl)")},
+          ${pqCtes(2)}, ${pqEncCte(2)},
+          assigned AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT p.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                  ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
+              FROM prep p, cents2 c)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS prn
+              FROM prep q, cents2 c WHERE q.vec_id < 10)
+            WHERE prn <= (SELECT np FROM npl)),
+          lut AS (
+            SELECT s.vec_id AS query_id, s.m, c.code, ${l2Sql("s.sv", "c.cw")} AS d
+            FROM subprep s JOIN cb2 c USING (m) WHERE s.vec_id < 10),
+          adcq AS (
+            SELECT l.query_id, a.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
+            FROM enc a
+            JOIN assigned g USING (vec_id)
+            JOIN probes pr ON pr.centroid_id = g.centroid_id
+            JOIN lut l ON l.query_id = pr.query_id AND l.m = a.m AND l.code = a.code
+            WHERE l.query_id <> a.vec_id
+            GROUP BY 1, 2),
+          ivfpq AS (
+            SELECT query_id, vec_id AS neighbor_id FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc, vec_id) AS rank
+              FROM adcq)
+            WHERE rank <= 3),
+          exact AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, p.vec_id) AS rank
+              FROM prep q JOIN prep p ON q.vec_id < 10 AND q.vec_id <> p.vec_id)
+            WHERE rank <= 3)
+          SELECT e.query_id, COUNT(*) AS n_exact,
+            CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit,
+            (SELECT nlist FROM nl) AS nlist, (SELECT np FROM npl) AS n_probe
           FROM exact e LEFT JOIN ivfpq i
             ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
           GROUP BY e.query_id""",

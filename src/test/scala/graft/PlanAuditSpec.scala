@@ -70,6 +70,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_recall_curve", // same composition, 10-row heads + a 10-row spine
     "sim_kmeans_quality", // broadcast k-means centroid table (assignment pass)
     "sim_ivfpq_recall", // composes sim_knn_brute + sim_ivfpq (both broadcast)
+    "sim_ivf_adaptive_recall", // sim_ivf_recall at the derived geometry (same broadcasts)
+    "sim_ivfpq_adaptive_recall", // sim_ivfpq_recall at the derived geometry (same broadcasts)
     "pipe_ann", // broadcast trained centroid table (train-once assign + ivf arms)
     "dedup_semantic", // broadcast k-means centroid table as the blocking key
     "dedup_lsh_recall", // broadcast probe set × corpus (eval ground truth)

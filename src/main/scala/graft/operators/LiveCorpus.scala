@@ -458,29 +458,32 @@ object LiveCorpus {
 
   def oracles: Map[String, String] = Map(
     "pipe_live_corpus" ->
-      s"""WITH fold AS (
+      s"""WITH embdocs AS (
+            SELECT d.doc_id, d.text, d.lang, d.source
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+          fold AS (
             SELECT doc_id,
               CASE WHEN doc_id % 7 = 0 AND doc_id % 5 <> 0
                    THEN text || ' v2' ELSE text END AS text,
               lang, source
-            FROM documents WHERE doc_id % 11 <> 0),
-          d0 AS (SELECT md5(text) AS dg FROM documents WHERE doc_id % 5 <> 0),
+            FROM embdocs WHERE doc_id % 11 <> 0),
+          d0 AS (SELECT md5(text) AS dg FROM embdocs WHERE doc_id % 5 <> 0),
           b1v AS (
-            SELECT md5(text) AS dg FROM documents WHERE doc_id % 5 = 0
+            SELECT md5(text) AS dg FROM embdocs WHERE doc_id % 5 = 0
             UNION ALL
-            SELECT md5(text || ' v2') FROM documents
+            SELECT md5(text || ' v2') FROM embdocs
             WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0),
           m0 AS (
             SELECT CAST(SUM(length(text)) AS BIGINT) AS s0,
               COUNT(*) AS c0
-            FROM documents WHERE doc_id % 5 <> 0),
+            FROM embdocs WHERE doc_id % 5 <> 0),
           m1 AS (
             SELECT CAST(SUM(length(t)) AS BIGINT) AS s1, COUNT(*) AS c1 FROM (
-              SELECT text AS t FROM documents WHERE doc_id % 5 = 0
-              UNION ALL SELECT text || ' v2' FROM documents
+              SELECT text AS t FROM embdocs WHERE doc_id % 5 = 0
+              UNION ALL SELECT text || ' v2' FROM embdocs
               WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0)),
           ndel AS (
-            SELECT COUNT(*) AS n FROM documents WHERE doc_id % 11 = 0),
+            SELECT COUNT(*) AS n FROM embdocs WHERE doc_id % 11 = 0),
           ${TextOps.minhashPairCtes("fold", "f")},
           fgood AS (SELECT doc_a, doc_b FROM fj WHERE jaccard >= 0.5),
           cedges AS (

@@ -745,7 +745,7 @@ object VectorOps {
             LIMIT 1)"""
       s"""WITH $prepCte,
           qv AS (SELECT v, nrm FROM prep WHERE vec_id = 0),
-          cand AS (
+          cand AS MATERIALIZED (
             SELECT vec_id, rel FROM (
               SELECT p.vec_id,
                 ${simSql("p.v", "p.nrm", "qv.v", "qv.nrm")} AS rel,
@@ -754,7 +754,12 @@ object VectorOps {
                   p.vec_id) AS rk
               FROM prep p, qv WHERE p.vec_id <> 0)
             WHERE rk <= 20),
-          pair AS (
+          -- MATERIALIZED: the selection layers' correlated MAX subqueries
+          -- reference these CTEs once per candidate row; inlined (the
+          -- DuckDB default) each reference re-evaluates the corpus-wide
+          -- join, which at sf0.1 spilled past the disk. Materialized,
+          -- cand is 20 rows and pair 380, computed once.
+          pair AS MATERIALIZED (
             SELECT a.vec_id AS ia, b.vec_id AS ib,
               ${simSql("a.v", "a.nrm", "b.v", "b.nrm")} AS sim
             FROM prep a, prep b

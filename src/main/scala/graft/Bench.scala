@@ -147,20 +147,23 @@ object Bench {
     // shadowed the honest number for a whole round.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (args.isEmpty) "/tmp/graft_bench_raw.json" else "/tmp/graft_bench_partial.json")
+    // Side-channel for capture paths that mangle stdout (four rounds of
+    // the driver's `parsed: null` through bare sbt): EVERY run — clean
+    // or contended, full or partial — leaves its full capture at a
+    // fixed repo path, self-describing (`contended`, `partial`) so a
+    // reader can discount it without the stdout line. Written FIRST in
+    // its own try: a failure writing the $out path must not leave a
+    // STALE summary silently attributed to this run. The promoted clean
+    // anchor stays `bench_latest.json`, untouched by this.
+    try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/bench_summary.json"),
+        json.dropRight(1) + s""","partial":${args.nonEmpty},"n_queries":${results.size}}""" + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] summary write failed: ${e.getMessage}") }
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
       if (args.isEmpty && !contended && !sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("/root/repo/bench_latest.json"), json + "\n")
-      // Side-channel for capture paths that mangle stdout (four rounds of
-      // the driver's `parsed: null` through bare sbt): EVERY run — clean
-      // or contended, full or partial — leaves its full capture at a
-      // fixed repo path, self-describing (`contended`, `partial`) so a
-      // reader can discount it without the stdout line. The promoted
-      // clean anchor stays `bench_latest.json`, untouched by this.
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/root/repo/bench_summary.json"),
-        json.dropRight(1) + s""","partial":${args.nonEmpty},"n_queries":${results.size}}""" + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     // LAST stdout line: a compact, truncation-proof summary (the full
     // 250-query JSON above has been observed truncated in driver capture,

@@ -20,6 +20,14 @@ import graft.functions.Text.shingles
   */
 object Dedup {
 
+  /** Shared quadratic-blowup cap defaults — ONE definition each, consumed
+    * by the operators, their dropped-mass audits, and (interpolated) the
+    * oracle SQL, so cap and accounting cannot drift (the same
+    * single-source rule as TextOps' Edit* geometry).
+    */
+  val MaxBandBucket = 500
+  val MaxDf = 1000
+
   /** Exact dedup: canonical hash of the raw text; keep the smallest id
     * per group (hash-groupBy — one shuffle on the digest).
     */
@@ -224,7 +232,7 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, maxBandBucket: Int = 500): DataFrame = {
+      threshold: Double = 0.5, maxBandBucket: Int = MaxBandBucket): DataFrame = {
     // One lineage cut: the signature table feeds banding AND both
     // verification joins (same 3×-recompute trap as ngramJaccard).
     val sig = minhashSignatures(docs, id, text, shingleN, bands * rowsPerBand)
@@ -283,7 +291,7 @@ object Dedup {
     */
   def minhashBandAudit(docs: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-      maxBandBucket: Int = 500): DataFrame =
+      maxBandBucket: Int = MaxBandBucket): DataFrame =
     capAuditRow(
       bandTable(minhashSignatures(docs, id, text, shingleN, bands * rowsPerBand),
         bands, rowsPerBand),
@@ -291,7 +299,7 @@ object Dedup {
 
   /** [[capAuditRow]] over [[simhashPairs]]' band buckets. */
   def simhashBandAudit(docs: DataFrame, id: Column, text: Column,
-      shingleN: Int = 3, maxBandBucket: Int = 500): DataFrame =
+      shingleN: Int = 3, maxBandBucket: Int = MaxBandBucket): DataFrame =
     capAuditRow(simhashBanded(simhashSig(docs, id, text, shingleN)),
       Seq(col("band"), col("bkt")), maxBandBucket, "simhash_band")
 
@@ -300,7 +308,7 @@ object Dedup {
     * `maxDf` cutoff drops (mass = their total posting rows).
     */
   def shingleDfAudit(docs: DataFrame, id: Column, text: Column,
-      shingleN: Int = 4, maxDf: Int = 1000): DataFrame =
+      shingleN: Int = 4, maxDf: Int = MaxDf): DataFrame =
     capAuditRow(
       hashedShingleSets(docs, id, text, shingleN)
         .select(col("doc_id"), explode(col("s")).as("shingle")),
@@ -328,7 +336,7 @@ object Dedup {
   def minhashLshIncremental(docs: DataFrame, id: Column, text: Column,
       incrPred: Column, shingleN: Int = 3, bands: Int = 4,
       rowsPerBand: Int = 4, threshold: Double = 0.5,
-      maxBandBucket: Int = 500): DataFrame = {
+      maxBandBucket: Int = MaxBandBucket): DataFrame = {
     val sig = minhashSignatures(docs, id, text, shingleN, bands * rowsPerBand)
       .localCheckpoint()
     // minhashSignatures keeps only (doc_id, s, mh_*): attach the flag
@@ -369,7 +377,7 @@ object Dedup {
     * near-dup candidate — the standard inverted-index pruning rule).
     */
   def ngramJaccard(docs: DataFrame, id: Column, text: Column,
-      shingleN: Int = 4, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame =
+      shingleN: Int = 4, threshold: Double = 0.5, maxDf: Int = MaxDf): DataFrame =
     verifyJaccard(shingleCandidates(docs, id, text, shingleN, maxDf), threshold)
 
   /** Inverted-index candidate pairs with their full shingle sets (the
@@ -421,7 +429,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, id: Column, text: Column,
       shingleN: Int = 4, thrNum: Int = 4, thrDen: Int = 5,
-      maxDf: Int = 1000): DataFrame =
+      maxDf: Int = MaxDf): DataFrame =
     shingleCandidates(docs, id, text, shingleN, maxDf)
       .withColumn("n_a", size(col("sa")).cast("long"))
       .withColumn("n_b", size(col("sb")).cast("long"))
@@ -676,7 +684,7 @@ object Dedup {
     * it, and those pairs resurface through their other bands).
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
-      shingleN: Int = 3, maxHamming: Int = 4, maxBandBucket: Int = 500): DataFrame = {
+      shingleN: Int = 3, maxHamming: Int = 4, maxBandBucket: Int = MaxBandBucket): DataFrame = {
     // Lineage cut: both sides of the banded self-join consume the
     // signature table — without it each side re-runs the full
     // scan→explode→60-sum aggregate (the dominant cost, twice).

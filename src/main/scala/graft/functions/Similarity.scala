@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Shared quadratic-blowup block cap — ONE definition, consumed by the
+    * blocked operators, the dropped-mass audit, and (interpolated) the
+    * oracle SQL, so cap and accounting cannot drift.
+    */
+  val MaxBlock = 10000
+
   /** Quantized vector (array<long>) and its squared norm. */
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1000).cast("long"))
@@ -128,7 +134,7 @@ object Similarity {
     * O(n²) on its own.
     */
   def thresholdPairs(embs: DataFrame, id: Column, emb: Column,
-      block: Column, threshold: Double, maxBlock: Int = 10000): DataFrame = {
+      block: Column, threshold: Double, maxBlock: Int = MaxBlock): DataFrame = {
     val p = embs.select(id.as("vec_id"), block.as("blk"), quantize(emb).as("v"))
       .withColumn("nrm", sqNorm(col("v")))
       .withColumn("blk_n", count(lit(1)).over(Window.partitionBy(col("blk"))))
@@ -270,7 +276,7 @@ object Similarity {
     * for degenerate embedding mass (e.g. zero vectors) at corpus scale.
     */
   def annLshTop1(embs: DataFrame, id: Column, emb: Column, numPlanes: Int = 8,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = MaxBlock): DataFrame = {
     val p = prepared(embs, id, emb)
     val withBucket = p.join(lshBuckets(p, numPlanes), Seq("vec_id"))
       .withColumn("bkt_n", count(lit(1)).over(Window.partitionBy(col("bucket"))))

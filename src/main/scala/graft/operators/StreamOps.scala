@@ -1148,11 +1148,12 @@ object StreamOps {
     val spKey = "spark.sql.shuffle.partitions"
     val prevSp = s.conf.get(spKey)
     s.conf.set(spKey, 8)
-    val q = IncrSync.startOplogFrom(s,
-      graft.streaming.ParquetDirSource(feedDir, IncrSync.oplogSchema, maxFilesPerTrigger = 1),
-      s"$work/target", s"$work/ckpt",
-      gids = gids, white = white, black = black, txnTtlMs = ttl,
-      trigger = Trigger.ProcessingTime("250 milliseconds"), nBuckets = 16)
+    val q = try IncrSync.startOplogFrom(s,
+        graft.streaming.ParquetDirSource(feedDir, IncrSync.oplogSchema, maxFilesPerTrigger = 1),
+        s"$work/target", s"$work/ckpt",
+        gids = gids, white = white, black = black, txnTtlMs = ttl,
+        trigger = Trigger.ProcessingTime("250 milliseconds"), nBuckets = 16)
+      catch { case e: Throwable => s.conf.set(spKey, prevSp); throw e }
     try {
       awaitTotal(nP1 + nP2 + nCross)
       // the orphan deadline (batch-1 start + ttl) is certainly behind us
@@ -1164,7 +1165,11 @@ object StreamOps {
         .unionByName(entryRows(chains.filter(col("orphan") && col("rn") === col("n") - 1)))
         .coalesce(1).write.mode("append").parquet(feedDir)
       awaitTotal(nP1 + nP2 + nCross + 1 + nP3 + nOrphanChains)
-    } finally { q.stop(); s.conf.set(spKey, prevSp) }
+    } finally {
+      // restore in its OWN finally: a throwing stop() (stopTimeout,
+      // shutdown interrupt) must not leak partitions=8 into the session
+      try q.stop() finally s.conf.set(spKey, prevSp)
+    }
 
     val state = IncrSync.readOrEmpty(s, s"$work/target/state")
       .select(lit("state").as("section"), col("ns").as("a"), col("doc_key").as("b"),

@@ -1457,11 +1457,17 @@ object TextOps {
     "dedup_cap_audit" -> ((s, dir) => {
       val d = docs(s, dir).localCheckpoint()
       val base = editBase(d)
-      val embBlocks = d.join(Tables.load(s, dir, "embeddings"),
-          d("doc_id") === col("vec_id"))
-        .select(col("vec_id"),
-          Similarity.lshBucketCol(Similarity.quantize(col("embedding")),
-            numPlanes = 8).as("blk"))
+      val joined = d.join(Tables.load(s, dir, "embeddings"),
+        d("doc_id") === col("vec_id")).localCheckpoint()
+      def embBlocks(planes: Int) = joined.select(col("vec_id"),
+        Similarity.lshBucketCol(Similarity.quantize(col("embedding")),
+          numPlanes = planes).as("blk"))
+      // both embedding block geometries in use: the fixed 8-plane
+      // blocking (dedup_embed_cosine/sim_ann_lsh) AND the corpus-derived
+      // adaptive one (dedup_embed_adaptive) — a degenerate mass can bind
+      // in the coarser adaptive space while splitting below cap at 8
+      // planes, so auditing only one would re-open the silent-cap gap
+      val planesA = Similarity.adaptivePlanes(joined.count())
       Dedup.capAuditRow(editSegRows(base), Seq(col("i"), col("g")),
           EditMaxSegBucket, "edit_seg")
         .unionByName(Dedup.capAuditRow(editWinRows(base),
@@ -1469,8 +1475,10 @@ object TextOps {
         .unionByName(Dedup.minhashBandAudit(d, col("doc_id"), col("text")))
         .unionByName(Dedup.simhashBandAudit(d, col("doc_id"), col("text")))
         .unionByName(Dedup.shingleDfAudit(d, col("doc_id"), col("text")))
-        .unionByName(Dedup.capAuditRow(embBlocks, Seq(col("blk")),
-          10000L, "embed_block"))
+        .unionByName(Dedup.capAuditRow(embBlocks(8), Seq(col("blk")),
+          Similarity.MaxBlock.toLong, "embed_block"))
+        .unionByName(Dedup.capAuditRow(embBlocks(planesA), Seq(col("blk")),
+          Similarity.MaxBlock.toLong, "embed_block_adaptive"))
     }),
 
     // COMPLETE threshold-Jaccard join via prefix filtering (AllPairs/
@@ -1868,7 +1876,7 @@ object TextOps {
         ${pfx}bounded AS (
           SELECT * FROM (
             SELECT doc_id, band, bsig, COUNT(*) OVER (PARTITION BY band, bsig) AS bkt_n
-            FROM ${pfx}banded) WHERE bkt_n <= 500),
+            FROM ${pfx}banded) WHERE bkt_n <= ${Dedup.MaxBandBucket}),
         ${pfx}pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM ${pfx}bounded a JOIN ${pfx}bounded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
@@ -2830,7 +2838,7 @@ object TextOps {
             SELECT * FROM (
               SELECT doc_id, band, bsig,
                 COUNT(*) OVER (PARTITION BY band, bsig) AS bkt_n
-              FROM abanded) WHERE bkt_n <= 500),
+              FROM abanded) WHERE bkt_n <= ${Dedup.MaxBandBucket}),
           apairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
             FROM abounded a JOIN abounded b2
@@ -2931,7 +2939,7 @@ object TextOps {
           rare AS (
             SELECT * FROM (
               SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
-              FROM ex) WHERE df <= 1000),
+              FROM ex) WHERE df <= ${Dedup.MaxDf}),
           pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
@@ -2954,7 +2962,7 @@ object TextOps {
           rarec AS (
             SELECT * FROM (
               SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
-              FROM exc) WHERE df <= 1000),
+              FROM exc) WHERE df <= ${Dedup.MaxDf}),
           pairsc AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM rarec a JOIN rarec b
@@ -3012,7 +3020,7 @@ object TextOps {
           rare AS (
             SELECT * FROM (
               SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
-              FROM ex) WHERE df <= 1000),
+              FROM ex) WHERE df <= ${Dedup.MaxDf}),
           pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
@@ -3046,7 +3054,8 @@ object TextOps {
             SELECT vec_id,
               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS v
             FROM embeddings JOIN documents ON doc_id = vec_id),
-          ${VectorOps.bucketCte}
+          ${VectorOps.bucketCte},
+          ${VectorOps.adaptiveBucketCte(4, 16, "a")}
           SELECT 'edit_seg' AS site, CAST($EditMaxSegBucket AS BIGINT) AS cap,
             COUNT(*) AS n_buckets_capped,
             CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows_dropped
@@ -3058,25 +3067,30 @@ object TextOps {
           FROM (SELECT COUNT(*) AS n FROM wins GROUP BY i, g)
           WHERE n > $EditMaxSegBucket
           UNION ALL
-          SELECT 'minhash_band', CAST(500 AS BIGINT), COUNT(*),
+          SELECT 'minhash_band', CAST(${Dedup.MaxBandBucket} AS BIGINT), COUNT(*),
             CAST(COALESCE(SUM(n), 0) AS BIGINT)
           FROM (SELECT COUNT(*) AS n FROM mbanded GROUP BY band, bsig)
-          WHERE n > 500
+          WHERE n > ${Dedup.MaxBandBucket}
           UNION ALL
-          SELECT 'simhash_band', CAST(500 AS BIGINT), COUNT(*),
+          SELECT 'simhash_band', CAST(${Dedup.MaxBandBucket} AS BIGINT), COUNT(*),
             CAST(COALESCE(SUM(n), 0) AS BIGINT)
           FROM (SELECT COUNT(*) AS n FROM smbanded GROUP BY band, bkt)
-          WHERE n > 500
+          WHERE n > ${Dedup.MaxBandBucket}
           UNION ALL
-          SELECT 'shingle_df', CAST(1000 AS BIGINT), COUNT(*),
+          SELECT 'shingle_df', CAST(${Dedup.MaxDf} AS BIGINT), COUNT(*),
             CAST(COALESCE(SUM(n), 0) AS BIGINT)
           FROM (SELECT COUNT(*) AS n FROM ex4 GROUP BY shingle)
-          WHERE n > 1000
+          WHERE n > ${Dedup.MaxDf}
           UNION ALL
-          SELECT 'embed_block', CAST(10000 AS BIGINT), COUNT(*),
+          SELECT 'embed_block', CAST(${Similarity.MaxBlock} AS BIGINT), COUNT(*),
             CAST(COALESCE(SUM(n), 0) AS BIGINT)
           FROM (SELECT COUNT(*) AS n FROM buck GROUP BY bucket)
-          WHERE n > 10000""",
+          WHERE n > ${Similarity.MaxBlock}
+          UNION ALL
+          SELECT 'embed_block_adaptive', CAST(${Similarity.MaxBlock} AS BIGINT),
+            COUNT(*), CAST(COALESCE(SUM(n), 0) AS BIGINT)
+          FROM (SELECT COUNT(*) AS n FROM abuck GROUP BY bucket)
+          WHERE n > ${Similarity.MaxBlock}""",
 
     "dedup_prefix_filter" ->
       s"""WITH sh AS (SELECT doc_id, ${hashedShingleSql(4, mod = "")} AS s
@@ -3097,7 +3111,7 @@ object TextOps {
             SELECT * FROM (
               SELECT doc_id, simhash, band, bkt,
                 COUNT(*) OVER (PARTITION BY band, bkt) AS bkt_n
-              FROM banded) WHERE bkt_n <= 500),
+              FROM banded) WHERE bkt_n <= ${Dedup.MaxBandBucket}),
           pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -3115,7 +3129,7 @@ object TextOps {
             SELECT * FROM (
               SELECT p.*, b.bucket, COUNT(*) OVER (PARTITION BY b.bucket) AS blk_n
               FROM prep p JOIN buck b USING (vec_id))
-            WHERE blk_n <= 10000),
+            WHERE blk_n <= ${Similarity.MaxBlock}),
           good AS (
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
             FROM bounded a JOIN bounded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -3147,7 +3161,7 @@ object TextOps {
             SELECT * FROM (
               SELECT p.*, b.bucket, COUNT(*) OVER (PARTITION BY b.bucket) AS blk_n
               FROM prep p JOIN buck b USING (vec_id))
-            WHERE blk_n <= 10000),
+            WHERE blk_n <= ${Similarity.MaxBlock}),
           good AS (
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
             FROM bounded a JOIN bounded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

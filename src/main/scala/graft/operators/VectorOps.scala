@@ -207,12 +207,7 @@ object VectorOps {
       val exact = Similarity.knnBrute(e, col("vec_id"), col("embedding"),
         col("vec_id") < 10, k = 3)
         .select(col("query_id"), col("neighbor_id"))
-      exact
-        .join(ivf.withColumn("hit", lit(1L)),
-          Seq("query_id", "neighbor_id"), "left_outer")
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_exact"),
-          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      recallGrade(exact, ivf)
         .withColumn("nlist", lit(nlist.toLong))
         .withColumn("n_probe", lit(nProbe.toLong))
     }),
@@ -425,12 +420,7 @@ object VectorOps {
       val exact = Similarity.knnBrute(e, col("vec_id"), col("embedding"),
         col("vec_id") < 10, k = 3)
         .select(col("query_id"), col("neighbor_id"))
-      exact
-        .join(ivf.withColumn("hit", lit(1L)),
-          Seq("query_id", "neighbor_id"), "left_outer")
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_exact"),
-          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      recallGrade(exact, ivf)
     }),
 
     // Recall@3 of the combined IVF-PQ path against the exact brute-force
@@ -453,12 +443,7 @@ object VectorOps {
       val exact = Similarity.knnBrute(e, col("vec_id"), col("embedding"),
         col("vec_id") < 10, k = 3)
         .select(col("query_id"), col("neighbor_id"))
-      exact
-        .join(adc.withColumn("hit", lit(1L)),
-          Seq("query_id", "neighbor_id"), "left_outer")
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_exact"),
-          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      recallGrade(exact, adc)
     }),
 
     // The IVF-PQ composition at the ADAPTIVE geometry — closes the other
@@ -483,12 +468,7 @@ object VectorOps {
       val exact = Similarity.knnBrute(e, col("vec_id"), col("embedding"),
         col("vec_id") < 10, k = 3)
         .select(col("query_id"), col("neighbor_id"))
-      exact
-        .join(adc.withColumn("hit", lit(1L)),
-          Seq("query_id", "neighbor_id"), "left_outer")
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_exact"),
-          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      recallGrade(exact, adc)
         .withColumn("nlist", lit(nlist.toLong))
         .withColumn("n_probe", lit(nProbe.toLong))
     }),
@@ -612,6 +592,19 @@ object VectorOps {
                  [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS v
                FROM embeddings))"""
 
+  /** The recall-grading contract shared by all four recall gates
+    * (fixed/adaptive × IVF/IVF-PQ): per query, exact-head size and how
+    * many of its rows the approximate head recovered — integer outputs
+    * so the gates are engine-exact; recall is the consumer's quotient.
+    */
+  private def recallGrade(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact
+      .join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+
   /** The self-tuned IVF geometry, re-derived natively: `nl.nlist` =
     * power-of-two ceiling of √COUNT(*) ([[Similarity.adaptiveLists]]'
     * p*p >= n scan), `npl.np` = power-of-two ceiling of nlist^(1/3)
@@ -664,25 +657,26 @@ object VectorOps {
     * index past the 32-bit-safe 511 the fixed 8-plane CTE stays under
     * (DuckDB raises on INTEGER overflow rather than wrapping).
     */
-  private[operators] def adaptiveBucketCte(base: Int, targetOcc: Int): String =
-    s"""planecnt AS (
+  private[operators] def adaptiveBucketCte(base: Int, targetOcc: Int,
+      pfx: String = ""): String =
+    s"""${pfx}planecnt AS (
           SELECT CAST(GREATEST($base, (
             SELECT MIN(p) FROM generate_series(0, 62) AS g(p)
             WHERE (CAST(1 AS BIGINT) << p) >=
               (SELECT (COUNT(*) + ${targetOcc - 1}) // $targetOcc FROM prep))) AS BIGINT) AS planes),
-        pe AS (
+        ${pfx}pe AS (
           SELECT vec_id, i, v[i] AS q, j
           FROM prep, (SELECT unnest(generate_series(1, 64)) AS i),
-               (SELECT unnest(generate_series(0, (SELECT planes FROM planecnt) - 1)) AS j)),
-        dots AS (
+               (SELECT unnest(generate_series(0, (SELECT planes FROM ${pfx}planecnt) - 1)) AS j)),
+        ${pfx}dots AS (
           SELECT vec_id, j,
             SUM(CASE WHEN ((CAST(1664525 AS BIGINT) * (j * 64 + (i - 1)) + 1013904223) >> 15) % 2 = 0
                      THEN q ELSE -q END) AS d
-          FROM pe GROUP BY 1, 2),
-        buck AS (
+          FROM ${pfx}pe GROUP BY 1, 2),
+        ${pfx}buck AS (
           SELECT vec_id,
             SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS bucket
-          FROM dots GROUP BY 1)"""
+          FROM ${pfx}dots GROUP BY 1)"""
 
   def oracles: Map[String, String] = Map(
     "sim_knn_brute" ->
@@ -781,7 +775,7 @@ object VectorOps {
           bounded AS (
             SELECT * FROM (
               SELECT *, COUNT(*) OVER (PARTITION BY label) AS blk_n FROM prep)
-            WHERE blk_n <= 10000)
+            WHERE blk_n <= ${Similarity.MaxBlock})
           SELECT id_a, id_b, sim FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               ${simSql("a.v", "a.nrm", "b.v", "b.nrm")} AS sim
@@ -794,7 +788,7 @@ object VectorOps {
             SELECT * FROM (
               SELECT p.vec_id, p.v, p.nrm, b.bucket,
                 COUNT(*) OVER (PARTITION BY b.bucket) AS bkt_n
-              FROM prep p JOIN buck b USING (vec_id)) WHERE bkt_n <= 10000),
+              FROM prep p JOIN buck b USING (vec_id)) WHERE bkt_n <= ${Similarity.MaxBlock}),
           scored AS (
             SELECT a.vec_id, b.vec_id AS ann_id,
               ${simSql("a.v", "a.nrm", "b.v", "b.nrm")} AS sim,
@@ -835,7 +829,7 @@ object VectorOps {
               SELECT a.centroid_id, p.vec_id, p.v, p.nrm,
                 COUNT(*) OVER (PARTITION BY a.centroid_id) AS bn
               FROM assigned a JOIN prep p USING (vec_id))
-            WHERE bn <= 10000)
+            WHERE bn <= ${Similarity.MaxBlock})
           SELECT id_a, id_b, sim FROM (
             SELECT x.vec_id AS id_a, y.vec_id AS id_b,
               ${simSql("x.v", "x.nrm", "y.v", "y.nrm")} AS sim

@@ -327,21 +327,28 @@ object GraftConfig {
     rows * StateBytesPerRow * 5L / 2L / (1024L * 1024L)
 
   /** Executor heap for the state-store gate when the config leaves it
-    * unset: prefer `spark.executor.memory` from the live session's conf
-    * (what a REAL cluster's executors get), falling back to the current
-    * JVM's `Runtime.maxMemory`. The fallback is correct only in local
-    * mode — there the driver JVM IS the executor; on a cluster whose
-    * driver heap exceeds executor heap it would understate risk, which
-    * is why the conf value wins when present (ADVICE r16).
+    * unset: on a CLUSTER master, prefer `spark.executor.memory` from the
+    * live session's conf (what the executors actually get — the driver
+    * JVM's heap would understate or overstate risk, ADVICE r16); in
+    * LOCAL mode, use the current JVM's `Runtime.maxMemory` — there the
+    * driver JVM IS the executor, and `spark.executor.memory` is ignored
+    * by Spark, so a set-but-inert conf value must not win (it would let
+    * the projection pass a heap the JVM does not have).
     */
-  def detectedExecutorHeapMb: Long =
-    org.apache.spark.sql.SparkSession.getActiveSession
+  def detectedExecutorHeapMb: Long = {
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    val isLocal = session
+      .flatMap(s => s.conf.getOption("spark.master"))
+      .forall(_.startsWith("local")) // no session / no master ⇒ JVM heap
+    session
+      .filter(_ => !isLocal)
       .flatMap(s => s.conf.getOption("spark.executor.memory"))
       .flatMap(v => scala.util.Try(
         org.apache.spark.network.util.JavaUtils.byteStringAsMb(v)).toOption)
       .filter(_ > 0)
       .getOrElse(Runtime.getRuntime.maxMemory() / (1024L * 1024L))
+  }
 
   /** Spark conf value for the sanitized provider choice. */
   def providerClass(provider: String): String =

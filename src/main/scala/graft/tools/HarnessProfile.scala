@@ -72,10 +72,13 @@ object HarnessProfile {
         catch { case e: Throwable =>
           System.err.println(s"[profile] $name FAILED: ${e.getMessage}"); -1L }
       val wallS = (System.nanoTime() - t0) / 1e9
-      // listener delivery is async; drain briefly until the count settles
-      var last = -1; var spins = 0
-      while (batches.size != last && spins < 50) {
-        last = batches.size; spins += 1; Thread.sleep(100)
+      // listener delivery is async; drain until the count holds stable
+      // for THREE consecutive windows — one stable 100 ms window let a
+      // straggling progress event from query N be charged to N+1
+      var last = -1; var stable = 0; var spins = 0
+      while (stable < 3 && spins < 80) {
+        if (batches.size == last) stable += 1 else { stable = 0; last = batches.size }
+        spins += 1; Thread.sleep(100)
       }
       val bs = batches.asScala.toVector
       def sumOf(key: String): Long = bs.flatMap(_.durs.get(key)).sum
@@ -89,6 +92,15 @@ object HarnessProfile {
         f""""state_commit_s":${bs.map(_.stateCommitMs).sum / 1e3}%.2f,""" +
         f""""query_plan_s":${sumOf("queryPlanning") / 1e3}%.2f,""" +
         f""""lifecycle_overhead_s":${math.max(0.0, wallS - triggerS)}%.2f}""")
+      // the same inter-query cleanup Bench performs: terminated-query
+      // registry + state-store maintenance threads otherwise accumulate
+      // and inflate LATER queries' walls (the documented 3.9 s → 49 s
+      // debris effect), mis-attributing exactly what this tool measures
+      try {
+        spark.sharedState.cacheManager.clearCache()
+        spark.streams.resetTerminated()
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      } catch { case _: Throwable => () }
     }
     spark.streams.removeListener(listener)
     spark.stop()

@@ -132,12 +132,17 @@ object Bench {
     val cleanFloor = sys.env.getOrElse("GRAFT_CLEAN_FLOOR", "0.25").toDouble
     val (probeSpread, ioSpread, contended) =
       Bench.verdict(probes.toSeq, ioProbes.toSeq, loadPre, cleanFloor)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+    // Shared field core: the stdout/raw capture and the repo side-channel
+    // summary are both assembled from THIS string, so the summary splice
+    // cannot corrupt if the capture shape ever changes (ADVICE r17 — the
+    // old `json.dropRight(1)` silently broke on any trailing character).
+    val jsonCore = s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","probe_pre":${probes.head},"probe_post":${probes.last}""" +
       s""","probes":${probes.mkString("[", ",", "]")},"probe_every":$probeEvery""" +
       s""","io_probes":${ioProbes.mkString("[", ",", "]")},"io_spread":$ioSpread""" +
       s""","load_avg":${math.max(loadPre, loadPost)},"load_pre":$loadPre""" +
-      s""","probe_spread":$probeSpread,"contended":$contended}"""
+      s""","probe_spread":$probeSpread,"contended":$contended"""
+    val json = "{" + jsonCore + "}"
     println(json)
     // Raw captures always land on a /tmp scratch path; the repo capture
     // (`bench_latest.json`, the drift-comparison anchor) is only touched
@@ -155,15 +160,21 @@ object Bench {
     // its own try: a failure writing the $out path must not leave a
     // STALE summary silently attributed to this run. The promoted clean
     // anchor stays `bench_latest.json`, untouched by this.
+    // Repo root for the summary/anchor writes: scripts/bench.sh (and the
+    // bare-JVM recipes in check.py/bench_gate.py) run from the checkout
+    // root, so the working directory is the right default; GRAFT_REPO_ROOT
+    // overrides for a caller running from elsewhere (ADVICE r17 — the
+    // hardcoded /root/repo/ wrote to the wrong tree from another checkout).
+    val repoRoot = sys.env.getOrElse("GRAFT_REPO_ROOT", sys.props.getOrElse("user.dir", "."))
     try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/root/repo/bench_summary.json"),
-        json.dropRight(1) + s""","partial":${args.nonEmpty},"n_queries":${results.size}}""" + "\n")
+        java.nio.file.Paths.get(repoRoot, "bench_summary.json"),
+        "{" + jsonCore + s""","partial":${args.nonEmpty},"n_queries":${results.size}}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] summary write failed: ${e.getMessage}") }
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
       if (args.isEmpty && !contended && !sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("/root/repo/bench_latest.json"), json + "\n")
+          java.nio.file.Paths.get(repoRoot, "bench_latest.json"), json + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     // LAST stdout line: a compact, truncation-proof summary (the full
     // 250-query JSON above has been observed truncated in driver capture,

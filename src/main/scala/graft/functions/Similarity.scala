@@ -25,6 +25,16 @@ object Similarity {
     */
   val MaxBlock = 10000
 
+  /** Hard abandonment bound for [[thresholdPairs]]' three-tier guard:
+    * blocks of (MaxBlock, HardMaxBlock] DISTINCT vectors are salt-split
+    * and processed completely; only past this do they drop (audited).
+    * Sized so one block's worst-case candidate work (HardMaxBlock² ≈
+    * 1.6G codegen'd 64-component dot products, split across
+    * (HardMaxBlock/MaxBlock)² = 16 bounded tasks) stays minutes, not
+    * hours, on one executor core per task.
+    */
+  val HardMaxBlock = 40000
+
   /** Quantized vector (array<long>) and its squared norm. */
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1000).cast("long"))
@@ -127,24 +137,66 @@ object Similarity {
 
   /** All pairs above a similarity threshold within a blocking key (the
     * embedding-cosine near-dup operator). Blocking bounds the join size;
-    * at scale the block key is a coarse cluster / LSH bucket. Blocks
-    * larger than `maxBlock` are dropped BEFORE the self-join — the same
-    * quadratic-blowup guard as [[annLshTop1]]: one caller-provided skewed
-    * block (a degenerate cluster, a catch-all label) would otherwise go
-    * O(n²) on its own.
+    * at scale the block key is a coarse cluster / LSH bucket.
+    *
+    * Three-tier degenerate-mass handling (r17 verdict task 1 — the
+    * `embed_block` cap audit measured 120,355 rows silently excluded on
+    * the 100× replicated corpus; this recovers them):
+    *
+    *  1. REPLICA PRE-COLLAPSE: identical quantized vectors within a block
+    *     collapse to one key (rep id = min vec_id) BEFORE the self-join.
+    *     Verification cost drops by replication² — a boilerplate cluster
+    *     of r copies verifies once instead of r²/2 times — and the true
+    *     member pairs are recovered exactly by expanding verified key
+    *     pairs back through the membership table (within-key members are
+    *     pairwise identical, so one `cosineQ(v, v)` decides them all).
+    *     Work is linear in OUTPUT size, the floor for an all-pairs
+    *     contract.
+    *  2. SALT SPLIT: blocks of (maxBlock, hardMaxBlock] DISTINCT vectors
+    *     process completely — the a-side chunks into ⌈blk_n/maxBlock⌉
+    *     hash slices and the b-side replicates per slice (the
+    *     `sim_ivf_split` disjoint-id move applied to blocking), so one
+    *     hot block becomes m bounded join tasks instead of one straggler
+    *     or a silent drop. Quadratic candidate work, but distributed and
+    *     bounded per task.
+    *  3. HARD CAP: blocks past `hardMaxBlock` distinct vectors are
+    *     dropped from candidate generation — and REPORTED by the
+    *     `dedup_cap_audit` dropped-mass counters (no silent caps).
     */
   def thresholdPairs(embs: DataFrame, id: Column, emb: Column,
-      block: Column, threshold: Double, maxBlock: Int = MaxBlock): DataFrame = {
-    val p = embs.select(id.as("vec_id"), block.as("blk"), quantize(emb).as("v"))
+      block: Column, threshold: Double, maxBlock: Int = MaxBlock,
+      hardMaxBlock: Int = HardMaxBlock): DataFrame = {
+    val rows = embs.select(id.as("vec_id"), block.as("blk"), quantize(emb).as("v"))
+    val keys = rows.groupBy(col("blk"), col("v"))
+      .agg(min(col("vec_id")).as("key_id"), count(lit(1)).as("n_mem"))
       .withColumn("nrm", sqNorm(col("v")))
       .withColumn("blk_n", count(lit(1)).over(Window.partitionBy(col("blk"))))
-      .filter(col("blk_n") <= maxBlock)
-    val a = p.select(col("blk"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = p.select(col("blk"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .filter(col("blk_n") <= hardMaxBlock)
+      .withColumn("m",
+        floor((col("blk_n") + lit(maxBlock - 1)) / lit(maxBlock)).cast("long"))
+    val members = rows
+      .join(keys.select(col("blk"), col("v"), col("key_id")), Seq("blk", "v"))
+      .select(col("key_id"), col("vec_id"))
+    val a = keys.select(col("blk"),
+      pmod(xxhash64(col("key_id")), col("m")).as("chunk"),
+      col("key_id").as("ka"), col("v").as("va"), col("nrm").as("na"))
+    val b = keys.select(col("blk"),
+      explode(sequence(lit(0L), col("m") - 1)).as("chunk"),
+      col("key_id").as("kb"), col("v").as("vb"), col("nrm").as("nb"))
+    val cross = a.join(b, Seq("blk", "chunk")).filter(col("ka") < col("kb"))
       .withColumn("sim", cosineQ(col("va"), col("na"), col("vb"), col("nb")))
       .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+      .select(col("ka"), col("kb"), col("sim"))
+    val within = keys.filter(col("n_mem") >= 2)
+      .withColumn("sim", cosineQ(col("v"), col("nrm"), col("v"), col("nrm")))
+      .filter(col("sim") >= threshold)
+      .select(col("key_id").as("ka"), col("key_id").as("kb"), col("sim"))
+    cross.unionByName(within)
+      .join(members.select(col("key_id").as("ka"), col("vec_id").as("ia")), Seq("ka"))
+      .join(members.select(col("key_id").as("kb"), col("vec_id").as("ib")), Seq("kb"))
+      .filter(col("ka") =!= col("kb") || col("ia") < col("ib"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("sim"))
   }
 
   /** SQ8 scalar quantization (the IVF storage companion at corpus scale:

@@ -1143,8 +1143,12 @@ object StreamOps {
     // the session default 32 partitions (~15 s of this harness's wall on
     // 32 threads) over assembler/apply state of a few hundred rows; 8
     // partitions cut the per-batch fan-out 4× with partitions still far
-    // emptier than any heap bound. Scoped set/restore: the count freezes
-    // into this query's checkpoint at birth, nothing else is affected.
+    // emptier than any heap bound. Scoped set/restore: StreamExecution
+    // CLONES the session at query start, so the count freezes into this
+    // query's checkpoint at birth — restoring the parent conf immediately
+    // after start (not at stop) means the batch parquet appends below and
+    // any concurrent work in the shared session never see the scoped
+    // value (ADVICE r17).
     val spKey = "spark.sql.shuffle.partitions"
     val prevSp = s.conf.get(spKey)
     s.conf.set(spKey, 8)
@@ -1153,7 +1157,7 @@ object StreamOps {
         s"$work/target", s"$work/ckpt",
         gids = gids, white = white, black = black, txnTtlMs = ttl,
         trigger = Trigger.ProcessingTime("250 milliseconds"), nBuckets = 16)
-      catch { case e: Throwable => s.conf.set(spKey, prevSp); throw e }
+      finally s.conf.set(spKey, prevSp)
     try {
       awaitTotal(nP1 + nP2 + nCross)
       // the orphan deadline (batch-1 start + ttl) is certainly behind us
@@ -1165,11 +1169,7 @@ object StreamOps {
         .unionByName(entryRows(chains.filter(col("orphan") && col("rn") === col("n") - 1)))
         .coalesce(1).write.mode("append").parquet(feedDir)
       awaitTotal(nP1 + nP2 + nCross + 1 + nP3 + nOrphanChains)
-    } finally {
-      // restore in its OWN finally: a throwing stop() (stopTimeout,
-      // shutdown interrupt) must not leak partitions=8 into the session
-      try q.stop() finally s.conf.set(spKey, prevSp)
-    }
+    } finally q.stop()
 
     val state = IncrSync.readOrEmpty(s, s"$work/target/state")
       .select(lit("state").as("section"), col("ns").as("a"), col("doc_key").as("b"),

@@ -658,12 +658,12 @@ object VectorOps {
     * (DuckDB raises on INTEGER overflow rather than wrapping).
     */
   private[operators] def adaptiveBucketCte(base: Int, targetOcc: Int,
-      pfx: String = ""): String =
+      pfx: String = "", countSrc: String = "prep"): String =
     s"""${pfx}planecnt AS (
           SELECT CAST(GREATEST($base, (
             SELECT MIN(p) FROM generate_series(0, 62) AS g(p)
             WHERE (CAST(1 AS BIGINT) << p) >=
-              (SELECT (COUNT(*) + ${targetOcc - 1}) // $targetOcc FROM prep))) AS BIGINT) AS planes),
+              (SELECT (COUNT(*) + ${targetOcc - 1}) // $targetOcc FROM $countSrc))) AS BIGINT) AS planes),
         ${pfx}pe AS (
           SELECT vec_id, i, v[i] AS q, j
           FROM prep, (SELECT unnest(generate_series(1, 64)) AS i),

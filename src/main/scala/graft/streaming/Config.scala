@@ -329,25 +329,39 @@ object GraftConfig {
   /** Executor heap for the state-store gate when the config leaves it
     * unset: on a CLUSTER master, prefer `spark.executor.memory` from the
     * live session's conf (what the executors actually get — the driver
-    * JVM's heap would understate or overstate risk, ADVICE r16); in
-    * LOCAL mode, use the current JVM's `Runtime.maxMemory` — there the
-    * driver JVM IS the executor, and `spark.executor.memory` is ignored
-    * by Spark, so a set-but-inert conf value must not win (it would let
-    * the projection pass a heap the JVM does not have).
+    * JVM's heap would understate or overstate risk, ADVICE r16), and when
+    * THAT is also unset fall back to Spark's own executor default (1g) —
+    * never the driver JVM's `Runtime.maxMemory`, which can grossly
+    * overstate the 1g heap the executors actually launch with (ADVICE
+    * r17). In LOCAL mode, use the current JVM's `Runtime.maxMemory` —
+    * there the driver JVM IS the executor, and `spark.executor.memory`
+    * is ignored by Spark, so a set-but-inert conf value must not win (it
+    * would let the projection pass a heap the JVM does not have). Local
+    * is matched strictly (`local` / `local[...]`): `local-cluster[...]`
+    * launches SEPARATE executor JVMs and must take the cluster branch.
     */
   def detectedExecutorHeapMb: Long = {
     val session = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-    val isLocal = session
-      .flatMap(s => s.conf.getOption("spark.master"))
-      .forall(_.startsWith("local")) // no session / no master ⇒ JVM heap
-    session
-      .filter(_ => !isLocal)
-      .flatMap(s => s.conf.getOption("spark.executor.memory"))
+    detectedExecutorHeapMb(
+      session.flatMap(s => s.conf.getOption("spark.master")),
+      session.flatMap(s => s.conf.getOption("spark.executor.memory")),
+      Runtime.getRuntime.maxMemory() / (1024L * 1024L))
+  }
+
+  /** The detection rule with its three inputs explicit (unit-tested rows
+    * in ConfigSpec — the live entry point above only wires the session).
+    */
+  private[graft] def detectedExecutorHeapMb(master: Option[String],
+      execMem: Option[String], jvmMb: Long): Long = {
+    val isLocal = master.forall(m => m == "local" || m.startsWith("local[")) // no session / no master ⇒ JVM heap
+    if (isLocal) jvmMb
+    else execMem
       .flatMap(v => scala.util.Try(
         org.apache.spark.network.util.JavaUtils.byteStringAsMb(v)).toOption)
       .filter(_ > 0)
-      .getOrElse(Runtime.getRuntime.maxMemory() / (1024L * 1024L))
+      .getOrElse( // Spark's executor-memory default when the conf is silent
+        org.apache.spark.network.util.JavaUtils.byteStringAsMb("1g"))
   }
 
   /** Spark conf value for the sanitized provider choice. */

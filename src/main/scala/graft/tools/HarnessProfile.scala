@@ -80,6 +80,13 @@ object HarnessProfile {
         if (batches.size == last) stable += 1 else { stable = 0; last = batches.size }
         spins += 1; Thread.sleep(100)
       }
+      // an exit via the spin cap means events were STILL arriving after
+      // ~8 s — a straggler past this point is charged to the next query,
+      // exactly the mis-attribution the stable-window drain exists to
+      // prevent; say so instead of silently mis-counting (ADVICE r17)
+      if (stable < 3) System.err.println(
+        s"[profile] $name: listener drain hit the spin cap with events still arriving — " +
+          "batch counters for the NEXT query may include stragglers from this one")
       val bs = batches.asScala.toVector
       def sumOf(key: String): Long = bs.flatMap(_.durs.get(key)).sum
       val triggerS = bs.map(_.triggerMs).sum / 1e3

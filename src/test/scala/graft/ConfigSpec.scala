@@ -198,6 +198,25 @@ class ConfigSpec extends AnyFunSuite {
     // heap detection never returns a non-positive value (local mode:
     // Runtime.maxMemory fallback; cluster: spark.executor.memory)
     assert(GraftConfig.detectedExecutorHeapMb > 0)
+    // detection rows (ADVICE r17): strict local match — `local` and
+    // `local[...]` read the JVM heap (the driver IS the executor there,
+    // an inert spark.executor.memory must not win)...
+    assert(GraftConfig.detectedExecutorHeapMb(Some("local"), Some("64g"), 7777L) == 7777L)
+    assert(GraftConfig.detectedExecutorHeapMb(Some("local[32]"), None, 7777L) == 7777L)
+    assert(GraftConfig.detectedExecutorHeapMb(None, Some("64g"), 7777L) == 7777L)
+    // ...but `local-cluster[...]` launches SEPARATE executor JVMs and
+    // takes the cluster branch, and a cluster master with the conf unset
+    // falls back to Spark's 1g executor default — never the driver JVM's
+    // maxMemory, which would let the state gate pass a heap the
+    // executors don't have
+    assert(GraftConfig.detectedExecutorHeapMb(
+      Some("local-cluster[2,1,1024]"), None, 65536L) == 1024L)
+    assert(GraftConfig.detectedExecutorHeapMb(
+      Some("spark://host:7077"), None, 65536L) == 1024L)
+    assert(GraftConfig.detectedExecutorHeapMb(
+      Some("spark://host:7077"), Some("4g"), 65536L) == 4096L)
+    assert(GraftConfig.detectedExecutorHeapMb(
+      Some("yarn"), Some("not-a-size"), 65536L) == 1024L)
 
     // (c) a hand-forced default past the cliff is REFUSED with the
     // measured numbers (first-error-wins, like every sanitize rule)

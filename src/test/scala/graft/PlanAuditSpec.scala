@@ -98,10 +98,16 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val maxExchangesOverride = Map(
     "snap_sharded_fullsync" -> 24, // 3 shard arms x (chunks + pieces + orphans)
-    // six independent cap sites x (keyed groupBy + single-row collapse);
+    // seven independent cap sites x (keyed groupBy + single-row collapse);
     // each arm alone is 2-3 exchanges over tables the operators already
-    // build — the union is the proof plan, not a scale dataflow
-    "dedup_cap_audit" -> 16
+    // build (the edit/embed arms add one distinct-key collapse each, r17
+    // task 1) — the union is the proof plan, not a scale dataflow
+    "dedup_cap_audit" -> 20,
+    // kmeans train/assign feeding thresholdPairs' three-tier guard: the
+    // replica collapse adds a keys-aggregate + membership + expansion
+    // joins, all over thin (distinct-vector / key-id) tables — each
+    // exchange carries keys, never re-shuffles the corpus twice
+    "dedup_semantic" -> 22
   )
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted if !slowHarness(name)) {

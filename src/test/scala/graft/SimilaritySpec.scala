@@ -30,13 +30,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L))) // v4 is blocked away by label
   }
 
-  test("thresholdPairs block-size cap drops a skewed block (quadratic guard)") {
-    // label 0 holds 3 vectors, label 1 holds 1: with maxBlock = 2 the
-    // skewed block contributes nothing, and nothing else produces pairs.
-    val capped = Similarity.thresholdPairs(
+  test("thresholdPairs block-size tiers: maxBlock salts (complete), hardMaxBlock drops") {
+    // label 0 holds 3 distinct vectors, label 1 holds 1: maxBlock = 2 is
+    // the SALT unit now (r17 task 1) — the block processes completely in
+    // ⌈3/2⌉ = 2 hash slices; only past hardMaxBlock does it drop.
+    val salted = Similarity.thresholdPairs(
       toy, col("vec_id"), col("embedding"), col("label"), 0.0, maxBlock = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(capped.isEmpty)
+    assert(salted == Set((1L, 2L), (1L, 3L), (2L, 3L))) // complete through the slices
+    val dropped = Similarity.thresholdPairs(
+      toy, col("vec_id"), col("embedding"), col("label"), 0.0,
+      maxBlock = 2, hardMaxBlock = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dropped.isEmpty)
     val open = Similarity.thresholdPairs(
       toy, col("vec_id"), col("embedding"), col("label"), -1.0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -604,14 +604,29 @@ object Dedup {
     var prev = labelSum(persisted)
     var labels = spark.createDataFrame(persisted.rdd, persisted.schema)
     var converged = false
+    var iter = 0
     while (!converged) {
       // neighbor minimum per vertex (map-side combinable), then the
       // pointwise min with the vertex's own label
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
-      val nextPersisted = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+      val hop = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // POINTER DOUBLING (path halving): jump each vertex to its label's
+      // own label. A label is always a vertex id inside the same
+      // component, so the jump stays in-component and only decreases —
+      // and it halves remaining path lengths, turning the O(diameter)
+      // hop-only loop into O(log diameter). The 100× corpus exposed the
+      // difference: rotation-chained embeddings form threshold paths
+      // ~10³ hops long, and hop-only propagation ran past 900 iterations
+      // into a lineage StackOverflow; with the jump the same graph
+      // converges in ~10 iterations. One extra self-join of the THIN
+      // label table per iteration — the edges join still dominates.
+      val jl = hop.select(col("doc_id").as("jv"), col("label").as("jl"))
+      val nextPersisted = hop.join(jl, hop("label") === jl("jv"), "left")
+        .select(hop("doc_id"),
+          least(hop("label"), coalesce(col("jl"), hop("label"))).as("label"))
         .persist()
       val cur = labelSum(nextPersisted) // materializes before the unpersist
       converged = cur.compareTo(prev) == 0
@@ -619,6 +634,11 @@ object Dedup {
       persisted.unpersist(false)
       persisted = nextPersisted
       labels = spark.createDataFrame(nextPersisted.rdd, nextPersisted.schema)
+      iter += 1
+      // belt-and-braces lineage cut: the createDataFrame(rdd) view keeps
+      // the LOGICAL plan flat but the RDD graph still chains one level
+      // per iteration; truncate it before deep loops overflow the stack
+      if (iter % 16 == 0) labels = labels.localCheckpoint()
     }
     labels
   }

@@ -1760,13 +1760,17 @@ object TextOps {
   private def editBase(d: DataFrame): DataFrame =
     d.select(col("doc_id"), rpad(substring(col("text"), 1, EditW), EditW, "~").as("s"))
 
+  /** Piece rows preserve every input column (the edit-distance dataflow
+    * rides the key string + histogram through the candidate join; the
+    * audits just group on (i, g) and ignore the extras).
+    */
   private def editPieceRows(base: DataFrame,
       pieces: Seq[(Int, Int, Int)]): DataFrame = {
     val cols = pieces.map { case (i, p, len) =>
       struct(lit(i).as("i"), substring(col("s"), p + 1, len).as("g"))
     }
-    base.select(col("doc_id"), explode(array(cols: _*)).as("x"))
-      .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
+    base.select(col("*"), explode(array(cols: _*)).as("x"))
+      .select(base.columns.map(col) :+ col("x.i").as("i") :+ col("x.g").as("g"): _*)
   }
 
   /** A-side segment rows (doc_id, i, g). */
@@ -1791,7 +1795,10 @@ object TextOps {
     * chunk into ⌈bucket/maxSegBucket⌉ hash slices, win-side rows
     * replicate per slice (complete — every (a, b) in a surviving bucket
     * meets in exactly one slice), buckets past `hardSegBucket` on
-    * EITHER side drop (audited). Output: distinct (key_a < key_b).
+    * EITHER side drop (audited). Inputs carry each key's string (`ks`)
+    * and histogram (`h`); the output row holds both sides' payloads so
+    * the caller verifies INSIDE the join stage — no post-join shuffle
+    * ever sees an unverified candidate.
     */
   private def editSaltedCandidates(segRows: DataFrame, winRows: DataFrame,
       maxSegBucket: Int, hardSegBucket: Int): DataFrame = {
@@ -1803,6 +1810,7 @@ object TextOps {
         / lit(maxSegBucket)).cast("long"))
     val mTab = aB.groupBy(col("i"), col("g")).agg(max(col("m")).as("m"))
     val aS = aB.select(col("doc_id").as("key_a"), col("i"), col("g"),
+      col("s").as("sa"), col("h").as("ha"),
       pmod(xxhash64(col("doc_id")), col("m")).as("chunk"))
     val bS = winRows
       .withColumn("bn", count(lit(1)).over(w))
@@ -1810,10 +1818,11 @@ object TextOps {
       .drop("bn")
       .join(mTab, Seq("i", "g")) // inner: a win row with no seg partner is dead anyway
       .select(col("doc_id").as("key_b"), col("i"), col("g"),
+        col("s").as("sb"), col("h").as("hb"),
         explode(sequence(lit(0L), col("m") - 1)).as("chunk"))
     aS.join(bS, Seq("i", "g", "chunk"))
       .filter(col("key_a") < col("key_b"))
-      .select("key_a", "key_b").distinct()
+      .select("key_a", "key_b", "sa", "sb", "ha", "hb")
   }
 
   /** `dedup_edit_distance`'s full dataflow with the two cap tiers
@@ -1824,6 +1833,22 @@ object TextOps {
     * expansion back to doc pairs (within-key members are dist-0 pairs
     * by definition).
     */
+  /** 16-bucket character histogram of the normalized key — the cheap
+    * pre-verification filter: one edit operation changes at most one
+    * character count on each string, so L1(hist_a, hist_b) ≤ 2·ed(a, b)
+    * and candidates with L1 > 2k can be rejected for ~100 integer ops
+    * instead of a 64²-cell levenshtein (PropertySpec fuzzes the bound).
+    * On the 100× `customer_x` bucket this kills the digit-suffix cross
+    * mass — replicas r vs r′ differ in ~6 suffix digits → L1 ≈ 24 —
+    * leaving levenshtein only the few anagram-suffix survivors.
+    */
+  private def editHist(s: Column): Column =
+    transform(sequence(lit(0), lit(15)), b =>
+      aggregate(
+        transform(split(s, ""), c => when(pmod(ascii(c), lit(16)) === b, 1)
+          .otherwise(0)),
+        lit(0), (acc, x) => acc + x))
+
   private[graft] def editDistancePairs(d: DataFrame,
       maxSegBucket: Int = EditMaxSegBucket,
       hardSegBucket: Int = EditHardSegBucket): DataFrame = {
@@ -1831,14 +1856,19 @@ object TextOps {
       .localCheckpoint() // one scan feeds the collapse + the expansion
     val keys = editKeys(base).localCheckpoint()
     val kbase = keys.select(col("key_id").as("doc_id"), col("s"))
-    val cand = editSaltedCandidates(
-      editSegRows(kbase), editWinRows(kbase), maxSegBucket, hardSegBucket)
-    val verified = cand
-      .join(kbase.select(col("doc_id").as("key_a"), col("s").as("sa")), Seq("key_a"))
-      .join(kbase.select(col("doc_id").as("key_b"), col("s").as("sb")), Seq("key_b"))
+    // candidate pieces CARRY the key string + its histogram so the
+    // verification runs inside the join stage — the L1 reject and the
+    // levenshtein both happen before any post-join shuffle; the old
+    // shape shuffled the full candidate set twice to re-attach keys
+    val kcarry = kbase.withColumn("h", editHist(col("s"))).localCheckpoint()
+    val verified = editSaltedCandidates(
+      editSegRows(kcarry), editWinRows(kcarry), maxSegBucket, hardSegBucket)
+      .filter(aggregate(zip_with(col("ha"), col("hb"),
+        (x, y) => abs(x - y)), lit(0), (acc, x) => acc + x) <= 2 * EditK)
       .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
       .filter(col("dist") <= EditK)
       .select(col("key_a"), col("key_b"), col("dist"))
+      .distinct()
     val within = keys.filter(col("n_mem") >= 2)
       .select(col("key_id").as("key_a"), col("key_id").as("key_b"),
         lit(0L).as("dist"))

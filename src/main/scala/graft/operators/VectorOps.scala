@@ -114,16 +114,19 @@ object VectorOps {
     }),
 
     // Product quantization, the ANN storage/search companion past SQ8:
-    // 4 subspaces x 16 dims, 8-codeword codebooks trained per subspace
-    // (2 Lloyd's iterations under exact integer L2, seeds = the 8
-    // lowest-id vectors' subvectors); each vector compresses to 4 codes.
+    // PqSub subspaces x PqSubDim dims, up-to-PqCodewords codebooks per
+    // subspace (2 Lloyd's iterations under exact integer L2, seeds = the
+    // PqCodewords lowest-id vectors' subvectors — a smaller corpus seeds
+    // fewer, gracefully); each vector compresses to PqSub codes. The
+    // geometry constants carry the r18 measured table (see
+    // [[Similarity.PqSub]]).
     "sim_pq_encode" -> ((s, dir) => {
       val e = embs(s, dir)
       val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
-        col("vec_id") < 8)
-      Similarity.pqEncode(e, col("vec_id"), col("embedding"), cb)
-        .select(col("vec_id"), col("codes")(0).as("c0"), col("codes")(1).as("c1"),
-          col("codes")(2).as("c2"), col("codes")(3).as("c3"))
+        col("vec_id") < Similarity.PqCodewords)
+      val coded = Similarity.pqEncode(e, col("vec_id"), col("embedding"), cb)
+      coded.select(col("vec_id") +:
+        (0 until Similarity.PqSub).map(m => col("codes")(m).as(s"c$m")): _*)
     }),
 
     // ADC search over the PQ codes: per-query subspace distance LUT
@@ -132,7 +135,7 @@ object VectorOps {
     "sim_pq_adc" -> ((s, dir) => {
       val e = embs(s, dir)
       val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
-        col("vec_id") < 8)
+        col("vec_id") < Similarity.PqCodewords)
       Similarity.pqAdcSearch(e, col("vec_id"), col("embedding"), cb,
         col("vec_id") < 10)
     }),
@@ -436,7 +439,7 @@ object VectorOps {
       val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
         col("vec_id") < 8, iters = KmeansIters)
       val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
-        col("vec_id") < 8)
+        col("vec_id") < Similarity.PqCodewords)
       val adc = Similarity.ivfPqSearch(e, col("vec_id"), col("embedding"),
         cents, cb, queryPred = col("vec_id") < 10)
         .select(col("query_id"), col("neighbor_id"))
@@ -446,14 +449,16 @@ object VectorOps {
       recallGrade(exact, adc)
     }),
 
-    // The IVF-PQ composition at the ADAPTIVE geometry — closes the other
-    // half of the r16 recall gap (sim_ivfpq_recall grades the fixed-8
-    // coarse index): the coarse quantizer derives (nlist, nProbe) like
-    // sim_ivf_adaptive_recall while the PQ codec keeps its own fixed
-    // 8-codeword-per-subspace codebook (the codec's resolution is a
-    // storage choice, not a corpus-size function). Both coarse-probe
-    // misses AND 4-byte ADC ranking errors cost recall here, at the
-    // geometry that actually ships.
+    // The IVF-PQ composition at the ADAPTIVE geometry, WITH the
+    // production refine stage (r18, verdict task 2): the coarse
+    // quantizer derives (nlist, nProbe) like sim_ivf_adaptive_recall,
+    // the code-only ADC scan yields a PqRefine-deep shortlist, and the
+    // true top-3 come from an exact cosine rerank of only that
+    // shortlist. This is the composition that ships — the r17 gate
+    // graded the RAW ADC head and read 9/30, which PqCodecBench showed
+    // to be a codec-resolution ceiling no byte budget fixes (recall
+    // saturates 0.41–0.58 at 2–16 B/vec); sim_ivfpq_recall still pins
+    // the raw ADC math, this gate grades what a user gets.
     "sim_ivfpq_adaptive_recall" -> ((s, dir) => {
       val e = embs(s, dir).localCheckpoint()
       val nlist = Similarity.adaptiveLists(e.count())
@@ -461,8 +466,8 @@ object VectorOps {
       val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
         col("vec_id") < nlist, iters = KmeansIters)
       val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
-        col("vec_id") < 8)
-      val adc = Similarity.ivfPqSearch(e, col("vec_id"), col("embedding"),
+        col("vec_id") < Similarity.PqCodewords)
+      val adc = Similarity.ivfPqSearchRefined(e, col("vec_id"), col("embedding"),
         cents, cb, queryPred = col("vec_id") < 10, nProbe = nProbe)
         .select(col("query_id"), col("neighbor_id"))
       val exact = Similarity.knnBrute(e, col("vec_id"), col("embedding"),
@@ -524,7 +529,7 @@ object VectorOps {
         .agg(sum(col("err")).as("total_sqerr"))
         .select(lit("sq8").as("method"), col("total_sqerr"))
       val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
-        col("vec_id") < 8)
+        col("vec_id") < Similarity.PqCodewords)
       val pq = Similarity.pqAssign(Similarity.pqSubvectors(p), cb)
         .agg(sum(col("d")).as("total_sqerr"))
         .select(lit("pq").as("method"), col("total_sqerr"))
@@ -545,7 +550,7 @@ object VectorOps {
       val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
         col("vec_id") < 8, iters = KmeansIters)
       val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
-        col("vec_id") < 8)
+        col("vec_id") < Similarity.PqCodewords)
       Similarity.ivfPqSearch(e, col("vec_id"), col("embedding"), cents, cb,
         queryPred = col("vec_id") < 10)
     }),
@@ -564,7 +569,7 @@ object VectorOps {
       val idc = col("vec_id")
       val emc = col("embedding")
       val cents = Similarity.kmeansTrain(e, idc, emc, idc < 8, iters = KmeansIters)
-      val cb = Similarity.pqTrain(e, idc, emc, idc < 8)
+      val cb = Similarity.pqTrain(e, idc, emc, idc < Similarity.PqCodewords)
       val hist = Similarity.ivfAssign(e, idc, emc, cents)
         .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
         .select(lit("assign").as("section"), col("centroid_id").cast("string").as("a"),
@@ -840,10 +845,9 @@ object VectorOps {
     "sim_pq_encode" ->
       s"""WITH $prepCte, ${pqCtes(2)}, ${pqEncCte(2)}
           SELECT vec_id,
-            MAX(CASE WHEN m = 0 THEN code END) AS c0,
-            MAX(CASE WHEN m = 1 THEN code END) AS c1,
-            MAX(CASE WHEN m = 2 THEN code END) AS c2,
-            MAX(CASE WHEN m = 3 THEN code END) AS c3
+            ${(0 until Similarity.PqSub)
+              .map(m => s"MAX(CASE WHEN m = $m THEN code END) AS c$m")
+              .mkString(",\n            ")}
           FROM enc GROUP BY vec_id""",
 
     "sim_pq_adc" ->
@@ -1285,10 +1289,13 @@ object VectorOps {
               FROM prep q, cents2 c WHERE q.vec_id < 10)
             WHERE prn <= 2),
           lut AS (
-            SELECT s.vec_id AS query_id, s.m, c.code, ${l2Sql("s.sv", "c.cw")} AS d
+            SELECT s.vec_id AS query_id, s.m, c.code,
+              CAST(list_sum([s.sv[i]*c.cw[i] for i in generate_series(1, len(s.sv))]) AS BIGINT) AS dm,
+              CAST(list_sum([y*y for y in c.cw]) AS BIGINT) AS n2
             FROM subprep s JOIN cb2 c USING (m) WHERE s.vec_id < 10),
           adcq AS (
-            SELECT l.query_id, a.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
+            SELECT l.query_id, a.vec_id,
+              CAST(SUM(l.dm) AS BIGINT) AS dotsum, CAST(SUM(l.n2) AS BIGINT) AS n2sum
             FROM enc a
             JOIN assigned g USING (vec_id)
             JOIN probes pr ON pr.centroid_id = g.centroid_id
@@ -1297,9 +1304,10 @@ object VectorOps {
             GROUP BY 1, 2),
           ivfpq AS (
             SELECT query_id, vec_id AS neighbor_id FROM (
-              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY adc, vec_id) AS rank
-              FROM adcq)
+              SELECT adcq.query_id, adcq.vec_id, ROW_NUMBER() OVER (PARTITION BY adcq.query_id
+                ORDER BY CAST(dotsum AS DOUBLE) / sqrt(CAST(q.nrm * n2sum AS DOUBLE)) DESC,
+                  adcq.vec_id) AS rank
+              FROM adcq JOIN prep q ON q.vec_id = adcq.query_id)
             WHERE rank <= 3),
           exact AS (
             SELECT query_id, neighbor_id FROM (
@@ -1337,21 +1345,34 @@ object VectorOps {
               FROM prep q, cents2 c WHERE q.vec_id < 10)
             WHERE prn <= (SELECT np FROM npl)),
           lut AS (
-            SELECT s.vec_id AS query_id, s.m, c.code, ${l2Sql("s.sv", "c.cw")} AS d
+            SELECT s.vec_id AS query_id, s.m, c.code,
+              CAST(list_sum([s.sv[i]*c.cw[i] for i in generate_series(1, len(s.sv))]) AS BIGINT) AS dm,
+              CAST(list_sum([y*y for y in c.cw]) AS BIGINT) AS n2
             FROM subprep s JOIN cb2 c USING (m) WHERE s.vec_id < 10),
           adcq AS (
-            SELECT l.query_id, a.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
+            SELECT l.query_id, a.vec_id,
+              CAST(SUM(l.dm) AS BIGINT) AS dotsum, CAST(SUM(l.n2) AS BIGINT) AS n2sum
             FROM enc a
             JOIN assigned g USING (vec_id)
             JOIN probes pr ON pr.centroid_id = g.centroid_id
             JOIN lut l ON l.query_id = pr.query_id AND l.m = a.m AND l.code = a.code
             WHERE l.query_id <> a.vec_id
             GROUP BY 1, 2),
-          ivfpq AS (
+          ivfpq AS ( -- code-only ADC SHORTLIST (depth = the refine knee)
             SELECT query_id, vec_id AS neighbor_id FROM (
-              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY adc, vec_id) AS rank
-              FROM adcq)
+              SELECT adcq.query_id, adcq.vec_id, ROW_NUMBER() OVER (PARTITION BY adcq.query_id
+                ORDER BY CAST(dotsum AS DOUBLE) / sqrt(CAST(q.nrm * n2sum AS DOUBLE)) DESC,
+                  adcq.vec_id) AS rank
+              FROM adcq JOIN prep q ON q.vec_id = adcq.query_id)
+            WHERE rank <= ${Similarity.PqRefine}),
+          refined AS ( -- exact cosine rerank of ONLY the shortlist
+            SELECT query_id, neighbor_id FROM (
+              SELECT i.query_id, i.neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY i.query_id
+                  ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC, i.neighbor_id) AS rank
+              FROM ivfpq i
+              JOIN prep q ON q.vec_id = i.query_id
+              JOIN prep p ON p.vec_id = i.neighbor_id)
             WHERE rank <= 3),
           exact AS (
             SELECT query_id, neighbor_id FROM (
@@ -1364,7 +1385,7 @@ object VectorOps {
             CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS n_hit,
             (SELECT nlist FROM nl) AS nlist, (SELECT np FROM npl) AS n_probe
-          FROM exact e LEFT JOIN ivfpq i
+          FROM exact e LEFT JOIN refined i
             ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
           GROUP BY e.query_id""",
 
@@ -1433,21 +1454,28 @@ object VectorOps {
               FROM prep q, cents2 c WHERE q.vec_id < 10)
             WHERE prn <= 2),
           lut AS (
-            SELECT s.vec_id AS query_id, s.m, c.code, ${l2Sql("s.sv", "c.cw")} AS d
+            SELECT s.vec_id AS query_id, s.m, c.code,
+              CAST(list_sum([s.sv[i]*c.cw[i] for i in generate_series(1, len(s.sv))]) AS BIGINT) AS dm,
+              CAST(list_sum([y*y for y in c.cw]) AS BIGINT) AS n2
             FROM subprep s JOIN cb2 c USING (m) WHERE s.vec_id < 10),
           adcq AS (
-            SELECT l.query_id, a.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
+            SELECT l.query_id, a.vec_id,
+              CAST(SUM(l.dm) AS BIGINT) AS dotsum, CAST(SUM(l.n2) AS BIGINT) AS n2sum
             FROM enc a
             JOIN assigned g USING (vec_id)
             JOIN probes pr ON pr.centroid_id = g.centroid_id
             JOIN lut l ON l.query_id = pr.query_id AND l.m = a.m AND l.code = a.code
             WHERE l.query_id <> a.vec_id
-            GROUP BY 1, 2)
-          SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, adc
+            GROUP BY 1, 2),
+          adcs AS (
+            SELECT adcq.query_id, adcq.vec_id,
+              CAST(dotsum AS DOUBLE) / sqrt(CAST(q.nrm * n2sum AS DOUBLE)) AS sim
+            FROM adcq JOIN prep q ON q.vec_id = adcq.query_id)
+          SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, sim
           FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY adc, vec_id) AS rank
-            FROM adcq)
+              ORDER BY sim DESC, vec_id) AS rank
+            FROM adcs)
           WHERE rank <= 3""",
 
     "pipe_ann" ->
@@ -1507,16 +1535,19 @@ object VectorOps {
   private def l2Sql(a: String, b: String): String =
     s"list_sum([($a[i]-$b[i])*($a[i]-$b[i]) for i in generate_series(1, len($a))])"
 
-  /** PQ training CTE chain mirroring [[Similarity.pqTrain]] (4 subspaces
-    * x 16 dims, seeds = vec_id < 8, integer-L2 argmin with code
-    * tie-break, round(mean) re-centering on the integer grid).
+  /** PQ training CTE chain mirroring [[Similarity.pqTrain]] (PqSub
+    * subspaces x PqSubDim dims, seeds = vec_id < PqCodewords, integer-L2
+    * argmin with code tie-break, round(mean) re-centering on the integer
+    * grid) — every geometry literal interpolates from the SAME constants
+    * the engine uses, so codec and oracle cannot drift.
     */
   private def pqCtes(iters: Int): String = {
+    val d = Similarity.PqSubDim
     val sub =
-      """subprep AS (
-           SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
-           FROM prep, (SELECT unnest(generate_series(0, 3)) AS m))"""
-    val seed = "cb0 AS (SELECT m, vec_id AS code, sv AS cw FROM subprep WHERE vec_id < 8)"
+      s"""subprep AS (
+           SELECT vec_id, m, v[m*$d+1 : m*$d+$d] AS sv
+           FROM prep, (SELECT unnest(generate_series(0, ${Similarity.PqSub - 1})) AS m))"""
+    val seed = s"cb0 AS (SELECT m, vec_id AS code, sv AS cw FROM subprep WHERE vec_id < ${Similarity.PqCodewords})"
     val steps = (1 to iters).map { t =>
       s"""pasg$t AS (
             SELECT vec_id, m, code FROM (
@@ -1527,7 +1558,7 @@ object VectorOps {
           psums$t AS (
             SELECT a.m, a.code, i, SUM(s.sv[i]) AS sx, COUNT(*) AS n
             FROM pasg$t a JOIN subprep s USING (vec_id, m),
-                 (SELECT unnest(generate_series(1, 16)) AS i)
+                 (SELECT unnest(generate_series(1, $d)) AS i)
             GROUP BY 1, 2, 3),
           cb$t AS (
             SELECT m, code, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cw

@@ -493,6 +493,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("edit-histogram filter law: 16-bucket char-count L1 ≤ 2·levenshtein on " +
+      "random perturbed string pairs (the pre-verification reject is sound)") {
+    // the bound dedup_edit_distance's candidate filter rides: one edit
+    // op changes at most one bucket count on each side, so a candidate
+    // with L1 > 2k can never be a true pair
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def hist(s: String): Array[Int] = {
+      val h = new Array[Int](16)
+      s.foreach(c => h(java.lang.Math.floorMod(c.toInt, 16)) += 1)
+      h
+    }
+    def l1(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    val pairGen = for {
+      n <- Gen.choose(10, 64)
+      cs <- Gen.listOfN(n, Gen.oneOf('a' to 'z'))
+      nEdits <- Gen.choose(0, 12)
+      ops <- Gen.listOfN(nEdits, for {
+        pos <- Gen.choose(0, 60); kind <- Gen.choose(0, 2); c <- Gen.oneOf('a' to 'z')
+      } yield (pos, kind, c))
+    } yield {
+      val a = cs.mkString.padTo(64, '~').take(64)
+      val b = ops.foldLeft(a) { case (s, (pos, kind, c)) =>
+        val p = math.min(pos, s.length - 1)
+        (kind match {
+          case 0 => s.updated(p, c)
+          case 1 => s.take(p) + c + s.drop(p)
+          case _ => s.take(p) + s.drop(p + 1)
+        }).padTo(64, '~').take(64)
+      }
+      (a, b)
+    }
+    samples(pairGen, 300).foreach { case (a, b) =>
+      assert(l1(hist(a), hist(b)) <= 2 * lev(a, b),
+        s"histogram bound violated:\n$a\n$b")
+    }
+  }
+
   test("adaptive-banding law: rows = smallest r in [base, 22] with 2^r·occ ≥ n, " +
       "bands = ⌈3·5^r/4^r⌉ — matches a brute BigInt scan for random corpus sizes") {
     val gen = for {

@@ -93,12 +93,16 @@ class SimilaritySpec extends AnyFunSuite {
       (i.toLong, Seq.tabulate(64)(d =>
         (if ((i + d / 16) % 2 == 0) 0.9f else -0.9f) + (i % 3) * 0.01f), 0)
     }.toDF("vec_id", "embedding", "label")
+    // geometry pinned EXPLICITLY on every call (the codec defaults are
+    // the production 8×8 constants; this test checks the mechanics at a
+    // hand-checkable 4×16)
     val cb = Similarity.pqTrain(corpus, col("vec_id"), col("embedding"),
       col("vec_id") < 4, nSub = 4, subDim = 16, iters = 2)
     val cbRows = cb.select("m", "code").as[(Int, Long)].collect()
     assert(cbRows.map(_._1).toSet == Set(0, 1, 2, 3))
     val codeSet = cbRows.toSet
-    val enc = Similarity.pqEncode(corpus, col("vec_id"), col("embedding"), cb)
+    val enc = Similarity.pqEncode(corpus, col("vec_id"), col("embedding"), cb,
+      nSub = 4, subDim = 16)
       .as[(Long, Seq[Long])].collect()
     assert(enc.length == 12 && enc.forall(_._2.length == 4))
     // every emitted code exists in its subspace's codebook
@@ -106,7 +110,7 @@ class SimilaritySpec extends AnyFunSuite {
       codes.zipWithIndex.forall { case (c, m) => codeSet((m, c)) } })
     // ADC: ranks are 1..k per query, distances non-decreasing in rank
     val adc = Similarity.pqAdcSearch(corpus, col("vec_id"), col("embedding"),
-      cb, col("vec_id") < 3, k = 3)
+      cb, col("vec_id") < 3, k = 3, nSub = 4, subDim = 16)
       .orderBy("query_id", "rank")
       .as[(Long, Long, Long, Long)].collect()
     assert(adc.groupBy(_._1).forall { case (_, rows) =>
@@ -127,12 +131,12 @@ class SimilaritySpec extends AnyFunSuite {
       cents, col("vec_id") < 10, nProbe = 2, k = Int.MaxValue)
       .select("query_id", "neighbor_id")
     assert(res.join(candidates, Seq("query_id", "neighbor_id"), "left_anti").count() == 0)
-    // ranks are a clean 1..3 per query with non-decreasing ADC
+    // ranks are a clean 1..3 per query with non-increasing cosine-ADC sim
     val rows = res.orderBy("query_id", "rank")
-      .select("query_id", "rank", "adc").as[(Long, Long, Long)].collect()
+      .select("query_id", "rank", "sim").as[(Long, Long, Double)].collect()
     assert(rows.groupBy(_._1).forall { case (_, rs) =>
       rs.map(_._2).toSeq == Seq(1L, 2L, 3L) &&
-        rs.sortBy(_._2).map(_._3).sliding(2).forall(p => p.head <= p.last) })
+        rs.sortBy(_._2).map(_._3).sliding(2).forall(p => p.head >= p.last) })
   }
 
   test("sim_quant_error: the codec trade is visible — 64-byte SQ8 beats 4-byte PQ on fidelity") {

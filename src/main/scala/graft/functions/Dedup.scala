@@ -621,13 +621,19 @@ object Dedup {
       // difference: rotation-chained embeddings form threshold paths
       // ~10³ hops long, and hop-only propagation ran past 900 iterations
       // into a lineage StackOverflow; with the jump the same graph
-      // converges in ~10 iterations. One extra self-join of the THIN
-      // label table per iteration — the edges join still dominates.
-      val jl = hop.select(col("doc_id").as("jv"), col("label").as("jl"))
-      val nextPersisted = hop.join(jl, hop("label") === jl("jv"), "left")
-        .select(hop("doc_id"),
-          least(hop("label"), coalesce(col("jl"), hop("label"))).as("label"))
-        .persist()
+      // converges in ~10 iterations. GATED past the first iterations:
+      // the common near-dup batch graph (stars/cliques) converges in
+      // 2–3 hops, and paying the extra self-join per iteration there
+      // taxed every per-micro-batch relabel (the r18 bench read
+      // pipe_live_corpus +33 s from exactly this); from iteration 3 on —
+      // the long-chain regime — the jump's O(log) takes over.
+      val jump = iter >= 2
+      val nextPersisted = (if (!jump) hop else {
+        val jl = hop.select(col("doc_id").as("jv"), col("label").as("jl"))
+        hop.join(jl, hop("label") === jl("jv"), "left")
+          .select(hop("doc_id"),
+            least(hop("label"), coalesce(col("jl"), hop("label"))).as("label"))
+      }).persist()
       val cur = labelSum(nextPersisted) // materializes before the unpersist
       converged = cur.compareTo(prev) == 0
       prev = cur

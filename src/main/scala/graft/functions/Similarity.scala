@@ -467,12 +467,37 @@ object Similarity {
     * the partial-aggregatable min-struct argmin (ties → smallest code).
     * Codebook schema: (m, code, cw).
     */
-  def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame =
-    sub.join(broadcast(codebook), Seq("m"))
-      .withColumn("d", sqDistQ(col("sv"), col("cw")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d"), col("code"))).as("mm"))
-      .select(col("vec_id"), col("m"), col("mm.code").as("code"), col("mm.d").as("d"))
+  def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame = {
+    // Assignment is a PROJECTION through the native [[graft.plans
+    // .PqArgmin]] kernel, not a join: the relational formulation
+    // (explode against the broadcast codebook + min-struct argmin)
+    // materializes |rows|·|codewords| joined rows — 4.2M at sf0.1 with
+    // the 256-codeword production codebook — and paid ~5 µs each through
+    // the non-codegen aggregate∘zip_with distance (the +20 s/query
+    // regression r18's bench attempt 2 caught). The codebook collects to
+    // the driver first: it is a bounded index artifact (≤
+    // PqSub·PqCodewords rows), the same class as a broadcast centroid
+    // table, and rides into the kernel as a codegen reference object.
+    val rows = codebook.select(col("m"), col("code"), col("cw")).collect()
+    val nSub = if (rows.isEmpty) 0 else rows.map(_.getInt(0)).max + 1
+    val byM = rows.groupBy(_.getInt(0))
+    val codes = Array.tabulate(nSub) { m =>
+      byM.getOrElse(m, Array.empty[org.apache.spark.sql.Row]).toArray
+        .map(_.getLong(1)).sorted // ascending code order = packed tie-break
+    }
+    require(codes.forall(_.forall(c => c >= 0 && c <= graft.plans.PqArgmin.CodeMask)),
+      s"PQ code ids must fit ${graft.plans.PqArgmin.CodeBits} bits")
+    val cws = Array.tabulate(nSub) { m =>
+      val sorted = byM.getOrElse(m, Array.empty[org.apache.spark.sql.Row]).toArray
+        .sortBy(_.getLong(1))
+      sorted.map(_.getSeq[Long](2).toArray)
+    }
+    sub.withColumn("p", graft.plans.PqArgmin(col("m"), col("sv"), codes, cws))
+      .filter(col("p").isNotNull)
+      .select(col("vec_id"), col("m"),
+        col("p").bitwiseAND(lit(graft.plans.PqArgmin.CodeMask)).as("code"),
+        shiftright(col("p"), graft.plans.PqArgmin.CodeBits).as("d"))
+  }
 
   /** Product-quantization codebook training: independent Lloyd's runs in
     * each of the nSub subspaces under exact integer squared-L2 (all

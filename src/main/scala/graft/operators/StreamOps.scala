@@ -55,25 +55,51 @@ object StreamOps {
     "cdc_rebucket" -> ((s, dir) => runRebucket(s, dir)),
     "cdc_ckpt_api_store" -> ((s, dir) => runCkptStores(s, dir)),
     "cdc_journal_sample" -> ((s, dir) => runJournal(s, dir)),
-    "stream_window_late" -> ((s, dir) => runWindowed(s, dir)),
-    "stream_chained" -> ((s, dir) => runChained(s, dir)),
-    "stream_topk" -> ((s, dir) => runStreamTopk(s, dir)),
+    // The stateful single-stream harnesses run with state partitions
+    // scoped to 8 (r18, verdict task 4): HarnessProfile measured their
+    // walls dominated by the per-partition state-store commit floor —
+    // 20–115 s CUMULATIVE state-commit time for 2–3 micro-batches of
+    // ≤100k-row state at the session's 32 partitions (stream_chained
+    // 115 s, stream_topk 62 s, stream_late_audit 52 s …) — the same
+    // trigger-count × partition fan-out pathology the r17 soak fix cut
+    // 20×. State this small fits 8 partitions with room to spare; the
+    // count freezes into each harness's own fresh checkpoint, and the
+    // join family keeps its separately-derived stateJoinPartitions rule.
+    "stream_window_late" -> ((s, dir) => scopedState(s)(runWindowed(s, dir))),
+    "stream_chained" -> ((s, dir) => scopedState(s)(runChained(s, dir))),
+    "stream_topk" -> ((s, dir) => scopedState(s)(runStreamTopk(s, dir))),
     "stream_join" -> ((s, dir) => runStreamJoin(s, dir)),
     "stream_join_outer" -> ((s, dir) => runStreamJoinOuter(s, dir)),
-    "stream_sessionize" -> ((s, dir) => runSessionize(s, dir)),
-    "stream_dedup_wm" -> ((s, dir) => runStreamDedup(s, dir)),
-    "stream_enrich" -> ((s, dir) => runStreamEnrich(s, dir)),
-    "stream_pattern" -> ((s, dir) => runPattern(s, dir)),
+    "stream_sessionize" -> ((s, dir) => scopedState(s)(runSessionize(s, dir))),
+    "stream_dedup_wm" -> ((s, dir) => scopedState(s)(runStreamDedup(s, dir))),
+    "stream_enrich" -> ((s, dir) => scopedState(s)(runStreamEnrich(s, dir))),
+    "stream_pattern" -> ((s, dir) => scopedState(s)(runPattern(s, dir))),
     "stream_join_semi" -> ((s, dir) => runStreamJoinSemi(s, dir)),
     "stream_join_autosize" -> ((s, dir) => runJoinAutosize(s, dir)),
-    "stream_anomaly" -> ((s, dir) => runAnomaly(s, dir)),
-    "stream_scd2" -> ((s, dir) => runScd2(s, dir)),
-    "stream_mview_delta" -> ((s, dir) => runMviewDelta(s, dir)),
-    "stream_quarantine" -> ((s, dir) => runQuarantine(s, dir)),
-    "stream_asof_enrich" -> ((s, dir) => runAsofEnrich(s, dir)),
-    "stream_late_audit" -> ((s, dir) => runLateAudit(s, dir)),
-    "stream_schema_alert" -> ((s, dir) => runSchemaAlert(s, dir)),
-    "stream_drift_alert" -> ((s, dir) => runDriftAlert(s, dir)))
+    "stream_anomaly" -> ((s, dir) => scopedState(s)(runAnomaly(s, dir))),
+    "stream_scd2" -> ((s, dir) => scopedState(s)(runScd2(s, dir))),
+    "stream_mview_delta" -> ((s, dir) => scopedState(s)(runMviewDelta(s, dir))),
+    "stream_quarantine" -> ((s, dir) => scopedState(s)(runQuarantine(s, dir))),
+    "stream_asof_enrich" -> ((s, dir) => scopedState(s)(runAsofEnrich(s, dir))),
+    "stream_late_audit" -> ((s, dir) => scopedState(s)(runLateAudit(s, dir))),
+    "stream_schema_alert" -> ((s, dir) => scopedState(s)(runSchemaAlert(s, dir))),
+    "stream_drift_alert" -> ((s, dir) => scopedState(s)(runDriftAlert(s, dir))))
+
+  /** Run a harness with `spark.sql.shuffle.partitions` scoped to `n`:
+    * every streaming query the body STARTS freezes n into its checkpoint
+    * (StreamExecution clones the session at start), and the conf is
+    * restored when the body returns — the same birth-time sizing the
+    * soak and stream-join harnesses apply, packaged for the single-
+    * stream family. The body's small batch pre/post work (staging
+    * writes, final head aggregations over ≤100k-row outputs) also runs
+    * at n, which only removes empty-partition overhead at these sizes.
+    */
+  private[operators] def scopedState[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n)
+    try body finally s.conf.set(key, prev)
+  }
 
   /** Stage a multi-file feed whose files must be consumed IN ORDER by a
     * `maxFilesPerTrigger = 1` file source: write each part, then pin

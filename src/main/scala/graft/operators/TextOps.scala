@@ -1250,7 +1250,7 @@ object TextOps {
     // if any even doc carries it, else the smallest odd id. A later
     // duplicate "winning" (min over both phases) or a leak (digest
     // emitted twice) hash-diverges from the oracle.
-    "dedup_stream_exact" -> ((s, dir) => {
+    "dedup_stream_exact" -> ((s, dir) => StreamOps.scopedState(s) {
       val work = graft.Work.dir(s"dedup_stream_q")
       graft.streaming.IncrSync.deletePath(s, work)
       val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("digest"))
@@ -1282,7 +1282,7 @@ object TextOps {
     // post-drain fold verifies exact Jaccard on each (doc, earliest
     // band-mate) hit. The oracle replays the ledger closed-form: min
     // earlier doc sharing any band.
-    "dedup_stream_neardup" -> ((s, dir) => {
+    "dedup_stream_neardup" -> ((s, dir) => StreamOps.scopedState(s) {
       val work = graft.Work.dir("dedup_stream_neardup_q")
       graft.streaming.IncrSync.deletePath(s, work)
       val d = docs(s, dir).select(col("doc_id"), col("text")).localCheckpoint()

@@ -160,12 +160,24 @@ object Bench {
     // its own try: a failure writing the $out path must not leave a
     // STALE summary silently attributed to this run. The promoted clean
     // anchor stays `bench_latest.json`, untouched by this.
-    // Repo root for the summary/anchor writes: scripts/bench.sh (and the
-    // bare-JVM recipes in check.py/bench_gate.py) run from the checkout
-    // root, so the working directory is the right default; GRAFT_REPO_ROOT
-    // overrides for a caller running from elsewhere (ADVICE r17 — the
-    // hardcoded /root/repo/ wrote to the wrong tree from another checkout).
-    val repoRoot = sys.env.getOrElse("GRAFT_REPO_ROOT", sys.props.getOrElse("user.dir", "."))
+    // Repo root for the summary/anchor writes, resolved from a POSITIVE
+    // signal (ADVICE r18): GRAFT_REPO_ROOT if set, else walk up from the
+    // working directory to the nearest `.git` marker — scripts/bench.sh
+    // and the check.py/bench_gate.py recipes run from the checkout root,
+    // but a bench launched from an unrelated cwd must fail loudly (the
+    // summary/anchor land on /tmp and stderr says so) instead of
+    // silently forking the drift anchor into a different tree.
+    val repoRoot = sys.env.get("GRAFT_REPO_ROOT").orElse {
+      Iterator.iterate(java.nio.file.Paths.get(
+          sys.props.getOrElse("user.dir", ".")).toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null)
+        .find(p => java.nio.file.Files.exists(p.resolve(".git")))
+        .map(_.toString)
+    }.getOrElse {
+      System.err.println("[bench] no .git above the working directory and " +
+        "GRAFT_REPO_ROOT unset — summary/anchor writes diverted to /tmp")
+      "/tmp"
+    }
     try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(repoRoot, "bench_summary.json"),
         "{" + jsonCore + s""","partial":${args.nonEmpty},"n_queries":${results.size}}""" + "\n")

@@ -667,6 +667,31 @@ object Similarity {
     */
   val PqRefine = 200
 
+  /** Corpus-clamped refine depth — the plan-time derivation the
+    * adaptive geometry constants (nlist, nProbe) already follow (r19,
+    * verdict task 4). Two regimes:
+    *
+    *  - large corpora: the knee is ABSOLUTE — PqRefine = 200 was
+    *    measured at 100× (200k vectors, table above) and the rerank
+    *    cost |Q|·depth full-vector reads is independent of n, so the
+    *    depth does not grow with the corpus (at 200k vectors n/10 =
+    *    20k ≫ 200; PqRefine binds).
+    *  - small corpora: a 200-deep shortlist is a large corpus fraction
+    *    (40% at the sf0.01 gate's 500 vectors), so clamp to n/10 — the
+    *    shortlist stays a shortlist and the rerank stays an order
+    *    cheaper than brute force. MEASURED HARMLESS at both gate
+    *    scales via the oracle replica: sf0.01 (500 vecs) reads 27/30
+    *    recall at depth 50 AND 200; sf0.1 (2000 vecs) reads 28/30 at
+    *    depth 50 AND 200 — both equal to the coarse-only ceiling, so
+    *    the clamp costs nothing where it binds. (Depth only helps
+    *    monotonically — the rerank is exact cosine — so the knee is
+    *    about not paying for depth past the ceiling.)
+    *
+    * Floor at k: the rerank must at least fill the head it returns.
+    */
+  def refineDepth(n: Long, k: Int = 3): Int =
+    math.max(k, math.min(PqRefine.toLong, n / 10L).toInt)
+
   /** [[ivfPqSearch]] with the production REFINE stage (FAISS's
     * IndexRefineFlat composition): the code-only ADC scan produces a
     * `shortlist`-deep candidate head per query, then ONLY those

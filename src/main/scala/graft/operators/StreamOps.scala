@@ -93,6 +93,15 @@ object StreamOps {
     * stream family. The body's small batch pre/post work (staging
     * writes, final head aggregations over ≤100k-row outputs) also runs
     * at n, which only removes empty-partition overhead at these sizes.
+    *
+    * SEQUENTIAL-EXECUTION ASSUMPTION (ADVICE r18): the conf is held on
+    * the shared session for the ENTIRE body, so a query running
+    * CONCURRENTLY in the same session would observe the scoped value.
+    * Verify and Bench both run queries strictly one at a time, which is
+    * the contract this relies on; a harness that must coexist with
+    * concurrent session work should instead scope only around each
+    * query's `.start()` ([[graft.streaming.IncrSync.scopedStart]] is
+    * that narrower idiom, and the CDC pipelines use it internally).
     */
   private[operators] def scopedState[T](s: SparkSession, n: Int = 8)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -1160,30 +1169,16 @@ object StreamOps {
     val prepMs = System.currentTimeMillis() - tPrep0
     val ttl = if (ttlMs > 0) ttlMs
               else math.max(5000L, math.min(15000L, 2L * prepMs))
-    // State-partition scoping, the same birth-time sizing the stream-join
-    // family applies — here the measured driver is the TRIGGER SCHEDULE,
-    // not state volume: the 250 ms processing-time trigger fires ~26
-    // micro-batches (most empty — they exist to advance the TTL clock),
-    // and EVERY batch commits EVERY state partition. HarnessProfile
-    // measured 478 s cumulative state-store commit across 26 batches at
-    // the session default 32 partitions (~15 s of this harness's wall on
-    // 32 threads) over assembler/apply state of a few hundred rows; 8
-    // partitions cut the per-batch fan-out 4× with partitions still far
-    // emptier than any heap bound. Scoped set/restore: StreamExecution
-    // CLONES the session at query start, so the count freezes into this
-    // query's checkpoint at birth — restoring the parent conf immediately
-    // after start (not at stop) means the batch parquet appends below and
-    // any concurrent work in the shared session never see the scoped
-    // value (ADVICE r17).
-    val spKey = "spark.sql.shuffle.partitions"
-    val prevSp = s.conf.get(spKey)
-    s.conf.set(spKey, 8)
-    val q = try IncrSync.startOplogFrom(s,
+    // State-partition scoping happens INSIDE startOplogFrom since r19
+    // (IncrSync.StatePartitions — the birth-time sizing this harness
+    // pioneered in r17: the 250 ms trigger fires ~26 micro-batches, most
+    // empty, and EVERY batch commits EVERY state partition; 478 s
+    // cumulative commit at 32 partitions, cut 4× at 8).
+    val q = IncrSync.startOplogFrom(s,
         graft.streaming.ParquetDirSource(feedDir, IncrSync.oplogSchema, maxFilesPerTrigger = 1),
         s"$work/target", s"$work/ckpt",
         gids = gids, white = white, black = black, txnTtlMs = ttl,
         trigger = Trigger.ProcessingTime("250 milliseconds"), nBuckets = 16)
-      finally s.conf.set(spKey, prevSp)
     try {
       awaitTotal(nP1 + nP2 + nCross)
       // the orphan deadline (batch-1 start + ttl) is certainly behind us
@@ -1536,16 +1531,16 @@ object StreamOps {
     p
   }
 
-  // NOTE (r16, measured): scoping the CDC pipelines' shuffle partitions
-  // down to the r11 sizing rule (8 at sf0.1 feed volume) was A/B'd on
-  // cdc_token_resume and does NOT move its wall (32.5 s scoped-8 vs
-  // 33.5 s at 32, inside run noise at 32 cores) — unlike the stream-
-  // stream join, these harnesses' walls are apply/lifecycle cost
-  // (bucketed target merges, query start/stop, driver staging), not
-  // state-commit fan-out: the txn-assembler state is near-empty on
-  // these feeds, so its per-partition commits are cheap. The knob was
-  // therefore NOT wired here; the join family keeps it where it is
-  // measured to matter.
+  // NOTE (r19, superseding the r16 single-harness A/B): the CDC
+  // pipelines now freeze IncrSync.StatePartitions at query birth inside
+  // startOplogTo itself. The r16 measurement ("scoping cdc_token_resume
+  // doesn't move its wall") sampled one harness whose wall is
+  // apply/lifecycle-heavy; the r19 HarnessProfile sweep over the whole
+  // family measured 29–188 s CUMULATIVE state-commit per harness at 32
+  // partitions (cdc_txn_ttl: 188 s over 11 batches) for assembler state
+  // of a few hundred rows — the same trigger-count × partition fan-out
+  // the stream_* scoping cut 27–40% clean-confirmed in r18. The join
+  // family keeps its volume-derived stateJoinPartitions rule below.
 
   /** Per-side projected state rows for the events-derived join feed —
     * one aggregate job at plan time over the already-checkpointed feed

@@ -3265,15 +3265,11 @@ object TextOps {
                     [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS v
                   FROM embeddings JOIN documents ON doc_id = vec_id)),
           ${VectorOps.bucketCte},
-          bounded AS (
-            SELECT * FROM (
-              SELECT p.*, b.bucket, COUNT(*) OVER (PARTITION BY b.bucket) AS blk_n
-              FROM prep p JOIN buck b USING (vec_id))
-            WHERE blk_n <= ${Similarity.MaxBlock}),
-          good AS (
-            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-            FROM bounded a JOIN bounded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            WHERE ${VectorOps.simSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.4),
+          trows AS (
+            SELECT p.vec_id, b.bucket AS blk, p.v, p.nrm
+            FROM prep p JOIN buck b USING (vec_id)),
+          ${VectorOps.threeTierPairCtes("0.4")},
+          good AS (SELECT id_a AS doc_a, id_b AS doc_b FROM tpairs),
           edges AS (
             SELECT doc_a AS src, doc_b AS dst FROM good
             UNION SELECT doc_b, doc_a FROM good),
@@ -3297,15 +3293,11 @@ object TextOps {
                     [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS v
                   FROM embeddings JOIN documents ON doc_id = vec_id)),
           ${VectorOps.adaptiveBucketCte(4, 16)},
-          bounded AS (
-            SELECT * FROM (
-              SELECT p.*, b.bucket, COUNT(*) OVER (PARTITION BY b.bucket) AS blk_n
-              FROM prep p JOIN buck b USING (vec_id))
-            WHERE blk_n <= ${Similarity.MaxBlock}),
-          good AS (
-            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-            FROM bounded a JOIN bounded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            WHERE ${VectorOps.simSql("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.4),
+          trows AS (
+            SELECT p.vec_id, b.bucket AS blk, p.v, p.nrm
+            FROM prep p JOIN buck b USING (vec_id)),
+          ${VectorOps.threeTierPairCtes("0.4")},
+          good AS (SELECT id_a AS doc_a, id_b AS doc_b FROM tpairs),
           edges AS (
             SELECT doc_a AS src, doc_b AS dst FROM good
             UNION SELECT doc_b, doc_a FROM good),

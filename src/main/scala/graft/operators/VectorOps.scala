@@ -468,7 +468,8 @@ object VectorOps {
       val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
         col("vec_id") < Similarity.PqCodewords)
       val adc = Similarity.ivfPqSearchRefined(e, col("vec_id"), col("embedding"),
-        cents, cb, queryPred = col("vec_id") < 10, nProbe = nProbe)
+        cents, cb, queryPred = col("vec_id") < 10, nProbe = nProbe,
+        shortlist = Similarity.refineDepth(e.count()))
         .select(col("query_id"), col("neighbor_id"))
       val exact = Similarity.knnBrute(e, col("vec_id"), col("embedding"),
         col("vec_id") < 10, k = 3)
@@ -539,20 +540,26 @@ object VectorOps {
     }),
 
     // IVF-PQ combined search — the billion-scale index layout (coarse
-    // quantizer prunes to nProbe inverted lists, ADC over 4-byte PQ
-    // codes ranks the survivors): see [[Similarity.ivfPqSearch]] for
-    // the shape argument. The oracle replays the identical pipeline —
-    // trained centroids, trained codebooks, probe selection, candidate
-    // pruning, integer ADC — so a drift anywhere in the composed index
-    // math hash-diverges.
+    // quantizer prunes to nProbe inverted lists, cosine-ADC over 8-byte
+    // PQ codes shortlists the survivors, exact cosine reranks ONLY the
+    // shortlist): the REFINED composition is the named search surface
+    // (r19, verdict task 2 — the raw-ADC head this query used to
+    // demonstrate has a measured recall ceiling of ~0.43 that no codec
+    // byte budget fixes; PqCodecBench proved the refine stage is the
+    // cure, and `sim_ivfpq_recall` still pins the raw ADC math). The
+    // oracle replays the identical pipeline — trained centroids,
+    // trained codebooks, probe selection, candidate pruning, integer
+    // ADC shortlist, exact integer-cosine rerank — so a drift anywhere
+    // in the composed index math hash-diverges.
     "sim_ivfpq" -> ((s, dir) => {
       val e = embs(s, dir)
       val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
         col("vec_id") < 8, iters = KmeansIters)
       val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
         col("vec_id") < Similarity.PqCodewords)
-      Similarity.ivfPqSearch(e, col("vec_id"), col("embedding"), cents, cb,
-        queryPred = col("vec_id") < 10)
+      Similarity.ivfPqSearchRefined(e, col("vec_id"), col("embedding"), cents, cb,
+        queryPred = col("vec_id") < 10,
+        shortlist = Similarity.refineDepth(e.count()))
     }),
 
     // The production train-once shape: ONE k-means run and ONE PQ
@@ -777,15 +784,9 @@ object VectorOps {
 
     "sim_threshold_pairs" ->
       s"""WITH $prepCte,
-          bounded AS (
-            SELECT * FROM (
-              SELECT *, COUNT(*) OVER (PARTITION BY label) AS blk_n FROM prep)
-            WHERE blk_n <= ${Similarity.MaxBlock})
-          SELECT id_a, id_b, sim FROM (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              ${simSql("a.v", "a.nrm", "b.v", "b.nrm")} AS sim
-            FROM bounded a JOIN bounded b ON a.label = b.label AND a.vec_id < b.vec_id)
-          WHERE sim >= 0.4""",
+          trows AS (SELECT vec_id, label AS blk, v, nrm FROM prep),
+          ${threeTierPairCtes("0.4")}
+          SELECT id_a, id_b, sim FROM tpairs""",
 
     "sim_ann_lsh" ->
       s"""WITH $prepCte, $bucketCte,
@@ -829,18 +830,11 @@ object VectorOps {
                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
                   ORDER BY ${simSql("p.v", "p.nrm", "c.cv", "c.cn")} DESC, c.centroid_id) AS rn
               FROM prep p, cents2 c) WHERE rn = 1),
-          pa AS (
-            SELECT * FROM (
-              SELECT a.centroid_id, p.vec_id, p.v, p.nrm,
-                COUNT(*) OVER (PARTITION BY a.centroid_id) AS bn
-              FROM assigned a JOIN prep p USING (vec_id))
-            WHERE bn <= ${Similarity.MaxBlock})
-          SELECT id_a, id_b, sim FROM (
-            SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-              ${simSql("x.v", "x.nrm", "y.v", "y.nrm")} AS sim
-            FROM pa x JOIN pa y
-              ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
-          WHERE sim >= 0.4""",
+          trows AS (
+            SELECT p.vec_id, a.centroid_id AS blk, p.v, p.nrm
+            FROM assigned a JOIN prep p USING (vec_id)),
+          ${threeTierPairCtes("0.4")}
+          SELECT id_a, id_b, sim FROM tpairs""",
 
     "sim_pq_encode" ->
       s"""WITH $prepCte, ${pqCtes(2)}, ${pqEncCte(2)}
@@ -1358,13 +1352,15 @@ object VectorOps {
             JOIN lut l ON l.query_id = pr.query_id AND l.m = a.m AND l.code = a.code
             WHERE l.query_id <> a.vec_id
             GROUP BY 1, 2),
-          ivfpq AS ( -- code-only ADC SHORTLIST (depth = the refine knee)
+          rf AS (SELECT GREATEST(3, LEAST(${Similarity.PqRefine},
+                   COUNT(*) // 10)) AS depth FROM embeddings),
+          ivfpq AS ( -- code-only ADC SHORTLIST (corpus-clamped refine knee)
             SELECT query_id, vec_id AS neighbor_id FROM (
               SELECT adcq.query_id, adcq.vec_id, ROW_NUMBER() OVER (PARTITION BY adcq.query_id
                 ORDER BY CAST(dotsum AS DOUBLE) / sqrt(CAST(q.nrm * n2sum AS DOUBLE)) DESC,
                   adcq.vec_id) AS rank
               FROM adcq JOIN prep q ON q.vec_id = adcq.query_id)
-            WHERE rank <= ${Similarity.PqRefine}),
+            WHERE rank <= (SELECT depth FROM rf)),
           refined AS ( -- exact cosine rerank of ONLY the shortlist
             SELECT query_id, neighbor_id FROM (
               SELECT i.query_id, i.neighbor_id,
@@ -1467,15 +1463,25 @@ object VectorOps {
             JOIN lut l ON l.query_id = pr.query_id AND l.m = a.m AND l.code = a.code
             WHERE l.query_id <> a.vec_id
             GROUP BY 1, 2),
-          adcs AS (
-            SELECT adcq.query_id, adcq.vec_id,
-              CAST(dotsum AS DOUBLE) / sqrt(CAST(q.nrm * n2sum AS DOUBLE)) AS sim
-            FROM adcq JOIN prep q ON q.vec_id = adcq.query_id)
-          SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, sim
-          FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY sim DESC, vec_id) AS rank
-            FROM adcs)
+          rf AS (SELECT GREATEST(3, LEAST(${Similarity.PqRefine},
+                   COUNT(*) // 10)) AS depth FROM embeddings),
+          shortl AS ( -- code-only cosine-ADC shortlist, corpus-clamped depth
+            SELECT query_id, vec_id AS neighbor_id FROM (
+              SELECT adcq.query_id, adcq.vec_id, ROW_NUMBER() OVER (PARTITION BY adcq.query_id
+                ORDER BY CAST(dotsum AS DOUBLE) / sqrt(CAST(q.nrm * n2sum AS DOUBLE)) DESC,
+                  adcq.vec_id) AS rank
+              FROM adcq JOIN prep q ON q.vec_id = adcq.query_id)
+            WHERE rank <= (SELECT depth FROM rf))
+          SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+          FROM ( -- exact cosine rerank of ONLY the shortlist
+            SELECT i.query_id, i.neighbor_id,
+              ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} AS sim,
+              ROW_NUMBER() OVER (PARTITION BY i.query_id
+                ORDER BY ${simSql("q.v", "q.nrm", "p.v", "p.nrm")} DESC,
+                  i.neighbor_id) AS rank
+            FROM shortl i
+            JOIN prep q ON q.vec_id = i.query_id
+            JOIN prep p ON p.vec_id = i.neighbor_id)
           WHERE rank <= 3""",
 
     "pipe_ann" ->
@@ -1530,6 +1536,53 @@ object VectorOps {
             CAST(rank AS BIGINT), adc, 0.0
           FROM adc"""
   )
+
+  /** The three-tier [[Similarity.thresholdPairs]] semantics as oracle
+    * CTEs (r19, ADVICE r18): the executable spec must mirror what the
+    * engine DOES — replica pre-collapse (one key per distinct (block,
+    * vector), key pairs verified once, member pairs recovered by
+    * membership expansion) and the hard bound applied to DISTINCT keys
+    * per block, not raw rows. The engine's salt split (tier 2) has no
+    * SQL mirror because it does not change the OUTPUT — every key pair
+    * meets in exactly one hash chunk — it only bounds per-task work.
+    * The previous oracle bounded on raw rows ≤ MaxBlock, so any corpus
+    * with a block between the caps (or a replicated block over MaxBlock
+    * raw rows but few distinct vectors) had the engine emitting pairs
+    * the spec dropped.
+    *
+    * Caller supplies `trows AS (SELECT vec_id, blk, v, nrm ...)`;
+    * these CTEs end in `tpairs(id_a, id_b, sim)`.
+    */
+  private[operators] def threeTierPairCtes(threshold: String): String =
+    s"""tkeys AS ( -- tier 1: replica pre-collapse to distinct (blk, v)
+          SELECT blk, v, MIN(vec_id) AS key_id, COUNT(*) AS n_mem,
+            list_sum([y*y for y in v]) AS nrm
+          FROM trows GROUP BY blk, v),
+        tkb AS ( -- tier 3: hard bound on DISTINCT keys per block
+          SELECT * FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY blk) AS blk_n FROM tkeys)
+          WHERE blk_n <= ${Similarity.HardMaxBlock}),
+        tmembers AS (
+          SELECT k.key_id, r.vec_id FROM trows r
+          JOIN tkb k ON r.blk = k.blk AND r.v = k.v),
+        tkp AS ( -- key pairs across keys + within replicated keys
+          SELECT ka, kb, sim FROM (
+            SELECT a.key_id AS ka, b.key_id AS kb,
+              ${simSql("a.v", "a.nrm", "b.v", "b.nrm")} AS sim
+            FROM tkb a JOIN tkb b ON a.blk = b.blk AND a.key_id < b.key_id)
+          WHERE sim >= $threshold
+          UNION ALL
+          SELECT ka, kb, sim FROM (
+            SELECT key_id AS ka, key_id AS kb, n_mem,
+              ${simSql("v", "nrm", "v", "nrm")} AS sim FROM tkb)
+          WHERE n_mem >= 2 AND sim >= $threshold),
+        tpairs AS ( -- membership expansion back to true row pairs
+          SELECT LEAST(ma.vec_id, mb.vec_id) AS id_a,
+            GREATEST(ma.vec_id, mb.vec_id) AS id_b, kp.sim
+          FROM tkp kp
+          JOIN tmembers ma ON ma.key_id = kp.ka
+          JOIN tmembers mb ON mb.key_id = kp.kb
+          WHERE kp.ka <> kp.kb OR ma.vec_id < mb.vec_id)"""
 
   /** Integer squared-L2 over DuckDB lists — [[Similarity.sqDistQ]]'s SQL. */
   private def l2Sql(a: String, b: String): String =

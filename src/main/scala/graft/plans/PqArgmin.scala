@@ -53,6 +53,11 @@ case class PqArgmin(left: Expression, right: Expression,
       var d = 0L
       var p = 0
       while (p < n) { val x = sv.getLong(p) - cw(p); d += x * x; p += 1 }
+      // saturate the distance side before packing (ADVICE r18): past
+      // DistCap the shift would corrupt both code and distance; capped
+      // distances stay ordered-after every uncapped one and ties still
+      // break to the smallest code
+      if (d > PqArgmin.DistCap || d < 0L) d = PqArgmin.DistCap
       val packed = (d << 20) | codm(j)
       if (packed < best) best = packed
       j += 1
@@ -99,6 +104,7 @@ case class PqArgmin(left: Expression, right: Expression,
          |        final long $x = $sv.getLong($p) - $cw[$p];
          |        $d += $x * $x;
          |      }
+         |      if ($d > ${PqArgmin.DistCap}L || $d < 0L) $d = ${PqArgmin.DistCap}L;
          |      final long $packed = ($d << 20) | $codm[$j];
          |      if ($packed < $best) $best = $packed;
          |    }
@@ -119,6 +125,19 @@ object PqArgmin {
     */
   val CodeBits = 20
   val CodeMask: Long = (1L << CodeBits) - 1
+
+  /** Distance saturation bound (ADVICE r18): the largest squared
+    * distance `(d << CodeBits)` can carry without overflowing into the
+    * sign bit — 2^43. The quantized grid multiplies components by 1000,
+    * so this binds only past component magnitudes around ±500 (‖sv−cw‖²
+    * ≥ 2^43 needs ~1e6-scale component deltas over an 8-dim subspace);
+    * the unit-norm corpus sits 6 orders below. At or past the cap all
+    * codewords compare equal on distance and the tie breaks to the
+    * smallest code — the same deterministic order, never a corrupted
+    * packing. The `d < 0` arm folds the (even further) multiply-overflow
+    * case into the same saturation.
+    */
+  val DistCap: Long = Long.MaxValue >> CodeBits
 
   def apply(m: Column, sv: Column, codes: Array[Array[Long]],
       cws: Array[Array[Array[Long]]]): Column =

@@ -52,6 +52,38 @@ object IncrSync {
     */
   val MaxBarrierRows = 10000
 
+  /** State partitions frozen into every CDC pipeline query at birth.
+    *
+    * The general law (PROFILE_r18): a streaming query's state-store
+    * commit floor is trigger-count × state-partitions × ~0.5 s of
+    * per-partition commit overhead, INDEPENDENT of state volume — the
+    * TxnAssembler state these pipelines carry is a few hundred rows at
+    * most, yet at the session default 32 partitions HarnessProfile
+    * measured 29–188 s CUMULATIVE commit per harness (cdc_txn_ttl: 11
+    * batches × 32 partitions = 188 s). Scoping `shuffle.partitions` to 8
+    * around `.start()` freezes 8 into the query's checkpoint
+    * (StreamExecution clones the session at start) and cuts that floor
+    * 4× with partitions still far emptier than any heap bound; the
+    * parent session's conf is restored immediately after start, so
+    * batch work outside the query never observes the scoped value.
+    * The stream-stream join family sizes its own partitions from
+    * projected state volume instead (`StreamOps.stateJoinPartitions`);
+    * a production deployment at real volume would do the same here.
+    */
+  val StatePartitions = 8
+
+  /** Start a streaming query with [[StatePartitions]] frozen in: set,
+    * run `start` (which must START the query so the cloned session
+    * captures the scoped conf), restore.
+    */
+  private[graft] def scopedStart[T](spark: SparkSession, n: Int = StatePartitions)(
+      start: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n)
+    try start finally spark.conf.set(key, prev)
+  }
+
   /** Schema of the events stream (ts as nanosecond long). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -327,14 +359,21 @@ object IncrSync {
 
     // G7: in-plan per-batch counters, surfaced in every query-progress
     // event (zero extra passes — the metrics ride the union pre-sink).
-    graft.metrics.Metrics.observedStream(
-      plain.unionByName(atomicRows).unionByName(innerRows)).writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatchTo(batch, target, batchId)
-      }
-      .start()
+    // The query starts with StatePartitions frozen in (r19: the r16 A/B
+    // that left this family at 32 measured ONE harness, one AvailableNow
+    // incarnation; HarnessProfile r19 re-measured the whole family and
+    // the per-partition commit floor dominates every ProcessingTime /
+    // multi-batch harness — see StatePartitions).
+    scopedStart(spark) {
+      graft.metrics.Metrics.observedStream(
+        plain.unionByName(atomicRows).unionByName(innerRows)).writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          applyBatchTo(batch, target, batchId)
+        }
+        .start()
+    }
   }
 
   /** Sharded-source fan-out (`collector/coordinator/incr.go:20-57`): one

@@ -580,6 +580,25 @@ object Dedup {
     baseUpd.unionByName(newUpd)
   }
 
+  /** Shuffle partitions for the component fixpoint, derived from the
+    * EDGE count (r19, verdict task 3): the loop runs 3–10 sequential
+    * jobs over the pair graph — a table orders of magnitude smaller
+    * than the corpus (only paired vertices) — and at the session's
+    * default width every iteration pays |parts| shuffle-file creations
+    * per stage for mostly-empty partitions. That fixed cost is what io
+    * contention amplifies: ShuffleProfile measured dedup_embed_adaptive
+    * at 789 tasks moving 4 MB of shuffle total (zero spill), and its
+    * wall inflated 15× on a disk-pressured box (6.1 s clean → 91.8 s)
+    * while same-volume/few-task queries held ~1.4×. ~6400 labels per
+    * partition keeps partitions trivially in-memory; floor 4 keeps tiny
+    * graphs off the single-task path, cap 4096 matches the join rule.
+    */
+  private def componentParts(nEdges: Long): Int = {
+    var p = 4L
+    while (p < 4096 && p * 6400L < 2L * nEdges) p *= 2
+    p.toInt
+  }
+
   def componentLabels(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -599,6 +618,15 @@ object Dedup {
     // loop at two label copies (localCheckpoint blocks can't be freed
     // selectively). The final snapshot stays persisted for the caller's
     // aggregation.
+    // Every job inside the loop runs at the graph-derived shuffle width
+    // (see componentParts); the conf is restored on exit, and the caller
+    // aggregates the returned persisted table at its own width.
+    // Sequential-execution assumption as documented on
+    // StreamOps.scopedState.
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
+    spark.conf.set(spKey, componentParts(edges.count()))
+    try {
     var persisted = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).persist()
     var prev = labelSum(persisted)
@@ -647,6 +675,7 @@ object Dedup {
       if (iter % 16 == 0) labels = labels.localCheckpoint()
     }
     labels
+    } finally spark.conf.set(spKey, prevSp)
   }
 
   // --- SimHash -------------------------------------------------------------

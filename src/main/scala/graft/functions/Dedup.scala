@@ -589,13 +589,27 @@ object Dedup {
     * contention amplifies: ShuffleProfile measured dedup_embed_adaptive
     * at 789 tasks moving 4 MB of shuffle total (zero spill), and its
     * wall inflated 15× on a disk-pressured box (6.1 s clean → 91.8 s)
-    * while same-volume/few-task queries held ~1.4×. ~6400 labels per
-    * partition keeps partitions trivially in-memory; floor 4 keeps tiny
-    * graphs off the single-task path, cap 4096 matches the join rule.
+    * while same-volume/few-task queries held ~1.4×.
+    *
+    * Budget: ~2M edge rows (~64 MB at ~32 B/row) per partition — the
+    * standard shuffle-partition sizing, NOT a row count tuned to the
+    * small-gate graph. The first r19 cut used 6400 rows/partition
+    * (derived from the sf0.1 profile alone) and EXPLODED at 100×: the
+    * replica-expanded embed pair graph reaches tens of millions of
+    * edges there, the derivation hit the 4096 cap, and ~3 shuffles ×
+    * ~10 iterations × 4096 near-empty tasks turned a 21 s query
+    * (r14's 32-partition measurement) into 35+ min — the exact
+    * tiny-task io-amplification failure this function exists to
+    * prevent, recreated at the other end of the scale axis. With the
+    * 2M budget the floor (4) still binds at every sf0.1 gate graph
+    * (the measured 789 → 147 task cut is unchanged) and the 100×
+    * graph derives ~32; 10⁹ edges derive 1024; the 4096 cap binds
+    * past ~4×10⁹ edges. Floor 4 keeps tiny graphs off the
+    * single-task path, cap 4096 matches the join rule.
     */
   private def componentParts(nEdges: Long): Int = {
     var p = 4L
-    while (p < 4096 && p * 6400L < 2L * nEdges) p *= 2
+    while (p < 4096 && p * 2000000L < 2L * nEdges) p *= 2
     p.toInt
   }
 

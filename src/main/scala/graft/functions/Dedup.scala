@@ -607,9 +607,13 @@ object Dedup {
     * past ~4×10⁹ edges. Floor 4 keeps tiny graphs off the
     * single-task path, cap 4096 matches the join rule.
     */
-  private def componentParts(nEdges: Long): Int = {
+  private[graft] def componentParts(nEdges: Long): Int = {
+    // p * 2M < 2 * nEdges, written as p * 1M < nEdges so neither side
+    // can overflow (2L * nEdges wraps negative past 2^62 edges and
+    // would freeze the width at the floor for exactly the graphs that
+    // need the cap; the spec pins the Long.MaxValue row)
     var p = 4L
-    while (p < 4096 && p * 2000000L < 2L * nEdges) p *= 2
+    while (p < 4096 && p * 1000000L < nEdges) p *= 2
     p.toInt
   }
 

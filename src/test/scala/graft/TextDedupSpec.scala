@@ -626,4 +626,24 @@ class TextDedupSpec extends AnyFunSuite {
     }
     assert(out.keySet == groups.filter(_._2.size >= 2).keySet)
   }
+
+  test("componentParts: byte-budget width derivation pinned at every regime " +
+      "(the r19 6400-row budget hit the 4096 cap at the 100x pair graph " +
+      "and ran a 21 s query past 35 min - this spec locks the corrected " +
+      "2M-row/~64MB budget so the boundary values cannot silently drift)") {
+    import graft.functions.Dedup.componentParts
+    // floor 4: every sf0.01/sf0.1 gate graph (hundreds to thousands of
+    // edges) and anything below the exact 4->8 boundary at 4M edges
+    assert(componentParts(0) == 4)
+    assert(componentParts(150) == 4)
+    assert(componentParts(4000000L) == 4) // 4 * 2M >= 2n exactly at n = 4M
+    assert(componentParts(4000001L) == 8)
+    // the 100x replica-expanded embed graph class (~24M edges) -> 32,
+    // the width whose measured wall is 73.8 s (SCALE_r19 sec. 1)
+    assert(componentParts(24000000L) == 32)
+    // 1e9 edges -> 1024; the 4096 cap binds only past ~4.1e9 edges
+    assert(componentParts(1000000000L) == 1024)
+    assert(componentParts(4100000000L) == 4096)
+    assert(componentParts(Long.MaxValue) == 4096)
+  }
 }

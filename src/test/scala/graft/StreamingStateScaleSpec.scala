@@ -324,4 +324,31 @@ class StreamingStateScaleSpec extends AnyFunSuite {
     assert(stateJoinPartitions(26000000L) == 64)
     assert(stateJoinPartitions(Long.MaxValue) == 4096)
   }
+
+  test("scopedStart freezes StatePartitions into the query at birth and " +
+      "restores the session conf immediately - even on a failed start") {
+    import graft.streaming.IncrSync
+    val key = "spark.sql.shuffle.partitions"
+    val sessionDefault = spark.conf.get(key)
+    // restore-on-throw: a start body that fails must not leak the scoped
+    // value into the shared session (the ADVICE-r18 concern)
+    intercept[RuntimeException] {
+      IncrSync.scopedStart(spark) { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.get(key) == sessionDefault)
+    // a real stateful query started under scopedStart runs its state
+    // operator at StatePartitions, while the session conf is already
+    // restored the moment start() returns - concurrent work in the same
+    // session never observes the scoped width
+    val w = work("scoped_start")
+    val q = IncrSync.scopedStart(spark) {
+      startAssemble(w, ttlMs = 1L << 40, Trigger.AvailableNow())
+    }
+    assert(spark.conf.get(key) == sessionDefault)
+    q.awaitTermination(120000)
+    val parts = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.map(_.numShufflePartitions))
+    assert(parts.nonEmpty &&
+      parts.forall(_ == IncrSync.StatePartitions.toLong))
+  }
 }

@@ -84,6 +84,35 @@ object IncrSync {
     try start finally spark.conf.set(key, prev)
   }
 
+  /** Shuffle width for one delivery's merge jobs inside
+    * [[applyBatchTo]], derived from the DELIVERED row count — the same
+    * sizing discipline as `Dedup.componentParts` applied to the apply
+    * path. Every micro-batch runs ~4 shuffling jobs (lastPerKey fold,
+    * touched-bucket distinct, anti-join merge, bucket-clustered write)
+    * whose data is the batch, orders of magnitude smaller than the
+    * session width assumes: ShuffleProfile (r19) measured the batch
+    * harnesses at 810–1,022 tasks for 0.4–2.2 MB of total shuffle
+    * (`cdc_incr_agg` 1,022 / 2.2 MB, `cdc_rebucket` 810 / 0.4 MB — the
+    * suite's WORST io amplifier at 3.74× contended/clean) and the
+    * sharded fan-out at 1,671 tasks for 0.3 MB, each task paying the
+    * fixed shuffle-file create/fsync cost that disk pressure
+    * multiplies.
+    *
+    * Budget ~250k rows (~64 MB at a few hundred bytes per oplog row)
+    * per partition — real shuffle-partition sizing, NOT a constant
+    * tuned to the gate corpora: every harness batch (≤ ~200k rows)
+    * derives the floor of 4; a 10M-row delivery derives 64; the 4096
+    * cap binds past ~10⁹ rows, which admission control
+    * (`maxRowsPerTrigger`) bounds far earlier on any sane deployment.
+    * Written as `p * 250k < nRows` (not `2 * nRows / p`) so the loop
+    * cannot overflow at Long.MaxValue.
+    */
+  private[graft] def applyParts(nRows: Long): Int = {
+    var p = 4L
+    while (p < 4096 && p * 250000L < nRows) p *= 2
+    p.toInt
+  }
+
   /** Schema of the events stream (ts as nanosecond long). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -468,7 +497,19 @@ object IncrSync {
       // must not move (T8 — the reference's ckpt manager only flushes on
       // ack'd traffic, `ckpt_manager.go:25-140`), and an idle tail must
       // not append one empty _ckpt row per trigger forever.
-      if (batch.count() == 0L) return
+      val nRows = batch.count()
+      if (nRows == 0L) return
+      // Every job below (journal filter, lastPerKey fold, bucket merge,
+      // checkpoint agg) operates on THIS delivery — run them at the
+      // batch-derived width (see applyParts), restoring the session conf
+      // on exit. Inside a streaming foreachBatch, `spark` is the query's
+      // own cloned session, so concurrent queries (sharded fan-out) each
+      // scope their own clone; in the batch-replay harnesses the
+      // sequential-execution contract applies (see StreamOps.scopedState).
+      val spKey = "spark.sql.shuffle.partitions"
+      val prevSp = spark.conf.get(spKey)
+      spark.conf.set(spKey, applyParts(nRows))
+      try {
       // Diagnostic journal (off by default): the raw delivery, exactly
       // what the reference's syncer/executor dump per op — before the
       // last-effective-write reduction erases the sampled history.
@@ -517,6 +558,7 @@ object IncrSync {
         count(lit(1)).as("n_logs"))
         .withColumn("batch_id", lit(batchId))
       target.commitCheckpoint(ck, batchId)
+      } finally spark.conf.set(spKey, prevSp)
     } finally batch.unpersist()
   }
 

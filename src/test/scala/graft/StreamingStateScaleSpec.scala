@@ -351,4 +351,51 @@ class StreamingStateScaleSpec extends AnyFunSuite {
     assert(parts.nonEmpty &&
       parts.forall(_ == IncrSync.StatePartitions.toLong))
   }
+
+  test("applyParts: batch-derived merge width pinned at every regime " +
+      "(floor at harness batches, growth, cap, overflow edge)") {
+    import graft.streaming.IncrSync.applyParts
+    // floor 4: every gate/harness delivery (≤ ~200k rows) and anything
+    // up to the 250k-rows-per-partition budget at width 4
+    assert(applyParts(0) == 4)
+    assert(applyParts(200000) == 4)
+    assert(applyParts(1000000L) == 4) // 4 * 250k budget exactly
+    assert(applyParts(1000001L) == 8)
+    // doubles with the delivery: 10M rows -> 64 partitions (~156k rows
+    // each, inside the budget)
+    assert(applyParts(10000000L) == 64)
+    // cap 4096 binds past ~10^9 rows - beyond any admission-controlled
+    // delivery (maxRowsPerTrigger); no overflow at the Long edge
+    assert(applyParts(1000000000L) == 4096)
+    assert(applyParts(Long.MaxValue) == 4096)
+  }
+
+  test("applyBatchTo scopes merge width to the delivery and restores the " +
+      "session conf - even when the delivery is empty or the apply throws") {
+    import graft.streaming.IncrSync
+    val key = "spark.sql.shuffle.partitions"
+    val sessionDefault = spark.conf.get(key)
+    val w = work("apply_parts_scope")
+    val batch = spark.range(100).selectExpr(
+      "id as event_id", "id as ts_packed", "'i' as op", "'app.t' as ns",
+      "cast(id as string) as doc_key", "cast(id as string) as value",
+      "cast(null as string) as props")
+    IncrSync.applyBatch(batch, w, 0L, nBuckets = 4)
+    assert(spark.conf.get(key) == sessionDefault)
+    // the merge really happened at the scoped width's floor semantics:
+    // state table holds every key exactly once
+    assert(IncrSync.readOrEmpty(spark, s"$w/state").count() == 100L)
+    // empty delivery: early return must not leak a scoped conf either
+    IncrSync.applyBatch(batch.filter("event_id < 0"), w, 1L, nBuckets = 4)
+    assert(spark.conf.get(key) == sessionDefault)
+    // a failing apply (barrier over the F9 guard) restores the conf too
+    val ddl = spark.range(1).selectExpr(
+      "id as event_id", "id as ts_packed", "'c' as op", "'app.$cmd' as ns",
+      "'k' as doc_key", "'{\"drop\":\"t\"}' as value", "'{}' as props")
+    intercept[IllegalArgumentException] {
+      IncrSync.applyBatch(ddl, w, 2L, nBuckets = 4,
+        fullSyncFinishPosition = Long.MaxValue)
+    }
+    assert(spark.conf.get(key) == sessionDefault)
+  }
 }

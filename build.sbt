@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked program's stdout must reach the caller VERBATIM: sbt's
+// default LoggedOutput prefixes every line with "[info] ", so no stdout
+// line starts with '{' and a driver-side JSON line parser finds nothing
+// (BENCH_r15..r19 all read `parsed: null`). StdoutOutput passes the
+// bench's JSON lines through unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -143,7 +143,6 @@ object Bench {
       s""","load_avg":${math.max(loadPre, loadPost)},"load_pre":$loadPre""" +
       s""","probe_spread":$probeSpread,"contended":$contended"""
     val json = "{" + jsonCore + "}"
-    println(json)
     // Raw captures always land on a /tmp scratch path; the repo capture
     // (`bench_latest.json`, the drift-comparison anchor) is only touched
     // when the run is a FULL suite AND self-judged clean, or when the
@@ -178,21 +177,32 @@ object Bench {
         "GRAFT_REPO_ROOT unset — summary/anchor writes diverted to /tmp")
       "/tmp"
     }
-    try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(repoRoot, "bench_summary.json"),
-        "{" + jsonCore + s""","partial":${args.nonEmpty},"n_queries":${results.size}}""" + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] summary write failed: ${e.getMessage}") }
+    // The summary is cpus-keyed so the driver's low-core SCALING run no
+    // longer clobbers the 32-core main-run record (VERDICT r19 finding:
+    // the c8 run overwrote bench_summary.json and destroyed the only
+    // surviving per-query record of the driver's main run). The legacy
+    // un-suffixed path is kept as the 32-core record.
+    val summaryLine =
+      "{" + jsonCore + s""","partial":${args.nonEmpty},"n_queries":${results.size},"cpus":$cpus}""" + "\n"
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(repoRoot, s"bench_summary_c$cpus.json"), summaryLine)
+      if (cpus == "32") java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(repoRoot, "bench_summary.json"), summaryLine)
+    } catch { case e: Throwable => System.err.println(s"[bench] summary write failed: ${e.getMessage}") }
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
       if (args.isEmpty && !contended && !sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(repoRoot, "bench_latest.json"), json + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
-    // LAST stdout line: a compact, truncation-proof summary (the full
-    // 250-query JSON above has been observed truncated in driver capture,
-    // leaving "parsed": null). A last-line parser always gets metric,
-    // value, the contention verdict, and the path to the full capture.
+    // Output ordering (VERDICT r19 task 2): the compact summary first,
+    // then the FULL per-query JSON as the LAST stdout line, so a driver
+    // last-line parser gets the per-query map. Combined with the
+    // unprefixed forked-run output (build.sbt StdoutOutput) this restores
+    // the driver-parseable contract that "parsed: null" broke since r15.
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","contended":$contended,"probe_spread":$probeSpread,"load_pre":$loadPre,"path":"$out"}""")
+    println(json)
     spark.stop()
   }
 

@@ -1113,9 +1113,11 @@ object Cdc {
     val probe = keys.toDF("ns", "doc_key")
       .withColumn("bucket", graft.streaming.IncrSync.bucketOf(nBuckets))
     val buckets = probe.select("bucket").distinct().collect()
-      .map(r => Integer.valueOf(r.getInt(0))).toSeq
-    s.read.parquet(s"$targetDir/state")
-      .filter(col("bucket").isin(buckets: _*))
+      .map(_.getInt(0)).toSeq
+    // Merged read pruned to the probe buckets BEFORE the LSM fold: both
+    // the base and any pending delta scan prune on the bucket partition
+    // directories (a key's bucket is a pure function of (ns, doc_key)).
+    graft.streaming.IncrSync.readStatePruned(s, s"$targetDir/state", buckets)
       .join(broadcast(probe.select("ns", "doc_key")),
         Seq("ns", "doc_key"), "left_semi")
       .select(col("ns"), col("doc_key"), col("last_value"),

@@ -27,16 +27,24 @@ import graft.model.Oplog
   * batches; the merge is idempotent, so at-least-once delivery converges
   * (the reference's recovery model, README.md:55).
   *
-  * ## State layout — hash-bucketed, O(batch) I/O per trigger
+  * ## State layout — hash-bucketed base + append-only deltas (LSM)
   *
-  * State lives at `target/state/bucket=<b>/` with
-  * b = hash(ns, doc_key) mod [[StateBuckets]]. A micro-batch only ever
-  * reads and rewrites the buckets its keys hash into (partition-pruned
-  * read + dynamic partition overwrite), so per-trigger I/O is
-  * O(|touched buckets| · bucket size), not O(|state|): at 100 TB of
-  * state and a default 1024 buckets, a small batch rewrites ~its share
-  * of buckets, never the table. All filesystem access goes through the
-  * Hadoop FileSystem API — the layout works identically on HDFS/S3.
+  * Compacted state lives at `target/state/bucket=<b>/` with
+  * b = hash(ns, doc_key) mod [[StateBuckets]]; pending per-delivery
+  * deltas at `target/state_delta/d=<prio>/bucket=<b>/`. A micro-batch
+  * APPENDS its last-effective-write set (tombstones included) as one new
+  * delta directory and never reads or rewrites the base — per-trigger
+  * write I/O is O(|batch|), not O(|touched buckets| · bucket size).
+  * Until r19 each trigger read and rewrote every touched bucket; on a
+  * uniform key feed every bucket is touched, so the per-trigger merge
+  * was O(|state|) — at 100 TB that read-modify-write cycle per trigger
+  * IS the write-amplification wall (guide §6 file layout, §2.4 remove
+  * shuffles outright). Readers see base ∪ deltas through
+  * [[readOrEmpty]]'s last-writer-wins fold (the LSM read-side merge);
+  * every [[CompactEveryDeltas]] checkpoints the deltas fold into the
+  * base ([[compactState]]) so read amplification stays bounded. All
+  * filesystem access goes through the Hadoop FileSystem API — the
+  * layout works identically on HDFS/S3.
   */
 object IncrSync {
 
@@ -84,19 +92,19 @@ object IncrSync {
     try start finally spark.conf.set(key, prev)
   }
 
-  /** Shuffle width for one delivery's merge jobs inside
-    * [[applyBatchTo]], derived from the DELIVERED row count — the same
-    * sizing discipline as `Dedup.componentParts` applied to the apply
-    * path. Every micro-batch runs ~4 shuffling jobs (lastPerKey fold,
-    * touched-bucket distinct, anti-join merge, bucket-clustered write)
-    * whose data is the batch, orders of magnitude smaller than the
-    * session width assumes: ShuffleProfile (r19) measured the batch
-    * harnesses at 810–1,022 tasks for 0.4–2.2 MB of total shuffle
-    * (`cdc_incr_agg` 1,022 / 2.2 MB, `cdc_rebucket` 810 / 0.4 MB — the
-    * suite's WORST io amplifier at 3.74× contended/clean) and the
-    * sharded fan-out at 1,671 tasks for 0.3 MB, each task paying the
-    * fixed shuffle-file create/fsync cost that disk pressure
-    * multiplies.
+  /** Shuffle width for one delivery's jobs inside [[applyBatchTo]],
+    * derived from the DELIVERED row count — the same sizing discipline
+    * as `Dedup.componentParts` applied to the apply path. Every
+    * micro-batch runs batch-sized shuffling jobs (the lastPerKey fold
+    * and the delta append's bucket clustering; until r19 also a
+    * touched-bucket distinct and an anti-join base merge, removed by the
+    * r20 LSM layout) whose data is the batch, orders of magnitude
+    * smaller than the session width assumes: ShuffleProfile (r19)
+    * measured the batch harnesses at 810–1,022 tasks for 0.4–2.2 MB of
+    * total shuffle before the width derivation landed. The STATE-VOLUME
+    * jobs (compaction, DDL rewrite, re-bucketing) deliberately do NOT
+    * run at this width — they size from measured state bytes
+    * ([[compactParts]]; ADVICE r19).
     *
     * Budget ~250k rows (~64 MB at a few hundred bytes per oplog row)
     * per partition — real shuffle-partition sizing, NOT a constant
@@ -466,8 +474,8 @@ object IncrSync {
   /** Batch apply + checkpoint commit, with T4 barrier segmentation: the
     * batch is cut AT each DDL barrier (reference `batcher.go:283-305` —
     * a barrier never executes before the DML that precedes it, and DML
-    * that follows it in the same trigger applies after). Only state
-    * buckets touched by each DML segment are read or written.
+    * that follows it in the same trigger applies after). Each DML segment
+    * appends one O(batch) delta; the base is never read on the DML path.
     */
   def applyBatch(batch: DataFrame, targetDir: String, batchId: Long,
       nBuckets: Int = StateBuckets,
@@ -562,16 +570,194 @@ object IncrSync {
     } finally batch.unpersist()
   }
 
-  /** Read the bucketed state table (empty DataFrame if absent yet). */
-  def readOrEmpty(spark: SparkSession, path: String): DataFrame = {
+  /** Delta-batch cadence of the read-side merge: [[compactState]] folds
+    * pending deltas into the base once at least this many have
+    * accumulated (checked at each checkpoint commit, so the cadence is
+    * ckpt-aligned). Bounds read amplification to < CompactEveryDeltas
+    * batch-sized scans on top of the base; raising it trades read cost
+    * for less compaction write amplification — at real state volume the
+    * cadence would be byte-budgeted (compact when Σ delta bytes exceeds
+    * a fraction of base bytes), which this count approximates at harness
+    * delivery sizes.
+    */
+  val CompactEveryDeltas = 8
+
+  /** Pending-delta root of a state table path. */
+  def deltaRootOf(statePath: String): String = statePath + "_delta"
+
+  /** Pending delta directories under `statePath`_delta, (prio, path),
+    * sorted by prio ascending. Prio is the total order of the
+    * last-writer-wins fold: assigned [[nextDeltaPrio]] = max existing + 1
+    * at append time, so it is monotone across restarts and replays (an
+    * at-least-once replayed segment re-appends the SAME content at a
+    * higher prio — the fold is unchanged).
+    */
+  private[graft] def listDeltaDirs(spark: SparkSession,
+      statePath: String): Seq[(Long, String)] = {
+    val root = new Path(deltaRootOf(statePath))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d="))
+      .flatMap(s => scala.util.Try(s.getPath.getName.stripPrefix("d=").toLong)
+        .toOption.map(p => (p, s.getPath.toString)))
+      .sortBy(_._1)
+  }
+
+  /** Next delta prio for an append: one past the newest pending delta.
+    * Filesystem-derived (not an in-memory counter) so it stays monotone
+    * across process restarts — the property the LWW fold needs.
+    */
+  private[graft] def nextDeltaPrio(spark: SparkSession, statePath: String): Long =
+    listDeltaDirs(spark, statePath).lastOption.map(_._1 + 1L).getOrElse(0L)
+
+  /** Base (compacted) state table read — no pending deltas merged. If the
+    * base is mid-compaction-swap (crash window: `state` renamed away,
+    * replacement not yet promoted), falls back READ-ONLY to the staged
+    * backup; [[compactState]] is the mutating recovery point.
+    */
+  private[streaming] def readBase(spark: SparkSession, path: String): DataFrame = {
     val schema = StructType(stateFields.map { case (n, t) => StructField(n, t) })
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(new Path(path))) {
-      // basePath keeps the bucket partition column in the projection.
-      spark.read.option("basePath", path).schema(schema).parquet(path)
-    } else {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val resolved =
+      if (fs.exists(new Path(path))) Some(path)
+      else if (fs.exists(new Path(path + "_cmp_old"))) Some(path + "_cmp_old")
+      else None
+    resolved match {
+      case Some(p) =>
+        // basePath keeps the bucket partition column in the projection.
+        spark.read.option("basePath", p).schema(schema).parquet(p)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+  }
+
+  /** Read the state table (empty DataFrame if absent yet): the base plus
+    * the last-writer-wins fold of any pending deltas — the LSM read-side
+    * merge. With no pending deltas this is exactly the former plain
+    * bucketed read (no extra plan nodes).
+    */
+  def readOrEmpty(spark: SparkSession, path: String): DataFrame =
+    readMerged(spark, path, None)
+
+  /** [[readOrEmpty]] pruned to a bucket subset BEFORE the merge fold — a
+    * key's bucket is a pure function of (ns, doc_key), so pre-filtering
+    * base and delta scans on the partition column is semantically
+    * identical to filtering the merged view, and it keeps the physical
+    * partition-directory pruning a point lookup relies on.
+    */
+  private[graft] def readStatePruned(spark: SparkSession, statePath: String,
+      buckets: Seq[Int]): DataFrame =
+    readMerged(spark, statePath, Some(buckets))
+
+  private def readMerged(spark: SparkSession, statePath: String,
+      prune: Option[Seq[Int]]): DataFrame = {
+    def pruned(df: DataFrame): DataFrame =
+      prune.fold(df)(bs => df.filter(col("bucket")
+        .isin(bs.map(Integer.valueOf): _*)))
+    val base = pruned(readBase(spark, statePath))
+    val deltaDirs = listDeltaDirs(spark, statePath)
+    if (deltaDirs.isEmpty) return base
+    val deltaSchema = StructType(
+      stateFields.map { case (n, t) => StructField(n, t) } ++
+        Seq(StructField("op", StringType), StructField("_prio", LongType)))
+    // basePath at the delta root also surfaces the `d=<prio>` directory
+    // level as a partition column — project it away (the fold's order
+    // comes from the in-row _prio, which unlike the dir name is typed).
+    val deltas = pruned(
+      spark.read.option("basePath", deltaRootOf(statePath))
+        .schema(deltaSchema).parquet(deltaDirs.map(_._2): _*))
+      .select(col("ns"), col("doc_key"), col("last_value"),
+        col("last_event_id"), col("batch_ops"), col("bucket"),
+        col("op"), col("_prio"))
+    // LWW fold: the winning row per key is the one with the highest prio
+    // (base = -1); a winner whose last op was a delete drops the key.
+    // One row per key per side by construction (base is compacted,
+    // each delta is a lastPerKey set), so the argmax never ties.
+    base.withColumn("op", lit("u")).withColumn("_prio", lit(-1L))
+      .unionByName(deltas)
+      .groupBy(col("ns"), col("doc_key"))
+      .agg(max_by(struct(col("last_value"), col("last_event_id"),
+        col("batch_ops"), col("bucket"), col("op")), col("_prio")).as("m"))
+      .filter(col("m.op") =!= "d")
+      .select(col("ns"), col("doc_key"),
+        col("m.last_value").as("last_value"),
+        col("m.last_event_id").as("last_event_id"),
+        col("m.batch_ops").as("batch_ops"),
+        col("m.bucket").as("bucket"))
+  }
+
+  /** Complete an interrupted [[compactState]] swap: if the base is
+    * missing but the staged backup exists, the crash hit between the two
+    * renames — restore the backup (the tmp write, if any, is discarded:
+    * it may be partial only if the crash preceded the swap; post-swap it
+    * is the promoted base and this branch never triggers).
+    */
+  def recoverCompact(spark: SparkSession, statePath: String): Unit = {
+    val state = new Path(statePath)
+    val old = new Path(statePath + "_cmp_old")
+    val tmp = new Path(statePath + "_cmp_tmp")
+    val fs = state.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(state) && fs.exists(old)) fs.rename(old, state)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(state) && fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** Shuffle width for a full-state rewrite ([[compactState]], DDL
+    * rewrites, re-bucketing): derived from the MEASURED on-disk bytes of
+    * base + pending deltas (one getContentSummary call each), ~128 MB per
+    * partition — the state-volume sizing the batch-derived [[applyParts]]
+    * deliberately does not govern (ADVICE r19: a state-volume shuffle at
+    * the batch-derived width is a throughput cliff at 100 TB). Floor 1:
+    * harness-scale states compact in a single task; cap 4096 as
+    * elsewhere.
+    */
+  private[graft] def compactParts(stateBytes: Long): Int = {
+    var p = 1L
+    while (p < 4096 && p * (128L << 20) < stateBytes) p *= 2
+    p.toInt
+  }
+
+  private def stateBytes(spark: SparkSession, statePath: String,
+      deltaDirs: Seq[(Long, String)]): Long = {
+    val fs = new Path(statePath).getFileSystem(spark.sessionState.newHadoopConf())
+    def len(p: String): Long =
+      if (fs.exists(new Path(p))) fs.getContentSummary(new Path(p)).getLength else 0L
+    len(statePath) + deltaDirs.map(d => len(d._2)).sum
+  }
+
+  /** Fold pending deltas into the base (optionally transforming the
+    * merged view — the DDL rewrite path): write the merged state to a
+    * temp dir at a state-volume-derived width, swap it in with a staged
+    * backup (`state → state_cmp_old; tmp → state; drop old` — crash
+    * mid-swap leaves a recoverable layout, [[recoverCompact]]), then
+    * drop exactly the delta directories the fold consumed. A delta
+    * appended concurrently (sharded fan-out serializes on the target
+    * lock, but the capture is structural anyway) survives and re-merges
+    * on the next read — and a CRASH between swap and delta-drop is
+    * idempotent for the same reason: re-merging a folded delta onto the
+    * compacted base re-elects the same rows.
+    */
+  def compactState(spark: SparkSession, statePath: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    recoverCompact(spark, statePath)
+    val state = new Path(statePath)
+    val fs = state.getFileSystem(spark.sessionState.newHadoopConf())
+    val deltaDirs = listDeltaDirs(spark, statePath)
+    if (!fs.exists(state) && deltaDirs.isEmpty) return
+    val parts = compactParts(stateBytes(spark, statePath, deltaDirs))
+    val tmp = new Path(statePath + "_cmp_tmp")
+    transform(readMerged(spark, statePath, None))
+      .repartition(parts, col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(tmp.toString)
+    val old = new Path(statePath + "_cmp_old")
+    if (fs.exists(state)) require(fs.rename(state, old), s"cannot stage $statePath aside")
+    require(fs.rename(tmp, state), s"cannot promote compacted state at $statePath")
+    fs.delete(old, true)
+    deltaDirs.foreach { case (_, dir) => fs.delete(new Path(dir), true) }
+    val root = new Path(deltaRootOf(statePath))
+    if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, true)
   }
 
   /** Recursive delete via the Hadoop FileSystem (works on any scheme). */

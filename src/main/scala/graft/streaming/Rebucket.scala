@@ -69,9 +69,14 @@ object Rebucket {
     val state = new Path(statePath)
     val fs = fsOf(spark, state)
     recover(spark, targetDir)
-    if (!fs.exists(state)) return // no state yet: nothing to migrate
+    IncrSync.recoverCompact(spark, statePath)
+    val deltaDirs = IncrSync.listDeltaDirs(spark, statePath)
+    if (!fs.exists(state) && deltaDirs.isEmpty) return // no state yet
     if (from == to) return
 
+    // Merged view: pending deltas (appended at the OLD layout) fold in
+    // and their directories drop after the swap — the migration IS a
+    // compaction, just with a new bucket count.
     val st = IncrSync.readOrEmpty(spark, statePath)
     val offLayout = st.filter(col("bucket") =!= IncrSync.bucketOf(from)).count()
     require(offLayout == 0L,
@@ -84,8 +89,13 @@ object Rebucket {
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp.toString)
 
     val old = new Path(s"$targetDir/state_mig_old")
-    require(fs.rename(state, old), s"cannot stage $statePath aside")
+    if (fs.exists(state)) // delta-only state: nothing to stage aside
+      require(fs.rename(state, old), s"cannot stage $statePath aside")
     require(fs.rename(tmp, state), s"cannot promote re-bucketed state")
     fs.delete(old, true)
+    deltaDirs.foreach { case (_, dir) => fs.delete(new Path(dir), true) }
+    val deltaRoot = new Path(IncrSync.deltaRootOf(statePath))
+    if (fs.exists(deltaRoot) && fs.listStatus(deltaRoot).isEmpty)
+      fs.delete(deltaRoot, true)
   }
 }

@@ -98,5 +98,9 @@ final case class ShardedTarget(targetDir: String, shard: String,
     ShardedSync.targetLock(targetDir).synchronized {
       ck.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$targetDir/_ckpt/shard=$shard/batch=$batchId")
+      // The shared state table compacts on the same ckpt-aligned cadence
+      // as the single-writer target; the lock serializes it against the
+      // other shards' delta appends and compactions.
+      inner.maybeCompact(ck.sparkSession)
     }
 }

@@ -124,10 +124,12 @@ object TargetWriter {
 }
 
 /** The sandbox/cluster-file default target: the hash-bucketed parquet
-  * state table of [[IncrSync]] (state at `dir/state/bucket=<b>/`, DDL log
-  * at `dir/ddl_log`, checkpoints at `dir/_ckpt`). A micro-batch only
-  * rewrites the buckets its keys hash into — O(batch), not O(state), per
-  * trigger; see the layout note on [[IncrSync]].
+  * state table of [[IncrSync]] (compacted base at `dir/state/bucket=<b>/`,
+  * pending deltas at `dir/state_delta/d=<prio>/bucket=<b>/`, DDL log
+  * at `dir/ddl_log`, checkpoints at `dir/_ckpt`). A micro-batch APPENDS
+  * one delta directory — O(batch) write I/O per trigger, never a
+  * read-modify-write of the base; deltas fold into the base on the
+  * ckpt-aligned compaction cadence. See the layout note on [[IncrSync]].
   */
 final case class ParquetTarget(targetDir: String,
     nBuckets: Int = IncrSync.StateBuckets,
@@ -136,42 +138,35 @@ final case class ParquetTarget(targetDir: String,
 
   def applyDml(last0: DataFrame): Unit = {
     val spark = last0.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val statePath = s"$targetDir/state"
     val last = last0
       .withColumnRenamed("n_ops", "batch_ops")
       .withColumn("bucket", IncrSync.bucketOf(nBuckets))
+    // Persisted across the two actions below (emptiness probe + delta
+    // write) so the lastPerKey fold over the delivery runs once.
     last.persist()
     try {
-      val delta = last.filter(col("op") =!= "d").drop("op")
-      val statePath = s"$targetDir/state"
-      val touched = last.select(col("ns"), col("doc_key"), col("bucket"))
-      val touchedBuckets = touched.select("bucket").distinct()
-        .collect().map(_.getInt(0)).toSeq // bounded by nBuckets
-      if (touchedBuckets.isEmpty) return
-      // Partition-pruned read: only buckets this batch can modify.
-      val existing = IncrSync.readOrEmpty(spark, statePath)
-        .filter(col("bucket").isin(touchedBuckets: _*))
-      // New content of the touched buckets: old rows whose key is untouched
-      // + the batch delta (keys whose last op was a delete are in neither).
-      val kept = existing.join(touched.select("ns", "doc_key"), Seq("ns", "doc_key"), "left_anti")
-      val newState = kept.unionByName(delta)
-      newState.persist()
-      // Dynamic partition overwrite replaces exactly the partitions present
-      // in `newState`. A touched bucket whose keys were ALL deleted has no
-      // rows to write — clear its partition directory explicitly.
-      val writtenBuckets = newState.select("bucket").distinct()
-        .collect().map(_.getInt(0)).toSet
-      // Cluster by the partition column: one writer task per bucket, one
-      // file per bucket per batch (instead of |shuffle partitions| part
-      // files in every bucket directory — a small-file explosion that
-      // compounds at every trigger).
-      newState.repartition(col("bucket"))
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(statePath)
-      val fs = new Path(statePath).getFileSystem(spark.sessionState.newHadoopConf())
-      (touchedBuckets.toSet -- writtenBuckets).foreach { b =>
-        fs.delete(new Path(s"$statePath/bucket=$b"), true)
-      }
-      newState.unpersist()
+    // Barrier segmentation can hand over an empty segment — nothing to
+    // append (and an empty delta directory would be pure read overhead).
+    if (last.isEmpty) return
+    // Append-only delta: the segment's last-effective-write set,
+    // tombstones included (`op = d` rows drop the key in the read-side
+    // merge). Prio is filesystem-derived max+1, so an at-least-once
+    // replay of this segment appends the SAME content at a higher prio —
+    // the LWW fold is unchanged (idempotent by content, not by keying).
+    // Clustered on the partition column: one file per touched bucket per
+    // delta, and the same physical bucket pruning as the base for point
+    // lookups. The shuffle runs at the batch-derived applyParts width
+    // set by applyBatchTo — correct here, because this job's data IS the
+    // batch (the state-volume jobs size themselves from measured state
+    // bytes instead: IncrSync.compactParts).
+    val prio = IncrSync.nextDeltaPrio(spark, statePath)
+    last.select(col("ns"), col("doc_key"), col("last_value"),
+        col("last_event_id"), col("batch_ops"), col("bucket"), col("op"))
+      .withColumn("_prio", lit(prio))
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(f"${IncrSync.deltaRootOf(statePath)}/d=$prio%09d")
     } finally last.unpersist()
   }
 
@@ -231,6 +226,19 @@ final case class ParquetTarget(targetDir: String,
       val lsnMax = ck.collect().head.getAs[Long]("lsn_max")
       ckptStores.foreach(st => CkptManager(st, "graft", 1L).update(lsnMax))
     }
+    maybeCompact(ck.sparkSession)
+  }
+
+  /** Ckpt-aligned compaction cadence: fold pending deltas into the base
+    * once enough have accumulated. Runs strictly AFTER the checkpoint
+    * commit — compaction is an optimization of the read path, never part
+    * of the batch's durability (a crash mid-compaction recovers via
+    * [[IncrSync.recoverCompact]] and changes no observable state).
+    */
+  private[streaming] def maybeCompact(spark: SparkSession): Unit = {
+    val statePath = s"$targetDir/state"
+    if (IncrSync.listDeltaDirs(spark, statePath).size >= IncrSync.CompactEveryDeltas)
+      IncrSync.compactState(spark, statePath)
   }
 
   /** Journal side-output: the delivery's raw ops (filtered per mode) to
@@ -253,18 +261,15 @@ final case class ParquetTarget(targetDir: String,
       .parquet(s"$targetDir/_journal/batch=$batchId")
   }
 
-  /** Full-state rewrite through a temp dir + atomic-ish swap (barrier-only
-    * path; DML never does this).
+  /** Full-state rewrite (barrier-only path; DML never does this): a
+    * compaction pass with the DDL transform applied to the merged view —
+    * pending deltas fold in (a barrier stops the world, so everything
+    * delivered before it must be visible to it), the rewritten state
+    * becomes the new base through the staged swap, and the consumed
+    * deltas drop. Runs at the state-volume-derived width, not the
+    * batch-derived one (ADVICE r19).
     */
   private def rewriteState(spark: SparkSession, statePath: String,
-      f: DataFrame => DataFrame): Unit = {
-    val fs = new Path(statePath).getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new Path(statePath))) return
-    val tmp = statePath + "_rewrite"
-    f(IncrSync.readOrEmpty(spark, statePath))
-      .repartition(col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
-    fs.delete(new Path(statePath), true)
-    fs.rename(new Path(tmp), new Path(statePath))
-  }
+      f: DataFrame => DataFrame): Unit =
+    IncrSync.compactState(spark, statePath, f)
 }

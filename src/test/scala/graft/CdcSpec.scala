@@ -181,14 +181,19 @@ class CdcSpec extends AnyFunSuite {
     val probeBuckets = keys.toDF("ns", "doc_key")
       .withColumn("bucket", graft.streaming.IncrSync.bucketOf(16))
       .select("bucket").distinct().as[Int].collect().toSet
-    val full = spark.read.parquet(s"$work/state")
-    val pruned = full.filter(col("bucket")
-      .isin(probeBuckets.toSeq.map(Integer.valueOf): _*))
-    // the filtered scan READS only files under the probe buckets' dirs
-    // (input_file_name at execution time — inputFiles on the frame is
-    // relation-level and blind to partition pruning)
-    val readFiles = pruned.select(input_file_name()).distinct()
-      .as[String].collect()
+    // merged view (base + pending deltas); the probe-bucket pruned read
+    // filters BOTH scans on the bucket partition directories
+    val full = graft.streaming.IncrSync.readOrEmpty(spark, s"$work/state")
+    val pruned = graft.streaming.IncrSync.readStatePruned(
+      spark, s"$work/state", probeBuckets.toSeq)
+    // the pruned read SELECTS only files under the probe buckets' dirs —
+    // proven at the physical scan (FileSourceScan.selectedPartitions is
+    // the post-partition-pruning file set; inputFiles on the frame is
+    // relation-level and blind to pruning, and input_file_name() does
+    // not survive the merge fold's exchange)
+    val readFiles = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.flatMap(_.selectedPartitions.toPartitionArray.map(_.filePath.toString))
     assert(readFiles.nonEmpty)
     assert(readFiles.forall(f =>
       probeBuckets.exists(b => f.contains(s"bucket=$b/"))))

@@ -206,7 +206,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = IncrSync.start(spark, srcDir.getAbsolutePath, s"$work/target", s"$work/ckpt")
     q.awaitTermination()
 
-    val got = spark.read.parquet(s"$work/target/state")
+    val got = IncrSync.readOrEmpty(spark, s"$work/target/state")
     val expected = graft.apply.Replay.materialize(
       graft.model.Oplog.fromEvents(spark, src)
         .filter(graft.filters.OplogFilters.chain(Seq(""), Seq("^app\\..*$"), Nil)))
@@ -224,7 +224,7 @@ class StreamingSpec extends AnyFunSuite {
     val before = got.orderBy("ns", "doc_key").collect().toSeq
     val q2 = IncrSync.start(spark, srcDir.getAbsolutePath, s"$work/target", s"$work/ckpt")
     q2.awaitTermination()
-    val after = spark.read.parquet(s"$work/target/state").orderBy("ns", "doc_key").collect().toSeq
+    val after = IncrSync.readOrEmpty(spark, s"$work/target/state").orderBy("ns", "doc_key").collect().toSeq
     assert(after == before)
   }
 
@@ -313,52 +313,73 @@ class StreamingSpec extends AnyFunSuite {
     val q = IncrSync.start(spark, srcDir.getAbsolutePath, s"$work/target", s"$work/ckpt",
       startingTs = mid, maxFilesPerTrigger = 1)
     q.awaitTermination()
-    val got = spark.read.parquet(s"$work/target/state")
+    val got = IncrSync.readOrEmpty(spark, s"$work/target/state")
     val expected = graft.apply.Replay.materialize(full.filter(col("ts_packed") > mid))
     assert(got.count() == expected.count())
     assert(got.select("ns", "doc_key", "last_event_id")
       .except(expected.select("ns", "doc_key", "last_event_id")).count() == 0)
   }
 
-  test("bucketed state: a second batch rewrites only the buckets it touches") {
+  test("LSM state: a batch appends one O(batch) delta, never rewriting " +
+      "resident data; compaction folds deltas and clears them") {
     val work = Files.createTempDirectory("graft_bucket").toFile.getAbsolutePath
     def oplog(rows: Seq[(Long, Long, String, String, String, Double)]) =
       rows.toDF("event_id", "ts_packed", "op", "ns", "doc_key", "value")
+    def filesUnder(dir: java.io.File): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      if (!dir.exists()) Set.empty
+      else walk(dir).map(f => (f.getAbsolutePath, f.lastModified())).toSet
+    }
 
-    // Batch 1: many keys spread across buckets.
+    // Batch 1: many keys spread across buckets → one delta directory.
     val b1 = oplog((1 to 200).map(i =>
       (i.toLong, i.toLong, "i", "app.t", s"k$i", i.toDouble)))
     IncrSync.applyBatch(b1, work, 1L, nBuckets = 16)
-    val stateDir = new java.io.File(s"$work/state")
-    def bucketFiles(): Map[String, Set[(String, Long)]] =
-      stateDir.listFiles().filter(_.getName.startsWith("bucket=")).map { d =>
-        d.getName -> d.listFiles().map(f => (f.getName, f.lastModified())).toSet
-      }.toMap
-    val before = bucketFiles()
-    assert(before.size > 4) // keys actually spread over buckets
+    val deltaRoot = new java.io.File(s"$work/state_delta")
+    assert(deltaRoot.listFiles().map(_.getName).toSet == Set("d=000000000"))
+    val resident = filesUnder(new java.io.File(work))
 
-    // Batch 2: update one key, delete another.
+    // Batch 2: update one key, delete another → a second delta; every
+    // byte written by batch 1 (and any base) is untouched — the O(batch)
+    // apply contract.
     val b2 = oplog(Seq(
       (1001L, 1001L, "u", "app.t", "k1", 999.0),
       (1002L, 1002L, "d", "app.t", "k2", 0.0)))
     IncrSync.applyBatch(b2, work, 2L, nBuckets = 16)
-    val after = bucketFiles()
-
+    assert(filesUnder(new java.io.File(work)).filterNot(
+      _._1.contains("_ckpt")) // the per-batch ckpt rows are keyed dirs
+      .filterNot(_._1.contains("d=000000001")) == resident.filterNot(
+      _._1.contains("_ckpt")), "batch 2 rewrote resident bytes")
+    // the new delta holds only the buckets batch 2 touched
     val touched = Seq("k1", "k2").map { k =>
       val b = b1.sparkSession.range(1).select(
         lit("app.t").as("ns"), lit(k).as("doc_key"))
         .select(IncrSync.bucketOf(16)).head().getInt(0)
       s"bucket=$b"
     }.toSet
-    // untouched buckets: identical file lists and mtimes
-    (before.keySet -- touched).foreach { b =>
-      assert(after(b) == before(b), s"untouched $b was rewritten")
-    }
-    // touched buckets changed; state content correct
-    touched.foreach(b => assert(after.get(b) != before.get(b)))
-    val state = spark.read.parquet(s"$work/state")
+    val d2 = new java.io.File(s"$work/state_delta/d=000000001")
+    assert(d2.listFiles().filter(_.getName.startsWith("bucket="))
+      .map(_.getName).toSet == touched)
+
+    // merged view: last-writer-wins with tombstones
+    def state = IncrSync.readOrEmpty(spark, s"$work/state")
     assert(state.filter($"doc_key" === "k1").head().getAs[Double]("last_value") == 999.0)
     assert(state.filter($"doc_key" === "k2").count() == 0)
+    assert(state.count() == 199)
+
+    // compaction folds the deltas into the base and clears them; the
+    // merged view is unchanged (content-identical, bucket-partitioned)
+    val beforeCompact = state.orderBy("ns", "doc_key").collect().toSeq
+    IncrSync.compactState(spark, s"$work/state")
+    assert(!deltaRoot.exists())
+    assert(new java.io.File(s"$work/state").listFiles()
+      .exists(_.getName.startsWith("bucket=")))
+    assert(state.orderBy("ns", "doc_key").collect().toSeq == beforeCompact)
+    // further deltas stack on the compacted base and still merge
+    IncrSync.applyBatch(oplog(Seq((2001L, 2001L, "u", "app.t", "k3", 7.0))),
+      work, 3L, nBuckets = 16)
+    assert(state.filter($"doc_key" === "k3").head().getAs[Double]("last_value") == 7.0)
     assert(state.count() == 199)
   }
 

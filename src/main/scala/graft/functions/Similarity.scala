@@ -715,9 +715,15 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val q = p.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val reranked = shortl
-      .join(p.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
-        Seq("neighbor_id"))
+    // Gather the shortlist's full vectors by STREAMING the corpus against
+    // a broadcast hash of the |Q|·depth two-column shortlist (r19 left
+    // the build side to the planner, which hash-built the prepared CORPUS
+    // — a corpus-sized broadcast relation, the exact thing that cannot
+    // scale; the shortlist side is the one with the engine-known bound).
+    // The query vectors attach from the second, |Q|-row broadcast.
+    val reranked = p
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+      .join(broadcast(shortl), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("sim", cosineQ(col("qv"), col("qn"), col("v"), col("nrm")))
     val w = Window.partitionBy(col("query_id"))

@@ -12,6 +12,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional state-store backend flag (default: engine default) — see
+    // graft.streaming.StateBackend; inert unless the env var is set.
+    graft.streaming.StateBackend.applyFromEnv(spark)
     // Untimed warmup: absorb JIT/session/codegen startup (~6s) so the
     // first timed query measures the plan, not the JVM — and touch every
     // input table once so no suite's alphabetically-first query absorbs
@@ -180,14 +183,18 @@ object Bench {
     // The summary is cpus-keyed so the driver's low-core SCALING run no
     // longer clobbers the 32-core main-run record (VERDICT r19 finding:
     // the c8 run overwrote bench_summary.json and destroyed the only
-    // surviving per-query record of the driver's main run). The legacy
-    // un-suffixed path is kept as the 32-core record.
+    // surviving per-query record of the driver's main run), and partial
+    // (query-filtered) dev runs land on their own path so they cannot
+    // clobber any full-run record either. The legacy un-suffixed path is
+    // kept as the 32-core full-run record.
     val summaryLine =
       "{" + jsonCore + s""","partial":${args.nonEmpty},"n_queries":${results.size},"cpus":$cpus}""" + "\n"
+    val summaryName =
+      if (args.nonEmpty) "bench_summary_partial.json" else s"bench_summary_c$cpus.json"
     try {
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(repoRoot, s"bench_summary_c$cpus.json"), summaryLine)
-      if (cpus == "32") java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(repoRoot, summaryName), summaryLine)
+      if (args.isEmpty && cpus == "32") java.nio.file.Files.writeString(
         java.nio.file.Paths.get(repoRoot, "bench_summary.json"), summaryLine)
     } catch { case e: Throwable => System.err.println(s"[bench] summary write failed: ${e.getMessage}") }
     try {

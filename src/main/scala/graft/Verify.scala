@@ -17,6 +17,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional state-store backend flag (default: engine default) — see
+    // graft.streaming.StateBackend; inert unless the env var is set.
+    graft.streaming.StateBackend.applyFromEnv(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

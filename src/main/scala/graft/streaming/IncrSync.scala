@@ -488,24 +488,45 @@ object IncrSync {
     * a merge set, a command, or a checkpoint commit physically does lives
     * behind the seam.
     */
-  def applyBatchTo(batch: DataFrame, target: TargetWriter, batchId: Long,
+  def applyBatchTo(batch0: DataFrame, target: TargetWriter, batchId: Long,
       fullSyncFinishPosition: Long = 0L): Unit = {
-    val spark = batch.sparkSession
-    batch.persist()
-    try {
+    val spark = batch0.sparkSession
+    // Pin the delivery as materialized blocks (localCheckpoint), not a
+    // lazy cache: JobProfile (r20) measured every post-persist action on
+    // a STREAMING micro-batch re-paying ~1.3–2.2 s — the microbatch
+    // source plan re-executed per job — where the same actions on a
+    // plain cached batch cost 0.1–0.3 s. The checkpoint truncates the
+    // plan at the delivery, so the barrier collect, the segment folds,
+    // and the delta writes all read the pinned blocks. Lazy: the stats
+    // pass below is the materialization (and the one firing of the
+    // observe counters). Block cleanup rides the ContextCleaner once the
+    // trigger's frame is unreachable — the same lifecycle every
+    // localCheckpoint in the engine uses.
+    val batch = batch0.localCheckpoint(eager = false)
+    {
       // Materialize the cache with one FULL pass before anything else: the
       // G7 observe counters fire exactly once per delivery this way (an
       // `isEmpty`-style limit-1 probe would be cheaper for the emptiness
       // test alone, but would run the observed plan a second, partial
-      // time and corrupt the counts — the full count IS the cache
-      // materialization pass, not a redundant job). Idle triggers — under a continuous
+      // time and corrupt the counts — this full pass IS the cache
+      // materialization, not a redundant job). The SAME pass also takes
+      // the delivery's lsn bounds, so the T8 checkpoint row at the bottom
+      // is built from literals instead of a second full-batch agg job —
+      // the per-trigger floor is jobs × fixed scheduling/state-reload
+      // cost (JobProfile r20: ~0.5–1.5 s per job on a cached KB-scale
+      // delivery), so every fused job is wall time at every trigger.
+      // Idle triggers — under a continuous
       // ProcessingTime trigger with a txn TTL the state operator schedules
       // a no-data batch EVERY interval; that is what fires processing-time
       // timeouts — deliver nothing, so nothing is ack'd: the checkpoint
       // must not move (T8 — the reference's ckpt manager only flushes on
       // ack'd traffic, `ckpt_manager.go:25-140`), and an idle tail must
       // not append one empty _ckpt row per trigger forever.
-      val nRows = batch.count()
+      val stats = batch.agg(
+        count(lit(1)).as("n_logs"),
+        min(col("ts_packed")).as("lsn_min"),
+        max(col("ts_packed")).as("lsn_max")).head()
+      val nRows = stats.getLong(0)
       if (nRows == 0L) return
       // Every job below (journal filter, lastPerKey fold, bucket merge,
       // checkpoint agg) operates on THIS delivery — run them at the
@@ -560,11 +581,13 @@ object IncrSync {
         dml(normal.filter(col("ts_packed") > lo))
       }
 
-      // Checkpoint row — only after every segment is durable.
-      val ck = batch.agg(
-        min(col("ts_packed")).as("lsn_min"), max(col("ts_packed")).as("lsn_max"),
-        count(lit(1)).as("n_logs"))
-        .withColumn("batch_id", lit(batchId))
+      // Checkpoint row — only after every segment is durable. Built from
+      // the materialization pass's bounds (same values the old per-batch
+      // agg recomputed; ordering contract unchanged — the WRITE still
+      // happens strictly after every segment).
+      import spark.implicits._
+      val ck = Seq((stats.getLong(1), stats.getLong(2), nRows, batchId))
+        .toDF("lsn_min", "lsn_max", "n_logs", "batch_id")
       target.commitCheckpoint(ck, batchId)
       } finally spark.conf.set(spKey, prevSp)
     } finally batch.unpersist()

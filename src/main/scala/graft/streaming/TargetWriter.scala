@@ -142,13 +142,11 @@ final case class ParquetTarget(targetDir: String,
     val last = last0
       .withColumnRenamed("n_ops", "batch_ops")
       .withColumn("bucket", IncrSync.bucketOf(nBuckets))
-    // Persisted across the two actions below (emptiness probe + delta
-    // write) so the lastPerKey fold over the delivery runs once.
-    last.persist()
-    try {
-    // Barrier segmentation can hand over an empty segment — nothing to
-    // append (and an empty delta directory would be pure read overhead).
-    if (last.isEmpty) return
+    // NO emptiness probe: a probe job costs the same as writing the
+    // empty delta it would skip (the per-trigger floor is job count ×
+    // fixed cost — JobProfile r20), and empty segments only arise on the
+    // rare barrier-segmentation path; an empty delta directory is inert
+    // in the read fold and swept by the next compaction.
     // Append-only delta: the segment's last-effective-write set,
     // tombstones included (`op = d` rows drop the key in the read-side
     // merge). Prio is filesystem-derived max+1, so an at-least-once
@@ -167,7 +165,6 @@ final case class ParquetTarget(targetDir: String,
       .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(f"${IncrSync.deltaRootOf(statePath)}/d=$prio%09d")
-    } finally last.unpersist()
   }
 
   /** W5 doCommand replay (`executor/db_writer.go:61-219`): DDL applied to

@@ -33,11 +33,18 @@ object JobProfile {
     val rows = mutable.ArrayBuffer.empty[(Int, Long, String)]
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val desc = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .orElse(Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))))
-          .getOrElse("?")
+        // callSite first: the streaming job description is a multiline
+        // id/runId/batch block that is useless for rollups.
+        val p = Option(js.properties)
+        val call = p.flatMap(x => Option(x.getProperty("callSite.short")))
+        val batch = p.flatMap(x => Option(x.getProperty("spark.job.description")))
+          .flatMap(_.linesIterator.find(_.startsWith("batch")))
+        val desc = (call, batch) match {
+          case (Some(c), Some(b)) => s"$c [$b]"
+          case (Some(c), None) => c
+          case (None, Some(b)) => b
+          case _ => "?"
+        }
         starts.put(js.jobId, (js.time, desc))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
